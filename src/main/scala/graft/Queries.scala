@@ -1,0 +1,563 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query: a Spark implementation plus (where SQL-expressible) an
+  * ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+  *
+  * Determinism rules that make the driver's hash compare stable:
+  *  - every query ends with a total ORDER BY (ties broken by a unique key);
+  *  - double aggregates go through DECIMAL(18,6) so the sum is exact and
+  *    associative (identical in Spark and DuckDB regardless of add order),
+  *    then cast back to DOUBLE;
+  *  - computed integers are cast to BIGINT on both sides (Spark window/size
+  *    functions return INT, DuckDB returns BIGINT);
+  *  - column names are aliased identically on both sides.
+  */
+final case class QuerySpec(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The relational query surface — SURVEY.md §2.2–§2.6 operators, each
+  * exercised over the harness tables and verified against a DuckDB oracle.
+  * Domain-specific surfaces live in their own modules and register here:
+  * dedup/similarity/text ([[graft.ops.ExtensionQueries]]), augmentation
+  * ([[graft.ops.AugmentQueries]]).
+  */
+object Queries {
+
+  /** Exact-sum bridge: DOUBLE → DECIMAL(18,6) before aggregation.
+    * Input doubles carry ≤2 decimal digits (prices/discounts/quantities), so
+    * the cast is exact and the decimal sum is order-independent. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // Same bridge, oracle side.
+  private def SQLDEC(e: String) = s"CAST($e AS DECIMAL(18,6))"
+  private def SQLSUM(e: String) = s"CAST(SUM(${SQLDEC(e)}) AS DOUBLE)"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---------------------------------------------------------------- scans + agg
+    // SURVEY §2.4 A1..A5 analog — TPC-H Q1-shaped pricing summary.
+    // Scale: single shuffle on (l_returnflag, l_linestatus); partial
+    // aggregation is map-side, so 100 TB reduces to |groups| rows per task.
+    QuerySpec(
+      "q1_pricing_summary",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
+              .cast("double").as("sum_disc_price"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${SQLSUM("l_quantity")} AS sum_qty,
+              |  ${SQLSUM("l_extendedprice")} AS sum_base_price,
+              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // SURVEY §2.2 P1 (filter), P2 (cast projection), §2.6 F6 (round/floor).
+    QuerySpec(
+      "q2_filter_project",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            floor(col("l_quantity")).as("qty_int"),
+            round(col("l_extendedprice"), 0).as("price_round"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+             |  round(l_extendedprice, 0) AS price_round
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---------------------------------------------------------------- joins
+    // SURVEY §2.3 J2/J3/J4 analog — 5-way join with broadcast dims.
+    // Scale: region/nation broadcast (bytes), customer broadcast at small SF /
+    // shuffle at 100 TB (AQE decides); lineitem⋈orders is the one big
+    // shuffle, on the join key both sides.
+    QuerySpec(
+      "q3_regional_revenue",
+      (s, dir) => {
+        val rev = expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey  = o_orderkey
+             |JOIN customer ON o_custkey   = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // SURVEY §2.3 J1 — left outer with missing-key default (defaultdict ⇒ []).
+    QuerySpec(
+      "q4_left_outer_default",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+          .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+              |  COALESCE(${SQLSUM("o_totalprice")}, 0) AS total_spent
+              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // SURVEY §2.3 (declared surface) — left semi join.
+    QuerySpec(
+      "q5_semi_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // SURVEY §2.3 — left anti join (J1's "missing ⇒ empty" recovers negatives).
+    QuerySpec(
+      "q6_anti_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- aggregation shapes
+    // SURVEY §2.4 A1 — groupBy + collect_list (box-map shape), rendered as a
+    // sorted CSV string so the oracle compare is representation-stable.
+    QuerySpec(
+      "q7_group_collect",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            array_join(
+              transform(array_sort(collect_list(col("l_linenumber"))), _.cast("string")),
+              ",").as("line_numbers"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // SURVEY §2.4 A4 — distinct counts (exact; approx_count_distinct is the
+    // 100 TB path, exercised in tests since the oracle can't match a sketch).
+    QuerySpec(
+      "q8_distinct_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // SURVEY §2.5 — window top-k per group (declared surface: Window + rank).
+    QuerySpec(
+      "q9_window_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // SURVEY §2.5 — global sort + limit (total order ⇒ deterministic ties).
+    QuerySpec(
+      "q10_sort_limit",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // ---------------------------------------------------------------- set ops (§2.5 O3 + declared)
+    QuerySpec(
+      "q11_union",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+          .distinct()
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec(
+      "q12_intersect",
+      (s, dir) =>
+        Tables.part(s, dir).filter(col("p_size") < 15).select(col("p_partkey"))
+          .intersect(Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey FROM part WHERE p_size < 15
+             |INTERSECT
+             |SELECT l_partkey FROM lineitem
+             |ORDER BY p_partkey""".stripMargin)),
+
+    QuerySpec(
+      "q13_except",
+      (s, dir) =>
+        Tables.orders(s, dir).select(col("o_orderkey"))
+          .except(Tables.lineitem(s, dir).select(col("l_orderkey").as("o_orderkey")))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders
+             |EXCEPT
+             |SELECT l_orderkey FROM lineitem
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---------------------------------------------------------------- scalar funcs
+    // SURVEY §2.2 P8 — CASE/suffix dispatch.
+    QuerySpec(
+      "q14_case_dispatch",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            when(col("o_orderpriority").startsWith("1"), "urgent")
+              .when(col("o_orderpriority").startsWith("2"), "high")
+              .when(col("o_orderpriority").startsWith("3"), "medium")
+              .otherwise("low").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+             |            WHEN o_orderpriority LIKE '2%' THEN 'high'
+             |            WHEN o_orderpriority LIKE '3%' THEN 'medium'
+             |            ELSE 'low' END AS bucket, COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // SURVEY §2.6 F1/F2/F3 — replace / endswith / concat.
+    QuerySpec(
+      "q15_string_funcs",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            regexp_replace(col("p_name"), " ", "_").as("name_underscored"),
+            upper(col("p_brand")).as("brand_upper"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            col("p_type").endsWith("STEEL").cast("long").as("is_steel"),
+            length(col("p_name")).cast("long").as("name_len"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, replace(p_name, ' ', '_') AS name_underscored,
+             |  upper(p_brand) AS brand_upper,
+             |  p_brand || '-' || p_type AS brand_type,
+             |  CAST(p_type LIKE '%STEEL' AS BIGINT) AS is_steel,
+             |  CAST(length(p_name) AS BIGINT) AS name_len
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // SURVEY §2.6 F4 — sha256 / md5 content hashing (tf.Example key path).
+    QuerySpec(
+      "q16_hash_funcs",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            sha2(col("text").cast("binary"), 256).as("sha"),
+            md5(col("text").cast("binary")).as("md5"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, sha256(text) AS sha, md5(text) AS md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SURVEY §2.6 F9 — JSON extraction from the events props column.
+    QuerySpec(
+      "q17_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  COUNT(*) AS n,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Date bucketing (declared surface; harness events/orders need it).
+    QuerySpec(
+      "q18_date_trunc",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("mon"),
+      Some(s"""SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_orders,
+              |  ${SQLSUM("o_totalprice")} AS revenue
+              |FROM orders GROUP BY 1 ORDER BY mon""".stripMargin)),
+
+    // ---------------------------------------------------------------- grouping sets
+    QuerySpec(
+      "q19_rollup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              |  COUNT(*) AS n, ${SQLSUM("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin)),
+
+    QuerySpec(
+      "q20_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            col("n"), col("revenue"))
+          .orderBy("status", "priority"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              |  COALESCE(o_orderpriority, 'ALL') AS priority,
+              |  COUNT(*) AS n, ${SQLSUM("o_totalprice")} AS revenue
+              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY status, priority""".stripMargin)),
+
+    // ---------------------------------------------------------------- windows
+    // Running total + lag over a totally-ordered per-customer frame.
+    QuerySpec(
+      "q21_running_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+            sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_spend"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            row_number().over(w).cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+              |  CAST(SUM(${SQLDEC("o_totalprice")}) OVER w AS DOUBLE) AS running_spend,
+              |  lag(o_totalprice, 1) OVER w AS prev_price,
+              |  CAST(row_number() OVER w AS BIGINT) AS rn
+              |FROM orders
+              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---------------------------------------------------------------- splits (§2.5 O1)
+    // Scale-safe deterministic split: key-mod bucketing (no global window).
+    QuerySpec(
+      "q22_split_mod",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(
+            when(col("c_custkey") % 5 < 4, "train").otherwise("val").as("split"),
+            col("c_custkey"), col("c_acctbal"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+            max(col("c_custkey")).as("max_key"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("split"),
+      Some(s"""SELECT CASE WHEN c_custkey % 5 < 4 THEN 'train' ELSE 'val' END AS split,
+              |  COUNT(*) AS n, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+              |  ${SQLSUM("c_acctbal")} AS sum_bal
+              |FROM customer GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Reference-faithful ordered 80/20 split (generate_images_from_dicom.py:71-87,
+    // standardized deterministic per SURVEY §2.5 O1). Global window — fine for
+    // split *summaries*; the mod-split above is the 100 TB path.
+    QuerySpec(
+      "q23_split_rownum",
+      (s, dir) => {
+        val n = Tables.customer(s, dir).count()
+        val cut = math.ceil(0.8 * n).toLong
+        Tables.customer(s, dir)
+          .withColumn("rn", row_number().over(Window.orderBy(col("c_custkey"))))
+          .select(when(col("rn") <= cut, "train").otherwise("val").as("split"),
+            col("c_custkey"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+            max(col("c_custkey")).as("max_key"))
+          .orderBy("split")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn,
+             |         COUNT(*) OVER () AS total
+             |  FROM customer)
+             |SELECT CASE WHEN rn <= CAST(ceil(0.8 * total) AS BIGINT)
+             |            THEN 'train' ELSE 'val' END AS split,
+             |  COUNT(*) AS n, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+             |FROM ranked GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---------------------------------------------------------------- fan-out (§2.5 O2)
+    QuerySpec(
+      "q24_fanout",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(col("p_partkey") <= 100)
+          .select(col("p_partkey"),
+            explode(sequence(lit(0), lit(4))).as("replica"))
+          .select(col("p_partkey"), col("replica").cast("long").as("replica"))
+          .orderBy("p_partkey", "replica"),
+      Some("""SELECT p_partkey, CAST(r AS BIGINT) AS replica
+             |FROM part CROSS JOIN (SELECT unnest(range(0, 5)) AS r)
+             |WHERE p_partkey <= 100
+             |ORDER BY p_partkey, replica""".stripMargin)),
+
+    // ---------------------------------------------------------------- bbox arithmetic (§2.2 P6/P7)
+    // Normalization + clamp projection, images_to_tfrecord.py:121-124 shape,
+    // expressed over lineitem columns as synthetic pixel-space boxes.
+    QuerySpec(
+      "q25_bbox_normalize",
+      (s, dir) => {
+        val W = 1024.0
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") <= 5000)
+          .select(
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            (col("l_partkey") % 1024).cast("double").as("x"),
+            (col("l_suppkey") % 1024).cast("double").as("y"),
+            (col("l_quantity") * 10).as("w"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("x") / W).as("xmin"),
+            least(lit(1.0), (col("x") + col("w")) / W).as("xmax"),
+            (col("y") / W).as("ymin"),
+            greatest(lit(0.0), least(lit(1.0), (col("y") + col("w")) / W)).as("ymax"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(l_partkey % 1024 AS DOUBLE) AS x,
+             |    CAST(l_suppkey % 1024 AS DOUBLE) AS y,
+             |    l_quantity * 10 AS w
+             |  FROM lineitem WHERE l_orderkey <= 5000)
+             |SELECT l_orderkey, l_linenumber,
+             |  x / 1024.0 AS xmin,
+             |  least(1.0, (x + w) / 1024.0) AS xmax,
+             |  y / 1024.0 AS ymin,
+             |  greatest(0.0, least(1.0, (y + w) / 1024.0)) AS ymax
+             |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---------------------------------------------------------------- streaming-shaped batch
+    // Tumbling 10-min event windows — the batch twin of
+    // graft.streaming.EventsStream (epoch-aligned on both engines).
+    QuerySpec(
+      "q26_tumbling_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(
+            window(col("ts"), "10 minutes").getField("start").as("win_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("win_start", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+              |  COUNT(*) AS n, ${SQLSUM("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---------------------------------------------------------------- scan formats
+    // SURVEY §2.1 S1 — CSV round-trip: write nation as CSV, scan it back with
+    // an explicit schema, then join back to region (proves header/schema path).
+    QuerySpec(
+      "q27_csv_scan",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        Tables.nation(s, dir).coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        val sch = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.option("header", "true").schema(sch).csv(tmp)
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, r_name
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // SURVEY §2.6 F9 / §2.1 S5+S6 — to_json/from_json round-trip.
+    QuerySpec(
+      "q28_json_roundtrip",
+      (s, dir) => {
+        val sch = StructType(Seq(
+          StructField("o_orderstatus", StringType),
+          StructField("o_orderpriority", StringType)))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            from_json(to_json(struct(col("o_orderstatus"), col("o_orderpriority"))), sch)
+              .as("j"))
+          .select(col("o_orderkey"),
+            col("j.o_orderstatus").as("status"),
+            col("j.o_orderpriority").as("priority"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+  )
+}
