@@ -332,7 +332,7 @@ object Queries {
             max(col("k")).as("max_k"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  COUNT(*) AS n,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

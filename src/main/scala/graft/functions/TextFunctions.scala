@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline surface
+  * (BASELINE.md scale design point; SURVEY.md §2.9 extension ops).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order functions — no UDFs — so the expressions inline into
+  * whole-stage codegen and scale linearly with no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty tokens dropped (leading/trailing space). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Distinct character 3-gram shingles — the unit for Jaccard/MinHash dedup. */
+  def shingles3(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(
+        transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count (whitespace tokenizer), as BIGINT. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish sub-word proxy: count of word pieces after splitting on
+    * non-alphanumerics AND lower/upper boundaries won't apply to this corpus,
+    * so: ceil(chars/4) heuristic blended with word count — a deterministic,
+    * tokenizer-free estimate of LLM token count. */
+  def approxLlmTokens(text: Column): Column =
+    greatest(tokenCount(text), ceil(length(text) / 4.0).cast("long"))
+
+  /** Mean token length, rounded to 4 decimals (deterministic across engines). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    round(
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t), 4)
+  }
+
+  /** Share of tokens drawn from a stopword list, rounded to 4 decimals. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    round(
+      size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t), 4)
+  }
+
+  /** Quality score in [0,1]: penalizes extreme doc length, very short/long
+    * mean tokens, and stopword-free text (classic heuristic filters used to
+    * clean web corpora). Pure arithmetic — deterministic. */
+  def qualityScore(text: Column, stopwords: Seq[String] = Seq("a", "the")): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    val atl = avgTokenLen(text)
+    val atlOk = when(atl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val swr = stopwordRatio(text, stopwords)
+    val swOk = when(swr > 0.0, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + atlOk + swOk) / 3.0, 4)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the full text
+    * (acc*31 + codepoint, mod 2^31-1) — order-sensitive, so reordered
+    * near-dups fingerprint differently while exact copies collide. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(2147483647L)))
+
+  /** Language-ID votes: occurrences of each marker word as a token.
+    * Returns the vote count for the given marker set. */
+  def markerVotes(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID over marker-word votes. Marker sets are standard
+    * high-frequency function words per language; ties resolve in fixed order
+    * (en, de, es, fr), unknown when no markers hit. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  def langId(text: Column): Column = {
+    val votes = langMarkers.map { case (lang, m) => lang -> markerVotes(text, m) }
+    val best = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    votes.foldRight(lit("und")) { case ((lang, v), acc) =>
+      when(v > 0 && v === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("tokens drops empties and splits on any whitespace") {
+    val t = one("  the quick\t brown\nfox ")
+      .select(TextFunctions.tokens($"text")).as[Seq[String]].head()
+    assert(t === Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("shingles3 of 'abcd' is {abc, bcd}; short strings empty") {
+    assert(one("abcd").select(TextFunctions.shingles3($"text"))
+      .as[Seq[String]].head() === Seq("abc", "bcd"))
+    assert(one("ab").select(TextFunctions.shingles3($"text"))
+      .as[Seq[String]].head() === Seq.empty)
+  }
+
+  test("fingerprint: exact polynomial rolling hash, order-sensitive") {
+    val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    assert(one("ab").select(TextFunctions.fingerprint($"text"))
+      .as[Long].head() === expected)
+    val fpAb = one("ab").select(TextFunctions.fingerprint($"text")).as[Long].head()
+    val fpBa = one("ba").select(TextFunctions.fingerprint($"text")).as[Long].head()
+    assert(fpAb !== fpBa)
+  }
+
+  test("langId votes with fixed priority, und when no markers") {
+    assert(one("the cat is on a mat").select(TextFunctions.langId($"text"))
+      .as[String].head() === "en")
+    assert(one("der hund und die katze").select(TextFunctions.langId($"text"))
+      .as[String].head() === "de")
+    assert(one("xyz qrs tuv").select(TextFunctions.langId($"text"))
+      .as[String].head() === "und")
+  }
+
+  test("quality score: clean text 1.0, degenerate text lower") {
+    assert(one("the quick brown fox jumps over a lazy dog")
+      .select(TextFunctions.qualityScore($"text")).as[Double].head() === 1.0)
+    // two tokens -> fails length gate; no stopwords -> fails stopword gate
+    assert(one("xx yy")
+      .select(TextFunctions.qualityScore($"text")).as[Double].head() < 0.5)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (2L, "the quick brown fox jumps over the lazy dogs", "en", "s0", 44L), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L), // exact dup of 1
+    (4L, "completely different text with no overlap at all here", "en", "s0", 54L),
+    (5L, "zz", "en", "s0", 2L) // shorter than a shingle
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical payloads and keeps the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length === 4) // 1&3 collapse
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L))) // jaccard 1.0 — must be caught
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash signature is deterministic across runs") {
+    val sig1 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
+    val sig2 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
+    assert(sig1.toSeq === sig2.toSeq)
+  }
+
+  test("simhash: identical docs collide, near-dups are close, others far") {
+    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) <= 8)
+    assert(hamming(sims(1L), sims(4L)) > 8)
+  }
+
+  test("ngram jaccard pairs: same-block near-dups above threshold only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L))) // 1&3 are different sources; 4 dissimilar
+  }
+
+  test("minhash estimate tracks exact jaccard on harness near-dups") {
+    val real = graft.Tables.documents(spark, sfDir)
+    val found = Dedup.minhashNearDups(real, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.8)
+      .select("jaccard").as[Double].collect()
+    assert(found.forall(_ >= 0.8))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),  // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 1
+    (5L, Array(1.0f, 0.05f, 0.0f))  // nearest to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i, j) -> c }.toMap
+    assert(sims((1L, 1L)) === 1.0)
+    assert(sims((1L, 3L)) === 0.0)
+    assert(sims((1L, 4L)) === -1.0)
+    assert(sims((1L, 2L)) > 0.99 && sims((1L, 2L)) < 1.0)
+  }
+
+  test("brute-force top-k ranks by similarity with id tiebreak") {
+    val top = Similarity.cosineTopK(
+        vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", 2)
+      .select("cid", "rn").as[(Long, Long)].collect().toList.sortBy(_._2)
+    assert(top.map(_._1) === List(5L, 2L)) // 5 is closest, then 2
+  }
+
+  test("LSH top-k recall vs brute force on harness embeddings") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, e, "vec_id", "embedding", 5, nBits = 2, dim = 64)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    // approximate: same-bucket probing must recover a reasonable share
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // and every LSH hit must carry the true cosine (scored, not estimated)
+    assert(approx.subsetOf(
+      Similarity.cosineTopK(q, e, "vec_id", "embedding", 500)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet))
+  }
+
+  test("bucket assignment is deterministic") {
+    val b1 = vecs.select(Similarity.lshBucket($"embedding", 4, 3)).as[Long].collect()
+    val b2 = vecs.select(Similarity.lshBucket($"embedding", 4, 3)).as[Long].collect()
+    assert(b1.toSeq === b2.toSeq)
+  }
+}
