@@ -1,0 +1,174 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.LongAccumulator
+
+import graft.ops.Augment.ImageEx
+import graft.ops.Kernels.Box
+import graft.sources.{TFRecordIO, TFRecordSink}
+
+/** End-to-end drivers for the reference's two stages (SURVEY §3.1-§3.2),
+  * re-expressed as one lazy Spark plan each.
+  *
+  * Stage 1 (generate_images_from_dicom.py:255-581): labels CSV → box/caption
+  * maps → deterministic 80/20 split → 7 augmentation passes → annotation
+  * sinks. One shuffle total (the label groupBy); the label side broadcasts
+  * into the image join; augmentation is row-local flatMap.
+  *
+  * Stage 2 (images_to_tfrecord.py:214-261): annotated images → per-box
+  * validity filter + normalization → 16-feature tf.Example → sharded
+  * TFRecord sink. The reference's schema-mismatch bugs (SURVEY §3.2) are
+  * resolved by construction: one explicit ImageEx schema end-to-end.
+  */
+object Pipeline {
+
+  /** stage_1_train_labels.csv schema (FIXTURES §1.1). */
+  val labelsSchema: StructType = StructType(Seq(
+    StructField("patientId", StringType),
+    StructField("x", DoubleType),
+    StructField("y", DoubleType),
+    StructField("width", DoubleType),
+    StructField("height", DoubleType),
+    StructField("Target", IntegerType)))
+
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(labelsSchema).csv(path)
+
+  /** create_maps (:15-41) as one aggregation: boxes only from Target=1 rows
+    * (P1), int(float(x)) coercion (P2), last-wins caption (A2 — constant per
+    * patient so order-insensitive). */
+  def createMaps(labels: DataFrame): DataFrame =
+    labels
+      .withColumn("box",
+        when(col("Target") === 1,
+          struct(
+            col("x").cast("int").as("x"), col("y").cast("int").as("y"),
+            col("width").cast("int").as("w"), col("height").cast("int").as("h"))))
+      .groupBy(col("patientId"))
+      .agg(
+        sort_array(collect_list(col("box"))).as("boxes"),
+        last(col("Target")).cast("string").as("target"))
+
+  /** Attach boxes + target to images: J1 (left, missing ⇒ empty list) and
+    * J2 (caption) in one broadcast join. */
+  def annotate(spark: SparkSession, images: Dataset[(String, Array[Short], Int, Int)],
+      maps: DataFrame): Dataset[ImageEx] = {
+    import spark.implicits._
+    images.toDF("id", "pixels", "width", "height")
+      .join(broadcast(maps), col("id") === col("patientId"), "left")
+      .select(
+        col("id"), col("pixels"), col("width"), col("height"),
+        coalesce(col("boxes"), array()).as("boxes"),
+        coalesce(col("target"), lit("0")).as("target"))
+      .as[ImageEx]
+  }
+
+  /** Deterministic 80/20 split by id order (SURVEY §2.5 O1 standardization of
+    * the reference's listing-order split). Returns (train, validation). */
+  def split8020(ds: Dataset[ImageEx]): (Dataset[ImageEx], Dataset[ImageEx]) = {
+    import ds.sparkSession.implicits._
+    val n = ds.count()
+    val cut = math.ceil(0.8 * n).toLong
+    val ranked = ds.toDF()
+      .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
+    (ranked.filter(col("rn") <= cut).drop("rn").as[ImageEx],
+      ranked.filter(col("rn") > cut).drop("rn").as[ImageEx])
+  }
+
+  /** Object/caption annotation maps as one-row-per-key DataFrames, written as
+    * JSON (S5; reference emits a single JSON object — the exploded form is
+    * the scalable equivalent and round-trips via S6). */
+  def annotationFrames(spark: SparkSession, ds: Dataset[ImageEx]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val objects = ds.map(e => (e.id, e.boxes.map(b => Seq(b.x, b.y, b.w, b.h))))
+      .toDF("id", "boxes")
+    val captions = ds.map(e => (e.id, e.target)).toDF("id", "caption")
+    (objects, captions)
+  }
+
+  /** Grayscale PNG encoding (S4) — real PNG via javax.imageio; 16-bit pixel
+    * values clip to 8-bit as the RSNA data is uint8 (SURVEY §1.1). */
+  def pngBytes(pixels: Array[Short], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < pixels.length) {
+      raster.setSample(i % w, i / w, 0, math.min(255, math.max(0, pixels(i).toInt)))
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** create_tf_example (§2.8): PNG-encode, sha256, per-box validity filter
+    * (P5, counted in `skipped`), normalize (P6), 16 features — with the
+    * true format 'png' (the reference hard-codes 'jpeg' for PNG bytes,
+    * images_to_tfrecord.py:151 — a bug we do not replicate). */
+  def assembleExamples(ds: Dataset[ImageEx], categoryIndex: Map[Int, String],
+      skipped: LongAccumulator): Dataset[Array[Byte]] = {
+    import ds.sparkSession.implicits._
+    val catName = categoryIndex.getOrElse(1, "pneumonia")
+    ds.map { ex =>
+      val w = ex.width; val h = ex.height
+      val png = pngBytes(ex.pixels, w, h)
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(png)
+        .map("%02x".format(_)).mkString
+      // P5 plus an x,y >= 0 guard: the reference's filter (:115-120) misses
+      // negative origins (shift boxes are unclamped) and would emit
+      // out-of-range normalized coords — invalid per its own schema (§1.5).
+      val (valid, bad) = ex.boxes.partition(b =>
+        b.w > 0 && b.h > 0 && b.x >= 0 && b.y >= 0 &&
+          b.x + b.w <= w && b.y + b.h <= h)
+      if (bad.nonEmpty) skipped.add(bad.length)
+      import TFRecordIO.Feature._
+      TFRecordIO.encodeExample(Map(
+        "image/height" -> int64(h),
+        "image/width" -> int64(w),
+        "image/filename" -> str(s"${ex.id}.png"),
+        "image/source_id" -> str(ex.id),
+        "image/key/sha256" -> str(sha),
+        "image/encoded" -> bytes(png),
+        "image/format" -> str("png"),
+        "image/caption" -> strs(Seq(ex.target)),
+        "image/object/bbox/xmin" -> floats(valid.map(b => b.x.toFloat / w)),
+        "image/object/bbox/xmax" -> floats(valid.map(b => (b.x + b.w).toFloat / w)),
+        "image/object/bbox/ymin" -> floats(valid.map(b => b.y.toFloat / h)),
+        "image/object/bbox/ymax" -> floats(valid.map(b => (b.y + b.h).toFloat / h)),
+        "image/object/class/text" -> strs(valid.map(_ => catName)),
+        "image/object/class/label" -> int64s(valid.map(_ => 1L)),
+        "image/object/is_crowd" -> int64s(valid.map(_ => 0L)),
+        "image/object/area" -> floats(valid.map(b => (b.w * b.h).toFloat))))
+    }
+  }
+
+  /** Full stage-1 + stage-2 run over an in-memory image set; returns
+    * (train shard count, val shard count, skipped annotations). */
+  def runEndToEnd(spark: SparkSession, images: Dataset[(String, Array[Short], Int, Int)],
+      labels: DataFrame, outDir: String,
+      trainShards: Int = 256, valShards: Int = 32): (Long, Long, Long) = {
+    import spark.implicits._
+    val maps = createMaps(labels)
+    val annotated = annotate(spark, images, maps).cache()
+    val (train, valid) = split8020(annotated)
+
+    val augTrain = ops.Augment.allPasses(train).cache()
+    val (objects, captions) = annotationFrames(spark, augTrain)
+    objects.coalesce(1).write.mode("overwrite").json(s"$outDir/object_annotation")
+    captions.coalesce(1).write.mode("overwrite").json(s"$outDir/caption_annotation")
+
+    val skipped = spark.sparkContext.longAccumulator("annotations_skipped")
+    TFRecordSink.write(assembleExamples(augTrain, sources.LabelMap.rsnaIndex, skipped),
+      s"$outDir/tfrecords", "train", trainShards)
+    TFRecordSink.write(assembleExamples(valid, sources.LabelMap.rsnaIndex, skipped),
+      s"$outDir/tfrecords", "val", valShards)
+    (augTrain.count(), valid.count(), skipped.value)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over events-shaped data (SURVEY §2.9 —
+  * extension, not port: the reference is batch-only; the harness `events`
+  * table motivates it).
+  *
+  * Everything here works identically on a batch DataFrame and a streaming one
+  * (same declarative plan), which is how it is unit-tested (MemoryStream) and
+  * oracle-checked (q26 is the batch twin of [[tumblingAgg]]).
+  */
+object EventsStream {
+
+  /** Tumbling-window counts/sums with a watermark for state eviction.
+    * Epoch-aligned windows — matches DuckDB time_bucket. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding windows (1h length, 10min slide). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "10 minutes").getField("start").as("win_start"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exactly-once-style dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Int, start: Timestamp,
+      end: Timestamp, total_value: Double)
+  private final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+
+  /** Session windows via mapGroupsWithState: a session closes after `gapMs`
+    * of user inactivity (processing-time timeout when streaming). Custom
+    * state — the KeyValueGroupedDataset path (SURVEY §2.9). */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          // batch-mode semantics: iterate time-ordered, emit closed sessions
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(n = s.n + 1, last = t, total = s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.last), s.total)
+                cur = Some(SessionState(1, t, t, e.value))
+              case None =>
+                cur = Some(SessionState(1, t, t, e.value))
+            }
+          }
+          // close the trailing session in batch mode
+          cur.foreach(s => out += Session(userId, s.n, new Timestamp(s.start),
+            new Timestamp(s.last), s.total))
+          state.remove()
+          out.result().iterator
+        })
+  }
+}

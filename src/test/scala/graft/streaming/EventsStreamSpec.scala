@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling agg over MemoryStream matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventsStream.tumblingAgg(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.0),
+      (ts("2024-01-01 00:04:00"), "click", 2.0),
+      (ts("2024-01-01 00:11:00"), "click", 4.0),
+      (ts("2024-01-01 00:12:00"), "view", 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM tumbling_test ORDER BY win_start, event_type")
+      .collect()
+    q.stop()
+    assert(rows.length === 3)
+    assert(rows(0).getTimestamp(0) === ts("2024-01-01 00:00:00"))
+    assert(rows(0).getLong(2) === 2L && rows(0).getDouble(3) === 3.0)
+    assert(rows(1).getLong(2) === 1L && rows(1).getDouble(3) === 4.0)
+
+    // batch twin produces the identical aggregation
+    val batch = EventsStream.tumblingAgg(
+      Seq(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:04:00"), "click", 2.0),
+        (ts("2024-01-01 00:11:00"), "click", 4.0),
+        (ts("2024-01-01 00:12:00"), "view", 8.0)).toDF("ts", "event_type", "value"),
+      "10 minutes", "1 hour").orderBy("win_start", "event_type").collect()
+    assert(batch.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
+  test("dedup within watermark removes replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventsStream.dedupWithinWatermark(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData((1L, ts("2024-01-01 00:00:01"), 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 00:00:01"), 1.0), // exact replay
+      (2L, ts("2024-01-01 00:00:02"), 2.0))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT count(*) FROM dedup_test").head().getLong(0)
+    q.stop()
+    assert(n === 2L)
+  }
+
+  test("sessionize groups events by inactivity gap") {
+    val events = Seq(
+      EventsStream.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 00:10:00"), 7L, "click", 2.0),
+      EventsStream.Event(3, ts("2024-01-01 02:00:00"), 7L, "click", 4.0), // new session
+      EventsStream.Event(4, ts("2024-01-01 00:05:00"), 9L, "view", 8.0)).toDS()
+    val sessions = EventsStream.sessionize(spark, events, gapMs = 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0).user_id === 7L && sessions(0).n_events === 2
+      && sessions(0).total_value === 3.0)
+    assert(sessions(1).user_id === 7L && sessions(1).n_events === 1)
+    assert(sessions(2).user_id === 9L && sessions(2).n_events === 1)
+  }
+
+  test("harness events table flows through the streaming aggregations") {
+    val ev = Tables.events(spark, sfDir)
+    val out = EventsStream.tumblingAgg(ev).count()
+    assert(out > 0)
+    assert(EventsStream.slidingAgg(ev).count() >= out) // sliding ⊇ tumbling starts
+  }
+}
