@@ -558,6 +558,122 @@ object Queries {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS priority
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // SURVEY §2.1 S10 — examples-list text scan: first whitespace token per
+    // line (dataset_util.py:41-56). File is produced from the nation dim so
+    // the oracle can state the expected ids.
+    QuerySpec(
+      "q29_examples_list",
+      (s, dir) => {
+        val lines = Tables.nation(s, dir)
+          .select(concat_ws(" ", col("n_name"), col("n_nationkey")))
+          .collect().map(_.getString(0))
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_examples.txt")
+        java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+        s.read.text(tmp.toString)
+          .select(split(col("value"), " ").getItem(0).as("id"))
+          .orderBy("id")
+      },
+      Some("SELECT n_name AS id FROM nation ORDER BY id")),
+
+    // Correlated scalar subquery (Catalyst decorrelation; spark.sql surface).
+    QuerySpec(
+      "q30_scalar_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o.o_orderkey, o.o_totalprice
+                |FROM orders_v o
+                |WHERE o.o_totalprice > 2 * (
+                |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, o.o_totalprice
+             |FROM orders o
+             |WHERE o.o_totalprice > 2 * (
+             |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Pivot (conditional aggregation in the oracle).
+    QuerySpec(
+      "q31_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val piv = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .pivot("event_type", types).agg(count(lit(1)))
+        piv.select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // lead + ntile windows.
+    QuerySpec(
+      "q32_lead_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Higher-order array functions over the embedding column.
+    QuerySpec(
+      "q33_array_hof",
+      (s, dir) =>
+        Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          round(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+            lit(0.0), (acc, x) => acc + x), 4).as("l1_norm"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  round(list_sum([abs(CAST(x AS DOUBLE)) for x in embedding]), 4) AS l1_norm,
+             |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+             |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // As-of join: each purchase matched to the user's latest click at-or-
+    // before it. Spark side is ops.Relational.asofJoin (union+window, one
+    // shuffle); oracle is DuckDB's native ASOF JOIN.
+    QuerySpec(
+      "q34_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        ops.Relational.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+            "click_id", "last_click_id")
+          .filter(col("last_click_id").isNotNull)
+          .select(col("event_id"), col("user_id"), col("last_click_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, c.click_id AS last_click_id
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

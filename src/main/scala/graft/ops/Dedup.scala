@@ -10,9 +10,9 @@ import graft.functions.TextFunctions
   *  - exact dedup is a hash-groupBy — one shuffle on the digest, map-side
   *    partial aggregation, no driver state;
   *  - near-dup is MinHash + LSH banding — signatures are computed row-local
-  *    with codegen'd higher-order functions (no UDF, no shuffle), then the
-  *    only shuffle is the band-bucket self-join, which touches candidate
-  *    pairs (≈ linear for realistic dup rates) instead of O(n²);
+  *    (shingle hashing in-plan, the k-min pass as a compiled kernel; no
+  *    shuffle), then the only shuffle is the band-bucket self-join, which
+  *    touches candidate pairs (≈ linear for realistic dup rates), not O(n²);
   *  - SimHash gives a 64-bit fingerprint whose banded chunks find
   *    small-hamming-distance pairs by pigeonhole, again join-on-bucket.
   *
@@ -36,6 +36,45 @@ object Dedup {
   private def baseHash(shingle: Column): Column =
     xxhash64(shingle).bitwiseAND(lit(0xFFFFFFFFL))
 
+  /** Distinct 32-bit shingle hashes of a text column. Downstream set ops
+    * (jaccard, minhash, simhash) run over longs instead of shingle strings —
+    * same results up to 32-bit collisions (FP rate ≈ n²/2³² per doc pair,
+    * ~1e-4 for 600-shingle docs), at a fraction of the compare cost.
+    *
+    * Near-dup search uses WORD 3-gram shingles: char n-grams saturate
+    * (background jaccard 0.65 on this corpus ⇒ LSH candidate explosion);
+    * word shingles measured 0.07 background vs ≥0.9 for true near-dups,
+    * so banding discriminates cleanly. */
+  def shingleHashes(text: Column): Column = wordShingleUdf(TextFunctions.tokens(text))
+
+  /** Word-3-shingle + hash kernel over a tokens array. A UDF argument is
+    * evaluated exactly once per row, unlike column references inside
+    * higher-order lambdas which Catalyst re-evaluates per element (the
+    * tokenizer ran ~240x per row in the HOF formulation — measured). Hash is
+    * MurmurHash3 (JVM-stable, deterministic). */
+  val wordShingleUdf = udf { toks: Seq[String] =>
+    if (toks.length < 3) Array.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[Long]()
+      var i = 0
+      while (i + 2 < toks.length) {
+        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        seen.add(scala.util.hashing.MurmurHash3.stringHash(sh).toLong & 0xFFFFFFFFL)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      java.util.Arrays.sort(out) // sorted: enables merge-intersection kernels
+      out
+    }
+  }
+
+  /** Char-3-gram variant — used where char-level granularity is the spec
+    * (e.g. the oracle-matched exact pair search over short texts). */
+  def charShingleHashes(text: Column): Column =
+    sort_array(array_distinct(transform(TextFunctions.shingles3(text), baseHash(_))))
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup by content digest: one row per distinct payload, keeping the
@@ -48,17 +87,34 @@ object Dedup {
 
   // --------------------------------------------------------------- minhash
 
-  /** Adds `shingles` (distinct char 3-grams) and `sig` (minhash signature,
-    * array of k longs). Row-local: stays inside whole-stage codegen. */
+  /** Adds `shingle_hashes` (distinct 32-bit shingle hashes) and `sig`
+    * (minhash signature, array of k longs). Row-local, no shuffle. */
   def withMinhash(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
-    val sh = TextFunctions.shingles3(col(textCol))
-    val hashed = transform(sh, baseHash(_))
-    // Empty shingle set (text shorter than a shingle) ⇒ sentinel P per slot,
-    // so the signature is total; such docs are excluded from near-dup search.
-    val sig = array(hashFamily(k).map { case (a, b) =>
-      coalesce(array_min(transform(hashed, x => pmod(x * a + b, lit(P)))), lit(P))
-    }: _*)
-    df.withColumn("shingles", sh).withColumn("sig", sig)
+    // Signature kernel: one tight pass over the pre-hashed shingle array
+    // computing all k mins. Higher-order-function formulations (k array_min
+    // lambdas, or transform-over-params) do not enter whole-stage codegen and
+    // measured 5-60x slower at sf0.1; a compiled row-local kernel is the same
+    // call we make for the image kernels (SURVEY 2.7). Empty shingle set =>
+    // sentinel P per slot; such docs are excluded from near-dup search.
+    val family = hashFamily(k).toArray
+    val sigUdf = udf { hashes: Seq[Long] =>
+      val out = new Array[Long](family.length)
+      var i = 0
+      while (i < family.length) {
+        val (a, b) = family(i)
+        var m = Long.MaxValue
+        val it = hashes.iterator
+        while (it.hasNext) {
+          val h = (a * it.next() + b) % P
+          if (h < m) m = h
+        }
+        out(i) = if (m == Long.MaxValue) P else m
+        i += 1
+      }
+      out
+    }
+    df.withColumn("shingle_hashes", shingleHashes(col(textCol)))
+      .withColumn("sig", sigUdf(col("shingle_hashes")))
   }
 
   /** LSH banding: one row per (doc, band) with the band's bucket key.
@@ -85,9 +141,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
+    // cache: consumed by the band join (twice) and both shingle re-joins —
+    // signatures would otherwise be recomputed per consumer
     val sigs = withMinhash(df, textCol, k)
-      .filter(size(col("shingles")) > 0) // jaccard undefined on empty sets
-      .select(col(idCol), col("shingles"), col("sig"))
+      .filter(size(col("shingle_hashes")) > 0) // jaccard undefined on empty sets
+      .select(col(idCol), col("shingle_hashes"), col("sig"))
+      .cache()
     val bandsDf = lshBands(sigs, idCol, bands, rowsPerBand)
 
     val cand = bandsDf.as("a")
@@ -97,30 +156,43 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
 
-    val shA = sigs.select(col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    val shA = sigs.select(col(idCol).as("doc_a"), col("shingle_hashes").as("sh_a"))
+    val shB = sigs.select(col(idCol).as("doc_b"), col("shingle_hashes").as("sh_b"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
     cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("__i", expr("sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(col("__i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of the shingle set, without UDFs: for each bit position,
-    * sign of sum over shingles of ±1 (from that shingle's hash bit). */
-  def simhash64(textCol: Column): Column = {
-    val hashed = transform(TextFunctions.shingles3(textCol), s => xxhash64(s))
-    val bits = (0 until 64).map { i =>
-      // +1 when bit i set else -1, summed; bit set in result when sum > 0
-      val votes = aggregate(hashed, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1)
-      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  /** 64-bit SimHash over the distinct shingle-hash array: per bit, sign of
+    * the sum over shingles of +/-1. Row-local compiled kernel (see
+    * withMinhash for why not higher-order functions). The full 64-bit mix of
+    * each 32-bit shingle hash is rehashed (splitmix) so all 64 lanes see
+    * independent bits. */
+  val simhashUdf = udf { hashes: Seq[Long] =>
+    val votes = new Array[Int](64)
+    hashes.foreach { h0 =>
+      // splitmix64 finalizer: spread the 32-bit base hash over 64 bits
+      var z = h0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      var i = 0
+      while (i < 64) {
+        if (((z >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    var sim = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sim |= (1L << i); i += 1 }
+    sim
   }
 
   /** SimHash near-dup candidates: pairs whose 64-bit fingerprints agree on at
@@ -128,11 +200,13 @@ object Dedup {
     * verified by exact hamming distance <= maxHamming. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
+    val withSim = df
+      .select(col(idCol), simhashUdf(shingleHashes(col(textCol))).as("simhash"))
     val chunked = withSim
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_key",
         expr("shiftright(simhash, CAST(chunk * 16 AS INT))").bitwiseAND(lit(0xFFFFL)))
+      .cache() // self-joined: avoid recomputing fingerprints per side
     val cand = chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
@@ -154,10 +228,12 @@ object Dedup {
     * The blocking keys bound the pair count; at 100 TB you'd LSH first
     * ([[minhashNearDups]]) — this is the exact, oracle-checkable variant. */
   def ngramJaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val sh = df.select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      TextFunctions.shingles3(col("text")).as("sh"))
+      charShingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0) // jaccard undefined on empty sets
+      .cache() // self-joined below
     sh.as("a")
       .join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -166,9 +242,11 @@ object Dedup {
             greatest(col("a.n_chars"), col("b.n_chars")) * 0.2)
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh"))), 4).as("jaccard"))
+        size(col("a.sh")).as("__na"), size(col("b.sh")).as("__nb"),
+        expr("sorted_intersect_size(a.sh, b.sh)").as("__i"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

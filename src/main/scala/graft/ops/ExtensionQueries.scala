@@ -52,15 +52,18 @@ object ExtensionQueries {
       Some("""WITH sh AS (
              |  SELECT doc_id, lang, source, n_chars,
              |    list_distinct([text[i:i+2] for i in range(1, length(text)-1)]) AS sh
-             |  FROM documents)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-             |FROM sh a JOIN sh b
-             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-             |  AND abs(a.n_chars - b.n_chars) <= greatest(a.n_chars, b.n_chars) * 0.2
-             |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.65
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.sh, b.sh)) AS i,
+             |    len(a.sh) AS na, len(b.sh) AS nb
+             |  FROM sh a JOIN sh b
+             |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |    AND abs(a.n_chars - b.n_chars) <= greatest(a.n_chars, b.n_chars) * 0.2)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+             |FROM pairs
+             |WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 4) >= 0.65
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // --------------------------------------------------------- similarity
