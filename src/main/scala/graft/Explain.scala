@@ -1,0 +1,39 @@
+package graft
+
+import java.io.{File, PrintWriter}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: dumps `explain("formatted")` for representative queries
+  * so shuffle count, filter/column pushdown, broadcast choices and
+  * WholeStageCodegen spans can be reviewed (the 100 TB design check).
+  * Usage: runMain graft.Explain [sfDir] [outFile]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = args.lift(1).getOrElse("/tmp/graft_plans.txt")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "q1_pricing_summary", "q3_regional_revenue", "q5_semi_join",
+      "q9_window_topk", "q26_tumbling_window", "q34_asof_join",
+      "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk")
+    val byName = SparkEntry.queries
+    val pw = new PrintWriter(new File(outFile))
+    interesting.foreach { name =>
+      pw.println(s"\n=== $name ===")
+      val plan = byName(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      pw.println(plan)
+    }
+    pw.close()
+    println(s"plans written to $outFile")
+    spark.stop()
+  }
+}

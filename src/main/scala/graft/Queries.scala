@@ -674,6 +674,45 @@ object Queries {
              |c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
              |SELECT p.event_id, p.user_id, c.click_id AS last_click_id
              |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // SURVEY §2.1 S11 — XML scan (reference's dataset_util.py:59-79 XML→dict
+    // walker; Spark 4 ships from_xml natively). XML is built from row data
+    // and parsed back, so the oracle can state the expected projection.
+    QuerySpec(
+      "q35_xml_roundtrip",
+      (s, dir) => {
+        val sch = StructType(Seq(
+          StructField("name", StringType),
+          StructField("regionkey", IntegerType)))
+        Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            format_string("<nation><name>%s</name><regionkey>%d</regionkey></nation>",
+              col("n_name"), col("n_regionkey")).as("xml"))
+          .select(col("n_nationkey"), from_xml(col("xml"), sch).as("x"))
+          .select(col("n_nationkey"), col("x.name").as("name"),
+            col("x.regionkey").as("regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Exact interpolated percentiles (both engines: linear interpolation).
+    QuerySpec(
+      "q36_percentile",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("round(percentile(l_quantity, 0.5), 4)").as("median_qty"),
+            expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90_price"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
