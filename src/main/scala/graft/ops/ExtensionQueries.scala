@@ -210,6 +210,26 @@ object ExtensionQueries {
              |  sha256(text) AS sha256,
              |  CAST(doc_id % 64 + 1 AS INTEGER) AS width,
              |  CAST(doc_id % 48 + 1 AS INTEGER) AS height
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Per-label embedding centroid, element-wise (the relational twin of
+    // functions.VectorAggregates.CentroidAggregator — equality of the two
+    // is asserted in VectorAggregatesSpec; this flat shape is what the
+    // oracle can express).
+    QuerySpec(
+      "x12_centroid",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+          .agg(round(avg(col("v").cast("double")), 3).as("mean_v"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos"),
+      Some("""SELECT label, CAST(pos AS BIGINT) AS pos,
+             |  round(avg(CAST(v AS DOUBLE)), 3) AS mean_v, COUNT(*) AS n
+             |FROM (SELECT label, unnest(embedding) AS v,
+             |        generate_subscripts(embedding, 1) AS pos
+             |      FROM embeddings)
+             |GROUP BY label, pos ORDER BY label, pos""".stripMargin))
   )
 }
