@@ -713,6 +713,33 @@ object Queries {
              |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
              |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Bounded range join: clicks within the 5 minutes before each purchase.
+    // Spark side is ops.Relational.rangeJoinWithinGap (bucketed equi-join,
+    // each row probes ≤2 buckets); oracle is the brute inequality join.
+    QuerySpec(
+      "q37_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val matches = ops.Relational
+          .rangeJoinWithinGap(purchases, clicks, "user_id", "ts", "ts", 300)
+          .groupBy(col("event_id")).agg(count(col("matched")).as("n_clicks"))
+        purchases.join(matches, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+             |FROM events p LEFT JOIN events c
+             |  ON c.event_type = 'click' AND c.user_id = p.user_id
+             |  AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY p.event_id, p.user_id
+             |ORDER BY p.event_id""".stripMargin))
   )
 }

@@ -53,4 +53,44 @@ object Relational {
     val bucket = pmod(col(keyCol), lit(100))
     (df.filter(bucket < trainPct), df.filter(bucket >= trainPct))
   }
+
+  /** Bounded range join (inner): for each left row, right rows with the same
+    * key and rightTs in (leftTs - gap, leftTs].
+    *
+    * Scalable shape: both sides bucket to floor(ts / gap); each left row
+    * probes only its own and the previous bucket (the window spans at most
+    * two), so the join is equi on (key, bucket) — no quadratic range
+    * explosion, no broadcast requirement. Emits left columns + `matched`
+    * (the right ts); callers wanting outer semantics left-join the
+    * aggregated result back (see q37_range_join). */
+  def rangeJoinWithinGap(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, gapSeconds: Long): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val l = left
+      .withColumn("__lb", expr(s"unix_micros($leftTs) div ${gapUs}L"))
+      .withColumn("__probe", explode(array(col("__lb") - 1, col("__lb"))))
+    val r = right.select(
+      col(key).as("__rkey"),
+      col(rightTs).as("__rts"),
+      expr(s"unix_micros($rightTs) div ${gapUs}L").as("__rb"))
+    l.join(r,
+        col(key) === col("__rkey") && col("__probe") === col("__rb") &&
+          col("__rts") > col(leftTs) - expr(s"INTERVAL $gapSeconds SECONDS") &&
+          col("__rts") <= col(leftTs))
+      .drop("__lb", "__probe", "__rkey", "__rb")
+      .withColumnRenamed("__rts", "matched")
+  }
+
+  /** Skew-salted inner equi-join: the left (skewed) side gets a deterministic
+    * salt derived from a secondary column, the right side is replicated
+    * across all salt values — the classic hot-key spreading that AQE's
+    * skew-join does adaptively, available explicitly. Results are identical
+    * to a plain join (asserted in RelationalSpec). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      saltFrom: String, salts: Int): DataFrame = {
+    val l = skewed.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(salts)))
+    val r = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit((salts - 1).toLong))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }
