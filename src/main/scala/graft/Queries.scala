@@ -740,6 +740,45 @@ object Queries {
              |  AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
              |WHERE p.event_type = 'purchase'
              |GROUP BY p.event_id, p.user_id
-             |ORDER BY p.event_id""".stripMargin))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Sessionization, relationally: a session break is >30 min of user
+    // inactivity; session index = running sum of breaks. The window twin of
+    // streaming.EventsStream.sessionize (same gap semantics).
+    QuerySpec(
+      "q38_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(run))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM marked)
+             |SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |  MIN(ts) AS session_start, MAX(ts) AS session_end
+             |FROM sessions GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin))
   )
 }

@@ -95,6 +95,55 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "es", "una"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"))
 
+  /** Char-trigram-profile language ID (the n-gram heuristic proper): cosine
+    * similarity of the document's trigram frequency profile against small
+    * built-in language profiles. More robust than marker votes on text that
+    * lacks function words; pure Scala kernel, used via [[langIdProfileUdf]].
+    * Profiles are derived from common-word corpora embedded below (public
+    * high-frequency word lists). */
+  private val profileCorpora: Map[String, String] = Map(
+    "en" -> ("the of and to in is you that it he was for on are as with his they I at " +
+      "be this have from or one had by word but not what all were we when your can said"),
+    "de" -> ("der die und in den von zu das mit sich des auf ist im dem nicht ein eine " +
+      "als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie"),
+    "es" -> ("de la que el en y a los del se las por un para con no una su al lo como " +
+      "mas pero sus le ya o este si porque esta entre cuando muy sin sobre tambien me"),
+    "fr" -> ("de la le et les des en un du une que est pour qui dans a par plus pas au " +
+      "sur ne se ce il sont la vous je avec son ils mais comme ou si leur y ont ete"))
+
+  private def trigramProfile(s: String): Map[String, Double] = {
+    val t = s.toLowerCase
+    val counts = collection.mutable.Map.empty[String, Double]
+    var i = 0
+    while (i + 3 <= t.length) {
+      val g = t.substring(i, i + 3)
+      if (!g.contains("  ")) counts(g) = counts.getOrElse(g, 0.0) + 1.0
+      i += 1
+    }
+    val norm = math.sqrt(counts.values.map(v => v * v).sum)
+    if (norm == 0) Map.empty else counts.map { case (k, v) => k -> v / norm }.toMap
+  }
+
+  private lazy val langProfiles: Seq[(String, Map[String, Double])] =
+    profileCorpora.toSeq.sortBy(_._1).map { case (l, c) => l -> trigramProfile(c) }
+
+  /** Classify a string by trigram-profile cosine; "und" when nothing scores
+    * above `minScore`. Deterministic (fixed profiles, fixed tie order). */
+  def classifyByProfile(text: String, minScore: Double = 0.05): String = {
+    if (text == null || text.length < 3) return "und"
+    val p = trigramProfile(text)
+    if (p.isEmpty) return "und"
+    val scored = langProfiles.map { case (lang, prof) =>
+      val dot = p.iterator.map { case (g, v) => v * prof.getOrElse(g, 0.0) }.sum
+      (lang, dot)
+    }
+    val (bestLang, bestScore) = scored.maxBy { case (l, sc) => (sc, l) }
+    if (bestScore >= minScore) bestLang else "und"
+  }
+
+  val langIdProfileUdf =
+    org.apache.spark.sql.functions.udf((s: String) => classifyByProfile(s))
+
   def langId(text: Column): Column = {
     val votes = langMarkers.map { case (lang, m) => lang -> markerVotes(text, m) }
     val best = votes.map(_._2).reduce((a, b) => greatest(a, b))

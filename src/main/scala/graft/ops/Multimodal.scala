@@ -78,4 +78,31 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.map(decodeStub))
   }
+
+  /** STUB resize: real impl would decode → scale → re-encode. The stub keeps
+    * the byte-level contract (output length scales with the area ratio) so
+    * downstream schema/partitioning logic is exercised for real. */
+  def resizeStub(r: MediaRow, newW: Int, newH: Int): MediaRow = {
+    val ratio = (newW.toLong * newH).toDouble / (r.width.toLong * r.height)
+    val n = math.max(1, math.ceil(r.payload.length * ratio).toInt)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = r.payload(i % r.payload.length); i += 1 }
+    r.copy(payload = out, width = newW, height = newH)
+  }
+
+  /** STUB frame sampling for video-shaped media: returns every k-th chunk of
+    * the payload as its own "frame" row — the fan-out shape (one row → n
+    * frame rows, flatMap, no shuffle) is the real contract. */
+  def sampleFramesStub(spark: SparkSession, media: Dataset[MediaRow],
+      frameBytes: Int, everyK: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyK == 0)
+        .map { case (chunk, idx) =>
+          r.copy(media_id = r.media_id * 10000 + idx, payload = chunk)
+        }
+    }
+  }
 }

@@ -39,6 +39,19 @@ class TextFunctionsSpec extends SparkSpec {
       .as[String].head() === "und")
   }
 
+  test("trigram-profile langid classifies real sentences") {
+    assert(TextFunctions.classifyByProfile(
+      "the cat sat on the mat and it was happy with that") === "en")
+    assert(TextFunctions.classifyByProfile(
+      "der hund und die katze sind nicht in dem haus mit einer maus") === "de")
+    assert(TextFunctions.classifyByProfile(
+      "el perro y el gato estan en la casa con una taza para los dos") === "es")
+    assert(TextFunctions.classifyByProfile(
+      "le chien et le chat sont dans la maison avec une tasse pour vous") === "fr")
+    assert(TextFunctions.classifyByProfile("zzzz qqqq xxxx") === "und")
+    assert(TextFunctions.classifyByProfile("") === "und")
+  }
+
   test("quality score: clean text 1.0, degenerate text lower") {
     assert(one("the quick brown fox jumps over a lazy dog")
       .select(TextFunctions.qualityScore($"text")).as[Double].head() === 1.0)

@@ -13,6 +13,19 @@ class MultimodalSpec extends SparkSpec {
     assert(row.width >= 1 && row.height >= 1)
   }
 
+  test("resize stub scales payload with area; frame sampling fans out") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
+    val row = media.head()
+    val resized = Multimodal.resizeStub(row, row.width * 2, row.height * 2)
+    assert(resized.payload.length === row.payload.length * 4)
+    assert(resized.width === row.width * 2)
+
+    val frames = Multimodal.sampleFramesStub(spark, media, frameBytes = 16, everyK = 2)
+      .collect()
+    assert(frames.length > media.count()) // fan-out happened
+    assert(frames.forall(_.payload.length <= 16))
+  }
+
   test("featurize runs partition-parallel and matches a local decode") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
       .repartition(3) // prove multi-partition batch shape
