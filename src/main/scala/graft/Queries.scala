@@ -779,6 +779,24 @@ object Queries {
              |SELECT user_id, session_idx, COUNT(*) AS n_events,
              |  MIN(ts) AS session_start, MAX(ts) AS session_end
              |FROM sessions GROUP BY user_id, session_idx
-             |ORDER BY user_id, session_idx""".stripMargin))
+             |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // MapType surface: props parsed as MAP<STRING,BIGINT>, keys + lookup.
+    QuerySpec(
+      "q39_map_funcs",
+      (s, dir) => {
+        val m = from_json(col("props"), MapType(StringType, LongType))
+        Tables.events(s, dir).select(
+          col("event_id"),
+          size(map_keys(m)).cast("long").as("n_keys"),
+          array_join(sort_array(map_keys(m)), ",").as("keys"),
+          element_at(m, "k").as("k_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+             |FROM events ORDER BY event_id""".stripMargin))
   )
 }

@@ -89,5 +89,11 @@ class PipelineSpec extends SparkSpec {
       // PNG magic
       assert((enc.head(0) & 0xFF) === 0x89 && enc.head(1) === 'P'.toByte)
     }
+
+    // the encoded PNG decodes back to real pixel data (S4 is a true sink)
+    val first = TFRecordIO.decodeExample(records.head)
+    val TFRecordIO.BytesFeature(png) = first("image/encoded"): @unchecked
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.head))
+    assert(img.getWidth === size && img.getHeight === size)
   }
 }
