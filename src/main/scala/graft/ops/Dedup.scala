@@ -166,12 +166,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
-    // cache: consumed by the band join (twice) and both shingle re-joins —
-    // signatures would otherwise be recomputed per consumer
+    // NOT cached: the signature kernel is cheap enough that recomputing per
+    // consumer beats paying columnar cache materialization of the arrays
+    // (measured 3-4x at sf0.1)
     val sigs = withMinhash(df, textCol, k)
       .filter(size(col("shingle_hashes")) > 0) // jaccard undefined on empty sets
       .select(col(idCol), col("shingle_hashes"), col("sig"))
-      .cache()
     val bandsDf = lshBands(sigs, idCol, bands, rowsPerBand)
 
     val cand = bandsDf.as("a")
@@ -231,7 +231,6 @@ object Dedup {
       .withColumn("chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_key",
         expr("shiftright(simhash, CAST(chunk * 16 AS INT))").bitwiseAND(lit(0xFFFFL)))
-      .cache() // self-joined: avoid recomputing fingerprints per side
     val cand = chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
@@ -258,7 +257,6 @@ object Dedup {
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       charShingleHashes(col("text")).as("sh"))
       .filter(size(col("sh")) > 0) // jaccard undefined on empty sets
-      .cache() // self-joined below
     sh.as("a")
       .join(sh.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
