@@ -109,6 +109,20 @@ object ExtensionQueries {
       },
       None),
 
+    // IVF ANN — k-means cells + multi-probe; approximate, so rows-only
+    // (recall vs x5 asserted in SimilaritySpec).
+    QuerySpec(
+      "x13_ann_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+            e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+            k = 5, nCells = 8, nProbe = 3)
+          .select(col("qid"), col("cid"), col("sim"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
     // ------------------------------------------------------ text analysis
     QuerySpec(
       "x7_text_quality",

@@ -93,4 +93,94 @@ object Similarity {
         cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic k-means coarse quantizer (Lloyd, fixed iterations,
+    * centroids seeded from evenly-spaced corpus rows by id order). Runs as
+    * DataFrame jobs: assignment is a row-local argmin over broadcast
+    * centroids; the update step is one groupBy per iteration. Returns the
+    * final centroids, index-aligned with their cluster id. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Seq[Float])]
+    // deterministic seeds: k evenly-spaced rows in id order
+    val n = vecs.count()
+    val step = math.max(1L, n / k)
+    val seeds = vecs.filter(v => v._1 % step == 0).map(_._2).take(k)
+      .map(_.map(_.toDouble).toArray)
+    var centroids = seeds.padTo(k, seeds.head)
+
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = vecs.map { case (_, v) =>
+        (nearestCentroid(v, bc.value), v.map(_.toDouble).toArray)
+      }.toDF("cluster", "vec")
+      val updated = assigned
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids.head.length).map(i =>
+            sum(element_at(col("vec"), i + 1))): _*).as("sums"))
+        .as[(Int, Long, Seq[Double])]
+        .collect()
+        .map { case (c, cnt, sums) => c -> sums.map(_ / cnt).toArray }
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Seq[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cent = cents(c)
+      while (i < cent.length && i < v.length) {
+        val diff = v(i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate top-k: corpus is partitioned into k-means cells; each
+    * query scores only the `nProbe` nearest cells. The 100 TB path: cell
+    * assignment is row-local against broadcast centroids, the probe join is
+    * equi on cell id, and per-query work scales with probed-cell size, not
+    * corpus size. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, idCol, embCol, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bc.value) }
+    val probeUdf = udf { v: Seq[Float] =>
+      val ds = bc.value.zipWithIndex.map { case (cent, ci) =>
+        var d = 0.0; var i = 0
+        while (i < cent.length && i < v.length) {
+          val diff = v(i) - cent(i); d += diff * diff; i += 1
+        }
+        (d, ci)
+      }
+      ds.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    }
+
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("c_emb"),
+      assignUdf(col(embCol)).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"),
+      explode(probeUdf(col(embCol))).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    q.join(c, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

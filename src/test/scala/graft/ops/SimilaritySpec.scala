@@ -49,6 +49,29 @@ class SimilaritySpec extends SparkSpec {
         .select("qid", "cid").as[(Long, Long)].collect().toSet))
   }
 
+  test("IVF top-k: high recall vs brute force with multi-probe") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    // every IVF hit carries the true cosine (scored, not estimated)
+    assert(ivf.subsetOf(
+      Similarity.cosineTopK(q, e, "vec_id", "embedding", 1000)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet))
+  }
+
+  test("kmeans centroids are deterministic across runs") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val a = Similarity.kmeansCentroids(e, "vec_id", "embedding", 3, iters = 2)
+    val b = Similarity.kmeansCentroids(e, "vec_id", "embedding", 3, iters = 2)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+  }
+
   test("bucket assignment is deterministic") {
     val b1 = vecs.select(Similarity.lshBucket($"embedding", 4, 3)).as[Long].collect()
     val b2 = vecs.select(Similarity.lshBucket($"embedding", 4, 3)).as[Long].collect()
