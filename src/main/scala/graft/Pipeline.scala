@@ -108,6 +108,21 @@ object Pipeline {
     bos.toByteArray
   }
 
+  /** PNG directory sink (S4): one {id}.png per image, written task-parallel
+    * via foreachPartition — the reference's per-image `imsave` calls
+    * (generate_images_from_dicom.py:80,301,...) without the single-thread
+    * bottleneck. At cluster scale the same writer targets a shared store. */
+  def writePngs(ds: Dataset[ImageEx], dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    ds.foreachPartition { (it: Iterator[ImageEx]) =>
+      it.foreach { ex =>
+        val bytes = pngBytes(ex.pixels, ex.width, ex.height)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${ex.id}.png"), bytes)
+      }
+    }
+  }
+
   /** create_tf_example (§2.8): PNG-encode, sha256, per-box validity filter
     * (P5, counted in `skipped`), normalize (P6), 16 features — with the
     * true format 'png' (the reference hard-codes 'jpeg' for PNG bytes,

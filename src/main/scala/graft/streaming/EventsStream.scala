@@ -37,6 +37,26 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Stream-stream interval join: each purchase joined to clicks of the same
+    * user within the preceding `gapMinutes`. Both sides watermarked so the
+    * join state is bounded — the streaming twin of
+    * [[graft.ops.Relational.rangeJoinWithinGap]]. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      gapMinutes: Int = 5): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -61,6 +61,28 @@ class EventsStreamSpec extends SparkSpec {
     assert(n === 2L)
   }
 
+  test("stream-stream interval join matches within-gap clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pMem.toDF().toDF("event_id", "user_id", "ts")
+    val clicks = cMem.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventsStream.purchaseClickJoin(purchases, clicks, gapMinutes = 5)
+      .writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    cMem.addData(
+      (101L, 7L, ts("2024-01-01 00:00:00")), // within 5 min of purchase
+      (102L, 7L, ts("2024-01-01 00:03:00")), // within
+      (103L, 7L, ts("2023-12-31 23:50:00")), // too early
+      (104L, 9L, ts("2024-01-01 00:03:30"))) // other user
+    pMem.addData((1L, 7L, ts("2024-01-01 00:04:00")))
+    q.processAllAvailable()
+    val joined = spark.sql("SELECT click_id FROM ss_join_test ORDER BY click_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(joined === Seq(101L, 102L))
+  }
+
   test("sessionize groups events by inactivity gap") {
     val events = Seq(
       EventsStream.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
