@@ -41,6 +41,25 @@ object AugmentQueries {
              |  (1, 10, 10), (2, 50, 0), (3, 50, 0), (4, 10, 10),
              |  (5, 50, 0), (6, 10, 0), (7, 10, 0)) AS m(pass, pos, neg)
              |WHERE p.p_partkey <= 40
-             |GROUP BY m.pass ORDER BY pass""".stripMargin))
+             |GROUP BY m.pass ORDER BY pass""".stripMargin)),
+
+    // Reference-scale throughput probe: full 1024×1024 pixels (the
+    // reference's fixed image size) through the whole-image passes 1 and 4.
+    // 20 source images → 400 augmented MB-scale frames, kernels running
+    // task-parallel — the BENCH entry that measures image-pipeline
+    // throughput against the reference's single-threaded stage 1.
+    QuerySpec(
+      "aug3_fullres_throughput",
+      (s, dir) => {
+        val imgs = Augment.syntheticImages(s, Tables.part(s, dir),
+          size = 1024, maxImages = 20)
+        (Augment.runPass(imgs, 1) union Augment.runPass(imgs, 4)).toDF()
+          .select(split(col("id"), "-").getItem(0).as("source_id"))
+          .groupBy("source_id").agg(count(lit(1)).as("n_aug"))
+          .orderBy("source_id")
+      },
+      Some("""SELECT CAST(p_partkey AS VARCHAR) AS source_id,
+             |  CAST(20 AS BIGINT) AS n_aug
+             |FROM part WHERE p_partkey <= 20 ORDER BY source_id""".stripMargin))
   )
 }

@@ -154,10 +154,11 @@ object Similarity {
     * equi on cell id, and per-query work scales with probed-cell size, not
     * corpus size. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+      embCol: String, k: Int, nCells: Int, nProbe: Int,
+      kmeansIters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = kmeansCentroids(corpus, idCol, embCol, nCells)
+    val centroids = kmeansCentroids(corpus, idCol, embCol, nCells, kmeansIters)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bc.value) }
