@@ -797,6 +797,82 @@ object Queries {
              |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
              |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Composite: join chain + agg + window rank — top customer per nation.
+    QuerySpec(
+      "q40_top_customer_per_nation",
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
+          .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double")
+            .as("total_spend"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("total_spend").desc, col("c_custkey"))
+        spend.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") === 1)
+          .select(col("n_name"), col("c_custkey"), col("c_name"), col("total_spend"))
+          .orderBy("n_name")
+      },
+      Some("""WITH spend AS (
+             |  SELECT n_name, c_custkey, c_name,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  GROUP BY n_name, c_custkey, c_name)
+             |SELECT n_name, c_custkey, c_name, total_spend FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY n_name
+             |    ORDER BY total_spend DESC, c_custkey) AS rn
+             |  FROM spend) WHERE rn = 1
+             |ORDER BY n_name""".stripMargin)),
+
+    // TPC-H Q4-shaped: EXISTS + interval arithmetic (late-shipped lineitem).
+    QuerySpec(
+      "q41_late_ship_check",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v41")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v41")
+        s.sql("""SELECT o_orderpriority, COUNT(*) AS n_orders
+                |FROM orders_v41
+                |WHERE EXISTS (
+                |  SELECT 1 FROM lineitem_v41
+                |  WHERE l_orderkey = o_orderkey
+                |    AND l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey
+             |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q10-shaped: returned-revenue per customer, top 20.
+    QuerySpec(
+      "q42_returned_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
+            .cast("double").as("lost_revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          .limit(20),
+      Some("""SELECT c_custkey, c_name, c_mktsegment,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             |    AS lost_revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_mktsegment
+             |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin))
   )
 }

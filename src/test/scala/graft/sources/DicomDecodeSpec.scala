@@ -39,6 +39,27 @@ class DicomDecodeSpec extends SparkSpec {
     assert(ds.forall(r => r._2.length === 64 && r._3 === 8 && r._4 === 8))
   }
 
+  test("DICOM directory → full stage-1+2 pipeline → TFRecord shards") {
+    import spark.implicits._
+    val dcmDir = java.nio.file.Files.createTempDirectory("graft_dcm_e2e")
+    (1 to 5).foreach { i =>
+      java.nio.file.Files.write(dcmDir.resolve(f"p$i%03d.dcm"),
+        DicomDecode.writeMinimal(16, 16, gradient(16, 16)))
+    }
+    val labels = Seq(
+      ("p001", Some(2.0), Some(2.0), Some(4.0), Some(4.0), 1),
+      ("p002", None, None, None, None, 0))
+      .toDF("patientId", "x", "y", "width", "height", "Target")
+    val out = java.nio.file.Files.createTempDirectory("graft_dcm_out").toString
+    val images = DicomDecode.scanDicomDir(spark, dcmDir.toString)
+    val (nTrainAug, nVal, _) = graft.Pipeline.runEndToEnd(
+      spark, images, labels, out, trainShards = 2, valShards = 1)
+    // 5 images, 4 train (p001 positive=190, p002..p004 negative=20 each), 1 val
+    assert(nVal === 1)
+    assert(nTrainAug === 190 + 3 * 20)
+    assert(TFRecordSink.readAll(s"$out/tfrecords", "train").size === nTrainAug)
+  }
+
   test("decoded images flow into the augmentation pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dcm2")
     java.nio.file.Files.write(dir.resolve("p001.dcm"),
