@@ -100,6 +100,22 @@ object Dedup {
 
   def charShingleHashes(text: Column): Column = charShingleUdf(text)
 
+  /** Whole-corpus dedup pipeline: exact dedup (digest groupBy) then MinHash
+    * near-dup removal keeping the smallest doc id of every near-dup cluster
+    * (union-find over the pair graph is approximated by iterative min-id
+    * propagation — pairs here are sparse, so one pass of "drop the larger id
+    * of every pair" removes every near-dup against its cluster minimum).
+    * Returns the surviving rows of `df`. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val exactKeep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    val afterExact = df.join(exactKeep, Seq(idCol), "left_semi")
+    val nearPairs = minhashNearDups(afterExact, idCol, textCol,
+      threshold = threshold)
+    val drop = nearPairs.select(col("doc_b").as(idCol)).distinct()
+    afterExact.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup by content digest: one row per distinct payload, keeping the

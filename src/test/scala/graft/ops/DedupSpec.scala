@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L))) // 1&3 are different sources; 4 dissimilar
   }
 
+  test("dedupCorpus removes exact and near dups, keeps min ids") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    // 3 is an exact dup of 1 (dropped); 2 is a near-dup of 1 (dropped);
+    // 1, 4 survive; 5 (unshingleable) survives untouched
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
+  test("suffix dispatch routes augmented ids, plain ids to root") {
+    assert(graft.Pipeline.subdirFor("p001-shift-0-1") === "shift_image")
+    assert(graft.Pipeline.subdirFor("p001-scale-scale-shift-bbox-4-7")
+      === "scale_image_scale_bbox_shift_bbox")
+    assert(graft.Pipeline.subdirFor("p007") === ".") // reference bug fixed
+  }
+
   test("minhash estimate tracks exact jaccard on harness near-dups") {
     val real = graft.Tables.documents(spark, sfDir)
     val found = Dedup.minhashNearDups(real, "doc_id", "text",

@@ -54,6 +54,21 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("partitioned parquet write enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.lineitem(spark, sfDir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.partitionBy("ship_year").mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("ship_year") === 1995)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("ship_year"), scan.take(1500))
+    // pruned read returns only that partition's rows
+    val expected = Tables.lineitem(spark, sfDir)
+      .filter(year(col("l_shipdate")) === 1995).count()
+    assert(filtered.count() === expected && expected > 0)
+  }
+
   test("streaming file source end-to-end: readStream json -> window -> sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     // two micro-batch files of events-shaped json
