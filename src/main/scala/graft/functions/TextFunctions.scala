@@ -45,6 +45,18 @@ object TextFunctions {
   def approxLlmTokens(text: Column): Column =
     greatest(tokenCount(text), ceil(length(text) / 4.0).cast("long"))
 
+  /** GPT-2-style pre-tokenization (simplified to an RE2-safe pattern so the
+    * same regex runs in any engine): letter runs, digit runs, and
+    * non-alphanumeric-non-space runs each become one pre-token — the unit a
+    * BPE vocabulary would then merge within. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpePreTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpePreTokens(text)).cast("long")
+
   /** Mean token length, rounded to 4 decimals (deterministic across engines). */
   def avgTokenLen(text: Column): Column = {
     val t = tokens(text)

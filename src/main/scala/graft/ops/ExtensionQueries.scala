@@ -209,6 +209,24 @@ object ExtensionQueries {
              |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish pre-token counting (letter/digit/punct runs).
+    QuerySpec(
+      "x14_bpe_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.approxLlmTokens(col("text")).as("n_llm_est"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextFunctions.bpePattern}')) AS BIGINT) AS n_bpe,
+              |  CAST(greatest(
+              |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')),
+              |    CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_llm_est,
+              |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- multimodal
     QuerySpec(
       "x11_multimodal_meta",
