@@ -64,6 +64,11 @@ object TextFunctions {
       aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t), 4)
   }
 
+  /** Share of characters that are sentence punctuation, rounded 4. */
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1)), 4)
+
   /** Share of tokens drawn from a stopword list, rounded to 4 decimals. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)

@@ -134,11 +134,12 @@ object ExtensionQueries {
           size(array_distinct(t)).cast("long").as("n_distinct"),
           TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
           TextFunctions.stopwordRatio(col("text"), STOPWORDS).as("stopword_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
           TextFunctions.qualityScore(col("text"), STOPWORDS).as("quality"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
-             |  SELECT doc_id,
+             |  SELECT doc_id, text AS txt,
              |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
              |  FROM documents),
              |m AS (
@@ -146,9 +147,11 @@ object ExtensionQueries {
              |    CAST(len(toks) AS BIGINT) AS n_tokens,
              |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
              |    round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks), 4) AS avg_token_len,
-             |    round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+             |    round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+             |    round(CAST(len(regexp_extract_all(txt, '[.,;:!?]')) AS DOUBLE)
+             |          / greatest(length(txt), 1), 4) AS punct_ratio
              |  FROM t)
-             |SELECT doc_id, n_tokens, n_distinct, avg_token_len, stopword_ratio,
+             |SELECT doc_id, n_tokens, n_distinct, avg_token_len, stopword_ratio, punct_ratio,
              |  round(((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
              |       + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
              |       + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
@@ -208,6 +211,16 @@ object ExtensionQueries {
              |                 [CAST(ord(c) AS BIGINT) for c in string_split(text, '')]),
              |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs, LSH-bucketed (approximate recall by
+    // construction → rows-only; threshold 0.4 matches this corpus's tail).
+    QuerySpec(
+      "x15_cosine_neardup",
+      (s, dir) =>
+        Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
+            "embedding", threshold = 0.4, nBits = 2, dim = 64)
+          .orderBy("id_a", "id_b"),
+      None),
 
     // BPE-ish pre-token counting (letter/digit/punct runs).
     QuerySpec(
