@@ -79,21 +79,25 @@ case class SortedArrayIntersectSize(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val name = "sorted_intersect_size"
-  private val info = new ExpressionInfo(
-    classOf[SortedArrayIntersectSize].getName, name)
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (name, classOf[SortedArrayIntersectSize].getName,
+      (c: Seq[Expression]) => SortedArrayIntersectSize(c(0), c(1))),
+    ("float_dot", classOf[FloatDotProduct].getName,
+      (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name), info,
-      (children: Seq[Expression]) =>
-        SortedArrayIntersectSize(children(0), children(1)))
+    functions.foreach { case (n, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(n), new ExpressionInfo(cls, n), builder)
+    }
+
+  private[plans] def all = functions
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.name),
-      new ExpressionInfo(classOf[SortedArrayIntersectSize].getName, GraftFunctions.name),
-      (children: Seq[Expression]) =>
-        SortedArrayIntersectSize(children(0), children(1))))
+    GraftFunctions.all.foreach { case (n, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(n), new ExpressionInfo(cls, n), builder))
+    }
 }
