@@ -645,12 +645,14 @@ object Queries {
           round(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
             lit(0.0), (acc, x) => acc + x), 4).as("l1_norm"),
           size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"))
+          // + 0.0 folds IEEE -0.0 to +0.0 for the hash compare
+          (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0)
+            .as("first_val"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |  round(list_sum([abs(CAST(x AS DOUBLE)) for x in embedding]), 4) AS l1_norm,
              |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-             |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+             |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // As-of join: each purchase matched to the user's latest click at-or-

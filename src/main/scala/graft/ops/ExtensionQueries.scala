@@ -267,11 +267,12 @@ object ExtensionQueries {
         Tables.embeddings(s, dir)
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-          .agg(round(avg(col("v").cast("double")), 3).as("mean_v"),
+          // + 0.0 folds IEEE -0.0 to +0.0 (engines differ; hash compare cares)
+          .agg((round(avg(col("v").cast("double")), 3) + 0.0).as("mean_v"),
             count(lit(1)).as("n"))
           .orderBy("label", "pos"),
       Some("""SELECT label, CAST(pos AS BIGINT) AS pos,
-             |  round(avg(CAST(v AS DOUBLE)), 3) AS mean_v, COUNT(*) AS n
+             |  round(avg(CAST(v AS DOUBLE)), 3) + 0.0 AS mean_v, COUNT(*) AS n
              |FROM (SELECT label, unnest(embedding) AS v,
              |        generate_subscripts(embedding, 1) AS pos
              |      FROM embeddings)
