@@ -89,6 +89,37 @@ object TextFunctions {
     round((lenOk + atlOk + swOk) / 3.0, 4)
   }
 
+  /** Text normalization for dedup pre-processing: lowercase, collapse
+    * whitespace runs, trim — the standard canonical form hashed by exact
+    * dedup so formatting variants collapse. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Winnowing fingerprints (MOSS-style): the minimum shingle hash of every
+    * sliding window of `w` consecutive shingle hashes, deduplicated. Robust
+    * local fingerprints — two documents sharing any sufficiently long run
+    * share a fingerprint. Compiled kernel over the (ordered, not distinct)
+    * shingle hash sequence. */
+  val winnowUdf = org.apache.spark.sql.functions.udf {
+    (hashes: Seq[Long], w: Int) =>
+      if (hashes.length < w || w <= 0) hashes.distinct.sorted.toArray
+      else {
+        val out = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i + w <= hashes.length) {
+          var m = Long.MaxValue
+          var j = i
+          while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          out.add(m)
+          i += 1
+        }
+        val arr = new Array[Long](out.size)
+        val it = out.iterator(); var k = 0
+        while (it.hasNext) { arr(k) = it.next(); k += 1 }
+        arr
+      }
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text
     * (acc*31 + codepoint, mod 2^31-1) — order-sensitive, so reordered
     * near-dups fingerprint differently while exact copies collide. */

@@ -212,6 +212,36 @@ object ExtensionQueries {
              |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Normalized-text exact dedup: formatting variants collapse to one
+    // canonical form before hashing (standard dedup preprocessing).
+    QuerySpec(
+      "x16_normalized_dedup",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(sha2(TextFunctions.normalized(col("text")).cast("binary"), 256)
+            .as("digest"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+          .orderBy("digest"),
+      Some("""SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+             |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
+
+    // Winnowing fingerprints: count of distinct window-min fingerprints per
+    // doc (rows-only: fingerprint values are hash-family specific; the
+    // kernel's invariants are covered in TextFunctionsSpec).
+    QuerySpec(
+      "x17_winnow_fingerprints",
+      (s, dir) => {
+        val hashes = transform(TextFunctions.shingles3(col("text")),
+          sh => xxhash64(sh).bitwiseAND(lit(0xFFFFFFFFL)))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextFunctions.winnowUdf(hashes, lit(8))).cast("long")
+              .as("n_fingerprints"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // Embedding-cosine near-dup pairs, LSH-bucketed (approximate recall by
     // construction → rows-only; threshold 0.4 matches this corpus's tail).
     QuerySpec(

@@ -30,6 +30,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fpAb !== fpBa)
   }
 
+  test("normalized collapses case/whitespace variants to one form") {
+    val df = Seq("The  Quick\tFox", "the quick fox ", "THE QUICK  FOX").toDF("text")
+    val forms = df.select(TextFunctions.normalized($"text")).as[String]
+      .collect().toSet
+    assert(forms === Set("the quick fox"))
+  }
+
+  test("winnowing: shared runs share fingerprints; window-min invariant") {
+    val h1 = Seq(9L, 3L, 7L, 5L, 8L, 2L, 6L)
+    val df = Seq(Tuple1(h1)).toDF("h")
+    val fp = df.select(TextFunctions.winnowUdf($"h", lit(3))).as[Seq[Long]].head()
+    // windows of 3: min(9,3,7)=3, min(3,7,5)=3, min(7,5,8)=5, min(5,8,2)=2,
+    // min(8,2,6)=2 → {2,3,5}
+    assert(fp === Seq(2L, 3L, 5L))
+    // short input falls back to distinct sorted
+    val short = Seq(Tuple1(Seq(4L, 1L))).toDF("h")
+      .select(TextFunctions.winnowUdf($"h", lit(3))).as[Seq[Long]].head()
+    assert(short === Seq(1L, 4L))
+  }
+
   test("langId votes with fixed priority, und when no markers") {
     assert(one("the cat is on a mat").select(TextFunctions.langId($"text"))
       .as[String].head() === "en")
