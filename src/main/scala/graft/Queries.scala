@@ -875,6 +875,59 @@ object Queries {
              |JOIN customer ON o_custkey = c_custkey
              |WHERE l_returnflag = 'R'
              |GROUP BY c_custkey, c_name, c_mktsegment
-             |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin))
+             |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q6-shaped: tight-predicate forecast aggregate (pushdown-heavy).
+    QuerySpec(
+      "q43_forecast_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(
+            sum(expr("CAST(l_extendedprice * l_discount AS DECIMAL(18,6))"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("revenue"),
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY revenue""".stripMargin)),
+
+    // TPC-H Q14-shaped: conditional aggregation — promo revenue share.
+    QuerySpec(
+      "q44_promo_share",
+      (s, dir) => {
+        val rev = expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double")
+              .as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            round(col("promo_revenue") * 100.0 / col("total_revenue"), 4)
+              .as("promo_pct"))
+          .orderBy("promo_pct")
+      },
+      Some("""WITH j AS (
+             |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev,
+             |    p_type
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT
+             |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+             |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+             |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+             |  round(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+             |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
+             |        / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+             |FROM j
+             |ORDER BY promo_pct""".stripMargin))
   )
 }
