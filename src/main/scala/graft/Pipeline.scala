@@ -109,17 +109,20 @@ object Pipeline {
   }
 
   /** Stage-2 suffix dispatch (P8, images_to_tfrecord.py:187-200): augmented
-    * id → source subdirectory. The reference's CASE falls through for plain
-    * (un-augmented validation) ids into the LAST branch (:199-200 — wrong
-    * directory); here they route to the root images directory. */
+    * id → source subdirectory, matching the generator's directory layout
+    * (pass 5 writes to `scale_shift_bbox`, pass 7 — the dispatch's else
+    * branch — to `scale_image_scale_shift_bbox`). The reference's CASE falls
+    * through for plain (un-augmented validation) ids into the LAST branch
+    * (:199-200 — wrong directory); here they route to the root images
+    * directory instead. */
   def subdirFor(imageId: String): String = imageId.takeRight(1) match {
     case "1" if imageId.contains("-") => "shift_image"
     case "2" if imageId.contains("-") => "shift_bbox"
     case "3" if imageId.contains("-") => "scale_bbox"
     case "4" if imageId.contains("-") => "scale_image"
-    case "5" if imageId.contains("-") => "scale_image_scale_shift_bbox"
+    case "5" if imageId.contains("-") => "scale_shift_bbox"
     case "6" if imageId.contains("-") => "shift_image_shift_bbox"
-    case "7" if imageId.contains("-") => "scale_image_scale_bbox_shift_bbox"
+    case "7" if imageId.contains("-") => "scale_image_scale_shift_bbox"
     case _ => "." // plain id — reference bug (falls into branch 7) fixed
   }
 

@@ -784,17 +784,22 @@ object Queries {
              |ORDER BY user_id, session_idx""".stripMargin)),
 
     // MapType surface: props parsed as MAP<STRING,BIGINT>, keys + lookup.
+    // The parse is bound ONCE in a first projection: Catalyst does not CSE
+    // a repeated from_json Column, so deriving all three outputs from the
+    // same Column reference re-parsed the JSON per output (measured 4.0 s →
+    // ~1 s at sf0.1).
     QuerySpec(
       "q39_map_funcs",
-      (s, dir) => {
-        val m = from_json(col("props"), MapType(StringType, LongType))
-        Tables.events(s, dir).select(
-          col("event_id"),
-          size(map_keys(m)).cast("long").as("n_keys"),
-          array_join(sort_array(map_keys(m)), ",").as("keys"),
-          element_at(m, "k").as("k_value"))
-          .orderBy("event_id")
-      },
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"), MapType(StringType, LongType)).as("m"))
+          .select(
+            col("event_id"),
+            size(map_keys(col("m"))).cast("long").as("n_keys"),
+            array_join(sort_array(map_keys(col("m"))), ",").as("keys"),
+            element_at(col("m"), "k").as("k_value"))
+          .orderBy("event_id"),
       Some("""SELECT event_id,
              |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
              |  array_to_string(list_sort(json_keys(props)), ',') AS keys,

@@ -32,10 +32,6 @@ object Dedup {
     Seq.fill(k)((rng.nextInt(1 << 28).toLong * 2 + 1, math.abs(rng.nextLong()) % P))
   }
 
-  /** Base 32-bit shingle hash (xxhash64 masked) — codegen'd, deterministic. */
-  private def baseHash(shingle: Column): Column =
-    xxhash64(shingle).bitwiseAND(lit(0xFFFFFFFFL))
-
   /** Distinct 32-bit shingle hashes of a text column. Downstream set ops
     * (jaccard, minhash, simhash) run over longs instead of shingle strings —
     * same results up to 32-bit collisions (FP rate ≈ n²/2³² per doc pair,
@@ -73,10 +69,9 @@ object Dedup {
   /** Char-3-gram variant — used where char-level granularity is the spec
     * (e.g. the oracle-matched exact pair search over short texts). Kernel
     * UDF for the same reason as [[wordShingleUdf]]: the HOF chain
-    * (substr × n + distinct + sort) measured ~7× slower. Hash matches
-    * `xxhash64(substring)` semantics is NOT required here — only internal
-    * consistency (the oracle compares jaccard values, not hashes) — but we
-    * keep xxhash64 via a seed-42 call for cross-run determinism. */
+    * (substr × n + distinct + sort) measured ~7× slower. The hash is
+    * MurmurHash3 (JVM-stable): cross-run determinism is the only
+    * requirement — the oracle compares jaccard values, never hashes. */
   val charShingleUdf = udf { text: String =>
     if (text == null || text.length < 3) Array.empty[Long]
     else {

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *
   * Dot products run in double precision through the native codegen
   * expression [[graft.plans.FloatDotProduct]] (`float_dot`), with per-side
-  * norms precomputed once — bit-identical to the `aggregate(zip_with(...))`
-  * formulation but ~10× faster on pair sweeps (HOFs sit outside whole-stage
-  * codegen and materialize a zipped array per pair). The HOF builders below
-  * remain as session-free Column utilities.
+  * norms precomputed once — on equal-length inputs bit-identical to the
+  * `aggregate(zip_with(...))` formulation (NULL on dimension mismatch), but
+  * ~10× faster on pair sweeps (HOFs sit outside whole-stage codegen and
+  * materialize a zipped array per pair). The HOF builders below remain as
+  * session-free Column utilities.
   */
 object Similarity {
 
@@ -117,7 +118,13 @@ object Similarity {
     * centroids seeded from evenly-spaced corpus rows by id order). Runs as
     * DataFrame jobs: assignment is a row-local argmin over broadcast
     * centroids; the update step is one groupBy per iteration. Returns the
-    * final centroids, index-aligned with their cluster id. */
+    * final centroids, index-aligned with their cluster id.
+    *
+    * Seed selection is fully deterministic: candidates (id % step == 0) are
+    * sorted by id before the first k are taken (Dataset.take alone returns
+    * partition order); an empty candidate set (tiny corpus, sparse ids)
+    * falls back to the first k rows in id order. Throws on an empty corpus —
+    * there is nothing to quantize. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, iters: Int = 5): Array[Array[Double]] = {
     val spark = corpus.sparkSession
@@ -126,9 +133,14 @@ object Similarity {
       .as[(Long, Seq[Float])]
     // deterministic seeds: k evenly-spaced rows in id order
     val n = vecs.count()
+    require(n > 0, "kmeansCentroids: empty corpus")
     val step = math.max(1L, n / k)
-    val seeds = vecs.filter(v => v._1 % step == 0).map(_._2).take(k)
+    val spaced = vecs.filter(v => v._1 % step == 0)
+      .orderBy(col(idCol)).map(_._2).take(k)
       .map(_.map(_.toDouble).toArray)
+    val seeds =
+      if (spaced.nonEmpty) spaced
+      else vecs.orderBy(col(idCol)).map(_._2).take(k).map(_.map(_.toDouble).toArray)
     var centroids = seeds.padTo(k, seeds.head)
 
     (0 until iters).foreach { _ =>

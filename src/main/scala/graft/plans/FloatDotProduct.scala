@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen dot product of two ARRAY<FLOAT> columns, accumulated in
-  * double precision ascending by index (bit-identical to the higher-order
-  * `aggregate(zip_with(...))` formulation it replaces, so oracle-matched
-  * results are unchanged).
+  * double precision ascending by index. On equal-length inputs the result is
+  * bit-identical to the higher-order `aggregate(zip_with(...))` formulation
+  * it replaces, so oracle-matched results are unchanged; on mismatched
+  * lengths it returns NULL (zip_with would null-poison the aggregate — a
+  * silent partial dot product would be worse than either).
   *
   * Why (SURVEY §4.3 ladder, step b): cosine scoring is the inner loop of
   * every similarity operator; the HOF formulation materializes a zipped
@@ -29,6 +31,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // mismatched dims => NULL
   override def prettyName: String = "float_dot"
 
   override protected def withNewChildrenInternal(
@@ -38,7 +41,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -53,10 +57,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
        """.stripMargin
     })

@@ -61,39 +61,71 @@ object EventsStream {
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int, start: Timestamp,
       end: Timestamp, total_value: Double)
-  private final case class SessionState(n: Int, start: Long, last: Long, total: Double)
+  // public: the streaming state encoder's generated code instantiates it
+  // reflectively (a private nested case class fails Janino compilation)
+  final case class SessionState(n: Int, start: Long, last: Long, total: Double)
 
-  /** Session windows via mapGroupsWithState: a session closes after `gapMs`
-    * of user inactivity (processing-time timeout when streaming). Custom
-    * state — the KeyValueGroupedDataset path (SURVEY §2.9). */
+  /** Session windows via flatMapGroupsWithState: a session closes after
+    * `gapMs` of user inactivity. Custom state — the KeyValueGroupedDataset
+    * path (SURVEY §2.9).
+    *
+    * Streaming input: the open session is KEPT in state across micro-batches
+    * and closed by event-time timeout once the watermark passes last+gap —
+    * a session spanning two micro-batches is emitted exactly once. Requires
+    * a watermark on `ts` (applied here via `watermarkDelay`).
+    *
+    * Batch input: all data is present by definition, so trailing sessions
+    * close at end-of-group (identical results to the q38 window twin). */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "1 hour"): Dataset[Session] = {
     import spark.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          // batch-mode semantics: iterate time-ordered, emit closed sessions
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = Seq.newBuilder[Session]
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(n = s.n + 1, last = t, total = s.total + e.value))
-              case Some(s) =>
-                out += Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.last), s.total)
-                cur = Some(SessionState(1, t, t, e.value))
-              case None =>
-                cur = Some(SessionState(1, t, t, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close the session
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.last), s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[Session]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, last = t, total = s.total + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.last), s.total)
+                  cur = Some(SessionState(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionState(1, t, t, e.value))
+              }
             }
+            if (streaming) {
+              // keep the open session; timeout fires when the watermark
+              // passes last+gap (clamped above the current watermark, which
+              // setTimeoutTimestamp requires)
+              cur.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              }
+            } else {
+              cur.foreach(s => out += Session(userId, s.n, new Timestamp(s.start),
+                new Timestamp(s.last), s.total))
+              state.remove()
+            }
+            out.result().iterator
           }
-          // close the trailing session in batch mode
-          cur.foreach(s => out += Session(userId, s.n, new Timestamp(s.start),
-            new Timestamp(s.last), s.total))
-          state.remove()
-          out.result().iterator
         })
   }
 }

@@ -65,8 +65,12 @@ class DedupSpec extends SparkSpec {
 
   test("suffix dispatch routes augmented ids, plain ids to root") {
     assert(graft.Pipeline.subdirFor("p001-shift-0-1") === "shift_image")
+    // pass 5 and pass 7 directory names per generate_images_from_dicom.py's
+    // writers and images_to_tfrecord.py:195-200's dispatch
+    assert(graft.Pipeline.subdirFor("p001-scale-shift-bbox-2-5")
+      === "scale_shift_bbox")
     assert(graft.Pipeline.subdirFor("p001-scale-scale-shift-bbox-4-7")
-      === "scale_image_scale_bbox_shift_bbox")
+      === "scale_image_scale_shift_bbox")
     assert(graft.Pipeline.subdirFor("p007") === ".") // reference bug fixed
   }
 

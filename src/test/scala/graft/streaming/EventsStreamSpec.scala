@@ -98,6 +98,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(sessions(2).user_id === 9L && sessions(2).n_events === 1)
   }
 
+  test("streaming sessionize spans micro-batches and closes by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(spark, mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessionize_test")
+      .outputMode("append").start()
+    // batch 1: user 7 opens a session
+    mem.addData(
+      EventsStream.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 00:10:00"), 7L, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: the SAME session continues in a later micro-batch; user 9's
+    // late event will push the watermark past user 7's last+gap
+    mem.addData(
+      EventsStream.Event(3, ts("2024-01-01 00:20:00"), 7L, "click", 4.0),
+      EventsStream.Event(4, ts("2024-01-01 05:00:00"), 9L, "view", 8.0))
+    q.processAllAvailable()
+    // batch 3: watermark (04:00) is now past user 7's 00:50 timeout — the
+    // spanning session must be emitted exactly once, with all 3 events
+    mem.addData(
+      EventsStream.Event(5, ts("2024-01-01 06:00:00"), 9L, "view", 16.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, n_events, total_value FROM sessionize_test ORDER BY user_id")
+      .collect()
+    q.stop()
+    val u7 = rows.filter(_.getLong(0) == 7L)
+    assert(u7.length === 1) // once, not once per micro-batch
+    assert(u7.head.getInt(1) === 3 && u7.head.getDouble(2) === 7.0)
+  }
+
   test("harness events table flows through the streaming aggregations") {
     val ev = Tables.events(spark, sfDir)
     val out = EventsStream.tumblingAgg(ev).count()
