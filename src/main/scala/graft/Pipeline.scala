@@ -70,8 +70,11 @@ object Pipeline {
       .as[ImageEx]
   }
 
-  /** Deterministic 80/20 split by id order (SURVEY §2.5 O1 standardization of
-    * the reference's listing-order split). Returns (train, validation). */
+  /** Reference-faithful 80/20 split by id order (SURVEY §2.5 O1
+    * standardization of the reference's listing-order split). Exact-count
+    * but NOT scale-safe: row_number over a partition-less window funnels
+    * every row through one task, plus a driver-side count. Kept for
+    * fidelity tests; [[hashSplit8020]] is the pipeline default. */
   def split8020(ds: Dataset[ImageEx]): (Dataset[ImageEx], Dataset[ImageEx]) = {
     import ds.sparkSession.implicits._
     val n = ds.count()
@@ -80,6 +83,15 @@ object Pipeline {
       .withColumn("rn", row_number().over(Window.orderBy(col("id"))))
     (ranked.filter(col("rn") <= cut).drop("rn").as[ImageEx],
       ranked.filter(col("rn") > cut).drop("rn").as[ImageEx])
+  }
+
+  /** Scale-path 80/20 split: id-hash mod 100 < 80 (the string twin of
+    * [[ops.Relational.hashModSplit]]). Deterministic per id, embarrassingly
+    * parallel — no global window, no count, no coordination; the fraction is
+    * 80% in expectation rather than exactly, the standard trade at scale. */
+  def hashSplit8020(ds: Dataset[ImageEx]): (Dataset[ImageEx], Dataset[ImageEx]) = {
+    val bucket = pmod(xxhash64(col("id")), lit(100))
+    (ds.filter(bucket < 80), ds.filter(bucket >= 80))
   }
 
   /** Object/caption annotation maps as one-row-per-key DataFrames, written as
@@ -182,25 +194,74 @@ object Pipeline {
     }
   }
 
+  /** Annotation-file scan (S6): the JSON maps written by stage 1, read back
+    * and re-attached to images by id — stage 2 consumes the FILES, exactly
+    * as the reference does (images_to_tfrecord.py:180-181,208-209,280-285),
+    * rather than short-circuiting through the in-memory Dataset. */
+  def readAnnotations(spark: SparkSession, objDir: String, capDir: String,
+      images: Dataset[ImageEx]): Dataset[ImageEx] = {
+    import spark.implicits._
+    val objSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("boxes", ArrayType(ArrayType(IntegerType)))))
+    val capSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("caption", StringType)))
+    val obj = spark.read.schema(objSchema).json(objDir)
+    val cap = spark.read.schema(capSchema).json(capDir)
+    val boxType = "array<struct<x:int,y:int,w:int,h:int>>"
+    images.toDF().drop("boxes", "target")
+      .join(obj, Seq("id"), "left")
+      .join(cap, Seq("id"), "left")
+      .select(col("id"), col("pixels"), col("width"), col("height"),
+        coalesce(
+          transform(col("boxes"), b => struct(
+            b.getItem(0).as("x"), b.getItem(1).as("y"),
+            b.getItem(2).as("w"), b.getItem(3).as("h"))),
+          array().cast(boxType)).as("boxes"),
+        coalesce(col("caption"), lit("0")).as("target"))
+      .as[ImageEx]
+  }
+
   /** Full stage-1 + stage-2 run over an in-memory image set; returns
-    * (train shard count, val shard count, skipped annotations). */
+    * (train shard count, val shard count, skipped annotations).
+    *
+    * `split` defaults to the scale-safe [[hashSplit8020]]; pass
+    * [[split8020]] for the reference's exact-count id-order semantics.
+    * Both stages' annotation JSONs are written for train AND validation
+    * (reference generate_images_from_dicom.py:92-99,569-576), and the
+    * validation TFRecords are built from the annotation FILES read back
+    * (images_to_tfrecord.py:280-285) — the sinks round-trip for real. */
   def runEndToEnd(spark: SparkSession, images: Dataset[(String, Array[Short], Int, Int)],
       labels: DataFrame, outDir: String,
-      trainShards: Int = 256, valShards: Int = 32): (Long, Long, Long) = {
-    import spark.implicits._
+      trainShards: Int = 256, valShards: Int = 32,
+      split: Dataset[ImageEx] => (Dataset[ImageEx], Dataset[ImageEx]) = hashSplit8020)
+      : (Long, Long, Long) = {
     val maps = createMaps(labels)
     val annotated = annotate(spark, images, maps).cache()
-    val (train, valid) = split8020(annotated)
+    val (train, valid) = split(annotated)
 
     val augTrain = ops.Augment.allPasses(train).cache()
     val (objects, captions) = annotationFrames(spark, augTrain)
     objects.coalesce(1).write.mode("overwrite").json(s"$outDir/object_annotation")
     captions.coalesce(1).write.mode("overwrite").json(s"$outDir/caption_annotation")
 
+    // validation annotation sinks (generate_images_from_dicom.py:92-99)
+    val (valObjects, valCaptions) = annotationFrames(spark, valid)
+    valObjects.coalesce(1).write.mode("overwrite")
+      .json(s"$outDir/validation_object_annotation")
+    valCaptions.coalesce(1).write.mode("overwrite")
+      .json(s"$outDir/validation_caption_annotation")
+
     val skipped = spark.sparkContext.longAccumulator("annotations_skipped")
     TFRecordSink.write(assembleExamples(augTrain, sources.LabelMap.rsnaIndex, skipped),
       s"$outDir/tfrecords", "train", trainShards)
-    TFRecordSink.write(assembleExamples(valid, sources.LabelMap.rsnaIndex, skipped),
+    // stage 2 consumes the validation annotation FILES (S6), not the
+    // in-memory rows — proving the JSON sinks round-trip
+    val valFromFiles = readAnnotations(spark,
+      s"$outDir/validation_object_annotation",
+      s"$outDir/validation_caption_annotation", valid)
+    TFRecordSink.write(assembleExamples(valFromFiles, sources.LabelMap.rsnaIndex, skipped),
       s"$outDir/tfrecords", "val", valShards)
     (augTrain.count(), valid.count(), skipped.value)
   }

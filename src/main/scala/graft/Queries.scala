@@ -699,6 +699,69 @@ object Queries {
       Some("""SELECT n_nationkey, n_name AS name, n_regionkey AS regionkey
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // SURVEY §2.1 S11 proper — repeated-tag XML semantics: the reference's
+    // dataset_util.py:73-78 turns repeated <object> tags into a LIST. Here
+    // each region's nations render as repeated <object> elements, parse back
+    // through from_xml with an array-of-struct schema, and the projection
+    // proves list semantics (count, first element, all names in order).
+    QuerySpec(
+      "q35b_xml_repeated_tags",
+      (s, dir) => {
+        val objSchema = StructType(Seq(StructField("object", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("key", IntegerType)))))))
+        Tables.nation(s, dir)
+          .groupBy(col("n_regionkey"))
+          .agg(concat(lit("<region>"),
+            array_join(
+              // sort_array on struct(key, frag) orders fragments by key
+              transform(
+                sort_array(collect_list(struct(col("n_nationkey").as("k"),
+                  format_string("<object><name>%s</name><key>%d</key></object>",
+                    col("n_name"), col("n_nationkey")).as("frag")))),
+                _.getField("frag")),
+              ""),
+            lit("</region>")).as("xml"))
+          .select(col("n_regionkey"), from_xml(col("xml"), objSchema).as("x"))
+          .select(col("n_regionkey"),
+            size(col("x.object")).cast("long").as("n_objects"),
+            col("x.object").getItem(0).getField("name").as("first_name"),
+            array_join(col("x.object.name"), ",").as("all_names"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey,
+             |  COUNT(*) AS n_objects,
+             |  min_by(n_name, n_nationkey) AS first_name,
+             |  string_agg(n_name, ',' ORDER BY n_nationkey) AS all_names
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // Sketch surface: HyperLogLog++ distinct-count and approx quantile,
+    // emitted as BOUNDED-ERROR assertions the oracle can verify — the exact
+    // value plus a flag that the sketch landed within tolerance (rsd 5% for
+    // HLL; the quantile must sit between the exact p45 and p55). The flags
+    // are TRUE on both engines iff the sketches hold their contract, so the
+    // approximate path gets a hard driver-checkable gate.
+    QuerySpec(
+      "q45_sketch_approx",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_exact"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("n_hll"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+            expr("percentile(l_extendedprice, 0.45)").as("p45"),
+            expr("percentile(l_extendedprice, 0.55)").as("p55"))
+          .select(col("l_returnflag"), col("n_exact"),
+            (abs(col("n_hll") - col("n_exact")) <= col("n_exact") * 0.15)
+              .as("hll_within_15pct"),
+            (col("p50_approx") >= col("p45") && col("p50_approx") <= col("p55"))
+              .as("p50_within_decile"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+             |  TRUE AS hll_within_15pct, TRUE AS p50_within_decile
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles (both engines: linear interpolation).
     QuerySpec(
       "q36_percentile",

@@ -120,6 +120,61 @@ object TextFunctions {
       }
   }
 
+  /** Winnowing summary emitted by [[winnowStatsUdf]]: distinct-fingerprint
+    * count plus min/max/sum (None on unshingleable text) — a compact,
+    * order-insensitive digest an oracle can recompute exactly. */
+  final case class WinnowStats(n_fingerprints: Long, fp_min: Option[Long],
+      fp_max: Option[Long], fp_sum: Option[Long])
+
+  /** Fused winnowing-fingerprint kernel with MOSS positional semantics:
+    * windows of `w` slide over the ORDERED, NON-DISTINCT char-trigram hash
+    * sequence (deduplicating shingles first — as the round-1 x17 did —
+    * changes which fingerprints survive). One compiled pass per row:
+    * trigram hashing, monotonic-deque window minima (O(n)), distinct set,
+    * stats.
+    *
+    * The trigram hash is a plain polynomial over UTF-16 code units,
+    * h(i) = c(i)*961 + c(i+1)*31 + c(i+2) — no mixing round, deliberately:
+    * an external oracle recomputes it from the text alone (SQL `ord()` ==
+    * UTF-16 unit for BMP text). Texts shorter than w+2 chars degrade to the
+    * distinct hash set, the standard winnowing edge case. */
+  val winnowStatsUdf = org.apache.spark.sql.functions.udf {
+    (text: String, w: Int) =>
+      if (text == null || text.length < 3 || w <= 0) WinnowStats(0L, None, None, None)
+      else {
+        val n = text.length - 2
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          hs(i) = text.charAt(i).toLong * 961 +
+            text.charAt(i + 1).toLong * 31 + text.charAt(i + 2).toLong
+          i += 1
+        }
+        val fp = new java.util.HashSet[Long]()
+        if (n < w) {
+          var j = 0
+          while (j < n) { fp.add(hs(j)); j += 1 }
+        } else {
+          val dq = new java.util.ArrayDeque[Int]()
+          var j = 0
+          while (j < n) {
+            while (!dq.isEmpty && hs(dq.peekLast()) >= hs(j)) dq.pollLast()
+            dq.addLast(j)
+            if (dq.peekFirst() <= j - w) dq.pollFirst()
+            if (j >= w - 1) fp.add(hs(dq.peekFirst()))
+            j += 1
+          }
+        }
+        var mn = Long.MaxValue; var mx = Long.MinValue; var sm = 0L
+        val it = fp.iterator()
+        while (it.hasNext) {
+          val v = it.next(); if (v < mn) mn = v; if (v > mx) mx = v; sm += v
+        }
+        if (fp.isEmpty) WinnowStats(0L, None, None, None)
+        else WinnowStats(fp.size.toLong, Some(mn), Some(mx), Some(sm))
+      }
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text
     * (acc*31 + codepoint, mod 2^31-1) — order-sensitive, so reordered
     * near-dups fingerprint differently while exact copies collide. */

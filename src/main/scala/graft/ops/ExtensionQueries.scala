@@ -6,9 +6,13 @@ import graft.functions.TextFunctions
 
 /** LLM-data-pipeline extension queries (BASELINE.md north star): dedup,
   * similarity search, text analysis, multimodal plumbing — each a
-  * `queries()` entry; oracle SQL where DuckDB can express the same
-  * computation, rows-only otherwise (minhash/simhash/LSH use engine-specific
-  * hash functions no oracle can replicate).
+  * `queries()` entry with oracle SQL wherever DuckDB can express the same
+  * computation. Approximate indexes are made oracle-checkable by
+  * construction: LSH/IVF bucket on SEED VECTORS (corpus rows, recomputable
+  * in SQL) and near-dup search verifies with exact jaccard over raw shingle
+  * strings, so even candidate generation replays in the oracle. The one
+  * rows-only holdout is x3 (simhash fingerprints are hash-family specific);
+  * it still emits an oracle-recomputable jaccard verification column.
   */
 object ExtensionQueries {
 
@@ -24,17 +28,40 @@ object ExtensionQueries {
       Some("""SELECT sha256(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
 
-    // MinHash+LSH near-dups. No oracle: the signature family is
-    // engine-specific (xxhash64); correctness is covered by x4 (the exact
-    // Jaccard twin) + DedupSpec unit tests.
+    // MinHash+LSH near-dups. Oracle-checked: candidates come from banding
+    // (engine-specific hashes), but the VERIFY stage recomputes exact
+    // jaccard over raw word-shingle string sets and thresholds on that, so
+    // the emitted rows equal DuckDB's brute-force sweep — banding recall at
+    // this corpus's dup similarity (j >= 0.9, next pair 0.0667, measured)
+    // is 1 - 4e-8.
     QuerySpec(
       "x2_dedup_minhash",
       (s, dir) =>
         Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
             k = 64, bands = 16, threshold = 0.8)
           .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+             |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
+             |FROM p WHERE round(CAST(i AS DOUBLE)/(na+nb-i), 4) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // SimHash near-dups: fingerprints are hash-family specific, so no
+    // oracle for the pair set — but each pair carries the exact word-shingle
+    // jaccard as an oracle-recomputable verification column, and DedupSpec
+    // asserts the found set is a subset of the x2 brute-force set.
     QuerySpec(
       "x3_dedup_simhash",
       (s, dir) =>
@@ -95,33 +122,74 @@ object ExtensionQueries {
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
              |FROM d QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
-    // LSH-bucketed ANN — approximate by construction, so no oracle; recall
-    // vs x5 is asserted in SimilaritySpec.
+    // LSH-bucketed ANN with SEED-VECTOR planes: bucket bit i is the sign of
+    // the dot product against corpus row i — a pure function of the data —
+    // so the oracle recomputes the buckets, the candidate set, and the
+    // ranking. Fully hash-checked despite being an approximate index.
+    // (The seeded-PRNG plane variant, lshTopK, stays in the library with
+    // recall asserted in SimilaritySpec.)
     QuerySpec(
       "x6_ann_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.lshTopK(
+        Similarity.lshTopKSeeded(
             e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
-            k = 5, nBits = 4, dim = 64)
+            k = 5, seedIds = Seq(0L, 1L, 2L, 3L))
           .select(col("qid"), col("cid"), col("sim"), col("rn"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |s AS (SELECT vec_id AS sid, emb AS semb FROM e WHERE vec_id IN (0,1,2,3)),
+             |b AS (
+             |  SELECT e.vec_id, e.emb, sqrt(list_sum([x*x for x in e.emb])) AS nrm,
+             |    CAST(sum(CASE WHEN list_sum([e.emb[i]*s.semb[i] for i in range(1,65)]) >= 0
+             |             THEN power(2, s.sid) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN s GROUP BY e.vec_id, e.emb),
+             |f AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20)
+             |SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |FROM f QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
-    // IVF ANN — k-means cells + multi-probe; approximate, so rows-only
-    // (recall vs x5 asserted in SimilaritySpec).
+    // IVF ANN with SEED-VECTOR centroids (Voronoi cells of corpus rows 0..7,
+    // multi-probe 3): the quantizer is argmin L2 to named data rows, so the
+    // oracle replays cell assignment, probing, and ranking exactly. The
+    // Lloyd-k-means variant (ivfTopK) stays in the library with recall
+    // asserted in SimilaritySpec.
     QuerySpec(
       "x13_ann_ivf",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(
+        Similarity.ivfTopKSeeded(
             e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
-            k = 5, nCells = 8, nProbe = 3)
+            k = 5, nProbe = 3, seedIds = (0L to 7L))
           .select(col("qid"), col("cid"), col("sim"), col("rn"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |      FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |d AS (
+             |  SELECT e.vec_id, s.cell,
+             |    list_sum([(e.emb[i]-s.cemb[i])*(e.emb[i]-s.cemb[i]) for i in range(1,65)]) AS d2
+             |  FROM e CROSS JOIN s),
+             |ranked AS (
+             |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+             |  FROM d),
+             |assign AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+             |probe AS (SELECT vec_id, cell FROM ranked WHERE rnk <= 3 AND vec_id < 20),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |f AS (
+             |  SELECT p.vec_id AS qid, a.vec_id AS cid,
+             |    round(list_sum([qn.emb[i]*cn.emb[i] for i in range(1,65)]) / (qn.nrm*cn.nrm), 4) AS sim
+             |  FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+             |  JOIN n qn ON qn.vec_id = p.vec_id JOIN n cn ON cn.vec_id = a.vec_id)
+             |SELECT qid, cid, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |FROM f QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin)),
 
     // ------------------------------------------------------ text analysis
     QuerySpec(
@@ -226,31 +294,60 @@ object ExtensionQueries {
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
              |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
 
-    // Winnowing fingerprints: count of distinct window-min fingerprints per
-    // doc (rows-only: fingerprint values are hash-family specific; the
-    // kernel's invariants are covered in TextFunctionsSpec).
+    // Winnowing fingerprints (MOSS positional semantics): the fused kernel
+    // slides windows over the ORDERED char-trigram hash sequence; the
+    // trigram hash is a plain polynomial over code units so the oracle
+    // recomputes every fingerprint from the text. Emits distinct-count +
+    // min/max/sum — a full digest of the fingerprint set.
     QuerySpec(
       "x17_winnow_fingerprints",
-      (s, dir) => {
-        val hashes = transform(TextFunctions.shingles3(col("text")),
-          sh => xxhash64(sh).bitwiseAND(lit(0xFFFFFFFFL)))
+      (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            size(TextFunctions.winnowUdf(hashes, lit(8))).cast("long")
-              .as("n_fingerprints"))
-          .orderBy("doc_id")
-      },
-      None),
+            TextFunctions.winnowStatsUdf(col("text"), lit(8)).as("st"))
+          .select(col("doc_id"), col("st.n_fingerprints").as("n_fingerprints"),
+            col("st.fp_min").as("fp_min"), col("st.fp_max").as("fp_max"),
+            col("st.fp_sum").as("fp_sum"))
+          .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    [ord(text[i:i]) * 961 + ord(text[i+1:i+1]) * 31 + ord(text[i+2:i+2])
+             |     for i in range(1, length(text)-1)] AS hs
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, CASE WHEN len(hs) < 8 THEN list_distinct(hs)
+             |    ELSE list_distinct([list_min(hs[i:i+7]) for i in range(1, len(hs)-6)]) END AS fp
+             |  FROM h)
+             |SELECT doc_id,
+             |  CAST(len(fp) AS BIGINT) AS n_fingerprints,
+             |  CAST(list_min(fp) AS BIGINT) AS fp_min,
+             |  CAST(list_max(fp) AS BIGINT) AS fp_max,
+             |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
+             |FROM w ORDER BY doc_id""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs, LSH-bucketed (approximate recall by
-    // construction → rows-only; threshold 0.4 matches this corpus's tail).
+    // Embedding-cosine near-dup pairs bucketed by SEED-VECTOR planes
+    // (corpus rows 0,1): buckets, candidate pairs, and sims are all
+    // recomputable from the table, so the approximate index is still
+    // hash-checked end-to-end. Threshold 0.4 matches this corpus's tail.
     QuerySpec(
       "x15_cosine_neardup",
       (s, dir) =>
-        Similarity.cosineNearDups(Tables.embeddings(s, dir), "vec_id",
-            "embedding", threshold = 0.4, nBits = 2, dim = 64)
+        Similarity.cosineNearDupsSeeded(Tables.embeddings(s, dir), "vec_id",
+            "embedding", threshold = 0.4, seedIds = Seq(0L, 1L))
           .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |s AS (SELECT vec_id AS sid, emb AS semb FROM e WHERE vec_id IN (0,1)),
+             |b AS (
+             |  SELECT e.vec_id, e.emb, sqrt(list_sum([x*x for x in e.emb])) AS nrm,
+             |    CAST(sum(CASE WHEN list_sum([e.emb[i]*s.semb[i] for i in range(1,65)]) >= 0
+             |             THEN power(2, s.sid) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM e CROSS JOIN s GROUP BY e.vec_id, e.emb),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             |    round(list_sum([a.emb[i]*b2.emb[i] for i in range(1,65)]) / (a.nrm*b2.nrm), 4) AS sim
+             |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+             |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // BPE-ish pre-token counting (letter/digit/punct runs).
     QuerySpec(
@@ -271,6 +368,34 @@ object ExtensionQueries {
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------- multimodal
+    // REAL image decode end-to-end: deterministic grayscale gradients are
+    // PNG-encoded by the stage-1 encoder, decoded back by the ImageIO
+    // kernel, and the decoded statistics must equal the closed-form pixel
+    // math the oracle computes — a true encode→compress→decode round trip.
+    QuerySpec(
+      "x18_png_decode",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        val media = Multimodal.pngMediaFromIds(s, ids)
+        Multimodal.featurize(s, media).toDF()
+          .select(col("media_id"), col("width"), col("height"),
+            round(col("mean_byte"), 4).as("mean_px"),
+            element_at(col("histogram"), 1).as("hist_lo"),
+            element_at(col("histogram"), 16).as("hist_hi"))
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id AS media_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT media_id, w, h, [(media_id + i) % 256 for i in range(0, w*h)] AS ps
+             |  FROM m)
+             |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  round(CAST(list_sum(ps) AS DOUBLE) / (w*h), 4) AS mean_px,
+             |  CAST(len(list_filter(ps, p -> p < 16)) AS BIGINT) AS hist_lo,
+             |  CAST(len(list_filter(ps, p -> p >= 240)) AS BIGINT) AS hist_hi
+             |FROM px ORDER BY media_id""".stripMargin)),
+
     QuerySpec(
       "x11_multimodal_meta",
       (s, dir) => {

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * 100 TB path is "binary column in parquet → partition-parallel kernel →
   * small feature columns out".
   *
-  * The actual image/audio codecs are NOT in this container, so [[decodeStub]]
-  * is a clearly-marked deterministic fake; the Spark-side plumbing — schema,
-  * encoders, batch shape, partitioning — is real and tested.
+  * PNG (and any other `javax.imageio`-readable format) decodes FOR REAL via
+  * [[decodePng]] — the same ImageIO plumbing the stage-1 PNG sink uses.
+  * Codecs genuinely absent from this JVM (DICOM handled separately by
+  * [[graft.sources.DicomDecode]], audio, video) fall back to the
+  * clearly-marked [[decodeStub]]; the surrounding plumbing — schema,
+  * encoders, batch shape, partitioning — is identical either way.
   */
 object Multimodal {
 
@@ -35,10 +38,50 @@ object Multimodal {
       mean_byte: Double,
       histogram: Array[Long])
 
-  /** STUB decoder — stands in for a real codec (pydicom/PIL/ffmpeg are not
-    * installed here). Deterministic: "decodes" a payload to its byte stats.
-    * Swap the body for a real decode when codecs are available; the
-    * surrounding plumbing does not change. */
+  /** Real image decode via javax.imageio for image-mime payloads: pixels out
+    * of the compressed bytes, true width/height from the decoded raster, a
+    * 16-bin luminance histogram and mean over the actual pixel samples.
+    * Falls back to [[decodeStub]] if ImageIO cannot parse the payload (a
+    * corrupt file must not kill a 100 TB job — it degrades to byte stats). */
+  def decodePng(r: MediaRow): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) decodeStub(r)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0) & 0xff
+          hist(v >> 4) += 1
+          sum += v
+          x += 1
+        }
+        y += 1
+      }
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(r.payload)
+        .map("%02x".format(_)).mkString
+      val n = w.toLong * h
+      MediaFeatures(r.media_id, r.payload.length.toLong, sha, w, h,
+        if (n == 0) 0.0 else sum.toDouble / n, hist)
+    }
+  }
+
+  /** Dispatch by mime: real codec where the JVM has one, stub otherwise. */
+  def decode(r: MediaRow): MediaFeatures =
+    if (r.mime != null && r.mime.startsWith("image/")) decodePng(r)
+    else decodeStub(r)
+
+  /** STUB decoder — stands in for codecs genuinely absent in this container
+    * (audio/video; DICOM has its own parser in sources.DicomDecode).
+    * Deterministic: "decodes" a payload to its byte stats. Swap the body for
+    * a real decode when codecs are available; the surrounding plumbing does
+    * not change. */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val bytes = r.payload
     val hist = new Array[Long](16)
@@ -73,10 +116,26 @@ object Multimodal {
 
   /** Partition-parallel decode + featurize: the mapInPandas-shaped stage.
     * One task per input partition; no shuffle; output is small feature rows
-    * so downstream aggregation never moves payload bytes. */
+    * so downstream aggregation never moves payload bytes. Mime-dispatched:
+    * image payloads decode for real, the rest hit the stub. */
   def featurize(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(decode))
+  }
+
+  /** PNG media table built from real pixel data: deterministic grayscale
+    * gradients rendered through the SAME PNG encoder stage 1 uses
+    * ([[graft.Pipeline.pngBytes]]), so the decode path is exercised on real
+    * compressed images whose pixel statistics are known in closed form. */
+  def pngMediaFromIds(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col("media_id").cast("long")).as[Long].map { id =>
+      val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+      val px = new Array[Short](w * h)
+      var i = 0
+      while (i < px.length) { px(i) = ((id + i) % 256).toShort; i += 1 }
+      MediaRow(id, graft.Pipeline.pngBytes(px, w, h), "image/png", w, h)
+    }
   }
 
   /** STUB resize: real impl would decode → scale → re-encode. The stub keeps

@@ -73,17 +73,40 @@ object Similarity {
       when(dot(emb, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed approximate top-k: queries only score vectors in their own
-    * sign bucket. Recall < 1 by construction; nBits trades bucket size
-    * against recall (multi-probe = re-run with neighboring buckets). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+  /** Embeddings of the given ids, collected as literal hyperplanes (tiny
+    * driver-side collect, one per seed id). Using CORPUS ROWS as the plane
+    * family — the data is zero-centered, so a corpus vector is as good a
+    * random hyperplane as a synthetic one — makes bucket assignment a pure
+    * function of the data: an external oracle can recompute the buckets
+    * (and therefore the full candidate set) from the table alone, which a
+    * seeded-PRNG plane family can never offer. */
+  def seedVectors(corpus: DataFrame, idCol: String, embCol: String,
+      seedIds: Seq[Long]): Seq[Seq[Float]] = {
+    val byId = corpus.filter(col(idCol).isin(seedIds.map(Long.box): _*))
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    seedIds.map(id => byId.getOrElse(id,
+      throw new IllegalArgumentException(s"seed id $id not in corpus")))
+  }
+
+  /** Sign-pattern bucket under seed-vector planes: bit i = (emb · seed_i >= 0).
+    * The dot runs through the HOF builder (once per row, not per pair) so
+    * the double accumulation order matches a SQL re-implementation. */
+  def seededBucket(emb: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      when(dot(emb, typedlit(plane)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Shared bucketed-top-k core: queries only score vectors in their own
+    * bucket; one equi-join shuffle on the bucket key. */
+  private def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, bucketOf: Column => Column): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"),
-      lshBucket(col(embCol), nBits, dim).as("bucket"))
+      bucketOf(col(embCol)).as("bucket"))
       .withColumn("q_nrm", sqrt(expr("float_dot(q_emb, q_emb)")))
     val c = corpus.select(col(idCol).as("cid"), col(embCol).as("c_emb"),
-      lshBucket(col(embCol), nBits, dim).as("bucket"))
+      bucketOf(col(embCol)).as("bucket"))
       .withColumn("c_nrm", sqrt(expr("float_dot(c_emb, c_emb)")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     q.join(c, "bucket")
@@ -95,13 +118,30 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (sim >= threshold), LSH-bucketed
-    * so only same-bucket pairs are scored. */
-  def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
-      threshold: Double, nBits: Int, dim: Int): DataFrame = {
+  /** LSH-bucketed approximate top-k: queries only score vectors in their own
+    * sign bucket. Recall < 1 by construction; nBits trades bucket size
+    * against recall (multi-probe = re-run with neighboring buckets). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nBits: Int, dim: Int): DataFrame =
+    bucketedTopK(queries, corpus, idCol, embCol, k,
+      e => lshBucket(e, nBits, dim))
+
+  /** LSH top-k with seed-vector planes ([[seededBucket]]) — same plan shape
+    * as [[lshTopK]], but every stage (bucket assignment included) is
+    * recomputable by an external oracle from the data alone. */
+  def lshTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, seedIds: Seq[Long]): DataFrame = {
+    val planes = seedVectors(corpus, idCol, embCol, seedIds)
+    bucketedTopK(queries, corpus, idCol, embCol, k, e => seededBucket(e, planes))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold), bucketed so
+    * only same-bucket pairs are scored. */
+  private def bucketedNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bucketOf: Column => Column): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val e = df.select(col(idCol), col(embCol),
-      lshBucket(col(embCol), nBits, dim).as("bucket"))
+      bucketOf(col(embCol)).as("bucket"))
       .withColumn("__nrm", sqrt(expr(s"float_dot($embCol, $embCol)")))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -110,6 +150,17 @@ object Similarity {
         round(expr(s"float_dot(a.$embCol, b.$embCol)") /
           (col("a.__nrm") * col("b.__nrm")), 4).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nBits: Int, dim: Int): DataFrame =
+    bucketedNearDups(df, idCol, embCol, threshold, e => lshBucket(e, nBits, dim))
+
+  /** Near-dup pairs with seed-vector planes — oracle-recomputable buckets. */
+  def cosineNearDupsSeeded(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, seedIds: Seq[Long]): DataFrame = {
+    val planes = seedVectors(df, idCol, embCol, seedIds)
+    bucketedNearDups(df, idCol, embCol, threshold, e => seededBucket(e, planes))
   }
 
   // ------------------------------------------------------------------- IVF
@@ -177,17 +228,14 @@ object Similarity {
     best
   }
 
-  /** IVF approximate top-k: corpus is partitioned into k-means cells; each
-    * query scores only the `nProbe` nearest cells. The 100 TB path: cell
-    * assignment is row-local against broadcast centroids, the probe join is
-    * equi on cell id, and per-query work scales with probed-cell size, not
-    * corpus size. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, nCells: Int, nProbe: Int,
-      kmeansIters: Int = 3): DataFrame = {
+  /** IVF core given a fixed centroid table: cell assignment is a row-local
+    * argmin over the broadcast centroids, queries explode to their `nProbe`
+    * nearest cells, and the probe join is equi on cell id — per-query work
+    * scales with probed-cell size, not corpus size (the 100 TB path). */
+  private def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+      idCol: String, embCol: String, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = kmeansCentroids(corpus, idCol, embCol, nCells, kmeansIters)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bc.value) }
@@ -218,4 +266,22 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** IVF approximate top-k with a Lloyd k-means coarse quantizer. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nCells: Int, nProbe: Int,
+      kmeansIters: Int = 3): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, embCol, k, nProbe,
+      kmeansCentroids(corpus, idCol, embCol, nCells, kmeansIters))
+
+  /** IVF top-k with SEED-VECTOR centroids (Voronoi cells of fixed corpus
+    * rows, no Lloyd iterations — "IVF-random" in ANN-library terms). Same
+    * plan shape as [[ivfTopK]]; the trade is a slightly less balanced cell
+    * partition for a quantizer an external oracle can recompute exactly
+    * (argmin of L2 distance to named corpus rows, ties to the lower cell). */
+  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int, seedIds: Seq[Long]): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, embCol, k, nProbe,
+      seedVectors(corpus, idCol, embCol, seedIds)
+        .map(_.map(_.toDouble).toArray).toArray)
 }

@@ -38,17 +38,61 @@ class PipelineSpec extends SparkSpec {
     assert(p3box.getInt(0) === 4 && p3box.getInt(1) === 6)
   }
 
+  test("default split plan is window-free; split8020 keeps exact counts") {
+    val annotated = Pipeline.annotate(
+      spark, fixtureImages, Pipeline.createMaps(fixtureLabels))
+    val (tr, va) = Pipeline.hashSplit8020(annotated)
+    // the scale path must not funnel rows through a partition-less window
+    assert(!tr.queryExecution.executedPlan.toString.contains("Window"))
+    assert(!va.queryExecution.executedPlan.toString.contains("Window"))
+    assert(tr.count() + va.count() === 10)
+    // the reference-faithful variant still splits exactly ceil(0.8n) / rest
+    val (t2, v2) = Pipeline.split8020(annotated)
+    assert(t2.count() === 8 && v2.count() === 2)
+  }
+
   test("end-to-end: counts, annotations, shards, example schema") {
     val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     val (nTrainAug, nVal, skipped) = Pipeline.runEndToEnd(
       spark, fixtureImages, fixtureLabels, out, trainShards = 4, valShards = 2)
 
-    // split: 10 images, ceil(8.0)=8 train / 2 val
-    assert(nVal === 2)
-    // train = p001..p008: p001,p003 positive (190 each), p002 + 5 unlabeled
-    // negatives (20 each) — the J1 left-join default makes unlabeled = negative
-    assert(nTrainAug === 2 * 190 + 6 * 20)
+    // membership of the default id-hash split is deterministic per id
+    val ids = (1 to 10).map(i => f"p$i%03d")
+    val buckets = ids.toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(100)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trainIds = ids.filter(buckets(_) < 80).toSet
+    val valIds = ids.toSet -- trainIds
+    assert(nVal === valIds.size)
+    // positives (p001, p003) fan out 190 each, negatives 20 each — the J1
+    // left-join default makes unlabeled ids negative
+    val positives = Set("p001", "p003")
+    val expTrain = trainIds.count(positives) * 190 +
+      trainIds.count(!positives.contains(_)) * 20
+    assert(nTrainAug === expTrain)
     assert(skipped >= 0)
+
+    // validation annotation sinks round-trip (S5→S6, reference :92-99)
+    val valObjs = spark.read.json(s"$out/validation_object_annotation")
+    assert(valObjs.count() === nVal)
+    val valCaps = spark.read.json(s"$out/validation_caption_annotation")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("caption")).toMap
+    assert(valCaps.keySet === valIds)
+    valIds.foreach { id =>
+      assert(valCaps(id) === (if (positives(id)) "1" else "0"))
+    }
+
+    // val TFRecords are built FROM the annotation files and carry captions
+    val valRecords = TFRecordSink.readAll(s"$out/tfrecords", "val").toSeq
+    assert(valRecords.length === nVal)
+    valRecords.foreach { r =>
+      val ex = TFRecordIO.decodeExample(r)
+      val TFRecordIO.BytesFeature(srcId) = ex("image/source_id"): @unchecked
+      val TFRecordIO.BytesFeature(cap) = ex("image/caption"): @unchecked
+      val id = new String(srcId.head, "UTF-8")
+      assert(valIds.contains(id))
+      assert(new String(cap.head, "UTF-8") === valCaps(id))
+    }
 
     // annotation JSONs round-trip (S5→S6)
     val objs = spark.read.json(s"$out/object_annotation")

@@ -50,6 +50,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short === Seq(1L, 4L))
   }
 
+  test("winnowStats: kernel equals positional brute force; shared runs collide") {
+    // brute-force reference: positional trigram hashes, window minima, distinct
+    def brute(text: String, w: Int): Set[Long] = {
+      val hs = (0 until text.length - 2).map(i =>
+        text.charAt(i).toLong * 961 + text.charAt(i + 1).toLong * 31 + text.charAt(i + 2))
+      if (hs.isEmpty) Set.empty
+      else if (hs.length < w) hs.toSet
+      else (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+    }
+    def viaUdf(text: String, w: Int): (Long, Option[Long], Option[Long], Option[Long]) = {
+      val r = Seq(text).toDF("text")
+        .select(TextFunctions.winnowStatsUdf($"text", lit(w)).as("st"))
+        .select("st.*").head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    // kernel == brute on: plain text, REPEATED text (positional windows must
+    // not collapse — the round-1 distinct-shingle formulation did), short
+    // text (< w shingles), CJK (BMP code units), empty
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "abcabcabcabcabcabc",
+      "abcd",
+      "中文文本测试文本中文",
+      "xy")
+    samples.foreach { s =>
+      val exp = brute(s, 8)
+      val (n, mn, mx, sm) = viaUdf(s, 8)
+      assert(n === exp.size, s"count for '$s'")
+      assert(mn === (if (exp.isEmpty) None else Some(exp.min)))
+      assert(mx === (if (exp.isEmpty) None else Some(exp.max)))
+      assert(sm === (if (exp.isEmpty) None else Some(exp.sum)))
+    }
+    // MOSS property: docs sharing a run of >= w+2 consecutive shingles share
+    // a fingerprint (kernel == brute above makes brute a faithful proxy)
+    val shared = "COMMONSHAREDSEGMENTXYZ" // 22 chars => 20 shingles >= 10
+    val f1 = brute("aaaa " + shared + " bbbb", 8)
+    val f2 = brute("zzzz " + shared + " qqqq", 8)
+    assert(f1.intersect(f2).nonEmpty)
+  }
+
   test("langId votes with fixed priority, und when no markers") {
     assert(one("the cat is on a mat").select(TextFunctions.langId($"text"))
       .as[String].head() === "en")

@@ -74,6 +74,20 @@ class DedupSpec extends SparkSpec {
     assert(graft.Pipeline.subdirFor("p007") === ".") // reference bug fixed
   }
 
+  test("simhash pairs carry exact jaccard and sit inside the minhash dup set") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 6)
+      .collect()
+    val brute = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    sim.foreach { r =>
+      // the verification column: word-shingle jaccard, dup-level similarity
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(brute.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    }
+  }
+
   test("minhash estimate tracks exact jaccard on harness near-dups") {
     val real = graft.Tables.documents(spark, sfDir)
     val found = Dedup.minhashNearDups(real, "doc_id", "text",

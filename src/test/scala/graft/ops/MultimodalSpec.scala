@@ -26,6 +26,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.payload.length <= 16))
   }
 
+  test("png media decodes for REAL: dimensions and stats from the raster") {
+    import spark.implicits._
+    val ids = Seq(5L, 17L, 30L).toDF("media_id")
+    val media = Multimodal.pngMediaFromIds(spark, ids)
+    val feats = Multimodal.featurize(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    Seq(5L, 17L, 30L).foreach { id =>
+      val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+      val px = Array.tabulate(w * h)(i => ((id + i) % 256).toInt)
+      val f = feats(id)
+      assert(f.width === w && f.height === h) // from the decoded raster
+      assert(math.abs(f.mean_byte - px.sum.toDouble / px.length) < 1e-9)
+      assert(f.histogram.sum === w.toLong * h) // pixel stats, not byte stats
+      assert(f.n_bytes > 0 && f.n_bytes != (w * h).toLong) // compressed payload
+    }
+    // a stage-1 PNG decodes directly through decodePng
+    val png = graft.Pipeline.pngBytes(Array.tabulate(64)(i => (i * 4).toShort), 8, 8)
+    val d = Multimodal.decodePng(Multimodal.MediaRow(1L, png, "image/png", 8, 8))
+    assert(d.width === 8 && d.height === 8)
+    assert(math.abs(d.mean_byte - (0 until 64).map(_ * 4).sum / 64.0) < 1e-9)
+    // corrupt payload degrades to the stub, not an exception
+    val bad = Multimodal.decodePng(Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "image/png", 1, 1))
+    assert(bad.n_bytes === 3L)
+  }
+
   test("featurize runs partition-parallel and matches a local decode") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
       .repartition(3) // prove multi-partition batch shape
