@@ -120,6 +120,37 @@ object Pipeline {
     bos.toByteArray
   }
 
+  /** Debug visualization (K6, generate_images_from_dicom.py:107-112 —
+    * `plot_image_and_bounding_boxes`): the image with its bounding boxes
+    * burned in as white 1-px rectangles, PNG-encoded. The reference's
+    * matplotlib viz becomes a pure pixel kernel + the S4 PNG sink, so it
+    * runs task-parallel like every other kernel instead of on a driver
+    * display. Pixels are copied — the input row is never mutated. */
+  def pngWithBoxes(ex: ImageEx): Array[Byte] = {
+    val px = ex.pixels.clone()
+    val w = ex.width; val h = ex.height
+    def set(x: Int, y: Int): Unit =
+      if (x >= 0 && x < w && y >= 0 && y < h) px(y * w + x) = 255
+    ex.boxes.foreach { b =>
+      var x = b.x
+      while (x <= b.x + b.w) { set(x, b.y); set(x, b.y + b.h); x += 1 }
+      var y = b.y
+      while (y <= b.y + b.h) { set(b.x, y); set(b.x + b.w, y); y += 1 }
+    }
+    pngBytes(px, w, h)
+  }
+
+  /** K6 as a directory sink: one {id}_boxed.png per image. */
+  def writeDebugViz(ds: Dataset[ImageEx], dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    ds.foreachPartition { (it: Iterator[ImageEx]) =>
+      it.foreach { ex =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${ex.id}_boxed.png"), pngWithBoxes(ex))
+      }
+    }
+  }
+
   /** Stage-2 suffix dispatch (P8, images_to_tfrecord.py:187-200): augmented
     * id → source subdirectory, matching the generator's directory layout
     * (pass 5 writes to `scale_shift_bbox`, pass 7 — the dispatch's else

@@ -23,18 +23,6 @@ object TextFunctions {
         transform(sequence(lit(1), length(text) - 2), i => text.substr(i, lit(3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct n-word shingles — the dedup unit real LLM pipelines use:
-    * word-level shingles keep background Jaccard near zero on natural text
-    * while exact/near copies stay ≈1 (char n-grams saturate on small
-    * vocabularies — measured 0.65 background vs 0.07 here). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Token count (whitespace tokenizer), as BIGINT. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -242,24 +242,87 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // --------------------------------------------------------- contamination
+
+  /** SQL-replayable polynomial string hash (acc*31 + codeUnit mod 2^31-1) —
+    * the shared base hash of [[simhashUdf]] and [[contamination]]. */
+  private def poly31(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 2147483647L; i += 1 }
+    h
+  }
+
+  /** Benchmark-contamination check: for every corpus doc, the number of
+    * distinct word n-grams it shares with ANY benchmark doc (docs sharing
+    * none are dropped; benchmark members are excluded). The pre-training
+    * hygiene op: long n-grams (default 8) only collide across corpora on
+    * real copies, so a hit means benchmark text leaked into training data.
+    *
+    * Scale shape: both sides explode to (gram-hash, id) and meet in ONE
+    * equi-join on the hash — no pairwise doc comparison; cost follows total
+    * gram count, and the benchmark side (small by construction) broadcasts
+    * under AQE. Gram keys are poly31 hashes, so an external oracle
+    * recomputes the join from raw text. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val gramUdf = udf { toks: Seq[String] =>
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.LinkedHashSet[Long]()
+        var i = 0
+        while (i + n <= toks.length) {
+          seen.add(poly31(toks.slice(i, i + n).mkString(" ")))
+          i += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator(); var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    }
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(gramUdf(TextFunctions.tokens(col(textCol)))).as("gram"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    grams(corpus)
+      .join(bench.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(benchGrams, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   // --------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over the distinct shingle-hash array: per bit, sign of
-    * the sum over shingles of +/-1. Row-local compiled kernel (see
-    * withMinhash for why not higher-order functions). The full 64-bit mix of
-    * each 32-bit shingle hash is rehashed (splitmix) so all 64 lanes see
-    * independent bits. */
-  val simhashUdf = udf { hashes: Seq[Long] =>
+  /** Deterministic (a, b) family for the 64 SimHash bit lanes; separate seed
+    * from the minhash family. Public: the oracle SQL is generated from the
+    * SAME constants ([[simhashOracleTerms]]). */
+  val simhashFamily: Seq[(Long, Long)] = hashFamily(64, seed = 43L)
+  private val simhashFamilyArr = simhashFamily.toArray
+
+  /** 64-bit SimHash over the distinct word-shingle STRINGS. Every stage is
+    * SQL-replayable, so an external oracle recomputes the fingerprint from
+    * text alone:
+    *  - per-shingle base hash: polynomial acc*31+codeUnit mod 2^31-1 (the
+    *    same form as [[TextFunctions.fingerprint]] — `list_reduce` in SQL);
+    *  - bit lane i votes by BIT 30 of the universal hash
+    *    (a_i*h + b_i) mod (2^61-1): all values stay under 2^62, so plain
+    *    BIGINT arithmetic reproduces it in any engine — no 64-bit-overflow
+    *    tricks (a mixing round like splitmix64 needs mod-2^64 multiplies
+    *    that SQL BIGINTs cannot express). A MIDDLE bit, deliberately: with
+    *    odd a, the parity bit collapses to parity(h) xor parity(b) — every
+    *    lane correlated, measured 30k false hamming<=6 pairs at sf0.001 —
+    *    while bit 30 mixes the whole product (0 false pairs, all 21 found
+    *    pairs true dups at j >= 0.9);
+    *  - bit i is set iff strictly more shingles vote odd than even.
+    * Row-local compiled kernel (see withMinhash for why not HOFs). */
+  val simhashUdf = udf { shingles: Seq[String] =>
     val votes = new Array[Int](64)
-    hashes.foreach { h0 =>
-      // splitmix64 finalizer: spread the 32-bit base hash over 64 bits
-      var z = h0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
+    shingles.foreach { s =>
+      val h = poly31(s)
       var i = 0
       while (i < 64) {
-        if (((z >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        val (a, b) = simhashFamilyArr(i)
+        if ((((a * h + b) % P) >>> 30) % 2L == 1L) votes(i) += 1 else votes(i) -= 1
         i += 1
       }
     }
@@ -269,23 +332,25 @@ object Dedup {
     sim
   }
 
-  /** SimHash near-dup candidates: pairs whose 64-bit fingerprints agree on at
-    * least one of 4 16-bit chunks (pigeonhole ⇒ catches hamming distance ≤ 3),
-    * verified by exact hamming distance <= maxHamming. Each surviving pair
-    * also carries the exact word-shingle jaccard as an oracle-recomputable
-    * verification column (the fingerprints themselves are hash-family
-    * specific). Docs with no shingles are excluded — their simhash is the
-    * all-zero degenerate value and jaccard is undefined. */
+  /** SimHash near-dup pairs at hamming distance <= maxHamming, plus the
+    * exact word-shingle jaccard per pair. COMPLETE for maxHamming <= 7:
+    * candidates are pairs agreeing on >= 1 of 8 8-bit chunks, and 7 bit
+    * errors cannot hit all 8 chunks (pigeonhole) — so the output equals a
+    * brute-force hamming sweep, which the oracle replays (the fingerprints
+    * themselves are SQL-recomputable, see [[simhashUdf]]). Docs with no
+    * shingles are excluded — their simhash is the all-zero degenerate value
+    * and jaccard is undefined. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit chunking is only complete for hamming <= 7")
     val withSim = df
-      .withColumn("__sh", shingleHashes(col(textCol)))
+      .withColumn("__sh", wordShingleStrings(col(textCol)))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), simhashUdf(col("__sh")).as("simhash"))
     val chunked = withSim
-      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", explode(sequence(lit(0), lit(7))))
       .withColumn("chunk_key",
-        expr("shiftright(simhash, CAST(chunk * 16 AS INT))").bitwiseAND(lit(0xFFFFL)))
+        expr("shiftright(simhash, CAST(chunk * 8 AS INT))").bitwiseAND(lit(0xFFL)))
     val cand = chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_key") === col("b.chunk_key") &&
@@ -301,6 +366,17 @@ object Dedup {
     verifyWithStringJaccard(byHamming, df, idCol, textCol, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("jaccard"))
   }
+
+  /** The 64 per-bit SQL terms of the SimHash, generated from
+    * [[simhashFamily]] so oracle and kernel share one set of constants.
+    * `hs` must be a BIGINT list of per-shingle polynomial hashes. */
+  def simhashOracleTerms(hs: String = "hs"): String =
+    simhashFamily.zipWithIndex.map { case ((a, b), i) =>
+      val weight = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"(CASE WHEN 2*len(list_filter($hs, " +
+        s"h -> ((h*$a+$b)%2305843009213693951 // 1073741824)%2=1)) " +
+        s"> len($hs) THEN CAST($weight AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
 
   // ------------------------------------------------------- exact n-gram jaccard
 

@@ -9,10 +9,10 @@ import graft.functions.TextFunctions
   * `queries()` entry with oracle SQL wherever DuckDB can express the same
   * computation. Approximate indexes are made oracle-checkable by
   * construction: LSH/IVF bucket on SEED VECTORS (corpus rows, recomputable
-  * in SQL) and near-dup search verifies with exact jaccard over raw shingle
-  * strings, so even candidate generation replays in the oracle. The one
-  * rows-only holdout is x3 (simhash fingerprints are hash-family specific);
-  * it still emits an oracle-recomputable jaccard verification column.
+  * in SQL), near-dup search verifies with exact jaccard over raw shingle
+  * strings, and the simhash fingerprint itself is built from SQL-replayable
+  * arithmetic — so even candidate generation replays in the oracle and
+  * every extension query is hash-checked end-to-end.
   */
 object ExtensionQueries {
 
@@ -58,17 +58,47 @@ object ExtensionQueries {
              |FROM p WHERE round(CAST(i AS DOUBLE)/(na+nb-i), 4) >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash near-dups: fingerprints are hash-family specific, so no
-    // oracle for the pair set — but each pair carries the exact word-shingle
-    // jaccard as an oracle-recomputable verification column, and DedupSpec
-    // asserts the found set is a subset of the x2 brute-force set.
+    // SimHash near-dups, FULLY oracle-checked: the fingerprint is built from
+    // SQL-replayable pieces (polynomial shingle hash, parity-of-universal-
+    // hash bit lanes — Dedup.simhashUdf), the 8x8-bit chunk candidates are
+    // pigeonhole-complete for hamming <= 7, so the emitted pair set equals
+    // the brute-force hamming sweep the oracle runs. The 64 per-bit SQL
+    // terms are generated from the SAME constants as the kernel.
     QuerySpec(
       "x3_dedup_simhash",
       (s, dir) =>
         Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
             maxHamming = 6)
           .orderBy("doc_a", "doc_b"),
-      None),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+              |                   for i in range(1, len(toks)-1)]) AS shs
+              |  FROM t),
+              |hs AS (
+              |  SELECT doc_id, shs,
+              |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |                              [CAST(ord(c) AS BIGINT) for c in string_split(s, '')]),
+              |                 (acc, x) -> (acc*31 + x) % 2147483647) for s in shs] AS hs
+              |  FROM sh WHERE len(shs) > 0),
+              |sim AS (
+              |  SELECT doc_id, shs,
+              |    CAST(${Dedup.simhashOracleTerms("hs")} AS BIGINT) AS simhash
+              |  FROM hs),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+              |    len(list_intersect(a.shs, b.shs)) AS i,
+              |    len(a.shs) AS na, len(b.shs) AS nb
+              |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, hamming,
+              |  round(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
+              |FROM p WHERE hamming <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Exact blocked n-gram Jaccard — oracle-checkable dedup ground truth.
     QuerySpec(
@@ -366,6 +396,96 @@ object ExtensionQueries {
               |    CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_llm_est,
               |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------ training-data pipeline ops
+    // Sequence packing (concat-and-chunk): docs stream in deterministic
+    // (lang, doc_id) order into fixed token-budget bins — the standard
+    // pre-training packing layout. One window per lang partition, no driver
+    // state; at scale each lang shard packs independently.
+    QuerySpec(
+      "x19_sequence_packing",
+      (s, dir) => {
+        val budget = 256L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("start_tok",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin_id", floor(col("start_tok") / budget).cast("long"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                         x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT lang, doc_id, n_tokens,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+             |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS bin_id
+             |FROM t ORDER BY lang, doc_id""".stripMargin)),
+
+    // PII scrubbing: pattern counts + the digest of the redacted text, so
+    // the oracle verifies the REDACTION itself, not just the counts.
+    // Patterns are RE2-safe so the same regex runs in any engine.
+    QuerySpec(
+      "x20_pii_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digits = "[0-9]{4,}"
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(digits), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          sha2(regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            digits, "<NUM>").cast("binary"), 256).as("redacted_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_digit_runs,
+             |  sha256(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{4,}', '<NUM>', 'g')) AS redacted_digest
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark contamination: corpus docs sharing >= 1 word-8-gram with the
+    // "benchmark" slice (doc_id % 97 == 0). One equi-join on SQL-replayable
+    // gram hashes — no pairwise comparison (Dedup.contamination).
+    QuerySpec(
+      "x21_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contamination(docs, docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_distinct([list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ord(c) AS BIGINT)
+             |         for c in string_split(array_to_string(toks[i:i+7], ' '), '')]),
+             |      (acc, x) -> (acc*31 + x) % 2147483647)
+             |      for i in range(1, len(toks) - 6)]) AS grams
+             |  FROM t WHERE len(toks) >= 8),
+             |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+             |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+             |SELECT doc_id, CAST(COUNT(DISTINCT cg.gram) AS BIGINT) AS n_shared_grams
+             |FROM cg JOIN bg USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---------------------------------------------------------- multimodal
     // REAL image decode end-to-end: deterministic grayscale gradients are

@@ -51,6 +51,22 @@ class PipelineSpec extends SparkSpec {
     assert(t2.count() === 8 && v2.count() === 2)
   }
 
+  test("K6 debug viz: box borders burned in, interior and background intact") {
+    import graft.ops.Augment.ImageEx
+    import graft.ops.Kernels.Box
+    val px = Array.fill[Short](100)(7) // 10x10 constant image
+    val ex = ImageEx("v1", px, 10, 10, Seq(Box(2, 3, 4, 5)), "1")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Pipeline.pngWithBoxes(ex)))
+    def s(x: Int, y: Int) = img.getRaster.getSample(x, y, 0)
+    assert(s(2, 3) === 255 && s(6, 3) === 255) // top corners
+    assert(s(2, 8) === 255 && s(6, 8) === 255) // bottom corners
+    assert(s(4, 3) === 255 && s(2, 5) === 255) // edges
+    assert(s(4, 5) === 7)                      // interior untouched
+    assert(s(0, 0) === 7)                      // background untouched
+    assert(ex.pixels(3 * 10 + 2) === 7)        // input row not mutated
+  }
+
   test("end-to-end: counts, annotations, shards, example schema") {
     val out = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     val (nTrainAug, nVal, skipped) = Pipeline.runEndToEnd(

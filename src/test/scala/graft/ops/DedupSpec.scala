@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs collide, near-dups are close, others far") {
     val sims = docs.select($"doc_id",
-        Dedup.simhashUdf(Dedup.shingleHashes($"text")).as("sh"))
+        Dedup.simhashUdf(Dedup.wordShingleStrings($"text")).as("sh"))
       .as[(Long, Long)].collect().toMap
     assert(sims(1L) === sims(3L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
@@ -86,6 +86,22 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= 0.8)
       assert(brute.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
     }
+  }
+
+  test("contamination: copies of benchmark text flagged, originals excluded") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),       // benchmark member
+      (2L, "a b c d e f g h i j k"),     // contaminated: contains bench 8-grams
+      (3L, "z y x w v u t s r q"),       // clean
+      (4L, "one two three")              // too short for any 8-gram
+    ).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" === 1L)
+    val hits = Dedup.contamination(corpus, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet === Set(2L)) // bench member itself excluded, clean docs absent
+    // doc 2 shares all 3 of doc 1's 8-grams (positions 0,1,2 of an 11-token doc
+    // overlap the 10-token benchmark doc's grams at positions 0,1,2)
+    assert(hits(2L) === 3L)
   }
 
   test("minhash estimate tracks exact jaccard on harness near-dups") {
