@@ -23,7 +23,9 @@ object Explain {
     val interesting = Seq(
       "q1_pricing_summary", "q3_regional_revenue", "q5_semi_join",
       "q9_window_topk", "q26_tumbling_window", "q34_asof_join",
-      "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk")
+      "q45_sketch_approx",
+      "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk",
+      "x13_ann_ivf", "x19_sequence_packing", "x21_contamination")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

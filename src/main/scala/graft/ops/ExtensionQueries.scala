@@ -487,6 +487,49 @@ object ExtensionQueries {
              |FROM cg JOIN bg USING (gram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The WHOLE cleaning pipeline composed, oracle-checked end-to-end:
+    // quality gate -> exact dedup (keep min id per digest) -> near-dup
+    // removal (drop the larger id of every j>=0.8 pair) -> surviving docs.
+    // This is Dedup.dedupCorpus — the operator a user actually runs — and
+    // the oracle replays every stage from raw text.
+    QuerySpec(
+      "x22_clean_corpus",
+      (s, dir) => {
+        val clean = Tables.documents(s, dir)
+          .filter(TextFunctions.qualityScore(col("text"), STOPWORDS) >= 0.9999)
+        Dedup.dedupCorpus(clean, "doc_id", "text", threshold = 0.8)
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, lang, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+             |  FROM t
+             |  WHERE len(toks) BETWEEN 5 AND 100000
+             |    AND round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE)/len(toks), 4)
+             |        BETWEEN 2.0 AND 12.0
+             |    AND len(list_filter(toks, x -> x IN ('a', 'the'))) > 0),
+             |ex AS (SELECT MIN(doc_id) AS keep_id FROM q GROUP BY sha256(text)),
+             |ae AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keep_id),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS shs
+             |  FROM ae),
+             |pairs AS (
+             |  SELECT b.doc_id AS doc_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.shs) > 0 AND len(b.shs) > 0
+             |    AND round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+             |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.8)
+             |SELECT doc_id, lang, n_tokens FROM ae
+             |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---------------------------------------------------------- multimodal
     // REAL image decode end-to-end: deterministic grayscale gradients are
     // PNG-encoded by the stage-1 encoder, decoded back by the ImageIO
