@@ -655,6 +655,29 @@ object Queries {
              |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // Skew-salted join: the hot-key spreading AQE does adaptively, available
+    // explicitly (ops.Relational.saltedJoin — the skewed side salts on a
+    // secondary column, the small side replicates across salts). Results are
+    // identical to a plain join BY CONSTRUCTION, which is exactly what the
+    // oracle states: the plain join. lineitem→orders is the classic shape
+    // (a hot order key would land in one task without the salt).
+    QuerySpec(
+      "q46_salted_join",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        ops.Relational.saltedJoin(l, o, "l_orderkey", "l_linenumber", salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+              |  ${SQLSUM("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // As-of join: each purchase matched to the user's latest click at-or-
     // before it. Spark side is ops.Relational.asofJoin (union+window, one
     // shuffle); oracle is DuckDB's native ASOF JOIN.
