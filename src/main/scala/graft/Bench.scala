@@ -34,7 +34,13 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // isolate queries: caches built inside one query (the augmentation
+      // pipelines pin ~GBs of pixel rows) must not stay resident and
+      // GC-pressure whatever happens to run later in map order — measured
+      // 0.8 s -> 12 s on the last query before this was added
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
