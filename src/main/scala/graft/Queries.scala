@@ -781,17 +781,42 @@ object Queries {
             expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
             expr("percentile(l_extendedprice, 0.45)").as("p45"),
             expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        // flags as BIGINT 1/0, not BOOLEAN: every other oracle column type is
+        // exercised through the driver's hash gate; keep this one on the
+        // beaten path too
         sketches.join(quantiles, "l_returnflag")
           .select(col("l_returnflag"), col("n_exact"),
             (abs(col("n_hll") - col("n_exact")) <= col("n_exact") * 0.15)
-              .as("hll_within_15pct"),
+              .cast("long").as("hll_within_15pct"),
             (col("p50_approx") >= col("p45") && col("p50_approx") <= col("p55"))
-              .as("p50_within_decile"))
+              .cast("long").as("p50_within_decile"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
-             |  TRUE AS hll_within_15pct, TRUE AS p50_within_decile
+             |  CAST(1 AS BIGINT) AS hll_within_15pct, CAST(1 AS BIGINT) AS p50_within_decile
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Arbitrary GROUPING SETS (beyond the rollup/cube shorthands): per-flag,
+    // per-status, and grand-total groups in one aggregation pass.
+    QuerySpec(
+      "q47_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v47")
+        s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                 |  COALESCE(l_linestatus, 'ALL') AS ls,
+                 |  COUNT(*) AS n,
+                 |  ${SQLSUM("l_quantity")} AS sum_qty
+                 |FROM lineitem_v47
+                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 |ORDER BY rf, ls""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+              |  COALESCE(l_linestatus, 'ALL') AS ls,
+              |  COUNT(*) AS n,
+              |  ${SQLSUM("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY rf, ls""".stripMargin)),
 
     // Exact interpolated percentiles (both engines: linear interpolation).
     QuerySpec(

@@ -57,6 +57,20 @@ object EventsStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Session windows via Spark's NATIVE session_window (gap-merged windows
+    * managed by the engine's state store) — the declarative twin of the
+    * custom-state [[sessionize]]; per (user, session): event count and value
+    * sum. Works identically on batch and streaming input. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("win_start"),
+        col("n_events"), col("total_value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int, start: Timestamp,

@@ -129,6 +129,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(u7.head.getInt(1) === 3 && u7.head.getDouble(2) === 7.0)
   }
 
+  test("native session_window agrees with the custom-state sessionize") {
+    val events = Seq(
+      EventsStream.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 00:10:00"), 7L, "click", 2.0),
+      EventsStream.Event(3, ts("2024-01-01 02:00:00"), 7L, "click", 4.0),
+      EventsStream.Event(4, ts("2024-01-01 00:05:00"), 9L, "view", 8.0))
+    val native = EventsStream.sessionWindowAgg(events.toDF(), "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val custom = EventsStream.sessionize(spark, events.toDS(), 30 * 60 * 1000L)
+      .collect().map(s => (s.user_id, s.start, s.n_events.toLong, s.total_value)).toSet
+    assert(native === custom)
+  }
+
   test("harness events table flows through the streaming aggregations") {
     val ev = Tables.events(spark, sfDir)
     val out = EventsStream.tumblingAgg(ev).count()
