@@ -105,6 +105,12 @@ object Pipeline {
     (objects, captions)
   }
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // writes a temp file. In-memory streams are strictly better for our
+  // byte-array round trips (thousands per task). JVM-wide, set once per
+  // executor when this object loads.
+  ImageIO.setUseCache(false)
+
   /** Grayscale PNG encoding (S4) — real PNG via javax.imageio; 16-bit pixel
     * values clip to 8-bit as the RSNA data is uint8 (SURVEY §1.1). */
   def pngBytes(pixels: Array[Short], w: Int, h: Int): Array[Byte] = {

@@ -38,6 +38,11 @@ object Multimodal {
       mean_byte: Double,
       histogram: Array[Long])
 
+  // in-memory ImageIO streams (no per-call temp-file cache) — see
+  // Pipeline's identical setting; repeated here so either entry point
+  // flips it on the executor JVM
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via javax.imageio for image-mime payloads: pixels out
     * of the compressed bytes, true width/height from the decoded raster, a
     * 16-bin luminance histogram and mean over the actual pixel samples.
