@@ -163,6 +163,33 @@ object TextFunctions {
       }
   }
 
+  /** Shannon entropy (bits/char) of the character distribution — the classic
+    * cheap perplexity proxy: near-zero for degenerate repetition, ~4.1 for
+    * English prose, higher for random noise; corpora are filtered to a
+    * [low, high] band. Kernel UDF (one counting pass per row); accumulation
+    * order is fixed (by code unit), and callers round to 4 decimals so an
+    * oracle summing in any order agrees. */
+  val charEntropyUdf = org.apache.spark.sql.functions.udf { text: String =>
+    if (text == null || text.isEmpty) 0.0
+    else {
+      val counts = new java.util.TreeMap[Char, Long]()
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        counts.put(c, counts.getOrDefault(c, 0L) + 1L)
+        i += 1
+      }
+      val n = text.length.toDouble
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next() / n
+        h -= p * (math.log(p) / math.log(2.0))
+      }
+      h
+    }
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text
     * (acc*31 + codepoint, mod 2^31-1) — order-sensitive, so reordered
     * near-dups fingerprint differently while exact copies collide. */

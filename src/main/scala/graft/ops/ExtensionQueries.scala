@@ -487,6 +487,85 @@ object ExtensionQueries {
              |FROM cg JOIN bg USING (gram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Character-entropy quality filter (the classic cheap perplexity proxy:
+    // C4/RefinedWeb-style pipelines band-filter on it). Kernel UDF; the
+    // oracle recomputes H from a char-frequency group-by, and the 4-decimal
+    // round absorbs summation-order ULPs.
+    QuerySpec(
+      "x23_char_entropy",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          // bind the kernel once; band-check the ROUNDED value so both
+          // engines compare the identical 4-decimal number at the boundary
+          .select(col("doc_id"),
+            round(TextFunctions.charEntropyUdf(col("text")), 4).as("entropy_bits"))
+          .select(col("doc_id"), col("entropy_bits"),
+            col("entropy_bits").between(2.5, 5.5).cast("long").as("passes_band"))
+          .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS ch
+             |  FROM documents),
+             |f AS (SELECT doc_id, n, COUNT(*) AS cnt FROM c GROUP BY doc_id, n, ch),
+             |h AS (
+             |  SELECT doc_id,
+             |    round(-SUM((CAST(cnt AS DOUBLE)/n) * log2(CAST(cnt AS DOUBLE)/n)), 4)
+             |      AS entropy_bits
+             |  FROM f GROUP BY doc_id)
+             |SELECT doc_id, entropy_bits,
+             |  CAST(CASE WHEN entropy_bits BETWEEN 2.5 AND 5.5 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS passes_band
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic content-hash sampling (data mixing): keep ~30% of each
+    // stratum by the polynomial text fingerprint mod 10 — id-independent,
+    // reproducible, and replayable by the oracle (same fingerprint as x10).
+    QuerySpec(
+      "x24_stratified_sample",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+          .filter(pmod(col("fp"), lit(10)) < 3)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some("""WITH fp AS (
+             |  SELECT doc_id, lang,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |                   [CAST(ord(c) AS BIGINT) for c in string_split(text, '')]),
+             |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+             |  FROM documents)
+             |SELECT doc_id, lang FROM fp WHERE fp % 10 < 3
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Int8 embedding quantization (4x ANN index compression): per-vector
+    // scale, quantized range, and dequantization MSE — every column
+    // recomputable from the raw floats.
+    QuerySpec(
+      "x25_int8_quantize",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            Similarity.int8QuantUdf(col("embedding")).as("qs"))
+          .select(col("vec_id"),
+            col("qs.q_min").cast("long").as("q_min"),
+            col("qs.q_max").cast("long").as("q_max"),
+            round(col("qs.mse_e6"), 4).as("mse_e6"))
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |s AS (SELECT vec_id, emb, list_max([abs(x) for x in emb]) / 127 AS scale FROM e
+             |      WHERE list_max([abs(x) for x in emb]) > 0),
+             |q AS (SELECT vec_id, scale, emb,
+             |        [greatest(-127, least(127, round(x / scale))) for x in emb] AS qs
+             |      FROM s)
+             |SELECT vec_id,
+             |  CAST(list_min(qs) AS BIGINT) AS q_min,
+             |  CAST(list_max(qs) AS BIGINT) AS q_max,
+             |  round(list_sum([(qs[i]*scale - emb[i]) * (qs[i]*scale - emb[i])
+             |                  for i in range(1, len(emb)+1)]) / len(emb) * 1000000, 4)
+             |    AS mse_e6
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // The WHOLE cleaning pipeline composed, oracle-checked end-to-end:
     // quality gate -> exact dedup (keep min id per digest) -> near-dup
     // removal (drop the larger id of every j>=0.8 pair) -> surviving docs.

@@ -228,6 +228,36 @@ object Similarity {
     best
   }
 
+  /** Per-vector int8 quantization summary from [[int8QuantUdf]]. */
+  final case class QuantStats(q_min: Int, q_max: Int, mse_e6: Double)
+
+  /** Symmetric int8 quantization of an embedding (the standard 4x storage
+    * compression for ANN indexes): scale = max|v|/127, q_i = round(v_i/scale)
+    * clamped to [-127,127], and the reconstruction MSE of dequantization.
+    * Rounding is half-away-from-zero EXPLICITLY (Java's Math.round rounds
+    * negative halves toward +inf; SQL round() does not). Row-local kernel;
+    * every output is recomputable by an oracle from the raw floats. */
+  val int8QuantUdf = udf { v: Seq[Float] =>
+    var maxAbs = 0.0
+    v.foreach { x => val a = math.abs(x.toDouble); if (a > maxAbs) maxAbs = a }
+    if (maxAbs == 0.0 || v.isEmpty) QuantStats(0, 0, 0.0)
+    else {
+      val scale = maxAbs / 127.0
+      var qmin = Int.MaxValue; var qmax = Int.MinValue; var sse = 0.0
+      v.foreach { x =>
+        val r = x.toDouble / scale
+        val q0 = if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)
+        val q = math.max(-127.0, math.min(127.0, q0))
+        val qi = q.toInt
+        if (qi < qmin) qmin = qi
+        if (qi > qmax) qmax = qi
+        val err = q * scale - x.toDouble
+        sse += err * err
+      }
+      QuantStats(qmin, qmax, sse / v.length * 1e6)
+    }
+  }
+
   /** IVF core given a fixed centroid table: cell assignment is a row-local
     * argmin over the broadcast centroids, queries explode to their `nProbe`
     * nearest cells, and the probe join is equi on cell id — per-query work
