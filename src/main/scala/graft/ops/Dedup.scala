@@ -115,12 +115,9 @@ object Dedup {
     else {
       val seen = new java.util.HashSet[Long]()
       var i = 0
-      while (i + 2 < text.length + 0) {
-        if (i + 3 <= text.length) {
-          val h = scala.util.hashing.MurmurHash3.stringHash(
-            text.substring(i, i + 3)).toLong & 0xFFFFFFFFL
-          seen.add(h)
-        }
+      while (i + 3 <= text.length) {
+        seen.add(scala.util.hashing.MurmurHash3.stringHash(
+          text.substring(i, i + 3)).toLong & 0xFFFFFFFFL)
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -254,8 +251,10 @@ object Dedup {
   }
 
   /** Benchmark-contamination check: for every corpus doc, the number of
-    * distinct word n-grams it shares with ANY benchmark doc (docs sharing
-    * none are dropped; benchmark members are excluded). The pre-training
+    * distinct word n-gram HASHES it shares with ANY benchmark doc (docs
+    * sharing none are dropped; benchmark members are excluded) — 31-bit
+    * poly31 keys, so a count can over-state by rare collisions, identically
+    * on the engine and the oracle. The pre-training
     * hygiene op: long n-grams (default 8) only collide across corpora on
     * real copies, so a hit means benchmark text leaked into training data.
     *
