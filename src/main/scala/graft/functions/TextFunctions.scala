@@ -77,6 +77,71 @@ object TextFunctions {
     round((lenOk + atlOk + swOk) / 3.0, 4)
   }
 
+  /** Per-document repetition / quality signals in the style of the Gopher
+    * corpus filters (Rae et al. 2021, "Scaling Language Models", §A1.1 —
+    * public paper): word count, distinct-word fraction, stopword fraction,
+    * mean word length, fraction of word-bigram slots covered by the single
+    * most frequent bigram, and the duplicate word-trigram fraction. All raw
+    * (unrounded) doubles; callers round to 4 decimals for cross-engine
+    * comparison. One compiled counting pass per row — row-local, no shuffle.
+    */
+  final case class GopherStats(
+      n_words: Long,
+      distinct_frac: Double,
+      stopword_frac: Double,
+      mean_word_len: Double,
+      top_bigram_frac: Double,
+      dup_trigram_frac: Double)
+
+  val gopherStatsUdf = org.apache.spark.sql.functions.udf { text: String =>
+    val toks: Array[String] =
+      if (text == null) Array.empty
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) GopherStats(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+    else {
+      val distinct = new java.util.HashSet[String]()
+      var stop = 0
+      var chars = 0L
+      var i = 0
+      while (i < n) {
+        val w = toks(i)
+        distinct.add(w)
+        if (w == "a" || w == "the") stop += 1
+        chars += w.length
+        i += 1
+      }
+      val topBigramFrac =
+        if (n < 2) 0.0
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var best = 0
+          var j = 0
+          while (j < n - 1) {
+            val bg = toks(j) + " " + toks(j + 1)
+            val c = counts.merge(bg, 1, (a, b) => a + b)
+            if (c > best) best = c
+            j += 1
+          }
+          best.toDouble / (n - 1)
+        }
+      val dupTrigramFrac =
+        if (n < 3) 0.0
+        else {
+          val seen = new java.util.HashSet[String]()
+          var dups = 0
+          var j = 0
+          while (j < n - 2) {
+            if (!seen.add(toks(j) + " " + toks(j + 1) + " " + toks(j + 2))) dups += 1
+            j += 1
+          }
+          dups.toDouble / (n - 2)
+        }
+      GopherStats(n.toLong, distinct.size.toDouble / n, stop.toDouble / n,
+        chars.toDouble / n, topBigramFrac, dupTrigramFrac)
+    }
+  }
+
   /** Text normalization for dedup pre-processing: lowercase, collapse
     * whitespace runs, trim — the standard canonical form hashed by exact
     * dedup so formatting variants collapse. */

@@ -673,6 +673,172 @@ object ExtensionQueries {
              |FROM (SELECT label, unnest(embedding) AS v,
              |        generate_subscripts(embedding, 1) AS pos
              |      FROM embeddings)
-             |GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+             |GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // ------------------------------------------------- quality (Gopher-style)
+    // Repetition/quality signals from the Gopher corpus filters (public
+    // paper, Rae et al. 2021 §A1.1) + a keep gate over the ROUNDED values
+    // (both engines gate on the identical 4-decimal number, so boundary
+    // rows can't flip). Row-local compiled kernel — no shuffle at any scale.
+    QuerySpec(
+      "x26_gopher_quality",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.gopherStatsUdf(col("text")).as("g"))
+          .select(col("doc_id"), col("g.n_words").as("n_words"),
+            round(col("g.distinct_frac"), 4).as("distinct_frac"),
+            round(col("g.stopword_frac"), 4).as("stopword_frac"),
+            round(col("g.mean_word_len"), 4).as("mean_word_len"),
+            round(col("g.top_bigram_frac"), 4).as("top_bigram_frac"),
+            round(col("g.dup_trigram_frac"), 4).as("dup_trigram_frac"))
+          .withColumn("keep",
+            (col("n_words") >= 30 && col("mean_word_len").between(3.0, 10.0) &&
+              col("stopword_frac") >= 0.01 && col("distinct_frac") >= 0.3 &&
+              col("top_bigram_frac") <= 0.1 && col("dup_trigram_frac") <= 0.02)
+              .cast("long"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, toks, len(toks) AS n_words,
+             |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bigrams,
+             |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] AS trigrams
+             |  FROM t),
+             |m AS (
+             |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             |    round(CAST(len(list_distinct(toks)) AS DOUBLE)/n_words, 4) AS distinct_frac,
+             |    round(CAST(len(list_filter(toks, w -> w = 'a' OR w = 'the')) AS DOUBLE)/n_words, 4) AS stopword_frac,
+             |    round(CAST(list_sum([length(w) for w in toks]) AS DOUBLE)/n_words, 4) AS mean_word_len,
+             |    round(CAST(list_max([len(list_filter(bigrams, x -> x = b)) for b in bigrams]) AS DOUBLE)/len(bigrams), 4) AS top_bigram_frac,
+             |    round(CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE)/len(trigrams), 4) AS dup_trigram_frac
+             |  FROM g)
+             |SELECT *,
+             |  CAST(CASE WHEN n_words >= 30 AND mean_word_len BETWEEN 3.0 AND 10.0
+             |    AND stopword_frac >= 0.01 AND distinct_frac >= 0.3
+             |    AND top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.02
+             |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------- segment-level dedup (CCNet)
+    // CCNet-style duplicated-segment removal (Wenzek et al. 2019, public):
+    // docs split into consecutive 10-word segments, every segment occurring
+    // more than once in the corpus is dropped (all copies), survivors are
+    // reassembled in position order. Two key-distributed shuffles (segment
+    // count, doc regroup) — the linear-scale shape of paragraph dedup at
+    // 100 TB; the segment payload never rides through a wide join.
+    QuerySpec(
+      "x27_segment_dedup",
+      (s, dir) => {
+        val withSegs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            transform(
+              sequence(lit(0), ceil(size(col("toks")) / 10.0).cast("int") - 1),
+              i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")).as("segs"))
+        val seg = withSegs.select(col("doc_id"),
+          posexplode(col("segs")).as(Seq("pos", "seg")))
+        val uniqueSegs = seg.groupBy("seg").agg(count(lit(1)).as("c"))
+          .where(col("c") === 1).select("seg")
+        val agg = seg.join(uniqueSegs, "seg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+                x => x("seg")), " ").as("kept_text"))
+        withSegs.select(col("doc_id"), size(col("segs")).cast("long").as("n_segments"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segments"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            sha2(coalesce(col("kept_text"), lit("")), 256).as("kept_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |seg AS (
+             |  SELECT doc_id, i AS pos, array_to_string(toks[10*i+1:10*i+10], ' ') AS seg
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(range(0, CAST(ceil(len(toks)/10.0) AS INT))) AS i
+             |        FROM t)),
+             |cnt AS (SELECT seg, COUNT(*) AS c FROM seg GROUP BY 1),
+             |kept AS (SELECT s.doc_id, s.pos, s.seg
+             |         FROM seg s JOIN cnt ON s.seg = cnt.seg WHERE cnt.c = 1),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |          string_agg(seg, ' ' ORDER BY pos) AS kept_text
+             |        FROM kept GROUP BY 1)
+             |SELECT t.doc_id, CAST(ceil(len(t.toks)/10.0) AS BIGINT) AS n_segments,
+             |  COALESCE(a.n_kept, 0) AS n_kept,
+             |  sha256(COALESCE(a.kept_text, '')) AS kept_digest
+             |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ------------------------------------------------ BPE merge-pair counts
+    // The counting step of one BPE merge iteration (Sennrich et al. 2015,
+    // public): adjacent character-pair frequencies across the corpus, top 20
+    // (count desc, pair asc — deterministic). explode + groupBy: one
+    // key-distributed shuffle over a ≤(alphabet²)-cardinality key space, so
+    // the reduce side is tiny no matter the corpus size.
+    QuerySpec(
+      "x28_bpe_merge_pairs",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .where(length(col("word")) >= 2)
+          .select(explode(
+            transform(sequence(lit(1), length(col("word")) - 1),
+              i => col("word").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(20),
+      Some("""WITH w AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                x -> x <> '')) AS word
+             |  FROM documents),
+             |p AS (
+             |  SELECT unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair
+             |  FROM w WHERE len(word) >= 2)
+             |SELECT pair, COUNT(*) AS cnt FROM p
+             |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)),
+
+    // ---------------------------------------------------------- TF-IDF
+    // Corpus IDF + per-doc top tf-idf term (rank by the ROUNDED score, then
+    // term — both engines rank the identical number, so ulp differences in
+    // ln() can't flip the winner). df is vocabulary-sized → broadcast; the
+    // only big shuffle is the (doc, term) count.
+    QuerySpec(
+      "x29_tfidf_topterm",
+      (s, dir) => {
+        val terms = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"),
+            round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |           x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+             |        round(tf.tf * ln(CAST(n.n AS DOUBLE)/df.df), 4) AS tfidf
+             |      FROM tf JOIN df USING(term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY tfidf DESC, term) AS rn FROM s)
+             |SELECT doc_id, term AS top_term, tf, tfidf FROM r WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin))
   )
 }
