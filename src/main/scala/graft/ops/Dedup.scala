@@ -434,4 +434,49 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over near-duplicate PAIR edges → duplicate
+    * CLUSTERS (the group-level view a dedup policy acts on: keep one doc
+    * per component, not one per pair — pairs alone mislabel transitive
+    * chains a-b, b-c).
+    *
+    * Min-label propagation run as DataFrame jobs: every vertex starts
+    * labeled with its own id; each round a vertex takes the min of its
+    * label and its neighbors' labels; fixpoint after `diameter` rounds.
+    * Near-dup components are tiny and shallow (the harness corpus maxes at
+    * size 3), so rounds stay in low single digits; for adversarial graphs
+    * the same loop shape upgrades to the large-star/small-star algorithm
+    * (Kiveris et al. 2014, public — O(log²) rounds). Each round is one
+    * equi-join + one groupBy on vertex id; `localCheckpoint` truncates the
+    * lineage so plan size stays constant across iterations (the classic
+    * iterative-DataFrame trap).
+    *
+    * Returns (doc_id, cluster_id = min doc id in the component,
+    * cluster_size); only docs that appear in some pair are emitted. */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(labels("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id").as("id"),
+          least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+        .localCheckpoint()
+      changed = labels.as("o").join(next.as("n"), col("o.id") === col("n.id"))
+        .filter(col("o.label") =!= col("n.label")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
 }

@@ -839,6 +839,77 @@ object ExtensionQueries {
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              |        ORDER BY tfidf DESC, term) AS rn FROM s)
              |SELECT doc_id, term AS top_term, tf, tfidf FROM r WHERE rn = 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------ product quantization
+    // PQ codes + reconstruction distortion over the embedding table, with a
+    // seed-vector codebook (16 centroids × 8 subspaces of 8 dims) the
+    // oracle rebuilds from the table itself. Row-local kernel; no shuffle.
+    QuerySpec(
+      "x30_pq_codes",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val codebook = Similarity
+          .seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        Similarity.pqEncode(e, "vec_id", "embedding", m = 8, codebook)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |           FROM embeddings),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (
+             |  SELECT e.vec_id, sub.s, cb.c,
+             |    list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |              *(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |              for i in range(1, 9)]) AS d2
+             |  FROM e CROSS JOIN sub CROSS JOIN cb),
+             |best AS (SELECT vec_id, s, c, d2,
+             |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk
+             |         FROM d),
+             |agg AS (SELECT vec_id, string_agg(c, '-' ORDER BY s) AS codes, SUM(d2) AS sse
+             |        FROM best WHERE rnk = 1 GROUP BY 1)
+             |SELECT vec_id, codes, round(sse/64*1000000, 4) AS mse_e6
+             |FROM agg ORDER BY vec_id""".stripMargin)),
+
+    // --------------------------------------------- duplicate clusters (CC)
+    // Connected components over the near-dup pair graph: pairs come from
+    // MinHash banding + exact-jaccard verify (same emitted set as the
+    // oracle's brute-force sweep — see x2), components from min-label
+    // propagation. The oracle replays the closure with a recursive CTE.
+    QuerySpec(
+      "x31_dup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+          "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
+        Dedup.dupClusters(pairs).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |      UNION ALL SELECT doc_b, doc_a FROM p),
+             |reach(a, b) AS (
+             |  SELECT DISTINCT a, a AS b FROM e
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1),
+             |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+             |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
+             |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin))
   )
 }

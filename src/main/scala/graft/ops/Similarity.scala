@@ -258,6 +258,54 @@ object Similarity {
     }
   }
 
+  /** Per-vector product-quantization summary from [[pqEncode]]. */
+  final case class PqStats(codes: String, mse_e6: Double)
+
+  /** Product quantization (Jégou et al. 2011, public): the embedding is cut
+    * into `m` contiguous subvectors and each is replaced by the index of its
+    * nearest codebook centroid — the standard memory layout for
+    * billion-scale ANN (m bytes per vector instead of 4·dim). The codebook
+    * here is SEED VECTORS (the same oracle-recomputable device as
+    * [[ivfTopKSeeded]]): centroid c of subspace s is the seed's own dims
+    * [s·dsub, (s+1)·dsub). Returns (id, codes joined "-", reconstruction
+    * MSE ×1e6 rounded 4). Row-local compiled kernel over a broadcast
+    * codebook — no shuffle, linear at any corpus size; ties go to the
+    * lowest centroid index (strict `<`), matching a SQL `ORDER BY d2, c`.
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String, m: Int,
+      codebook: Array[Array[Double]]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebook)
+    val mm = m
+    val kernel = udf { v: Seq[Float] =>
+      val cb = bc.value
+      val dim = v.length
+      val dsub = dim / mm
+      val sb = new StringBuilder
+      var sse = 0.0
+      var s = 0
+      while (s < mm) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0; var i = s * dsub
+          val end = i + dsub
+          while (i < end) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        sse += bestD
+        if (s > 0) sb.append('-')
+        sb.append(best)
+        s += 1
+      }
+      PqStats(sb.toString, sse / dim * 1e6)
+    }
+    df.select(col(idCol), kernel(col(embCol)).as("pq"))
+      .select(col(idCol), col("pq.codes").as("codes"),
+        round(col("pq.mse_e6"), 4).as("mse_e6"))
+  }
+
   /** IVF core given a fixed centroid table: cell assignment is a row-local
     * argmin over the broadcast centroids, queries explode to their `nProbe`
     * nearest cells, and the probe join is equi on cell id — per-query work

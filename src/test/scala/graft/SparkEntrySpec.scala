@@ -25,8 +25,11 @@ class SparkEntrySpec extends SparkSpec {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // allow CTE names and inline subqueries: only flag unknown BARE names
-        // that look like tables (heuristic: not defined as a CTE in the sql)
-        val isCte = sql.toLowerCase.contains(s"$t as (")
+        // that look like tables (heuristic: not defined as a CTE in the sql —
+        // with or without a recursive-CTE column list, `name(a, b) AS (`)
+        val isCte =
+          s"""(?i)\\b$t\\s*(\\([^)]*\\))?\\s+as\\s*\\(""".r
+            .findFirstIn(sql).isDefined
         assert(tables.contains(t) || isCte || t == "unnest" || t == "range",
           s"$name references unknown relation '$t'")
       }

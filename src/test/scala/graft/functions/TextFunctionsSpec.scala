@@ -122,4 +122,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("xx yy")
       .select(TextFunctions.qualityScore($"text")).as[Double].head() < 0.5)
   }
+
+  test("gopher stats: hand-computed fixture, repeated-bigram detection") {
+    val g = one("a a b the")
+      .select(TextFunctions.gopherStatsUdf($"text").as("g")).select("g.*")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(g._1 === 4L)                     // n_words
+    assert(g._2 === 0.75)                   // distinct: {a, b, the} / 4
+    assert(g._3 === 0.75)                   // stopwords: a, a, the / 4
+    assert(g._4 === 1.5)                    // mean len: (1+1+1+3)/4
+    assert(math.abs(g._5 - 1.0 / 3) < 1e-12) // bigrams all unique: top 1 of 3
+    assert(g._6 === 0.0)                    // no duplicate trigram
+    // "x y x y x y x y": top bigram "x y" covers 4 of 7 slots; trigram dups
+    val rep = one("x y x y x y x y")
+      .select(TextFunctions.gopherStatsUdf($"text").as("g")).select("g.*")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(math.abs(rep._5 - 4.0 / 7) < 1e-12)
+    assert(rep._6 === 4.0 / 6) // 6 trigrams, 2 distinct
+    // degenerate inputs don't throw
+    assert(one("").select(TextFunctions.gopherStatsUdf($"text"))
+      .collect().length === 1)
+  }
 }

@@ -111,4 +111,13 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").as[Double].collect()
     assert(found.forall(_ >= 0.8))
   }
+
+  test("dupClusters: transitive chains collapse to one component") {
+    // edges 1-2, 2-3 (chain) and 7-8 (island): components {1,2,3} and {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
 }

@@ -77,4 +77,20 @@ class SimilaritySpec extends SparkSpec {
     val b2 = vecs.select(Similarity.lshBucket($"embedding", 4, 3)).as[Long].collect()
     assert(b1.toSeq === b2.toSeq)
   }
+
+  test("pq codes: seed vectors code to themselves with zero distortion") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val codebook = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val out = Similarity.pqEncode(e, "vec_id", "embedding", m = 8, codebook)
+      .as[(Long, String, Double)].collect()
+      .map { case (k, v, m2) => k -> (v, m2) }.toMap
+    (0 to 15).foreach { c =>
+      val (codes, mse) = out(c.toLong)
+      assert(codes === Seq.fill(8)(c).mkString("-")) // own subvectors win
+      assert(mse === 0.0)
+    }
+    // non-seed vectors approximate with nonzero distortion
+    assert(out.filterNot(k => (0L to 15L).contains(k._1)).forall(_._2._2 > 0.0))
+  }
 }
