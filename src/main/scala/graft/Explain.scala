@@ -25,7 +25,8 @@ object Explain {
       "q9_window_topk", "q26_tumbling_window", "q34_asof_join",
       "q45_sketch_approx",
       "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk",
-      "x13_ann_ivf", "x19_sequence_packing", "x21_contamination")
+      "x13_ann_ivf", "x19_sequence_packing", "x21_contamination",
+      "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Iterative BPE merge training (Sennrich et al. 2015, public): the full
+  * count → pick-best-pair → re-segment loop, not just one iteration's pair
+  * counts (which is [[graft.ops.ExtensionQueries]] x28).
+  *
+  * 100 TB shape — the classic trick is that training never touches the
+  * corpus after the first pass: one shuffle builds the distinct-word
+  * frequency table, and every merge iteration runs over that VOCAB-sized
+  * table (segmentation is word-local, the pair count reduces into a
+  * ≤|symbols|²-cardinality key space). Driver state is the merge list —
+  * tiny by construction. Like [[Dedup.dupClusters]], each iteration is
+  * driver-coordinated with `localCheckpoint` truncating lineage so plan
+  * size stays constant across rounds.
+  *
+  * Determinism: best pair = max count, ties broken by (left, right)
+  * ascending — the same total order an external oracle can replay.
+  */
+object BpeTrain {
+
+  /** Greedy left-to-right application of ONE merge to a symbol sequence:
+    * scan; when (syms(i), syms(i+1)) == (a, b), emit a+b and skip both.
+    * Matches the textbook BPE apply (and the oracle's non-overlapping
+    * string replace on a delimited representation). */
+  def applyMerge(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Train `nMerges` BPE merges over the whitespace tokens of `textCol`.
+    * Returns the merge sequence as a (tiny, driver-built) DataFrame:
+    * (step, merge_left, merge_right, pair_cnt). */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    // initial segmentation: one symbol per character
+    var segs: Dataset[(IndexedSeq[String], Long)] = wc
+      .map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val top = segs
+        .flatMap { case (syms, c) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+        }
+        .toDF("pa", "pb", "c")
+        .groupBy("pa", "pb").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .as[(String, String, Long)]
+        .take(1)
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (a, b, cnt) = top.head
+        step += 1
+        merges += ((step, a, b, cnt))
+        segs = segs.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_cnt")
+  }
+}

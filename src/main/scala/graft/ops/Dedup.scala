@@ -451,10 +451,22 @@ object Dedup {
     * lineage so plan size stays constant across iterations (the classic
     * iterative-DataFrame trap).
     *
+    * ONE Spark action per round: the changed-label count rides a
+    * `LongAccumulator` incremented inside the same `mapPartitions` pass the
+    * eager `localCheckpoint` materializes — no second join-and-count job.
+    * (A task retry could over-count the accumulator; the only consequence
+    * is one extra confirming round, never a wrong label.) At 100 TB a long
+    * dup chain is O(diameter) rounds either way; halving the jobs per round
+    * halves the critical path.
+    *
     * Returns (doc_id, cluster_id = min doc id in the component,
     * cluster_size); only docs that appear in some pair are emitted. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val spark = pairs.sparkSession
+    val changedAcc = spark.sparkContext.longAccumulator("graft.dupClusters.changed")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -465,12 +477,18 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min(labels("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id").as("id"),
+      val merged = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id").as("id"), labels("label").as("__old"),
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-        .localCheckpoint()
-      changed = labels.as("o").join(next.as("n"), col("o.id") === col("n.id"))
-        .filter(col("o.label") =!= col("n.label")).count()
+      val outSchema = StructType(Seq(merged.schema("id"), merged.schema("label")))
+      changedAcc.reset()
+      val next = merged.mapPartitions { rows =>
+        rows.map { r =>
+          if (r.get(1) != r.get(2)) changedAcc.add(1L)
+          Row(r.get(0), r.get(2))
+        }
+      }(Encoders.row(outSchema)).localCheckpoint() // the round's ONE action
+      changed = changedAcc.value
       labels = next
       iter += 1
     }

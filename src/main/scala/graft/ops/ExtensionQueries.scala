@@ -806,8 +806,12 @@ object ExtensionQueries {
     // ---------------------------------------------------------- TF-IDF
     // Corpus IDF + per-doc top tf-idf term (rank by the ROUNDED score, then
     // term — both engines rank the identical number, so ulp differences in
-    // ln() can't flip the winner). df is vocabulary-sized → broadcast; the
-    // only big shuffle is the (doc, term) count.
+    // ln() can't flip the winner). The df side is NOT broadcast: at the
+    // 100 TB design point the distinct-term table (typos, numbers, code
+    // tokens) is 10⁸–10⁹ rows, far past executor memory. Both sides are
+    // already hash-clustered by `term` from their own groupBys, so the
+    // shuffle join co-partitions cheaply — and AQE still converts to a
+    // broadcast at runtime when the vocabulary is genuinely small.
     QuerySpec(
       "x29_tfidf_topterm",
       (s, dir) => {
@@ -816,7 +820,7 @@ object ExtensionQueries {
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
         val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
           .select(col("doc_id"), col("term"), col("tf"),
             round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
         val w = org.apache.spark.sql.expressions.Window
@@ -910,6 +914,102 @@ object ExtensionQueries {
              |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1),
              |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
              |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
-             |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin))
+             |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
+
+    // ------------------------------------------- unicode canonicalization
+    // NFC normalization + mojibake repair (the cleaning every production
+    // corpus pipeline runs BEFORE dedup). The corpus is ASCII, so each doc
+    // is suffixed in-plan with a decomposed sequence (e + U+0301, A +
+    // U+030A) and a windows-1252 double-decode ("cafÃ©â€™s") — both sides
+    // build the identical damaged string from the data, normalize/repair
+    // with their own engine (Spark: codegen'd UnicodeNormalize /
+    // RepairMojibake expressions; DuckDB: nfc_normalize + the targeted
+    // byte-sequence replaces the general repair provably reduces to here).
+    QuerySpec(
+      "x32_unicode_normalize",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 40),
+              lit(" Cafe\u0301 A\u030A")).as("raw"), // decomposed e+acute, A+ring
+            concat(substring(col("text"), 1, 40),
+              lit(" caf\u00C3\u00A9\u00E2\u20AC\u2122s")).as("moji")) // "café’s" cp1252-damaged
+          .select(col("doc_id"),
+            expr("nfc_normalize(raw)").as("nfc_text"),
+            (col("raw") =!= expr("nfc_normalize(raw)")).cast("long").as("nfc_changed"),
+            (length(col("raw")) - length(expr("nfc_normalize(raw)"))).as("nfc_len_delta"),
+            expr("repair_mojibake(moji)").as("fixed_text"),
+            (col("moji") =!= expr("repair_mojibake(moji)")).cast("long").as("fixed_changed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |         substr(text, 1, 40) || ' Cafe' || chr(769) || ' A' || chr(778) AS raw,
+             |         substr(text, 1, 40) || ' caf' || chr(195) || chr(169)
+             |           || chr(226) || chr(8364) || chr(8482) || 's' AS moji
+             |  FROM documents)
+             |SELECT doc_id,
+             |       nfc_normalize(raw) AS nfc_text,
+             |       CAST(raw <> nfc_normalize(raw) AS BIGINT) AS nfc_changed,
+             |       length(raw) - length(nfc_normalize(raw)) AS nfc_len_delta,
+             |       replace(replace(moji, chr(195)||chr(169), chr(233)),
+             |               chr(226)||chr(8364)||chr(8482), chr(8217)) AS fixed_text,
+             |       CAST(moji <> replace(replace(moji, chr(195)||chr(169), chr(233)),
+             |               chr(226)||chr(8364)||chr(8482), chr(8217)) AS BIGINT) AS fixed_changed
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // --------------------------------------------------- BPE merge training
+    // The full iterative loop (x28 is one iteration's counts). The oracle
+    // replays every iteration with a recursive CTE: the whole segmented
+    // vocabulary rides in ONE row as LIST<STRUCT(s, cnt)>, each word's
+    // segmentation a chr(1)-delimited string ("\x01l\x01\x01o\x01\x01w\x01")
+    // so applying a merge is a non-overlapping string replace with exactly
+    // the greedy left-to-right BPE semantics of [[BpeTrain.applyMerge]].
+    QuerySpec(
+      "x33_bpe_train",
+      (s, dir) => BpeTrain.trainMerges(Tables.documents(s, dir), "text", 20)
+        .orderBy("step"),
+      Some("""WITH RECURSIVE
+             |tok AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                x -> x <> '')) AS word
+             |  FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+             |seg0 AS (
+             |  SELECT list(struct_pack(
+             |      s := list_aggregate(list_transform(regexp_split_to_array(word, ''),
+             |                                         c -> chr(1) || c || chr(1)),
+             |                          'string_agg', ''),
+             |      cnt := cnt)) AS vocab
+             |  FROM wc),
+             |bpe AS (
+             |  SELECT 0 AS step, (SELECT vocab FROM seg0) AS vocab,
+             |         CAST(NULL AS VARCHAR) AS m_left, CAST(NULL AS VARCHAR) AS m_right,
+             |         CAST(NULL AS BIGINT) AS m_cnt
+             |  UNION ALL
+             |  SELECT step + 1,
+             |         list_transform(vocab, w -> struct_pack(
+             |           s := replace(w.s, chr(1)||best.pa||chr(1)||chr(1)||best.pb||chr(1),
+             |                        chr(1)||best.pa||best.pb||chr(1)),
+             |           cnt := w.cnt)),
+             |         best.pa, best.pb, best.c
+             |  FROM bpe, LATERAL (
+             |    SELECT pa, pb, CAST(SUM(cnt) AS BIGINT) AS c
+             |    FROM (
+             |      SELECT unnest([struct_pack(pa := syms[i], pb := syms[i+1], cnt := cnt)
+             |                     for i in range(1, len(syms))]) AS pr
+             |      FROM (SELECT list_filter(string_split(u.w.s, chr(1)), x -> x <> '') AS syms,
+             |                   u.w.cnt AS cnt
+             |            FROM unnest(vocab) AS u(w))
+             |    ) q(pr), LATERAL (SELECT pr.pa AS pa, pr.pb AS pb, pr.cnt AS cnt) e
+             |    GROUP BY 1, 2
+             |    ORDER BY c DESC, pa, pb
+             |    LIMIT 1
+             |  ) best
+             |  WHERE step < 20
+             |)
+             |SELECT step, m_left AS merge_left, m_right AS merge_right, m_cnt AS pair_cnt
+             |FROM bpe WHERE step >= 1 ORDER BY step""".stripMargin))
   )
 }

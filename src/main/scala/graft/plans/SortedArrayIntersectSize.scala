@@ -84,7 +84,13 @@ object GraftFunctions {
     (name, classOf[SortedArrayIntersectSize].getName,
       (c: Seq[Expression]) => SortedArrayIntersectSize(c(0), c(1))),
     ("float_dot", classOf[FloatDotProduct].getName,
-      (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))))
+      (c: Seq[Expression]) => FloatDotProduct(c(0), c(1))),
+    ("nfc_normalize", classOf[UnicodeNormalize].getName,
+      (c: Seq[Expression]) => UnicodeNormalize(c(0), "NFC")),
+    ("nfkc_normalize", classOf[UnicodeNormalize].getName,
+      (c: Seq[Expression]) => UnicodeNormalize(c(0), "NFKC")),
+    ("repair_mojibake", classOf[RepairMojibake].getName,
+      (c: Seq[Expression]) => RepairMojibake(c(0))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is greedy left-to-right, non-overlapping") {
+    assert(BpeTrain.applyMerge(Vector("a", "a", "a"), "a", "a")
+      === Vector("aa", "a"))
+    assert(BpeTrain.applyMerge(Vector("a", "a", "a", "a"), "a", "a")
+      === Vector("aa", "aa"))
+    assert(BpeTrain.applyMerge(Vector("a", "b", "a", "b"), "a", "b")
+      === Vector("ab", "ab"))
+    assert(BpeTrain.applyMerge(Vector("x", "a", "b", "y"), "a", "b")
+      === Vector("x", "ab", "y"))
+    assert(BpeTrain.applyMerge(Vector("a"), "a", "a") === Vector("a"))
+  }
+
+  test("trainMerges reproduces the hand-computed merge sequence") {
+    // corpus: "low" x3, "lower" x2, "newest" x1.
+    // Round 1: (l,o)=5 ties (o,w)=5, pair-asc break → (l,o).
+    // Round 2: (lo,w)=5.
+    // Round 3: (low,e)=2 ties (e,r)=2, "e" < "low" → (e,r).
+    val docs = Seq(
+      "low low low lower lower newest").toDF("text")
+    val merges = BpeTrain.trainMerges(docs, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges === List(
+      (1, "l", "o", 5L),
+      (2, "lo", "w", 5L),
+      (3, "e", "r", 2L)))
+  }
+
+  test("trainMerges stops when every word is a single symbol") {
+    val docs = Seq("ab ab cd").toDF("text")
+    // only 2 possible merges exist: (a,b) then (c,d)
+    val merges = BpeTrain.trainMerges(docs, "text", nMerges = 10)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges === List((1, "a", "b", 2L), (2, "c", "d", 1L)))
+  }
+}

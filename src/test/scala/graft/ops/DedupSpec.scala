@@ -120,4 +120,40 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
+
+  test("dupClusters runs exactly one Spark action per propagation round") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = actions.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // chain 1-2-3-4-5: min label walks one hop per round → 4 changing
+      // rounds + 1 confirming round = 5 propagation actions
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("doc_a", "doc_b")
+      Dedup.dupClusters(pairs) // loop runs inside; result plan stays lazy
+      // listener events dispatch async (the bus is private[spark]) — poll
+      // until the stream goes quiet
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while (actions.size() != last && System.nanoTime() < deadline) {
+        last = actions.size()
+        Thread.sleep(500)
+      }
+      val during = actions.toArray(Array.empty[String]).toSeq
+      // no join-and-count convergence job: the only actions are the two
+      // setup localCheckpoints + one localCheckpoint per round
+      assert(!during.contains("count"),
+        s"convergence must not run a second count action per round: $during")
+      assert(during.count(_ == "localCheckpoint") === 2 + 5,
+        s"expected 2 setup + 5 round checkpoints, got: $during")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
