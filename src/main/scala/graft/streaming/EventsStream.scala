@@ -57,6 +57,33 @@ object EventsStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the one join mode
+    * [[purchaseClickJoin]] lacks: EVERY purchase is emitted, click columns
+    * null when no same-user click landed in the preceding `gapMinutes`.
+    * Both sides watermarked and the condition time-bounded, so Spark can
+    * (a) evict join state once the watermark passes the interval and
+    * (b) prove when an unmatched purchase can no longer match, emitting its
+    * null row exactly once — unbounded state on either side would otherwise
+    * make outer results undecidable on a stream. On a batch DataFrame the
+    * watermark is a no-op and this is a plain left join (how the spec
+    * proves stream == batch). */
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame,
+      gapMinutes: Int = 5, watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $gapMinutes MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Session windows via Spark's NATIVE session_window (gap-merged windows
     * managed by the engine's state store) — the declarative twin of the
     * custom-state [[sessionize]]; per (user, session): event count and value

@@ -83,6 +83,50 @@ class EventsStreamSpec extends SparkSpec {
     assert(joined === Seq(101L, 102L))
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases " +
+      "with null clicks, and matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = pMem.toDF().toDF("event_id", "user_id", "ts")
+    val clicks = cMem.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventsStream.purchaseClickLeftJoin(purchases, clicks,
+        gapMinutes = 5, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ss_left_join_test")
+      .outputMode("append").start()
+    cMem.addData(
+      (101L, 7L, ts("2024-01-01 00:00:00")), // within 5 min of purchase 1
+      (103L, 7L, ts("2023-12-31 23:50:00"))) // too early for anything
+    pMem.addData(
+      (1L, 7L, ts("2024-01-01 00:04:00")), // matched
+      (2L, 9L, ts("2024-01-01 00:04:00"))) // user 9 never clicks → null row
+    q.processAllAvailable()
+    // push both watermarks past 00:04 so the unmatched purchase is provably
+    // unmatched; null rows surface in the batch AFTER the watermark moves
+    pMem.addData((99L, 1L, ts("2024-01-01 01:00:00")))
+    cMem.addData((199L, 2L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    pMem.addData((98L, 1L, ts("2024-01-01 01:30:00")))
+    cMem.addData((198L, 2L, ts("2024-01-01 01:30:00")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      """SELECT purchase_id, click_id FROM ss_left_join_test
+        |WHERE purchase_id IN (1, 2) ORDER BY purchase_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 101L), (2L, -1L)))
+
+    // batch twin: identical left-join semantics on plain DataFrames
+    val bp = Seq((1L, 7L, ts("2024-01-01 00:04:00")),
+      (2L, 9L, ts("2024-01-01 00:04:00"))).toDF("event_id", "user_id", "ts")
+    val bc = Seq((101L, 7L, ts("2024-01-01 00:00:00")),
+      (103L, 7L, ts("2023-12-31 23:50:00"))).toDF("event_id", "user_id", "ts")
+    val batch = EventsStream.purchaseClickLeftJoin(bp, bc, gapMinutes = 5)
+      .orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(batch.toSeq === rows.toSeq)
+  }
+
   test("sessionize groups events by inactivity gap") {
     val events = Seq(
       EventsStream.Event(1, ts("2024-01-01 00:00:00"), 7L, "click", 1.0),
