@@ -40,12 +40,28 @@ object Bench {
       // GC-pressure whatever happens to run later in map order — measured
       // 0.8 s -> 12 s on the last query before this was added
       spark.catalog.clearCache()
+      // clearCache misses localCheckpoint blocks (iterative ops); drop them too
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Round to ms: full double precision made the one-line JSON ~3 KB and
+    // the driver's stdout capture clipped it mid-object last round (62 of
+    // 76 timings survived). Milliseconds are below run-to-run noise anyway.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces: the full JSON also lands in a file, so a clipped
+    // stdout capture can always be reconstructed
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")),
+      json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
