@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale probe (COVERAGE.md "Scale probe" section): replicate
+  * the sf0.01 documents table 10x — each copy perturbed with a trailing
+  * version token, so every doc gains 9 near-copies at jaccard ~0.97, a
+  * worst case for pair-based dedup — then time selected registered queries
+  * at base vs replicated scale and print the wall-clock ratios.
+  *
+  * Usage: runMain graft.ScaleProbe [baseSfDir] [bigDir] [query ...]
+  * Defaults probe the round-3 watchlist: x27, x29, x31.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseSf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val bigDir = args.lift(1).getOrElse("/tmp/sfbig")
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("x27_segment_dedup", "x29_tfidf_topterm", "x31_dup_clusters")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bigDocs = new java.io.File(s"$bigDir/documents.parquet")
+    if (!bigDocs.exists()) {
+      val docs = Tables.documents(spark, baseSf)
+      val n = docs.count()
+      docs.crossJoin(spark.range(10).toDF("rep"))
+        .select(
+          (col("doc_id") + col("rep") * n).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v"), col("rep"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(bigDocs.getPath)
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      t
+    }
+
+    names.foreach { name =>
+      time(name, baseSf) // warm: codegen + JIT
+      val base = time(name, baseSf)
+      val big = time(name, bigDir)
+      println(f"[probe] $name%-24s base=$base%7.2fs big10x=$big%7.2fs ratio=${big / base}%5.2fx")
+    }
+    spark.stop()
+  }
+}

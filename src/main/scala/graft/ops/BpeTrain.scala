@@ -48,9 +48,11 @@ object BpeTrain {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
     // initial segmentation: one symbol per character
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
     var segs: Dataset[(IndexedSeq[String], Long)] = wc
       .map { case (w, c) => (w.map(_.toString).toIndexedSeq, c) }
       .localCheckpoint()
+    var segIds = spark.sparkContext.getPersistentRDDs.keySet -- protectedIds
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 0
     var exhausted = false
@@ -69,8 +71,15 @@ object BpeTrain {
         val (a, b, cnt) = top.head
         step += 1
         merges += ((step, a, b, cnt))
+        val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
         segs = segs.map { case (syms, c) => (applyMerge(syms, a, b), c) }
           .localCheckpoint()
+        // drop the superseded segmentation's checkpoint blocks: without
+        // this, executors pin nMerges copies of the vocab table until the
+        // session dies (catalog.clearCache does not reach them)
+        val persisted = spark.sparkContext.getPersistentRDDs
+        segIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+        segIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
       }
     }
     merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_cnt")

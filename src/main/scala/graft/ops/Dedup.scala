@@ -470,8 +470,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
+    // ids persisted up to here (the edge table + anything the caller has
+    // cached) are protected from the per-round cleanup below
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
+    var labelIds = spark.sparkContext.getPersistentRDDs.keySet -- protectedIds
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -482,6 +486,7 @@ object Dedup {
           least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
       val outSchema = StructType(Seq(merged.schema("id"), merged.schema("label")))
       changedAcc.reset()
+      val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
       val next = merged.mapPartitions { rows =>
         rows.map { r =>
           if (r.get(1) != r.get(2)) changedAcc.add(1L)
@@ -489,9 +494,83 @@ object Dedup {
         }
       }(Encoders.row(outSchema)).localCheckpoint() // the round's ONE action
       changed = changedAcc.value
+      // free the superseded round's checkpoint blocks — executors would
+      // otherwise pin O(rounds) copies of the label table for the session's
+      // lifetime, which is real memory at 100 TB (and invisible to
+      // catalog.clearCache, which only drops catalog-cached plans)
+      val persisted = spark.sparkContext.getPersistentRDDs
+      labelIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      labelIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
       labels = next
       iter += 1
     }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond",
+    * public) — converges in O(log² n) rounds versus [[dupClusters]]'s
+    * O(component-diameter), so it is the variant to reach for when dup
+    * chains can be adversarially long (plagiarism rings, template spam).
+    * Same output contract as [[dupClusters]]; DedupSpec asserts the two
+    * agree on chains, stars and seeded random graphs.
+    *
+    * Large-star: every node's strictly-larger neighbors re-attach to the
+    * minimum of its closed neighborhood. Small-star: after orienting edges
+    * toward smaller ids, the ≤ neighbors (and the node itself) re-attach to
+    * that minimum. Both are one groupBy + one join per round; convergence =
+    * the oriented edge set reaches a fixpoint (stars pointing at component
+    * minima). */
+  def dupClustersStar(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 60): DataFrame = {
+    val spark = pairs.sparkSession
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var edgeIds = spark.sparkContext.getPersistentRDDs.keySet -- protectedIds
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      // LARGE-STAR over the symmetrized graph
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // SMALL-STAR over edges oriented large-id -> small-id
+      val oriented = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val ssMin = oriented.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val small = oriented.join(ssMin, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+      val next = small.localCheckpoint()
+      // fixpoint test: the oriented edge sets are equal (both directions of
+      // the symmetric difference must be empty)
+      changed = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
+        edges.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      val persisted = spark.sparkContext.getPersistentRDDs
+      edgeIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+      edgeIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+      edges = next
+      iter += 1
+    }
+    // converged: every non-root points at its component minimum
+    val roots = edges.select(col("v")).distinct()
+      .join(edges.select(col("u")).distinct(), col("v") === col("u"), "left_anti")
+      .select(col("v").as("id"), col("v").as("label"))
+    val members = edges.select(col("u").as("id"), col("v").as("label"))
+    val labels = members.union(roots)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -314,13 +314,19 @@ object ExtensionQueries {
     // canonical form before hashing (standard dedup preprocessing).
     QuerySpec(
       "x16_normalized_dedup",
-      (s, dir) =>
+      // r3: NFC normalization now leads the pipeline (unicode canonical
+      // form BEFORE case/whitespace folding — see x32), so byte-different
+      // but render-identical docs hash together.
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         Tables.documents(s, dir)
-          .groupBy(sha2(TextFunctions.normalized(col("text")).cast("binary"), 256)
-            .as("digest"))
+          .select(TextFunctions.normalized(expr("nfc_normalize(text)")).as("norm"),
+            col("doc_id"))
+          .groupBy(sha2(col("norm").cast("binary"), 256).as("digest"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
-          .orderBy("digest"),
-      Some("""SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS digest,
+          .orderBy("digest")
+      },
+      Some("""SELECT sha256(lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))) AS digest,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
              |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
 

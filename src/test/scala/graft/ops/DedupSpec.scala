@@ -121,6 +121,22 @@ class DedupSpec extends SparkSpec {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
+  test("dupClustersStar (large-star/small-star) agrees with min-label propagation") {
+    val chains = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.dupClustersStar(chains).as[(Long, Long, Long)].collect().toSet
+      === Dedup.dupClusters(chains).as[(Long, Long, Long)].collect().toSet)
+    // seeded random graphs: same components, whatever the topology
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      val pairs = Seq.fill(40)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      val df = pairs.toDF("doc_a", "doc_b")
+      assert(Dedup.dupClustersStar(df).as[(Long, Long, Long)].collect().toSet
+        === Dedup.dupClusters(df).as[(Long, Long, Long)].collect().toSet)
+    }
+  }
+
   test("dupClusters runs exactly one Spark action per propagation round") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
