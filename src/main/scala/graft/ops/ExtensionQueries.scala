@@ -18,6 +18,35 @@ object ExtensionQueries {
 
   private val STOPWORDS = Seq("a", "the")
 
+  /** x31/x34 shared oracle: exact near-dup pairs -> transitive closure
+    * (recursive CTE) -> min-label components + sizes. */
+  private val dupClustersOracle: String =
+    """WITH RECURSIVE t AS (
+               |  SELECT doc_id,
+               |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+               |  FROM documents),
+               |sh AS (
+               |  SELECT doc_id,
+               |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               |                   for i in range(1, len(toks)-1)]) AS sh
+               |  FROM t),
+               |p AS (
+               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+               |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+               |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+               |      UNION ALL SELECT doc_b, doc_a FROM p),
+               |reach(a, b) AS (
+               |  SELECT DISTINCT a, a AS b FROM e
+               |  UNION
+               |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+               |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1),
+               |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+               |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
+               |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin
+
   def all: Seq[QuerySpec] = Seq(
 
     // -------------------------------------------------------------- dedup
@@ -909,31 +938,20 @@ object ExtensionQueries {
           "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
         Dedup.dupClusters(pairs).orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (
-             |  SELECT doc_id,
-             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-             |  FROM documents),
-             |sh AS (
-             |  SELECT doc_id,
-             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-             |                   for i in range(1, len(toks)-1)]) AS sh
-             |  FROM t),
-             |p AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-             |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
-             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-             |      UNION ALL SELECT doc_b, doc_a FROM p),
-             |reach(a, b) AS (
-             |  SELECT DISTINCT a, a AS b FROM e
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-             |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1),
-             |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
-             |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
-             |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin)),
+      Some(dupClustersOracle)),
+
+    // Same components via the large-star/small-star algorithm (O(log² n)
+    // rounds — the variant for adversarially deep dup graphs); identical
+    // output contract, so the oracle is x31's recursive-CTE closure.
+    QuerySpec(
+      "x34_dup_clusters_star",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+          "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
+        Dedup.dupClustersStar(pairs).orderBy("doc_id")
+      },
+      Some(dupClustersOracle)),
+
 
     // ------------------------------------------- unicode canonicalization
     // NFC normalization + mojibake repair (the cleaning every production

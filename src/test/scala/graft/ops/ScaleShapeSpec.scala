@@ -40,6 +40,21 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("tfidf term join carries no broadcast hint: with the threshold off, " +
+      "the vocabulary side shuffles (the 100 TB path)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.SparkEntry.queries("x29_tfidf_topterm")(spark, sfDir)
+      val plan = physicalPlan(df)
+      // the 1-row corpus count keeps its explicit hint (BroadcastNestedLoop)
+      // but the term join must NOT hash-broadcast the vocabulary
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(3000))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("broadcast hint produces BroadcastHashJoin for dim joins") {
     val j = Tables.customer(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)),
