@@ -84,4 +84,21 @@ object BpeTrain {
     }
     merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_cnt")
   }
+
+  /** Row-local application of a TRAINED merge list: each word of the token
+    * array is split to chars and the merges replayed in order; returns the
+    * total BPE token count. The merge list rides the UDF closure — tiny by
+    * construction (nMerges entries), so this is a plain broadcast-sized
+    * lookup applied in-task, no shuffle. (A production tokenizer would
+    * memoize word→count per partition; the semantics are identical.) */
+  def bpeTokenCountUdf(merges: Seq[(String, String)]) =
+    org.apache.spark.sql.functions.udf { toks: Seq[String] =>
+      var n = 0L
+      toks.foreach { w =>
+        var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+        merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+        n += syms.length
+      }
+      n
+    }
 }

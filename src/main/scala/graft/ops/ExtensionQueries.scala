@@ -18,6 +18,49 @@ object ExtensionQueries {
 
   private val STOPWORDS = Seq("a", "the")
 
+  /** x33/x35 shared oracle prefix: word counts -> recursive-CTE BPE
+    * training state (the whole segmented vocab in one row per step). */
+  private val bpeTrainCte: String =
+    """WITH RECURSIVE
+             |tok AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                x -> x <> '')) AS word
+             |  FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+             |seg0 AS (
+             |  SELECT list(struct_pack(
+             |      s := list_aggregate(list_transform(regexp_split_to_array(word, ''),
+             |                                         c -> chr(1) || c || chr(1)),
+             |                          'string_agg', ''),
+             |      cnt := cnt)) AS vocab
+             |  FROM wc),
+             |bpe AS (
+             |  SELECT 0 AS step, (SELECT vocab FROM seg0) AS vocab,
+             |         CAST(NULL AS VARCHAR) AS m_left, CAST(NULL AS VARCHAR) AS m_right,
+             |         CAST(NULL AS BIGINT) AS m_cnt
+             |  UNION ALL
+             |  SELECT step + 1,
+             |         list_transform(vocab, w -> struct_pack(
+             |           s := replace(w.s, chr(1)||best.pa||chr(1)||chr(1)||best.pb||chr(1),
+             |                        chr(1)||best.pa||best.pb||chr(1)),
+             |           cnt := w.cnt)),
+             |         best.pa, best.pb, best.c
+             |  FROM bpe, LATERAL (
+             |    SELECT pa, pb, CAST(SUM(cnt) AS BIGINT) AS c
+             |    FROM (
+             |      SELECT unnest([struct_pack(pa := syms[i], pb := syms[i+1], cnt := cnt)
+             |                     for i in range(1, len(syms))]) AS pr
+             |      FROM (SELECT list_filter(string_split(u.w.s, chr(1)), x -> x <> '') AS syms,
+             |                   u.w.cnt AS cnt
+             |            FROM unnest(vocab) AS u(w))
+             |    ) q(pr), LATERAL (SELECT pr.pa AS pa, pr.pb AS pb, pr.cnt AS cnt) e
+             |    GROUP BY 1, 2
+             |    ORDER BY c DESC, pa, pb
+             |    LIMIT 1
+             |  ) best
+             |  WHERE step < 20
+             |)""".stripMargin
+
   /** x31/x34 shared oracle: exact near-dup pairs -> transitive closure
     * (recursive CTE) -> min-label components + sizes. */
   private val dupClustersOracle: String =
@@ -1007,46 +1050,83 @@ object ExtensionQueries {
       "x33_bpe_train",
       (s, dir) => BpeTrain.trainMerges(Tables.documents(s, dir), "text", 20)
         .orderBy("step"),
-      Some("""WITH RECURSIVE
-             |tok AS (
-             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
-             |                x -> x <> '')) AS word
-             |  FROM documents),
-             |wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
-             |seg0 AS (
-             |  SELECT list(struct_pack(
-             |      s := list_aggregate(list_transform(regexp_split_to_array(word, ''),
-             |                                         c -> chr(1) || c || chr(1)),
-             |                          'string_agg', ''),
-             |      cnt := cnt)) AS vocab
-             |  FROM wc),
-             |bpe AS (
-             |  SELECT 0 AS step, (SELECT vocab FROM seg0) AS vocab,
-             |         CAST(NULL AS VARCHAR) AS m_left, CAST(NULL AS VARCHAR) AS m_right,
-             |         CAST(NULL AS BIGINT) AS m_cnt
-             |  UNION ALL
-             |  SELECT step + 1,
-             |         list_transform(vocab, w -> struct_pack(
-             |           s := replace(w.s, chr(1)||best.pa||chr(1)||chr(1)||best.pb||chr(1),
-             |                        chr(1)||best.pa||best.pb||chr(1)),
-             |           cnt := w.cnt)),
-             |         best.pa, best.pb, best.c
-             |  FROM bpe, LATERAL (
-             |    SELECT pa, pb, CAST(SUM(cnt) AS BIGINT) AS c
-             |    FROM (
-             |      SELECT unnest([struct_pack(pa := syms[i], pb := syms[i+1], cnt := cnt)
-             |                     for i in range(1, len(syms))]) AS pr
-             |      FROM (SELECT list_filter(string_split(u.w.s, chr(1)), x -> x <> '') AS syms,
-             |                   u.w.cnt AS cnt
-             |            FROM unnest(vocab) AS u(w))
-             |    ) q(pr), LATERAL (SELECT pr.pa AS pa, pr.pb AS pb, pr.cnt AS cnt) e
-             |    GROUP BY 1, 2
-             |    ORDER BY c DESC, pa, pb
-             |    LIMIT 1
-             |  ) best
-             |  WHERE step < 20
-             |)
+      Some(bpeTrainCte + """
              |SELECT step, m_left AS merge_left, m_right AS merge_right, m_cnt AS pair_cnt
-             |FROM bpe WHERE step >= 1 ORDER BY step""".stripMargin))
+             |FROM bpe WHERE step >= 1 ORDER BY step""".stripMargin)),
+
+    // Tokenizer APPLICATION: segment every document with the 20 merges x33
+    // trains (train → apply, the full tokenizer lifecycle). The merge list
+    // is driver state by construction (vocab-sized → 20 rows), shipped in
+    // the UDF closure; segmentation is row-local. The oracle replays
+    // training to the same step-20 vocabulary state, whose per-word
+    // segmentation IS the application result — one equi-join on `word`.
+    QuerySpec(
+      "x35_bpe_apply",
+      (s, dir) => {
+        val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", 20)
+          .orderBy("step").select("merge_left", "merge_right")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            BpeTrain.bpeTokenCountUdf(merges)(col("toks")).as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(bpeTrainCte + """,
+             |final AS (SELECT vocab FROM bpe WHERE step = 20),
+             |wmap AS (SELECT replace(u.w.s, chr(1), '') AS word,
+             |                CAST(len(list_filter(string_split(u.w.s, chr(1)),
+             |                         x -> x <> '')) AS BIGINT) AS nseg
+             |         FROM final f, unnest(f.vocab) AS u(w)),
+             |dt AS (SELECT doc_id, unnest(list_filter(
+             |         regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+             |       FROM documents)
+             |SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             |       CAST(SUM(wmap.nseg) AS BIGINT) AS n_bpe_tokens
+             |FROM dt JOIN wmap USING (word)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Source-mixture sampling: rebalance the corpus toward target per-source
+    // weights (here derived from the source id: w = N%5+1) with DETERMINISTIC
+    // content-hash acceptance — rerunnable, join-free reproducibility, the
+    // standard way a 100 TB pipeline hits a data mixture without a shuffle:
+    // per-source thresholds are a tiny broadcast dim, acceptance is row-local
+    // integer math on the rolling-hash fingerprint.
+    QuerySpec(
+      "x36_mixture_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ratios = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+          .withColumn("w",
+            (expr("CAST(substring(source, 4) AS INT) % 5") + 1).cast("long"))
+          .withColumn("ratio", expr("w * 1000000 div cnt"))
+        val maxr = ratios.agg(max(col("ratio")).as("maxr"))
+        val rates = ratios.crossJoin(broadcast(maxr))
+          .select(col("source"), expr("ratio * 10000 div maxr").as("thr"))
+        docs.select(col("doc_id"), col("source"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+          .join(broadcast(rates), "source") // #sources rows — genuinely tiny
+          .where(pmod(col("fp"), lit(10000)) < col("thr"))
+          .select(col("doc_id"), col("source"), col("thr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, source,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |                [CAST(ord(c) AS BIGINT) for c in string_split(text, '')]),
+             |      (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+             |  FROM documents),
+             |c AS (SELECT source, COUNT(*) AS cnt,
+             |        CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS BIGINT) AS w
+             |      FROM documents GROUP BY 1),
+             |r0 AS (SELECT source, w * 1000000 // cnt AS ratio FROM c),
+             |m AS (SELECT MAX(ratio) AS maxr FROM r0),
+             |r AS (SELECT source, CAST(ratio * 10000 // maxr AS BIGINT) AS thr FROM r0, m)
+             |SELECT f.doc_id, f.source, r.thr
+             |FROM fp f JOIN r USING (source)
+             |WHERE f.fp % 10000 < r.thr
+             |ORDER BY f.doc_id""".stripMargin))
   )
 }

@@ -32,6 +32,19 @@ class BpeTrainSpec extends SparkSpec {
       (3, "e", "r", 2L)))
   }
 
+  test("bpeTokenCountUdf segments with the trained merges") {
+    // merges (l,o), (lo,w): "low" → [low] (1), "lower" → [low,e,r] (3),
+    // "slow" → [s,lo,w] → [s,low]? no — (l,o) gives [s,lo,w], (lo,w) gives
+    // [s,low] (2); "x" → [x] (1)
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val out = Seq(("low lower slow x")).toDF("text")
+      .select(BpeTrain.bpeTokenCountUdf(merges)(
+        graft.functions.TextFunctions.tokens(org.apache.spark.sql.functions.col("text")))
+        .as("n"))
+      .as[Long].head()
+    assert(out === 1L + 3L + 2L + 1L)
+  }
+
   test("trainMerges stops when every word is a single symbol") {
     val docs = Seq("ab ab cd").toDF("text")
     // only 2 possible merges exist: (a,b) then (c,d)
