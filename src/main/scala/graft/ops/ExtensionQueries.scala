@@ -1127,6 +1127,54 @@ object ExtensionQueries {
              |SELECT f.doc_id, f.source, r.thr
              |FROM fp f JOIN r USING (source)
              |WHERE f.fp % 10000 < r.thr
-             |ORDER BY f.doc_id""".stripMargin))
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    // Matryoshka truncation evaluation: retrieval quality of 16-dim
+    // prefixes vs full 64-dim embeddings (the MRL deployment question —
+    // Kusupati et al. 2022, public: can the index store a prefix?).
+    // Truncation is a row-local slice (cosine self-normalizes, so no
+    // explicit renormalize); both top-5 sweeps reuse the exact cosineTopK
+    // operator and the overlap flag is a (qid, cid) equi-join. Exact
+    // brute-force on both sides keeps the oracle replayable; the ANN paths
+    // (x6/x13) are the production index.
+    QuerySpec(
+      "x37_matryoshka_eval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val full = Similarity
+          .cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("cid"), lit(1L).as("hit"))
+        val trunc = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+        Similarity
+          .cosineTopK(trunc.filter(col("vec_id") < 20), trunc, "vec_id", "emb16", k = 5)
+          .join(full, Seq("qid", "cid"), "left")
+          .select(col("qid"), col("rn"), col("cid"), col("sim").as("sim_trunc"),
+            coalesce(col("hit"), lit(0L)).as("in_full_top5"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |  FROM embeddings),
+             |f AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |t AS (SELECT vec_id, emb[1:16] AS temb,
+             |             sqrt(list_sum([x*x for x in emb[1:16]])) AS tnrm FROM e),
+             |pairs AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)])/(q.nrm*c.nrm), 4) AS sim_full
+             |  FROM f q CROSS JOIN f c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |tpairs AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    round(list_sum([q.temb[i]*c.temb[i] for i in range(1,17)])/(q.tnrm*c.tnrm), 4) AS sim_trunc
+             |  FROM t q CROSS JOIN t c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |topf AS (SELECT qid, cid,
+             |           row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, cid) AS rn
+             |         FROM pairs QUALIFY rn <= 5),
+             |topt AS (SELECT qid, cid, sim_trunc,
+             |           row_number() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, cid) AS rn
+             |         FROM tpairs QUALIFY rn <= 5)
+             |SELECT t.qid, CAST(t.rn AS BIGINT) AS rn, t.cid, t.sim_trunc,
+             |  CAST(EXISTS(SELECT 1 FROM topf f2
+             |              WHERE f2.qid = t.qid AND f2.cid = t.cid) AS BIGINT) AS in_full_top5
+             |FROM topt t ORDER BY qid, rn""".stripMargin))
   )
 }
