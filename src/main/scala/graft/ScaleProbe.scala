@@ -28,10 +28,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Always regenerate: a stale /tmp cache keyed on nothing silently
+    // decoupled the probe corpus from the base dir it claims to scale.
     val bigDocs = new java.io.File(s"$bigDir/documents.parquet")
-    if (!bigDocs.exists()) {
+    locally {
       val docs = Tables.documents(spark, baseSf)
-      val n = docs.count()
+      // Replica ids offset by max(doc_id)+1, not count(): ids need not be
+      // dense in [0, n), and a sparse id >= count would collide replicas.
+      val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
       docs.crossJoin(spark.range(10).toDF("rep"))
         .select(
           (col("doc_id") + col("rep") * n).as("doc_id"),
@@ -48,6 +52,9 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      // clearCache misses localCheckpoint blocks (iterative ops like x31);
+      // leaving them pinned skews exactly the base-vs-big ratios probed here
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       t
     }
 

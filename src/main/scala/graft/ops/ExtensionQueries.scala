@@ -18,6 +18,11 @@ object ExtensionQueries {
 
   private val STOPWORDS = Seq("a", "the")
 
+  /** Single source for the x33/x35 merge budget: the Spark trainMerges
+    * call, the oracle CTE's recursion bound, and the x35 final-state
+    * selector all derive from this one value. */
+  private val BpeNumMerges = 20
+
   /** x33/x35 shared oracle prefix: word counts -> recursive-CTE BPE
     * training state (the whole segmented vocab in one row per step). */
   private val bpeTrainCte: String =
@@ -58,8 +63,8 @@ object ExtensionQueries {
              |    ORDER BY c DESC, pa, pb
              |    LIMIT 1
              |  ) best
-             |  WHERE step < 20
-             |)""".stripMargin
+             |  WHERE step < NMERGES
+             |)""".stripMargin.replace("NMERGES", BpeNumMerges.toString)
 
   /** x31/x34 shared oracle: exact near-dup pairs -> transitive closure
     * (recursive CTE) -> min-label components + sizes. */
@@ -1048,7 +1053,7 @@ object ExtensionQueries {
     // the greedy left-to-right BPE semantics of [[BpeTrain.applyMerge]].
     QuerySpec(
       "x33_bpe_train",
-      (s, dir) => BpeTrain.trainMerges(Tables.documents(s, dir), "text", 20)
+      (s, dir) => BpeTrain.trainMerges(Tables.documents(s, dir), "text", BpeNumMerges)
         .orderBy("step"),
       Some(bpeTrainCte + """
              |SELECT step, m_left AS merge_left, m_right AS merge_right, m_cnt AS pair_cnt
@@ -1063,7 +1068,7 @@ object ExtensionQueries {
     QuerySpec(
       "x35_bpe_apply",
       (s, dir) => {
-        val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", 20)
+        val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", BpeNumMerges)
           .orderBy("step").select("merge_left", "merge_right")
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
         Tables.documents(s, dir)
@@ -1075,7 +1080,8 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some(bpeTrainCte + """,
-             |final AS (SELECT vocab FROM bpe WHERE step = 20),
+             |final AS (SELECT vocab FROM bpe
+             |          WHERE step = (SELECT MAX(step) FROM bpe)),
              |wmap AS (SELECT replace(u.w.s, chr(1), '') AS word,
              |                CAST(len(list_filter(string_split(u.w.s, chr(1)),
              |                         x -> x <> '')) AS BIGINT) AS nseg
