@@ -576,4 +576,59 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }
+
+  /** Exact duplicated-substring spans, the span-level complement of
+    * document-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better" — their ExactSubstr deduplicates any
+    * ≥50-token span that recurs anywhere in the corpus; public paper).
+    * The suffix-array they build is a single-machine structure; the
+    * shuffle-native equivalent used here: every word k-gram is keyed by
+    * its text, k-grams occurring more than once in the corpus (within or
+    * across documents) mark their positions, and overlapping marked
+    * positions merge into maximal spans per document.
+    *
+    * Plan shape at 100 TB: grams explode row-local (no shuffle — pos +
+    * k words of payload per row); the duplicate set is one groupBy on the
+    * slim gram key; marking is a semi-join on that same key, so both sides
+    * arrive hash-partitioned by gram and AQE may broadcast a small
+    * duplicate set; span merging is one window per doc over only the
+    * MARKED positions (a few % of tokens at realistic dup rates — the
+    * full token stream never enters the window shuffle). No stage is
+    * quadratic; cost tracks corpus size + duplicate density.
+    *
+    * Returns one row per document that contains at least one duplicated
+    * span: (doc_id, n_spans, dup_tokens = tokens covered by some span,
+    * max_span) — the "how much would ExactSubstr cut" report. Positions
+    * are 1-based; spans merge only when they OVERLAP (share a token):
+    * adjacent-but-disjoint duplicated spans are genuinely separate
+    * duplicated substrings and stay separate rows of evidence. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(toks) - $k + 1)," +
+          s" i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $k)) AS gram))"))
+        .as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+      .select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("pmax", max(col("pos") + lit(k - 1))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("sid", sum(col("st")).over(byPos))
+      .groupBy(col(idCol), col("sid"))
+      .agg(min(col("pos")).as("a"), (max(col("pos")) + lit(k - 1)).as("b"))
+    spans.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("b") - col("a") + 1).cast("long").as("dup_tokens"),
+        max(col("b") - col("a") + 1).cast("long").as("max_span"))
+  }
 }

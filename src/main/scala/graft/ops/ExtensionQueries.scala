@@ -1181,6 +1181,39 @@ object ExtensionQueries {
              |SELECT t.qid, CAST(t.rn AS BIGINT) AS rn, t.cid, t.sim_trunc,
              |  CAST(EXISTS(SELECT 1 FROM topf f2
              |              WHERE f2.qid = t.qid AND f2.cid = t.cid) AS BIGINT) AS in_full_top5
-             |FROM topt t ORDER BY qid, rn""".stripMargin))
+             |FROM topt t ORDER BY qid, rn""".stripMargin)),
+
+    // Exact duplicated-substring spans (ExactSubstr dedup, Lee et al.
+    // 2022): word 8-grams recurring anywhere in the corpus mark their
+    // positions; overlapping marks merge into maximal spans per doc.
+    // Fully integer output -> hash-stable oracle.
+    QuerySpec(
+      "x38_dup_spans",
+      (s, dir) =>
+        Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g0 AS (SELECT doc_id,
+             |  unnest([struct_pack(pos := i, gram := array_to_string(toks[i:i+8-1], ' '))
+             |          for i in range(1, len(toks)-8+2)]) AS g FROM t),
+             |g AS (SELECT doc_id, g.pos AS pos, g.gram AS gram FROM g0),
+             |dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+             |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+             |m AS (SELECT doc_id, pos,
+             |        MAX(pos + 8 - 1) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |      FROM h),
+             |s AS (SELECT doc_id, pos,
+             |        CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS st FROM m),
+             |sp AS (SELECT doc_id, pos,
+             |         SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS sid FROM s),
+             |spans AS (SELECT doc_id, sid, MIN(pos) AS a, MAX(pos) + 8 - 1 AS b
+             |          FROM sp GROUP BY 1, 2)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |       CAST(SUM(b - a + 1) AS BIGINT) AS dup_tokens,
+             |       CAST(MAX(b - a + 1) AS BIGINT) AS max_span
+             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -55,6 +55,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L))) // 1&3 are different sources; 4 dissimilar
   }
 
+  test("duplicatedSpans: cross-doc and within-doc repeats merge into maximal spans") {
+    val d = Seq(
+      (10L, "a b c d e f g h"),   // shares "a b c d e" with doc 11
+      (11L, "a b c d e x y z"),
+      (12L, "p q r s p q r s"),   // within-doc repeat: spans [1,4] and [5,8]
+      (13L, "unique words only nothing here repeats ever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text", k = 3)
+      .select("doc_id", "n_spans", "dup_tokens", "max_span")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // docs 10/11: marked positions 1,2,3 merge to one span of 5 tokens;
+    // doc 12: adjacent-but-disjoint spans stay separate; doc 13 absent
+    assert(out === Array((10L, 1L, 5L, 5L), (11L, 1L, 5L, 5L),
+      (12L, 2L, 8L, 4L)))
+  }
+
   test("dedupCorpus removes exact and near dups, keeps min ids") {
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
