@@ -1214,6 +1214,35 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              |       CAST(SUM(b - a + 1) AS BIGINT) AS dup_tokens,
              |       CAST(MAX(b - a + 1) AS BIGINT) AS max_span
-             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    // Voronoi cells of seed rows 0-7, within-cell cosine >= 0.4 drops the
+    // higher id. Every output column is an integer -> hash-stable oracle.
+    QuerySpec(
+      "x39_semdedup",
+      (s, dir) =>
+        Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+            tau = 0.4, seedIds = (0L to 7L))
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |s AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |      FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |d AS (SELECT e.vec_id, s.cell,
+             |  list_sum([(e.emb[i]-s.cemb[i])*(e.emb[i]-s.cemb[i]) for i in range(1,65)]) AS d2
+             |  FROM e CROSS JOIN s),
+             |ranked AS (SELECT vec_id, cell,
+             |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM d),
+             |assign AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |dup AS (SELECT a.vec_id AS hi, MIN(b.vec_id) AS lo
+             |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+             |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+             |  WHERE round(list_sum([na.emb[i]*nb.emb[i] for i in range(1,65)])/(na.nrm*nb.nrm),4) >= 0.4
+             |  GROUP BY 1)
+             |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.lo AS dup_of,
+             |  CAST(CASE WHEN d.lo IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM assign a LEFT JOIN dup d ON d.hi = a.vec_id
+             |ORDER BY a.vec_id""".stripMargin))
   )
 }

@@ -362,4 +362,44 @@ object Similarity {
     ivfTopKWithCentroids(queries, corpus, idCol, embCol, k, nProbe,
       seedVectors(corpus, idCol, embCol, seedIds)
         .map(_.map(_.toDouble).toArray).toArray)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): duplicates
+    * that string-level dedup cannot see — same meaning, different words —
+    * found in embedding space. The corpus is partitioned into k clusters
+    * and only WITHIN-cluster pairs are scored; a vector is dropped iff
+    * some lower-id vector in its cluster has cosine >= `tau` (the paper
+    * keeps one arbitrary member per duplicate group; min-id makes the
+    * choice deterministic and oracle-replayable).
+    *
+    * Plan shape at 100 TB: cluster assignment is a row-local argmin over
+    * k broadcast centroids — the clustering is exactly what keeps the
+    * pair sweep off O(n²); the sweep is a self-equi-join on the cell key
+    * (cost ~ Σ|cell|²; k controls it — the paper runs k=50k on web
+    * scale); the verdict per vector is one aggregation on the id.
+    * Centroids here are seed corpus rows (the oracle-recomputable device
+    * of [[ivfTopKSeeded]], ties to the lower cell); swap in
+    * [[kmeansCentroids]] for balanced cells when no oracle is needed.
+    *
+    * Returns every corpus row: (id, cell, dup_of = lowest dropping
+    * witness id or NULL, keep ∈ {0,1}). */
+  def semDedup(corpus: DataFrame, idCol: String, embCol: String,
+      tau: Double, seedIds: Seq[Long]): DataFrame = {
+    val centroids = seedVectors(corpus, idCol, embCol, seedIds)
+      .map(_.map(_.toDouble).toArray).toArray
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bc.value) }
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val e = corpus.select(col(idCol), col(embCol),
+      assignUdf(col(embCol)).cast("long").as("cell"))
+      .withColumn("__nrm", sqrt(expr(s"float_dot($embCol, $embCol)")))
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col(s"b.$idCol") < col(s"a.$idCol"))
+      .filter(round(expr(s"float_dot(a.$embCol, b.$embCol)") /
+        (col("a.__nrm") * col("b.__nrm")), 4) >= tau)
+      .groupBy(col(s"a.$idCol").as(idCol))
+      .agg(min(col(s"b.$idCol")).as("dup_of"))
+    e.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left_outer")
+      .withColumn("keep", col("dup_of").isNull.cast("long"))
+  }
 }

@@ -93,4 +93,20 @@ class SimilaritySpec extends SparkSpec {
     // non-seed vectors approximate with nonzero distortion
     assert(out.filterNot(k => (0L to 15L).contains(k._1)).forall(_._2._2 > 0.0))
   }
+
+  test("semDedup drops the higher id of in-cell near-dups, keeps the rest") {
+    // cells from seeds 1 (x-axis) and 3 (y-axis): vecs 2,5 land in 1's
+    // cell, 4 in 3's (d2 to x-axis seed is 4, to y-axis seed is 2)
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        tau = 0.99, seedIds = Seq(1L, 3L))
+      .select("vec_id", "dup_of", "keep")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (id, d, k) => id -> ((d, k)) }.toMap
+    assert(out(1L) === ((None, 1L)))        // lowest id always kept
+    assert(out(2L) === ((Some(1L), 0L)))    // cos(1,2) ~ 0.994 >= tau
+    assert(out(5L) === ((Some(1L), 0L)))    // cos(1,5) ~ 0.999 >= tau
+    assert(out(3L) === ((None, 1L)))        // alone-ish in its own cell
+    assert(out(4L) === ((None, 1L)))        // opposite vector: cos = -1
+    assert(out.size === 5)                  // every input row present
+  }
 }
