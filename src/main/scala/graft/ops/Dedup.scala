@@ -242,8 +242,9 @@ object Dedup {
   // --------------------------------------------------------- contamination
 
   /** SQL-replayable polynomial string hash (acc*31 + codeUnit mod 2^31-1) —
-    * the shared base hash of [[simhashUdf]] and [[contamination]]. */
-  private def poly31(s: String): Long = {
+    * the shared base hash of [[simhashUdf]], [[contamination]] and the DSIR
+    * hashed-feature buckets (ExtensionQueries x41). */
+  private[ops] def poly31(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) { h = (h * 31 + s.charAt(i)) % 2147483647L; i += 1 }

@@ -1243,6 +1243,120 @@ object ExtensionQueries {
              |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.lo AS dup_of,
              |  CAST(CASE WHEN d.lo IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM assign a LEFT JOIN dup d ON d.hi = a.vec_id
-             |ORDER BY a.vec_id""".stripMargin))
+             |ORDER BY a.vec_id""".stripMargin)),
+
+    // Corpus-level unigram LM cross-entropy per doc (the CCNet/KenLM-style
+    // quality signal, here with the LM trained on the corpus itself):
+    // add-one-smoothed p(term) from global counts, xent = -mean log p.
+    // Per-term log-probs are rounded to 6 decimals and summed as
+    // DECIMAL(18,6) so the per-doc sum is exact and order-independent —
+    // double accumulation order across partitions can never flip the hash.
+    // Scale shape: one (doc,term) shuffle, one term shuffle for the vocab,
+    // one term-keyed join back (no broadcast hint: the distinct-term table
+    // is corpus-sized at 100 TB; AQE broadcasts it when it is small).
+    QuerySpec(
+      "x40_unigram_lm",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        val vocab = tf.groupBy("term").agg(sum("cnt").as("c"))
+        val tot = vocab.agg(sum("c").cast("long").as("n"),
+          count(lit(1)).as("v"))
+        val lp = vocab.crossJoin(broadcast(tot)) // tot is one row
+          .select(col("term"),
+            round(log((col("c") + 1.0) / (col("n") + col("v"))), 6)
+              .cast("decimal(18,6)").as("logp"))
+        tf.join(lp, "term")
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n_tokens"),
+            round((-sum(col("cnt") * col("logp"))).cast("double") /
+              sum("cnt"), 4).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+             |vocab AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS c FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+             |lp AS (SELECT term, CAST(round(ln((c + 1.0) / (n + v)), 6) AS DECIMAL(18,6)) AS logp
+             |       FROM vocab CROSS JOIN tot)
+             |SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+             |  round(-CAST(SUM(tf.cnt * lp.logp) AS DOUBLE) / SUM(tf.cnt), 4) AS xent
+             |FROM tf JOIN lp USING (term)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling", public): hashed n-gram
+    // features (unigrams + bigrams, poly31 % 64 buckets), per-bucket
+    // add-one log-ratio of target (source='src0') vs raw distributions,
+    // per-doc log importance weight = sum of its feature counts times the
+    // bucket log-ratios. The bucket table is m=64 rows BY CONSTRUCTION —
+    // a constant, not data-sized — so joining it broadcast-style is safe
+    // at any corpus size (AQE does it from stats; no hint needed). The
+    // log-ratio terms are rounded to 6 decimals and summed as
+    // DECIMAL(18,6) for an order-independent, hash-stable per-doc sum.
+    QuerySpec(
+      "x41_dsir_weights",
+      (s, dir) => {
+        val m = 64
+        val gramBuckets = udf { toks: Seq[String] =>
+          val out = new Array[Long](math.max(0, 2 * toks.length - 1))
+          var i = 0
+          while (i < toks.length) {
+            out(i) = Dedup.poly31(toks(i)) % m
+            if (i + 1 < toks.length)
+              out(toks.length + i) = Dedup.poly31(toks(i) + " " + toks(i + 1)) % m
+            i += 1
+          }
+          out
+        }
+        val f = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(gramBuckets(TextFunctions.tokens(col("text")))).as("bucket"))
+        val df = f.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        val side = f.groupBy("bucket").agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+        val tot = side.agg(sum("ct").cast("long").as("nt"),
+          sum("cr").cast("long").as("nr"))
+        val lam = side.crossJoin(broadcast(tot)) // tot is one row
+          .select(col("bucket"),
+            round(log((col("ct") + 1.0) / (col("nt") + m)) -
+              log((col("cr") + 1.0) / (col("nr") + m)), 6)
+              .cast("decimal(18,6)").as("lr"))
+        df.join(lam, "bucket")
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n_grams"),
+            round(sum(col("cnt") * col("lr")).cast("double"), 4).as("logw"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, source,
+             |  toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams FROM t),
+             |f0 AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+             |f AS (SELECT doc_id, source,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ord(c) AS BIGINT) for c in string_split(gram, '')]),
+             |    (acc, x) -> (acc*31 + x) % 2147483647) % 64 AS bucket
+             |  FROM f0),
+             |df AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+             |side AS (SELECT bucket,
+             |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+             |  FROM f GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM side),
+             |lam AS (SELECT bucket,
+             |    CAST(round(ln((ct + 1.0)/(nt + 64)) - ln((cr + 1.0)/(nr + 64)), 6) AS DECIMAL(18,6)) AS lr
+             |  FROM side CROSS JOIN tot)
+             |SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_grams,
+             |  round(CAST(SUM(df.cnt * lam.lr) AS DOUBLE), 4) AS logw
+             |FROM df JOIN lam USING (bucket)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
