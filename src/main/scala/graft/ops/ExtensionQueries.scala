@@ -68,7 +68,11 @@ object ExtensionQueries {
 
   /** x31/x34 shared oracle: exact near-dup pairs -> transitive closure
     * (recursive CTE) -> min-label components + sizes. */
-  private val dupClustersOracle: String =
+  /** Shared CTE chain of the x31/x34/x43 oracles: exact 3-gram-jaccard
+    * near-dup pairs -> recursive closure -> (doc_id, cluster_id,
+    * cluster_size). One source so the pair threshold and closure can never
+    * diverge between the cluster oracles. */
+  private val dupGraphCtes: String =
     """WITH RECURSIVE t AS (
                |  SELECT doc_id,
                |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
@@ -91,9 +95,12 @@ object ExtensionQueries {
                |  UNION
                |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
                |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1),
-               |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
-               |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
-               |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin
+               |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  private val dupClustersOracle: String =
+    dupGraphCtes + "\n" +
+      """SELECT lab.doc_id, lab.cluster_id, siz.cluster_size
+        |FROM lab JOIN siz USING (cluster_id) ORDER BY doc_id""".stripMargin
 
   def all: Seq[QuerySpec] = Seq(
 
@@ -1357,6 +1364,145 @@ object ExtensionQueries {
              |SELECT df.doc_id, CAST(SUM(df.cnt) AS BIGINT) AS n_grams,
              |  round(CAST(SUM(df.cnt * lam.lr) AS DOUBLE), 4) AS logw
              |FROM df JOIN lam USING (bucket)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PQ ADC top-k search — the query half of x30's product quantization:
+    // per-query LUT of (subspace, centroid) squared distances, approximate
+    // distance to a coded vector = m lookups. Corpus rides through the
+    // join as (id, m-byte code) only; the nearest-first ranking replays in
+    // SQL because codebook and codes are seed-vector-recomputable (x30)
+    // and the LUT rows are exactly the d2 table the code assignment uses.
+    QuerySpec(
+      "x42_pq_adc_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val codebook = Similarity
+          .seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        Similarity.pqAdcTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding", m = 8, k = 10, codebook)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (
+             |  SELECT e.vec_id, sub.s, cb.c,
+             |    list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |              *(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |              for i in range(1, 9)]) AS d2
+             |  FROM e CROSS JOIN sub CROSS JOIN cb),
+             |code AS (SELECT vec_id, s, c,
+             |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk
+             |         FROM d),
+             |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
+             |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id < 5),
+             |f AS (SELECT l.qid, cc.cid, round(SUM(l.d2), 4) AS adc
+             |      FROM cc JOIN lut l USING (s, c) WHERE cc.cid <> l.qid
+             |      GROUP BY 1, 2)
+             |SELECT qid, cid, adc,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rn
+             |FROM f QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Canonical-representative selection per duplicate cluster: the
+    // production dedup stage keeps the BEST document of each near-dup
+    // cluster (highest quality score, id tiebreak), not an arbitrary one.
+    // Composes x31's clusters with x7's quality signal; the keep flag is a
+    // rank-1 test inside a cluster-keyed window (Partial+Final
+    // WindowGroupLimit-adjacent shape — the window shuffle is on
+    // cluster_id, and only clustered docs enter it, never the corpus).
+    QuerySpec(
+      "x43_cluster_canonical",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.8)
+        val clusters = Dedup.dupClusters(pairs)
+        val quality = docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), STOPWORDS).as("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters.join(quality, "doc_id")
+          .withColumn("keep",
+            when(row_number().over(w) === 1, 1L).otherwise(0L))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+            col("quality"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(dupGraphCtes + ",\n" +
+        """m AS (SELECT t.doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+          |    round(CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+          |  FROM t),
+          |q AS (SELECT doc_id,
+          |  round(((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+          |       + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          |       + (CASE WHEN stopword_ratio > 0.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+          |  FROM m)
+          |SELECT lab.doc_id, lab.cluster_id, siz.cluster_size, q.quality,
+          |  CAST(CASE WHEN row_number() OVER (PARTITION BY lab.cluster_id
+          |       ORDER BY q.quality DESC, lab.doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM lab JOIN siz USING (cluster_id) JOIN q USING (doc_id)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Bigram LM cross-entropy per doc — x40's unigram signal upgraded to
+    // the conditional p(w2|w1) with add-one smoothing over the corpus
+    // vocabulary. Bigrams come from a codegen'd zip_with over the token
+    // array (no UDF); the per-doc sum uses the same rounded-DECIMAL(18,6)
+    // device as x40 so partition order can never flip the hash. Scale
+    // shape: shuffles keyed on (doc,bigram), bigram, and first-word — all
+    // corpus-sized tables joined WITHOUT broadcast hints (AQE decides).
+    QuerySpec(
+      "x44_bigram_lm",
+      (s, dir) => {
+        val toks = TextFunctions.tokens(col("text"))
+        val bigrams = when(size(col("toks")) < 2, array())
+          .otherwise(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+        val tf = base
+          .select(col("doc_id"), explode(bigrams).as("big"))
+          .groupBy("doc_id", "big").agg(count(lit(1)).as("cnt"))
+        val bcnt = tf.groupBy("big").agg(sum("cnt").cast("long").as("cb"))
+        val ctx = tf
+          .select(substring_index(col("big"), " ", 1).as("w1"), col("cnt"))
+          .groupBy("w1").agg(sum("cnt").cast("long").as("cw"))
+        val vocab = base.select(explode(col("toks")).as("w"))
+          .agg(count_distinct(col("w")).as("v"))
+        val lp = bcnt
+          .join(ctx, substring_index(bcnt("big"), " ", 1) === ctx("w1"))
+          .crossJoin(broadcast(vocab)) // vocab is one row
+          .select(col("big"),
+            round(log((col("cb") + 1.0) / (col("cw") + col("v"))), 6)
+              .cast("decimal(18,6)").as("logp"))
+        tf.join(lp, "big")
+          .groupBy("doc_id")
+          .agg(sum("cnt").cast("long").as("n_bigrams"),
+            round((-sum(col("cnt") * col("logp"))).cast("double") /
+              sum("cnt"), 4).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS big FROM t),
+             |bgf AS (SELECT doc_id, big, split_part(big, ' ', 1) AS w1 FROM bg),
+             |uni AS (SELECT DISTINCT unnest(toks) AS w FROM t),
+             |v AS (SELECT COUNT(*) AS v FROM uni),
+             |tf AS (SELECT doc_id, big, COUNT(*) AS cnt FROM bgf GROUP BY 1, 2),
+             |bc AS (SELECT big, CAST(SUM(cnt) AS BIGINT) AS cb FROM tf GROUP BY 1),
+             |ctx AS (SELECT w1, COUNT(*) AS cw FROM bgf GROUP BY 1),
+             |lp AS (SELECT bc.big,
+             |         CAST(round(ln((bc.cb + 1.0) / (ctx.cw + v.v)), 6) AS DECIMAL(18,6)) AS logp
+             |       FROM bc JOIN ctx ON split_part(bc.big, ' ', 1) = ctx.w1 CROSS JOIN v)
+             |SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_bigrams,
+             |  round(-CAST(SUM(tf.cnt * lp.logp) AS DOUBLE) / SUM(tf.cnt), 4) AS xent
+             |FROM tf JOIN lp USING (big)
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

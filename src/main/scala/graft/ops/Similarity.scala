@@ -306,6 +306,78 @@ object Similarity {
         round(col("pq.mse_e6"), 4).as("mse_e6"))
   }
 
+  /** ADC (asymmetric distance computation) top-k search over [[pqEncode]]
+    * codes — the search half of product quantization (Jégou et al. 2011
+    * §IV, public): each query precomputes ONE lookup table of squared L2
+    * distances to every (subspace, centroid) pair, and the approximate
+    * distance to a coded corpus vector is m table lookups — the corpus's
+    * full vectors are never read again after encoding. Scale shape: the
+    * corpus side carries only (id, m-byte code); the query side (few rows,
+    * each with an m·k-entry LUT) broadcasts; per-pair cost is m array
+    * reads, so a 100 TB sweep streams codes at memory bandwidth. Ranking
+    * is on the 4-decimal-rounded distance with id tiebreak (ascending —
+    * nearest first), matching a SQL `ORDER BY adc, cid`; the top-k window
+    * plans as Partial+Final WindowGroupLimit, so each partition keeps a
+    * bounded k-heap before the single shuffle.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, m: Int, k: Int,
+      codebook: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(codebook)
+    val mm = m
+    val nCent = codebook.length
+    // LUT layout: lut(s * nCent + c) = ||q[s·dsub, (s+1)·dsub) - cent_c[same)||²
+    val lutUdf = udf { v: Seq[Float] =>
+      val cb = bc.value
+      val dsub = v.length / mm
+      val out = new Array[Double](mm * cb.length)
+      var s = 0
+      while (s < mm) {
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0; var i = s * dsub
+          val end = i + dsub
+          while (i < end) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
+          out(s * cb.length + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+    val adcUdf = udf { (lut: Seq[Double], codes: String) =>
+      var d = 0.0
+      var s = 0
+      var start = 0
+      var i = 0
+      // parse "c0-c1-...-c{m-1}" without allocating a split array
+      while (i <= codes.length) {
+        if (i == codes.length || codes.charAt(i) == '-') {
+          var cOf = 0
+          var j = start
+          while (j < i) { cOf = cOf * 10 + (codes.charAt(j) - '0'); j += 1 }
+          d += lut(s * nCent + cOf)
+          s += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      d
+    }
+    val coded = pqEncode(corpus, idCol, embCol, mm, codebook)
+      .select(col(idCol).as("cid"), col("codes"))
+    val q = queries.select(col(idCol).as("qid"), lutUdf(col(embCol)).as("lut"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    coded.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(adcUdf(col("lut"), col("codes")), 4).as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF core given a fixed centroid table: cell assignment is a row-local
     * argmin over the broadcast centroids, queries explode to their `nProbe`
     * nearest cells, and the probe join is equi on cell id — per-query work

@@ -94,6 +94,41 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filterNot(k => (0L to 15L).contains(k._1)).forall(_._2._2 > 0.0))
   }
 
+  test("pq ADC: distances match reconstructed-centroid sums, ranking ascends") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val codebook = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val q = e.filter($"vec_id" < 3)
+    val out = Similarity.pqAdcTopK(q, e, "vec_id", "embedding",
+        m = 8, k = 5, codebook)
+      .select("qid", "cid", "adc", "rn")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.groupBy(_._1).keySet === Set(0L, 1L, 2L))
+    assert(out.groupBy(_._1).values.forall(_.length === 5))
+    assert(out.forall { case (qid, cid, _, _) => qid != cid })
+    // independent recomputation of the ADC sum from codes + codebook
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", 8, codebook)
+      .select("vec_id", "codes").as[(Long, String)].collect().toMap
+    val qv = q.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    out.foreach { case (qid, cid, adc, _) =>
+      val v = qv(qid)
+      val cs = codes(cid).split('-').map(_.toInt)
+      val dsub = v.length / 8
+      val expect = (0 until 8).map { s =>
+        (s * dsub until (s + 1) * dsub).map { i =>
+          val d = v(i) - codebook(cs(s))(i); d * d
+        }.sum
+      }.sum
+      assert(math.abs(adc - expect) < 1e-3, s"adc mismatch $qid->$cid")
+    }
+    // nearest-first: adc is non-decreasing in rn within each query
+    out.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._4).map(_._3)
+      assert(byRank.toSeq === byRank.sorted.toSeq)
+    }
+  }
+
   test("semDedup drops the higher id of in-cell near-dups, keeps the rest") {
     // cells from seeds 1 (x-axis) and 3 (y-axis): vecs 2,5 land in 1's
     // cell, 4 in 3's (d2 to x-axis seed is 4, to y-axis seed is 2)
