@@ -26,7 +26,9 @@ object Explain {
       "q45_sketch_approx",
       "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk",
       "x13_ann_ivf", "x19_sequence_packing", "x21_contamination",
-      "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize")
+      "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize",
+      "x40_unigram_lm", "x41_dsir_weights", "x42_pq_adc_topk",
+      "x44_bigram_lm")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

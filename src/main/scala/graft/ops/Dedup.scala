@@ -239,6 +239,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup: pairs between an INCOMING batch and an existing
+    * corpus — the production shape (nightly ingest vs index) where
+    * batch-internal and index-internal pairs are out of scope. Same
+    * banding-then-exact-verify contract as [[minhashNearDups]], but the
+    * band/bucket join is across the two sides, so its cost follows the
+    * batch's bucket occupancy, not the index size — at 100 TB the index
+    * bands are a materialized table the daily batch equi-joins into.
+    * `doc_a` is always the batch-side id; inputs must be id-disjoint.
+    */
+  def minhashNearDupsAgainst(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    def bandsOf(df: DataFrame) = lshBands(
+      withMinhash(df, textCol, k)
+        .filter(size(col("shingle_hashes")) > 0)
+        .select(col(idCol), col("sig")),
+      idCol, bands, rowsPerBand)
+    val cand = bandsOf(batch).as("a")
+      .join(bandsOf(index).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    verifyWithStringJaccard(cand, batch.unionByName(index), idCol, textCol,
+        threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   // --------------------------------------------------------- contamination
 
   /** SQL-replayable polynomial string hash (acc*31 + codeUnit mod 2^31-1) —
@@ -264,23 +292,28 @@ object Dedup {
     * gram count, and the benchmark side (small by construction) broadcasts
     * under AQE. Gram keys are poly31 hashes, so an external oracle
     * recomputes the join from raw text. */
+  /** Distinct word n-gram hashes of a token array (poly31 keys — the same
+    * SQL-replayable hash the oracle recomputes from raw text). Shared by
+    * [[contamination]] and the cross-source overlap matrix (x45). */
+  def wordGramHashUdf(n: Int) = udf { toks: Seq[String] =>
+    if (toks.length < n) Array.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[Long]()
+      var i = 0
+      while (i + n <= toks.length) {
+        seen.add(poly31(toks.slice(i, i + n).mkString(" ")))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
-    val gramUdf = udf { toks: Seq[String] =>
-      if (toks.length < n) Array.empty[Long]
-      else {
-        val seen = new java.util.LinkedHashSet[Long]()
-        var i = 0
-        while (i + n <= toks.length) {
-          seen.add(poly31(toks.slice(i, i + n).mkString(" ")))
-          i += 1
-        }
-        val out = new Array[Long](seen.size)
-        val it = seen.iterator(); var j = 0
-        while (it.hasNext) { out(j) = it.next(); j += 1 }
-        out
-      }
-    }
+    val gramUdf = wordGramHashUdf(n)
     def grams(df: DataFrame) = df.select(col(idCol),
       explode(gramUdf(TextFunctions.tokens(col(textCol)))).as("gram"))
     val benchGrams = grams(bench).select(col("gram")).distinct()
