@@ -262,8 +262,11 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    verifyWithStringJaccard(cand, batch.unionByName(index), idCol, textCol,
-        threshold)
+    // Union only the (id, text) projection: batch and index may carry
+    // different payload columns, and none of them belong in the verify join.
+    val texts = batch.select(col(idCol), col(textCol))
+      .unionByName(index.select(col(idCol), col(textCol)))
+    verifyWithStringJaccard(cand, texts, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -279,22 +282,9 @@ object Dedup {
     h
   }
 
-  /** Benchmark-contamination check: for every corpus doc, the number of
-    * distinct word n-gram HASHES it shares with ANY benchmark doc (docs
-    * sharing none are dropped; benchmark members are excluded) — 31-bit
-    * poly31 keys, so a count can over-state by rare collisions, identically
-    * on the engine and the oracle. The pre-training
-    * hygiene op: long n-grams (default 8) only collide across corpora on
-    * real copies, so a hit means benchmark text leaked into training data.
-    *
-    * Scale shape: both sides explode to (gram-hash, id) and meet in ONE
-    * equi-join on the hash — no pairwise doc comparison; cost follows total
-    * gram count, and the benchmark side (small by construction) broadcasts
-    * under AQE. Gram keys are poly31 hashes, so an external oracle
-    * recomputes the join from raw text. */
   /** Distinct word n-gram hashes of a token array (poly31 keys — the same
     * SQL-replayable hash the oracle recomputes from raw text). Shared by
-    * [[contamination]] and the cross-source overlap matrix (x45). */
+    * [[contamination]] (ExtensionQueries x21). */
   def wordGramHashUdf(n: Int) = udf { toks: Seq[String] =>
     if (toks.length < n) Array.empty[Long]
     else {
@@ -311,6 +301,19 @@ object Dedup {
     }
   }
 
+  /** Benchmark-contamination check: for every corpus doc, the number of
+    * distinct word n-gram HASHES it shares with ANY benchmark doc (docs
+    * sharing none are dropped; benchmark members are excluded) — 31-bit
+    * poly31 keys, so a count can over-state by rare collisions, identically
+    * on the engine and the oracle. The pre-training
+    * hygiene op: long n-grams (default 8) only collide across corpora on
+    * real copies, so a hit means benchmark text leaked into training data.
+    *
+    * Scale shape: both sides explode to (gram-hash, id) and meet in ONE
+    * equi-join on the hash — no pairwise doc comparison; cost follows total
+    * gram count, and the benchmark side (small by construction) broadcasts
+    * under AQE. Gram keys are poly31 hashes, so an external oracle
+    * recomputes the join from raw text. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     val gramUdf = wordGramHashUdf(n)

@@ -1397,8 +1397,10 @@ object ExtensionQueries {
              |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk
              |         FROM d),
              |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
-             |lut AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id < 5),
-             |f AS (SELECT l.qid, cc.cid, round(SUM(l.d2), 4) AS adc
+             |lut AS (SELECT vec_id AS qid, s, c,
+             |          CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2
+             |        FROM d WHERE vec_id < 5),
+             |f AS (SELECT l.qid, cc.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
              |      FROM cc JOIN lut l USING (s, c) WHERE cc.cid <> l.qid
              |      GROUP BY 1, 2)
              |SELECT qid, cid, adc,

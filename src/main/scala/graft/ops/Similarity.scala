@@ -340,7 +340,12 @@ object Similarity {
           var d = 0.0; var i = s * dsub
           val end = i + dsub
           while (i < end) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
-          out(s * cb.length + c) = d
+          // Entries are rounded to 6 decimals (half-up, d ≥ 0 — DuckDB's
+          // round()) so the ADC sum below is an exact integer-micro sum on
+          // both the engine and the oracle; an unrounded double sum near a
+          // .00005 boundary could flip the final round(...,4) and the
+          // ranking derived from it (the x40/x44 DECIMAL(18,6) device).
+          out(s * cb.length + c) = math.floor(d * 1e6 + 0.5) / 1e6
           c += 1
         }
         s += 1
@@ -348,7 +353,10 @@ object Similarity {
       out
     }
     val adcUdf = udf { (lut: Seq[Double], codes: String) =>
-      var d = 0.0
+      // Sum in integer micro-units: LUT entries are exact multiples of
+      // 1e-6 (rounded in lutUdf), so the sum is order-independent and
+      // bit-identical to the oracle's DECIMAL(18,6) aggregate.
+      var micros = 0L
       var s = 0
       var start = 0
       var i = 0
@@ -358,13 +366,13 @@ object Similarity {
           var cOf = 0
           var j = start
           while (j < i) { cOf = cOf * 10 + (codes.charAt(j) - '0'); j += 1 }
-          d += lut(s * nCent + cOf)
+          micros += math.rint(lut(s * nCent + cOf) * 1e6).toLong
           s += 1
           start = i + 1
         }
         i += 1
       }
-      d
+      micros / 1e6
     }
     val coded = pqEncode(corpus, idCol, embCol, mm, codebook)
       .select(col(idCol).as("cid"), col("codes"))

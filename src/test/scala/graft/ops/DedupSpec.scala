@@ -71,6 +71,28 @@ class DedupSpec extends SparkSpec {
       (12L, 2L, 8L, 4L)))
   }
 
+  test("minhashNearDupsAgainst: batch-vs-index pairs only, doc_a is batch-side") {
+    // index = the standing corpus; batch = tonight's ingest. Ids disjoint
+    // (the documented precondition). batch doc 101 near-dups index doc 1;
+    // batch docs 102 and 103 near-dup EACH OTHER but nothing in the index —
+    // batch-internal pairs are out of scope and must not appear.
+    val index = docs.filter($"doc_id" <= 4L)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "an entirely separate sentence about glaciers and moraines"),
+      (103L, "an entirely separate sentence about glaciers and moraine")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupsAgainst(batch, index, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every pair is (batch id, index id) — the doc_a contract
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a >= 101L && b <= 4L })
+    assert(pairs.contains((101L, 1L)) && pairs.contains((101L, 3L)))
+    // batch-internal near-dup (102,103) and index-internal (1,3) excluded
+    assert(!pairs.exists(p => p._1 == 102L || p._1 == 103L))
+  }
+
   test("dedupCorpus removes exact and near dups, keeps min ids") {
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
