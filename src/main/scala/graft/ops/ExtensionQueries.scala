@@ -1505,6 +1505,51 @@ object ExtensionQueries {
              |SELECT tf.doc_id, CAST(SUM(tf.cnt) AS BIGINT) AS n_bigrams,
              |  round(-CAST(SUM(tf.cnt * lp.logp) AS DOUBLE) / SUM(tf.cnt), 4) AS xent
              |FROM tf JOIN lp USING (big)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bloom-filter contamination — x21's semantics on the zero-shuffle
+    // plan: the benchmark side folds into one broadcast bitset (mergeable
+    // byte-array aggregate), the corpus side probes row-locally and never
+    // shuffles. n=3 so the shared-gram path is exercised on this corpus
+    // (8-grams never cross the %97 split — x21 returns 0 rows there; the
+    // n=8 production default's non-empty path is proven in BloomSpec).
+    // Oracle rebuilds the identical bitset: poly31 grams, double-hashed
+    // positions (h1 + i*h2 mod 2^20), membership = all 3 bits set.
+    QuerySpec(
+      "x45_bloom_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Bloom.contaminationByBloom(docs, docs.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    list_distinct([list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ord(c) AS BIGINT)
+             |         for c in string_split(array_to_string(toks[i:i+2], ' '), '')]),
+             |      (acc, x) -> (acc*31 + x) % 2147483647)
+             |      for i in range(1, len(toks) - 1)]) AS grams
+             |  FROM t WHERE len(toks) >= 3),
+             |bp AS (
+             |  SELECT DISTINCT pos FROM (
+             |    SELECT unnest([((gram % 1048576) + i * (1 + ((gram // 1048576) % 1048575))) % 1048576
+             |                   for i in range(0, 3)]) AS pos
+             |    FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0))),
+             |cgp AS (
+             |  SELECT doc_id, gram,
+             |    unnest([((gram % 1048576) + i * (1 + ((gram // 1048576) % 1048575))) % 1048576
+             |            for i in range(0, 3)]) AS pos
+             |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)),
+             |hit AS (
+             |  SELECT doc_id, gram FROM cgp LEFT JOIN bp ON cgp.pos = bp.pos
+             |  GROUP BY 1, 2 HAVING COUNT(*) FILTER (WHERE bp.pos IS NULL) = 0)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
