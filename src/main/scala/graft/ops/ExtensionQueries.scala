@@ -1624,6 +1624,68 @@ object ExtensionQueries {
              |SELECT lang, n_grams, exact_distinct, sum_pow, n_zero_regs,
              |  round(CASE WHEN raw <= 2.5 * 64 AND n_zero_regs > 0
              |             THEN 64 * ln(64.0 / n_zero_regs) ELSE raw END, 4) AS est_distinct
-             |FROM e JOIN ex USING (lang) ORDER BY lang""".stripMargin))
+             |FROM e JOIN ex USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Incremental near-dup: tonight's batch (doc_id%5=0) against the
+    // standing index — the nightly-ingest shape where only cross-side
+    // pairs matter and band/bucket join cost follows BATCH occupancy, not
+    // index size. Same oracle device as x2: LSH recall at these thresholds
+    // is complete on this corpus, so the emitted pairs equal the exact
+    // cross-split jaccard sweep (verify step recomputes exact jaccard).
+    QuerySpec(
+      "x47_minhash_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashNearDupsAgainst(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+             |  FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+             |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(na+nb-i), 4) AS jaccard
+             |FROM p WHERE round(CAST(i AS DOUBLE)/(na+nb-i), 4) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Z-order (Morton) clustering key over (customer, order-day) — the
+    // write-side layout primitive behind two-dimensional file pruning
+    // (Layout.zOrdered range-partitions + sorts on it; ZOrderSpec shows
+    // both dimensions narrow per partition at once). Codegen'd native
+    // expression, integer-only math, key replayed bit-for-bit in SQL.
+    QuerySpec(
+      "x48_zorder_key",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            col("o_custkey").cast("long").as("a"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+              .cast("long").as("b"))
+          .select(col("o_orderkey"), col("a"), col("b"),
+            expr("zorder_key(a, b)").as("zkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH d AS (
+             |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS a,
+             |    CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS b
+             |  FROM orders)
+             |SELECT o_orderkey, a, b,
+             |  CAST(list_sum([ ((a // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i))
+             |                + ((b // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i+1))
+             |                for i in range(0, 21)]) AS BIGINT) AS zkey
+             |FROM d ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -90,7 +90,9 @@ object GraftFunctions {
     ("nfkc_normalize", classOf[UnicodeNormalize].getName,
       (c: Seq[Expression]) => UnicodeNormalize(c(0), "NFKC")),
     ("repair_mojibake", classOf[RepairMojibake].getName,
-      (c: Seq[Expression]) => RepairMojibake(c(0))))
+      (c: Seq[Expression]) => RepairMojibake(c(0))),
+    ("zorder_key", classOf[ZOrderKey].getName,
+      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>
