@@ -1686,6 +1686,29 @@ object ExtensionQueries {
              |  CAST(list_sum([ ((a // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i))
              |                + ((b // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i+1))
              |                for i in range(0, 21)]) AS BIGINT) AS zkey
-             |FROM d ORDER BY o_orderkey""".stripMargin))
+             |FROM d ORDER BY o_orderkey""".stripMargin)),
+
+    // Deterministic stratified sample: EXACTLY n docs per language, chosen
+    // by content-hash order (md5, doc_id tiebreak) — reproducible across
+    // runs/engines with no RNG state, unlike sampleBy's Bernoulli draw
+    // which only hits n in expectation (x24 is the threshold variant; this
+    // is the exact-quota one). Plans as Partial+Final WindowGroupLimit: a
+    // bounded k-heap per stratum BEFORE the shuffle, so the full corpus
+    // never sorts — the per-stratum quota shape for building eval sets
+    // from a 100 TB corpus.
+    QuerySpec(
+      "x49_stratified_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 20)
+          .select(col("doc_id"), col("lang"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+             |FROM documents QUALIFY rn <= 20 ORDER BY lang, rn""".stripMargin))
   )
 }
