@@ -28,7 +28,8 @@ object Explain {
       "x13_ann_ivf", "x19_sequence_packing", "x21_contamination",
       "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize",
       "x40_unigram_lm", "x41_dsir_weights", "x42_pq_adc_topk",
-      "x44_bigram_lm")
+      "x44_bigram_lm", "x45_bloom_contamination", "x46_hll_distinct",
+      "x48_zorder_key", "x49_stratified_sample")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -56,6 +56,16 @@ object BpeTrain {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var step = 0
     var exhausted = false
+    // Checkpoint cadence: re-segmentation after a merge stays a LAZY narrow
+    // map whose lineage rides into the next round's pair-count job, so most
+    // rounds cost ONE Spark action (the take) instead of two. Every
+    // CkptEvery rounds the pending maps are folded into a fresh checkpoint,
+    // keeping plan size bounded — the one-action-per-round device of
+    // dupClusters, applied to the other driver-coordinated loop (cuts
+    // actions from 2/round to ~1.2/round; bench_history tracks the wall
+    // effect at sf0.1).
+    val CkptEvery = 5
+    var sinceCkpt = 0
     while (step < nMerges && !exhausted) {
       val top = segs
         .flatMap { case (syms, c) =>
@@ -71,17 +81,24 @@ object BpeTrain {
         val (a, b, cnt) = top.head
         step += 1
         merges += ((step, a, b, cnt))
-        val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
         segs = segs.map { case (syms, c) => (applyMerge(syms, a, b), c) }
-          .localCheckpoint()
-        // drop the superseded segmentation's checkpoint blocks: without
-        // this, executors pin nMerges copies of the vocab table until the
-        // session dies (catalog.clearCache does not reach them)
-        val persisted = spark.sparkContext.getPersistentRDDs
-        segIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-        segIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+        sinceCkpt += 1
+        if (sinceCkpt == CkptEvery && step < nMerges) {
+          sinceCkpt = 0
+          val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+          segs = segs.localCheckpoint()
+          // drop the superseded segmentation's checkpoint blocks: without
+          // this, executors pin copies of the vocab table until the
+          // session dies (catalog.clearCache does not reach them)
+          val persisted = spark.sparkContext.getPersistentRDDs
+          segIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+          segIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds
+        }
       }
     }
+    // free the final checkpoint too — callers only need the merge list
+    val persisted = spark.sparkContext.getPersistentRDDs
+    segIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
     merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_cnt")
   }
 
