@@ -29,7 +29,9 @@ object Explain {
       "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize",
       "x40_unigram_lm", "x41_dsir_weights", "x42_pq_adc_topk",
       "x44_bigram_lm", "x45_bloom_contamination", "x46_hll_distinct",
-      "x48_zorder_key", "x49_stratified_sample")
+      "x48_zorder_key", "x49_stratified_sample",
+      "x50_quality_classifier", "x51_random_projection", "x53_cms_heavy_hitters",
+      "x54_centroid_outliers", "x55_curriculum_order")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

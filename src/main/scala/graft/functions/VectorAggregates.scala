@@ -39,3 +39,33 @@ object VectorAggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 }
+
+/** Element-wise Long-array sum (dimension fixed) — the exact-integer
+  * centroid numerator behind [[graft.ops.Quantized]]: partials combine
+  * map-side and integer addition is order-free, so the result is
+  * bit-stable under any partitioning (the property the double-precision
+  * CentroidAggregator only gets after rounding). */
+final class LongVectorSumAggregator(dim: Int)
+    extends Aggregator[Seq[Long], Array[Long], Seq[Long]] with Serializable {
+
+  override def zero: Array[Long] = new Array[Long](dim)
+
+  override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim && i < v.length) { b(i) += v(i); i += 1 }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

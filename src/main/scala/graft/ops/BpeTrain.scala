@@ -102,20 +102,38 @@ object BpeTrain {
     merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_cnt")
   }
 
+  /** Per-executor-JVM memo of word → BPE token count, keyed by the merge
+    * list's hash so different trained models never cross-hit. Corpus word
+    * frequency follows Zipf, so the distinct-word working set is tiny
+    * relative to occurrences — each executor segments a word once and
+    * serves every later occurrence from the map (the standard production
+    * tokenizer cache). Bounded: wiped when it exceeds ~1M entries (a
+    * pathological id-like corpus), which only costs recomputation. */
+  @transient private lazy val segCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
   /** Row-local application of a TRAINED merge list: each word of the token
     * array is split to chars and the merges replayed in order; returns the
     * total BPE token count. The merge list rides the UDF closure — tiny by
     * construction (nMerges entries), so this is a plain broadcast-sized
-    * lookup applied in-task, no shuffle. (A production tokenizer would
-    * memoize word→count per partition; the semantics are identical.) */
-  def bpeTokenCountUdf(merges: Seq[(String, String)]) =
+    * lookup applied in-task, no shuffle, memoized per executor JVM. */
+  def bpeTokenCountUdf(merges: Seq[(String, String)]) = {
+    val mergesKey = merges.hashCode
     org.apache.spark.sql.functions.udf { toks: Seq[String] =>
       var n = 0L
       toks.foreach { w =>
-        var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
-        merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-        n += syms.length
+        val key = (mergesKey, w)
+        var cnt = segCountCache.get(key)
+        if (cnt == null) {
+          var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+          merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+          cnt = java.lang.Long.valueOf(syms.length.toLong)
+          if (segCountCache.size > 1000000) segCountCache.clear()
+          segCountCache.put(key, cnt)
+        }
+        n += cnt.longValue()
       }
       n
     }
+  }
 }

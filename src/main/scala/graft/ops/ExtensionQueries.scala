@@ -1709,6 +1709,247 @@ object ExtensionQueries {
       },
       Some("""SELECT doc_id, lang,
              |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS BIGINT) AS rn
-             |FROM documents QUALIFY rn <= 20 ORDER BY lang, rn""".stripMargin))
+             |FROM documents QUALIFY rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Hashed linear quality scorer (fastText shape, Joulin et al. 2016):
+    // unigram+bigram bag hashed to 4096 buckets, margin = Σ bucket weights
+    // — all-integer accumulation, one double division at the end. Row-local
+    // compiled kernel, zero shuffle at any corpus size; the weights are a
+    // deterministic function of the bucket id so hashing AND model replay
+    // in the oracle (a trained model would broadcast the same array).
+    QuerySpec(
+      "x50_quality_classifier",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            QualityModel.scoreUdf(4096L)(TextFunctions.tokens(col("text")))
+              .as("sc"))
+          .select(col("doc_id"), col("sc.n_feats").as("n_feats"),
+            col("sc.margin").as("margin"))
+          .withColumn("score",
+            when(col("n_feats") > 0,
+              round(col("margin").cast("double") / (col("n_feats") * 1048576L), 6))
+              .otherwise(lit(0.0)))
+          .withColumn("keep", (col("margin") > 0).cast("long"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  unnest(list_concat(toks, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS feat FROM t),
+             |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       [CAST(ord(c) AS BIGINT) for c in string_split(feat, '')]),
+             |       (acc, x) -> (acc*31 + x) % 2147483647) % 4096 AS b FROM f),
+             |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             |        CAST(SUM((b * 2654435761) % 1048576 - 524288) AS BIGINT) AS margin
+             |      FROM h GROUP BY 1)
+             |SELECT t.doc_id, COALESCE(m.n_feats, 0) AS n_feats, COALESCE(m.margin, 0) AS margin,
+             |  CASE WHEN COALESCE(m.n_feats, 0) > 0
+             |       THEN round(CAST(m.margin AS DOUBLE) / (m.n_feats * 1048576), 6) ELSE 0.0 END AS score,
+             |  CAST(CASE WHEN COALESCE(m.margin, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Johnson–Lindenstrauss ±1 projection 64 → 16 dims over the quantized
+    // embedding (Quantized.projectUdf): the 4× dimension cut used as an ANN
+    // pre-filter. Exact integer sums — hash-stable under any partitioning —
+    // with the per-row norm-ratio distortion check as the only (single-
+    // division) floating-point step.
+    QuerySpec(
+      "x51_random_projection",
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            Quantized.quantizeUdf(1e6)(col("embedding")).as("q"))
+          .select(col("vec_id"), col("q"),
+            Quantized.projectUdf(16)(col("q")).as("proj"))
+          .withColumn("sum_p2",
+            expr("aggregate(proj, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .withColumn("sum_q2",
+            expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+          .select(col("vec_id"),
+            array_join(transform(col("proj"), _.cast("string")), ",").as("proj"),
+            when(col("sum_q2") > 0,
+              round(col("sum_p2").cast("double") / 16 / col("sum_q2"), 4))
+              .otherwise(lit(null).cast("double")).as("norm_ratio"))
+          .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id,
+             |  [CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
+             |p AS (SELECT vec_id, q,
+             |  [CAST(list_sum([q[i+1] * (1 - 2*(((((i*16+j)*1103515245 + 12345) % 2147483648) // 65536) % 2))
+             |                  for i in range(0, len(q))]) AS BIGINT) for j in range(0, 16)] AS proj
+             |  FROM e)
+             |SELECT vec_id, array_to_string(proj, ',') AS proj,
+             |  CASE WHEN list_sum([x*x for x in q]) > 0 THEN
+             |    round(CAST(list_sum([x*x for x in proj]) AS DOUBLE) / 16 / list_sum([x*x for x in q]), 4)
+             |  ELSE NULL END AS norm_ratio
+             |FROM p ORDER BY vec_id""".stripMargin)),
+
+    // Two Lloyd rounds of k-means over quantized embeddings (the curation
+    // clustering primitive behind SemDeDup/cluster-balanced sampling).
+    // Seeds = corpus rows (vec_id % 50 = 0, so k scales with the corpus);
+    // per round the k·dim centroid Longs are the only driver state, the
+    // argmin is a broadcast compiled kernel and the update one map-side-
+    // combined array aggregation — no explode, no driver data collect.
+    // All-integer distances (scale 1e4) make even the ASSIGNMENTS replay
+    // exactly in the oracle; output is the final (cluster, pos, sum_q, n).
+    QuerySpec(
+      "x52_kmeans_lloyd",
+      (s, dir) =>
+        Quantized.lloydKmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+            seedMod = 50L, scale = 1e4, iters = 2)
+          .select(col("cluster").cast("long").as("cluster"), col("pos"),
+            col("sum_q"), col("n"))
+          .orderBy("cluster", "pos"),
+      Some("""WITH e AS (SELECT vec_id,
+             |  [CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
+             |s AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS c, q FROM e WHERE vec_id % 50 = 0),
+             |a1 AS (
+             |  SELECT e.vec_id, s.c,
+             |    list_sum([(e.q[i+1] - s.q[i+1])*(e.q[i+1] - s.q[i+1]) for i in range(0, len(e.q))]) AS d2
+             |  FROM e CROSS JOIN s
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, s.c) = 1),
+             |m1 AS (SELECT a1.c, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS qv
+             |       FROM a1 JOIN e USING (vec_id)),
+             |c1 AS (SELECT c, pos, CAST(SUM(qv) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM m1 GROUP BY 1, 2),
+             |c1arr AS (
+             |  SELECT s.c,
+             |    CASE WHEN COUNT(c1.sv) = 0 THEN s.q ELSE list(c1.sv ORDER BY c1.pos) END AS sums,
+             |    CASE WHEN COUNT(c1.sv) = 0 THEN 1 ELSE any_value(c1.n) END AS n
+             |  FROM s LEFT JOIN c1 USING (c) GROUP BY s.c, s.q),
+             |a2 AS (
+             |  SELECT e.vec_id, c1arr.c,
+             |    CAST(list_sum([(e.q[i+1]*c1arr.n - c1arr.sums[i+1])*(e.q[i+1]*c1arr.n - c1arr.sums[i+1])
+             |                   for i in range(0, len(e.q))]) AS DOUBLE)
+             |      / (CAST(c1arr.n AS DOUBLE) * c1arr.n) AS dist
+             |  FROM e CROSS JOIN c1arr
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c1arr.c) = 1),
+             |f AS (SELECT a2.c AS cluster, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS qv
+             |      FROM a2 JOIN e USING (vec_id))
+             |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS BIGINT) AS pos,
+             |  CAST(SUM(qv) AS BIGINT) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n
+             |FROM f GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin)),
+
+    // Count-Min heavy hitters: the mergeable frequency sketch
+    // (functions.CmsAggregator — depth 3 × width 64, deliberately narrow so
+    // the collision/over-estimate path is exercised on this corpus;
+    // production widths are 2^16+) built map-side in ONE pass over raw
+    // token occurrences, vs the exact top-20 as ground truth. est >= cnt
+    // always; both sides replay the identical integer cell arithmetic.
+    QuerySpec(
+      "x53_cms_heavy_hitters",
+      (s, dir) => {
+        import graft.functions.{CmsAggregator, CmsSketch}
+        val agg = new CmsAggregator(3, 64)
+        val cms = udaf(agg)
+        val poly31Udf = udf { w: String => Dedup.poly31(w) }
+        val hashed = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .select(col("tok"), poly31Udf(col("tok")).as("h"))
+        val sketch = hashed.agg(cms(col("h")).as("cells"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))
+        val top = hashed.groupBy("tok", "h").agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 20)
+        val estUdf = udf { (cells: Seq[Long], h: Long) =>
+          CmsSketch.estimate(cells.toArray, h, 3, 64)
+        }
+        top.crossJoin(broadcast(sketch))
+          .select(col("rank"), col("tok"), col("cnt"),
+            estUdf(col("cells"), col("h")).as("est"))
+          .orderBy("rank")
+      },
+      Some("""WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok FROM documents),
+             |h AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ord(c) AS BIGINT) for c in string_split(tok, '')]),
+             |        (acc, x) -> (acc*31 + x) % 2147483647) AS h FROM t),
+             |cnts AS (SELECT tok, any_value(h) AS h, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY tok),
+             |rr AS (SELECT unnest([0, 1, 2]) AS r),
+             |cells AS (
+             |  SELECT rr.r, ((cnts.h * [31,37,41][rr.r+1] + [7,11,13][rr.r+1]) % 2147483647) % 64 AS pos,
+             |         SUM(cnts.cnt) AS cell
+             |  FROM cnts CROSS JOIN rr GROUP BY 1, 2),
+             |top AS (SELECT tok, h, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank
+             |        FROM cnts QUALIFY rank <= 20)
+             |SELECT top.rank, top.tok, top.cnt, CAST(MIN(cells.cell) AS BIGINT) AS est
+             |FROM top CROSS JOIN rr
+             |JOIN cells ON cells.r = rr.r
+             |  AND cells.pos = ((top.h * [31,37,41][rr.r+1] + [7,11,13][rr.r+1]) % 2147483647) % 64
+             |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin)),
+
+    // Embedding outliers: top-25 farthest from the corpus centroid under
+    // the exact scaled distance Σ(q_i·n − s_i)² — the "drop the weird
+    // tail" curation gate. Centroid = one map-side-combined Long-array
+    // aggregate crossed back as a broadcast row (no driver collect); the
+    // ranking is a bounded top-k, not a full corpus sort.
+    QuerySpec(
+      "x54_centroid_outliers",
+      (s, dir) =>
+        Quantized.centroidOutliers(Tables.embeddings(s, dir), "vec_id",
+            "embedding", topN = 25, scale = 1e4)
+          .select(col("id").as("vec_id"), col("d2n"), col("rank"))
+          .orderBy("rank"),
+      Some("""WITH e AS (SELECT vec_id,
+             |  [CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
+             |u AS (SELECT vec_id, generate_subscripts(q, 1) AS pos, unnest(q) AS qv FROM e),
+             |cent AS (SELECT pos, CAST(SUM(qv) AS BIGINT) AS sv FROM u GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+             |d AS (SELECT u.vec_id, CAST(SUM((u.qv*nn.n - cent.sv)*(u.qv*nn.n - cent.sv)) AS BIGINT) AS d2n
+             |      FROM u JOIN cent USING (pos) CROSS JOIN nn GROUP BY 1)
+             |SELECT vec_id, d2n, CAST(row_number() OVER (ORDER BY d2n DESC, vec_id) AS BIGINT) AS rank
+             |FROM d QUALIFY rank <= 25 ORDER BY rank""".stripMargin)),
+
+    // Curriculum ordering: 5 difficulty buckets (ntile on n_chars) round-
+    // robin interleaved by in-bucket content-hash rank — every training
+    // window sees the full difficulty mix, deterministically. Windows
+    // only; at 100 TB both sorts are range-partitioned (no single-node
+    // sort), and the global position is consumed as a sort KEY by the
+    // writer, never materialized on the driver.
+    QuerySpec(
+      "x55_curriculum_order",
+      (s, dir) => {
+        val wB = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_chars"), col("doc_id"))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(md5(col("text")), col("doc_id"))
+        val wPos = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rn"), col("bucket"))
+        Tables.documents(s, dir)
+          .withColumn("bucket", ntile(5).over(wB).cast("long"))
+          .withColumn("rn", row_number().over(wIn).cast("long"))
+          .withColumn("position", row_number().over(wPos).cast("long"))
+          .select(col("position"), col("doc_id"), col("bucket"), col("rn"))
+          .orderBy("position")
+      },
+      Some("""WITH b AS (SELECT doc_id, text,
+             |  CAST(ntile(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket FROM documents),
+             |r AS (SELECT doc_id, bucket,
+             |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY md5(text), doc_id) AS BIGINT) AS rn FROM b)
+             |SELECT CAST(row_number() OVER (ORDER BY rn, bucket) AS BIGINT) AS position,
+             |  doc_id, bucket, rn
+             |FROM r ORDER BY position""".stripMargin)),
+
+    // ORC round-trip (SURVEY §2.1 source/sink family): documents written
+    // columnar-ORC and read back through Spark's native vectorized ORC
+    // reader, then aggregated — the second big-data columnar format beside
+    // parquet. The oracle states the same aggregate over the parquet
+    // originals, so the round-trip must preserve every value and type.
+    QuerySpec(
+      "x56_orc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_orc_docs").toString
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

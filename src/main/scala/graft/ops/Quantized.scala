@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer-quantized embedding operators.
+  *
+  * The float embedding is quantized once — `q_i = floor(v_i * scale + 0.5)`
+  * as a Long — and every downstream reduction (projection sums, squared
+  * distances, per-cluster sums) runs in EXACT integer arithmetic. That buys
+  * two properties the double-precision formulations lack:
+  *
+  *  - **Order-free determinism.** Integer addition is associative, so the
+  *    result is identical under any Spark partitioning / AQE re-plan — no
+  *    `+0.0` folds, no rounded-sum devices. The only floating-point steps
+  *    are single divisions of identical integers, which every IEEE engine
+  *    performs bit-identically.
+  *  - **Oracle replay.** `floor(x * scale + 0.5)` is the same IEEE op
+  *    sequence in Spark and in SQL (unlike `round()`, whose half-way rule
+  *    differs between engines), so an external oracle recomputes every
+  *    output from the raw floats, including argmin cluster assignments.
+  *
+  * Magnitude budget (|v| <= 1 assumed, dim <= 64): kmeans uses scale=1e4 so
+  * the scaled distance `sum_i (q_i*n - s_i)^2` stays within 2^62 for
+  * cluster sizes up to ~2M rows; projection uses scale=1e6 (no n factor).
+  * At larger cluster cardinalities the quantized path would switch the
+  * update step to double means — the assignment itself stays integer.
+  */
+object Quantized {
+
+  /** Quantize a float array to Longs: floor(v*scale + 0.5) — identical IEEE
+    * ops in Spark and SQL, no rounding-mode divergence on negative halves. */
+  def quantizeUdf(scale: Double) = udf { v: Seq[Float] =>
+    val out = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) {
+      out(i) = math.floor(v(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic Achlioptas-style ±1 sign for input dim `i`, output dim
+    * `j`: bit 16 of the LCG value ((i*outDim + j)*1103515245 + 12345) mod
+    * 2^31 — high LCG bits mix well enough for a JL sketch and the whole
+    * expression replays in integer SQL. */
+  private[ops] def jlSign(i: Int, j: Int, outDim: Int): Long = {
+    val h = ((i.toLong * outDim + j) * 1103515245L + 12345L) % 2147483648L
+    1L - 2L * ((h / 65536L) % 2L)
+  }
+
+  /** Johnson–Lindenstrauss random projection dim → outDim with the ±1 sign
+    * family above (Achlioptas 2003, public): proj_j = Σ_i q_i · s(i,j).
+    * Row-local compiled kernel — zero shuffle at any corpus size; the 4×
+    * (64→16) dimension cut is the standard pre-filter in front of exact
+    * rescoring. E[|proj_j|²] = |q|², so `norm_ratio` =
+    * (Σ_j proj_j²/outDim) / Σ_i q_i² concentrates near 1 — emitted as the
+    * per-row distortion check. */
+  def projectUdf(outDim: Int) = udf { q: Seq[Long] =>
+    val proj = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0L
+      var i = 0
+      while (i < q.length) { s += q(i) * jlSign(i, j, outDim); i += 1 }
+      proj(j) = s
+      j += 1
+    }
+    proj
+  }
+
+  /** Exact integer squared distance Σ (a_i − b_i)². */
+  private def d2(a: Seq[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = a(i) - b(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Argmin cluster of `q` against centroids held as exact rationals
+    * (sums_c, n_c): minimizes Σ (q_i·n_c − s_ci)² / n_c² — one double
+    * division of exact integers per candidate, ties to the lowest cluster
+    * id (matching SQL `ORDER BY dist, c LIMIT 1`). */
+  private def nearestExact(q: Seq[Long], cents: Array[(Array[Long], Long)]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val (s, n) = cents(c)
+      var acc = 0L
+      var i = 0
+      while (i < s.length && i < q.length) {
+        val d = q(i) * n - s(i); acc += d * d; i += 1
+      }
+      val dist = acc.toDouble / (n.toDouble * n.toDouble)
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd k-means over quantized embeddings, `iters` assignment rounds,
+    * seeded by the rows with `id % seedMod == 0` in id order (the same
+    * corpus-rows-as-seeds device as Similarity.ivfTopKSeeded — k scales
+    * with the corpus and the oracle recomputes the seed set).
+    *
+    * Per round: centroids (k·dim Longs — the ONLY driver-side state)
+    * broadcast into a compiled argmin kernel; the update is one
+    * element-wise Long-array aggregation with map-side combine (no explode,
+    * no row blow-up). Empty clusters keep their previous centroid. Returns
+    * the flat (cluster, pos, sum_q, n) of the FINAL assignment — all
+    * integers, so the result is hash-stable under any partitioning.
+    */
+  def lloydKmeans(df: DataFrame, idCol: String, embCol: String,
+      seedMod: Long, scale: Double = 1e4, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantizeUdf(scale)(col(embCol)).as("q"))
+    val qds = q.as[(Long, Seq[Long])]
+
+    val seeds = qds.filter(_._1 % seedMod == 0L).collect().sortBy(_._1)
+      .map { case (_, v) => (v.toArray, 1L) }
+    require(seeds.nonEmpty, "lloydKmeans: no seed rows")
+
+    var cents = seeds
+    var assigned: DataFrame = null
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignUdf = udf { v: Seq[Long] => nearestExact(v, bc.value) }
+      assigned = q.withColumn("cluster", assignUdf(col("q")))
+      val agg = new graft.functions.LongVectorSumAggregator(
+        cents.head._1.length)
+      val sumVec = udaf(agg)
+      val upd = assigned.groupBy("cluster")
+        .agg(sumVec(col("q")).as("sums"), count(lit(1)).as("n"))
+        .as[(Int, Seq[Long], Long)].collect()
+        .map { case (c, s, n) => (c, (s.toArray, n)) }.toMap
+      cents = cents.indices.map(i => upd.getOrElse(i, cents(i))).toArray
+    }
+    assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("p", "qv")))
+      .groupBy(col("cluster"), (col("p") + 1).cast("long").as("pos"))
+      .agg(sum("qv").as("sum_q"), count(lit(1)).as("n"))
+  }
+
+  /** Distance-to-centroid outliers: the `topN` vectors farthest from the
+    * corpus centroid, ranked by the exact scaled distance
+    * Σ (q_i·n − s_i)² (ties to lowest id). The centroid is a single
+    * element-wise aggregate crossed back in — no driver collect, one
+    * map-side-combined reduction plus a broadcast of one row; the ranking
+    * is a global bounded top-k (TakeOrderedAndProject at plan level when
+    * limited, WindowGroupLimit here), never a full sort of the corpus. */
+  def centroidOutliers(df: DataFrame, idCol: String, embCol: String,
+      topN: Int, scale: Double = 1e4): DataFrame = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(embCol))).first().getInt(0)
+    val q = df.select(col(idCol).cast("long").as("id"),
+      quantizeUdf(scale)(col(embCol)).as("q"))
+    val agg = new graft.functions.LongVectorSumAggregator(dim)
+    val sumVec = udaf(agg)
+    val cent = q.agg(sumVec(col("q")).as("sums"), count(lit(1)).as("n"))
+    val d2nUdf = udf { (v: Seq[Long], s: Seq[Long], n: Long) =>
+      var acc = 0L
+      var i = 0
+      while (i < v.length && i < s.length) {
+        val d = v(i) * n - s(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("d2n").desc, col("id"))
+    q.crossJoin(broadcast(cent))
+      .select(col("id"), d2nUdf(col("q"), col("sums"), col("n")).as("d2n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+  }
+}

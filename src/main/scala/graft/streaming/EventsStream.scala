@@ -37,6 +37,33 @@ object EventsStream {
   def dedupWithinWatermark(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Distinct users per tumbling window as a streaming HLL sketch fold
+    * ([[graft.functions.HllAggregator]]): each micro-batch merges its
+    * partial registers into the window's state — the SAME mergeable
+    * property that makes the batch sketch a map-side fold makes it
+    * incrementally updatable here, so per-window state is m bytes no matter
+    * how many users pass through. Emits the two integer summaries plus the
+    * exact distinct count (valid in the batch/test regime; at stream scale
+    * the exact column is what you'd drop). */
+  def windowedDistinctSketch(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    import graft.functions.{HllAggregator, HllSketch}
+    val agg = new HllAggregator(64)
+    val hllUdaf = udaf(agg)
+    val statsUdf = udf { regs: Array[Byte] => HllSketch.summarize(regs, agg.maxRank) }
+    // user ids are already integral: fold into the 31-bit hash domain the
+    // same way poly31 would land (mod the Mersenne prime), SQL-replayable
+    val h = pmod(col("user_id"), lit(2147483647L))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("win_start"))
+      .agg(hllUdaf(h).as("regs"),
+        approx_count_distinct(col("user_id")).as("builtin_est"))
+      .select(col("win_start"), statsUdf(col("regs")).as("st"), col("builtin_est"))
+      .select(col("win_start"), col("st._1").as("sum_pow"),
+        col("st._2").as("n_zero_regs"), col("builtin_est"))
+  }
+
   /** Stream-stream interval join: each purchase joined to clicks of the same
     * user within the preceding `gapMinutes`. Both sides watermarked so the
     * join state is bounded — the streaming twin of

@@ -33,6 +33,17 @@ class ScaleShapeSpec extends SparkSpec {
       assert(!belowJoin.contains("Exchange hashpartitioning(l_orderkey"),
         "lineitem side re-shuffled despite bucketing")
       assert(joined.count() > 0)
+      // bucket pruning: an equality predicate on the bucket column opens
+      // only that bucket's files (auto-bucketed-scan normally skips the
+      // bucketed layout for filter-only plans; pin it on to assert pruning)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val onePlan = physicalPlan(
+          spark.table("o_bucketed").filter(col("o_orderkey") === 7L))
+        assert(onePlan.contains("SelectedBucketsCount: 1 out of 4"),
+          onePlan.take(1500))
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS l_bucketed")

@@ -193,4 +193,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(out > 0)
     assert(EventsStream.slidingAgg(ev).count() >= out) // sliding ⊇ tumbling starts
   }
+
+  test("windowed HLL sketch: streaming registers equal the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+
+    val q = EventsStream.windowedDistinctSketch(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("hll_win_test")
+      .outputMode("complete").start()
+    val data = Seq(
+      (ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 2L),
+      (ts("2024-01-01 00:03:00"), 1L), // dup user in window 0
+      (ts("2024-01-01 00:11:00"), 3L), (ts("2024-01-01 00:12:00"), 4L),
+      (ts("2024-01-01 00:13:00"), 5L))
+    // two adds → two micro-batches, so window-0 state must merge partials
+    mem.addData(data.take(3))
+    mem.addData(data.drop(3))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM hll_win_test ORDER BY win_start").collect()
+    q.stop()
+    assert(rows.length === 2)
+
+    val batch = EventsStream.windowedDistinctSketch(
+        data.toDF("ts", "user_id"), "10 minutes", "1 hour")
+      .orderBy("win_start").collect()
+    assert(batch.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+    // sanity: tiny windows estimate exactly via the linear-counting branch
+    assert(rows(0).getLong(2) === 62L) // 64 - 2 distinct users
+    assert(rows(1).getLong(2) === 61L) // 64 - 3 distinct users
+  }
 }
