@@ -1950,6 +1950,54 @@ object ExtensionQueries {
       },
       Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // IVF-PQ: the two ANN halves composed the way FAISS ships them — the
+    // seeded coarse quantizer bounds WHICH rows are scored (x13's probe
+    // join, equi on the cell key), PQ-ADC bounds the COST PER ROW (x42's m
+    // LUT lookups over the m-byte code). Candidates follow probed-cell
+    // occupancy and full vectors are never reread after encoding: the
+    // index for when both corpus size and dimensionality hurt. Oracle
+    // replays BOTH stages (seed cells + codes + LUT are all corpus-row
+    // arithmetic).
+    QuerySpec(
+      "x57_ivfpq_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val codebook = Similarity
+          .seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e,
+            "vec_id", "embedding", k = 10, nProbe = 3,
+            seedIds = (0L to 7L), m = 8, codebook)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |ivf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |        FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |dv AS (SELECT e.vec_id, ivf.cell,
+             |         list_sum([(e.emb[i]-ivf.cemb[i])*(e.emb[i]-ivf.cemb[i]) for i in range(1,65)]) AS d2
+             |       FROM e CROSS JOIN ivf),
+             |rankedv AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM dv),
+             |assign AS (SELECT vec_id, cell FROM rankedv WHERE rnk = 1),
+             |probe AS (SELECT vec_id, cell FROM rankedv WHERE rnk <= 3 AND vec_id < 5),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (SELECT e.vec_id, sub.s, cb.c,
+             |        list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM e CROSS JOIN sub CROSS JOIN cb),
+             |code AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM d),
+             |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
+             |lut AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM d WHERE vec_id < 5),
+             |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+             |         FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
+             |f AS (SELECT cand.qid, cand.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |      FROM cand JOIN cc ON cc.cid = cand.cid
+             |      JOIN lut l ON l.qid = cand.qid AND l.s = cc.s AND l.c = cc.c
+             |      GROUP BY 1, 2)
+             |SELECT qid, cid, adc, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rn
+             |FROM f QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -273,7 +273,7 @@ object Similarity {
     * lowest centroid index (strict `<`), matching a SQL `ORDER BY d2, c`.
     */
   def pqEncode(df: DataFrame, idCol: String, embCol: String, m: Int,
-      codebook: Array[Array[Double]]): DataFrame = {
+      codebook: Array[Array[Double]], keep: Seq[String] = Nil): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(codebook)
     val mm = m
     val kernel = udf { v: Seq[Float] =>
@@ -301,9 +301,57 @@ object Similarity {
       }
       PqStats(sb.toString, sse / dim * 1e6)
     }
-    df.select(col(idCol), kernel(col(embCol)).as("pq"))
-      .select(col(idCol), col("pq.codes").as("codes"),
-        round(col("pq.mse_e6"), 4).as("mse_e6"))
+    df.select(col(idCol) +: keep.map(col) :+ kernel(col(embCol)).as("pq"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("pq.codes").as("codes")
+        :+ round(col("pq.mse_e6"), 4).as("mse_e6"): _*)
+  }
+
+  /** Per-query ADC lookup table over a broadcast codebook: entry
+    * (s, c) = ||q[s·dsub,(s+1)·dsub) − cent_c[same)||², rounded to 6
+    * decimals so downstream ADC sums are exact integer-micro sums on both
+    * the engine and the oracle (the x40/x44 DECIMAL(18,6) device). */
+  private def pqLutUdf(m: Int, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { v: Seq[Float] =>
+      val cb = bc.value
+      val dsub = v.length / m
+      val out = new Array[Double](m * cb.length)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < cb.length) {
+          val cent = cb(c)
+          var d = 0.0; var i = s * dsub
+          val end = i + dsub
+          while (i < end) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
+          out(s * cb.length + c) = math.floor(d * 1e6 + 0.5) / 1e6
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+
+  /** ADC distance = Σ_s lut(s, code_s): summed in integer micro-units
+    * (LUT entries are exact multiples of 1e-6), order-independent and
+    * bit-identical to the oracle's DECIMAL(18,6) aggregate. Parses
+    * "c0-c1-..." without allocating a split array. */
+  private def pqAdcUdf(nCent: Int) = udf { (lut: Seq[Double], codes: String) =>
+    var micros = 0L
+    var s = 0
+    var start = 0
+    var i = 0
+    while (i <= codes.length) {
+      if (i == codes.length || codes.charAt(i) == '-') {
+        var cOf = 0
+        var j = start
+        while (j < i) { cOf = cOf * 10 + (codes.charAt(j) - '0'); j += 1 }
+        micros += math.rint(lut(s * nCent + cOf) * 1e6).toLong
+        s += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    micros / 1e6
   }
 
   /** ADC (asymmetric distance computation) top-k search over [[pqEncode]]
@@ -325,60 +373,61 @@ object Similarity {
       codebook: Array[Array[Double]]): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(codebook)
-    val mm = m
-    val nCent = codebook.length
-    // LUT layout: lut(s * nCent + c) = ||q[s·dsub, (s+1)·dsub) - cent_c[same)||²
-    val lutUdf = udf { v: Seq[Float] =>
-      val cb = bc.value
-      val dsub = v.length / mm
-      val out = new Array[Double](mm * cb.length)
-      var s = 0
-      while (s < mm) {
-        var c = 0
-        while (c < cb.length) {
-          val cent = cb(c)
-          var d = 0.0; var i = s * dsub
-          val end = i + dsub
-          while (i < end) { val diff = v(i) - cent(i); d += diff * diff; i += 1 }
-          // Entries are rounded to 6 decimals (half-up, d ≥ 0 — DuckDB's
-          // round()) so the ADC sum below is an exact integer-micro sum on
-          // both the engine and the oracle; an unrounded double sum near a
-          // .00005 boundary could flip the final round(...,4) and the
-          // ranking derived from it (the x40/x44 DECIMAL(18,6) device).
-          out(s * cb.length + c) = math.floor(d * 1e6 + 0.5) / 1e6
-          c += 1
-        }
-        s += 1
-      }
-      out
-    }
-    val adcUdf = udf { (lut: Seq[Double], codes: String) =>
-      // Sum in integer micro-units: LUT entries are exact multiples of
-      // 1e-6 (rounded in lutUdf), so the sum is order-independent and
-      // bit-identical to the oracle's DECIMAL(18,6) aggregate.
-      var micros = 0L
-      var s = 0
-      var start = 0
-      var i = 0
-      // parse "c0-c1-...-c{m-1}" without allocating a split array
-      while (i <= codes.length) {
-        if (i == codes.length || codes.charAt(i) == '-') {
-          var cOf = 0
-          var j = start
-          while (j < i) { cOf = cOf * 10 + (codes.charAt(j) - '0'); j += 1 }
-          micros += math.rint(lut(s * nCent + cOf) * 1e6).toLong
-          s += 1
-          start = i + 1
-        }
-        i += 1
-      }
-      micros / 1e6
-    }
-    val coded = pqEncode(corpus, idCol, embCol, mm, codebook)
+    val lutUdf = pqLutUdf(m, bc)
+    val adcUdf = pqAdcUdf(codebook.length)
+    val coded = pqEncode(corpus, idCol, embCol, m, codebook)
       .select(col(idCol).as("cid"), col("codes"))
     val q = queries.select(col(idCol).as("qid"), lutUdf(col(embCol)).as("lut"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
     coded.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(adcUdf(col("lut"), col("codes")), 4).as("adc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF-PQ top-k (the FAISS IVFPQ layout; Jégou et al. 2011 §V, public):
+    * the seeded coarse quantizer bounds WHICH rows are scored (queries
+    * explode to their nProbe nearest cells, candidates = probed cells
+    * only) and PQ-ADC bounds the COST PER ROW (m LUT lookups over the
+    * m-byte code; full vectors never reread after encoding). At 100 TB the
+    * probe join is equi on the cell key against a code table of
+    * (id, cell, m bytes), so per-query work follows probed-cell occupancy
+    * — the index you actually ship when both |corpus| and dim hurt.
+    * Same output contract as [[pqAdcTopK]] (rounded adc, id tiebreak),
+    * restricted to candidates in probed cells. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int, seedIds: Seq[Long],
+      m: Int, codebook: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = seedVectors(corpus, idCol, embCol, seedIds)
+      .map(_.map(_.toDouble).toArray).toArray
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(codebook)
+    val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bcC.value) }
+    val probeUdf = udf { v: Seq[Float] =>
+      val ds = bcC.value.zipWithIndex.map { case (cent, ci) =>
+        var d = 0.0; var i = 0
+        while (i < cent.length && i < v.length) {
+          val diff = v(i) - cent(i); d += diff * diff; i += 1
+        }
+        (d, ci)
+      }
+      ds.sortBy(x => (x._1, x._2)).take(nProbe).map(_._2)
+    }
+    val lutUdf = pqLutUdf(m, bcCb)
+    val adcUdf = pqAdcUdf(codebook.length)
+
+    val coded = pqEncode(
+        corpus.withColumn("cell", assignUdf(col(embCol))),
+        idCol, embCol, m, codebook, keep = Seq("cell"))
+      .select(col(idCol).as("cid"), col("cell"), col("codes"))
+    val q = queries.select(col(idCol).as("qid"),
+        lutUdf(col(embCol)).as("lut"),
+        explode(probeUdf(col(embCol))).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    coded.join(q, "cell")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(adcUdf(col("lut"), col("codes")), 4).as("adc"))

@@ -129,6 +129,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK = pqAdcTopK restricted to probed cells") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val codebook = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val queries = e.filter(col("vec_id") < 3)
+
+    val ivfpq = Similarity.ivfPqTopK(queries, e, "vec_id", "embedding",
+        k = 5, nProbe = 8, seedIds = (0L to 7L), m = 8, codebook)
+      .select("qid", "cid", "adc", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // nProbe = nCells → every cell probed → identical to the flat ADC sweep
+    val flat = Similarity.pqAdcTopK(queries, e, "vec_id", "embedding",
+        m = 8, k = 5, codebook)
+      .select("qid", "cid", "adc", "rn")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivfpq === flat)
+
+    // with 1 probe, results are a subset of the flat candidates and every
+    // emitted neighbor shares the query's probed cell
+    val one = Similarity.ivfPqTopK(queries, e, "vec_id", "embedding",
+        k = 5, nProbe = 1, seedIds = (0L to 7L), m = 8, codebook)
+      .select("qid", "cid").as[(Long, Long)].collect()
+    assert(one.nonEmpty)
+    val flatAll = Similarity.pqAdcTopK(queries, e, "vec_id", "embedding",
+        m = 8, k = Int.MaxValue, codebook)
+      .select("qid", "cid", "adc").as[(Long, Long, Double)].collect()
+      .map { case (q, c, a) => (q, c) -> a }.toMap
+    one.foreach { case (q, c) => assert(flatAll.contains((q, c))) }
+  }
+
   test("semDedup drops the higher id of in-cell near-dups, keeps the rest") {
     // cells from seeds 1 (x-axis) and 3 (y-axis): vecs 2,5 land in 1's
     // cell, 4 in 3's (d2 to x-axis seed is 4, to y-axis seed is 2)
