@@ -44,6 +44,21 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .coalesce(4)
         .write.mode("overwrite").parquet(bigDocs.getPath)
+      // embeddings too (the vector ops' probe input): replicas get a small
+      // per-copy nudge on dim 0 so they are near- but not exact duplicates
+      // of the original — seed-id rules (vec_id % k, vec_id < q) then pick
+      // up 10x the seeds/queries, which is the honest scale shape for ops
+      // whose index size follows the corpus.
+      val emb = Tables.embeddings(spark, baseSf)
+      val m = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      emb.crossJoin(spark.range(10).toDF("rep"))
+        .select(
+          (col("vec_id") + col("rep") * m).as("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "IF(i = 0, CAST(x + rep * 0.001 AS FLOAT), x))").as("embedding"),
+          col("label"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
     }
 
     def time(name: String, dir: String): Double = {

@@ -214,13 +214,16 @@ object Similarity {
   }
 
   private def nearestCentroid(v: Seq[Float], cents: Array[Array[Double]]): Int = {
+    // materialize once: generic Seq element access inside the k x dim loop
+    // costs boxing + megamorphic dispatch (see Quantized.FlatCentroids)
+    val a = v.toArray
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
       var d = 0.0; var i = 0
       val cent = cents(c)
-      while (i < cent.length && i < v.length) {
-        val diff = v(i) - cent(i); d += diff * diff; i += 1
+      while (i < cent.length && i < a.length) {
+        val diff = a(i) - cent(i); d += diff * diff; i += 1
       }
       if (d < bestD) { bestD = d; best = c }
       c += 1
