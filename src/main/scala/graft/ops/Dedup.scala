@@ -472,6 +472,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Blocked exact shingle CONTAINMENT: pairs within (lang, source) blocks
+    * where the smaller word-3-gram set is mostly inside the larger —
+    * containment c = |A∩B| / min(|A|,|B|) >= threshold. The asymmetric
+    * twin of [[ngramJaccardPairs]] for quotes/boilerplate/subset docs:
+    * jaccard punishes length mismatch (a doc fully quoted inside a 10x
+    * larger one scores j ≈ 0.1), so containment pairs are EXACTLY the ones
+    * the length-band trick would discard — the candidate join here blocks
+    * on (lang, source) alone, no band probe. Same slim-key shape
+    * otherwise: ids pair up first, sorted hash arrays attach to survivors
+    * by two equi-joins, the compiled merge-intersection kernel scores. At
+    * 100 TB block size is the honest lever (add finer routing keys —
+    * domain, collection — as the corpus demands). */
+  def containmentPairs(df: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val slim = df.select(col("doc_id"), col("lang"), col("source"))
+    val cand = slim.as("a").join(slim.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = df.select(col("doc_id"),
+        array_sort(wordGramHashUdf(3)(graft.functions.TextFunctions.tokens(col("text"))))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sh_a")).as("__na"), size(col("sh_b")).as("__nb"),
+        expr("sorted_intersect_size(sh_a, sh_b)").as("__i"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("__na") <= col("__nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"),
+        round(col("__i").cast("double") / least(col("__na"), col("__nb")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Connected components over near-duplicate PAIR edges → duplicate
     * CLUSTERS (the group-level view a dedup policy acts on: keep one doc
     * per component, not one per pair — pairs alone mislabel transitive

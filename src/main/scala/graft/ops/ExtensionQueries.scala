@@ -1998,6 +1998,92 @@ object ExtensionQueries {
              |      JOIN lut l ON l.qid = cand.qid AND l.s = cc.s AND l.c = cc.c
              |      GROUP BY 1, 2)
              |SELECT qid, cid, adc, CAST(row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS BIGINT) AS rn
-             |FROM f QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
+             |FROM f QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Asymmetric shingle containment (quotes / boilerplate / subset docs):
+    // c = |A∩B| / min(|A|,|B|) over word 3-gram sets, blocked on
+    // (lang, source) WITHOUT the x4 length band — containment pairs have
+    // very different lengths by nature, so the band filter would discard
+    // exactly the hits. Exact, merge-intersection kernel on sorted hashes;
+    // oracle intersects the raw gram strings.
+    QuerySpec(
+      "x58_containment",
+      (s, dir) =>
+        Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.8)
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH t AS (SELECT doc_id, lang, source,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |sh AS (SELECT doc_id, lang, source,
+             |  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t WHERE len(toks) >= 3),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |        len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+             |      FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+             |SELECT doc_a, doc_b,
+             |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained,
+             |  round(CAST(i AS DOUBLE) / least(na, nb), 4) AS containment
+             |FROM p WHERE round(CAST(i AS DOUBLE) / least(na, nb), 4) >= 0.8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Per-source KL divergence of the token distribution vs the corpus —
+    // the mixture-monitoring diagnostic (which sources are distributional
+    // outliers before weighting them). Two token shuffles (corpus counts,
+    // per-source counts); per-term log-ratios go through the x40
+    // DECIMAL(18,6) device so the weighted sum is partition-order-proof;
+    // the corpus-total is a 1-row broadcast.
+    QuerySpec(
+      "x59_source_kl",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+        val nn = tok.agg(count(lit(1)).as("n"))
+        val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+        val ns = sw.groupBy("source").agg(sum("csw").as("ns"))
+        sw.join(cw, "w").join(ns, "source").crossJoin(broadcast(nn))
+          .withColumn("lr",
+            round(log(col("csw").cast("double") * col("n") / (col("ns") * col("cw"))), 6)
+              .cast("decimal(18,6)"))
+          .groupBy("source")
+          .agg(first(col("ns")).as("n_tokens"),
+            round(sum(col("csw") * col("lr")).cast("double") / first(col("ns")), 4)
+              .as("kl"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source,
+             |  unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w FROM documents),
+             |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM t GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+             |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS csw FROM t GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(SUM(csw) AS BIGINT) AS ns FROM sw GROUP BY 1),
+             |terms AS (
+             |  SELECT sw.source, sw.csw,
+             |    CAST(round(ln(CAST(sw.csw AS DOUBLE) * nn.n / (ns.ns * cw.cw)), 6) AS DECIMAL(18,6)) AS lr
+             |  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nn)
+             |SELECT source, any_value(ns.ns) AS n_tokens,
+             |  round(CAST(SUM(csw * lr) AS DOUBLE) / any_value(ns.ns), 4) AS kl
+             |FROM terms JOIN ns USING (source)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Bag-of-words dedup: key = sha256 of the SORTED token multiset, so
+    // word-order shuffles (scraper artifacts, list reorderings) collapse
+    // to one key where x1's raw digest and x16's normalized digest both
+    // miss them. Row-local key + one digest groupBy — the x1 plan shape.
+    QuerySpec(
+      "x60_bow_dedup",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            sha2(concat_ws(" ", array_sort(col("toks"))), 256).as("bow_key"))
+          .groupBy("bow_key")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+          .orderBy("bow_key"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
+             |SELECT sha256(list_aggregate(list_sort(toks), 'string_agg', ' ')) AS bow_key,
+             |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM t GROUP BY 1 ORDER BY bow_key""".stripMargin))
   )
 }

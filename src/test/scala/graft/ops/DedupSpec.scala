@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("containment catches a short doc quoted inside a longer one") {
+    val quoted = Seq(
+      (1L, "alpha beta gamma delta", "en", "s0", 22L), // fully inside doc 2
+      (2L, "prefix words alpha beta gamma delta and a much longer tail here", "en", "s0", 63L),
+      (3L, "completely unrelated text body with other words", "en", "s0", 47L),
+      (4L, "alpha beta gamma delta", "en", "s1", 22L) // other block: never paired
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.containmentPairs(quoted, threshold = 0.9)
+      .select("doc_a", "doc_b", "contained", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1L, 1.0)))
+    // jaccard at the same threshold misses it: the length gap kills j
+    val j = Dedup.ngramJaccardPairs(quoted, threshold = 0.5).count()
+    assert(j === 0L)
+  }
+
   test("minhash signature is deterministic across runs") {
     val sig1 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
     val sig2 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
