@@ -472,6 +472,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Content-defined chunking (the rsync/storage-dedup boundary device): a
+    * token whose poly31 hash ≡ 0 mod `modulus` STARTS a new chunk, so
+    * boundaries are a function of CONTENT, not position — insertions or
+    * deletions elsewhere in the doc leave the other chunks byte-identical
+    * (the property fixed-width segmenting lacks; DedupSpec asserts it).
+    * Row-local compiled kernel; expected chunk length = `modulus` tokens. */
+  def cdcChunksUdf(modulus: Long = 8L) = udf { toks: Seq[String] =>
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = new StringBuilder
+    toks.foreach { w =>
+      if (poly31(w) % modulus == 0 && cur.nonEmpty) {
+        out += cur.toString; cur = new StringBuilder
+      }
+      if (cur.nonEmpty) cur.append(' ')
+      cur.append(w)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
   /** Blocked exact shingle CONTAINMENT: pairs within (lang, source) blocks
     * where the smaller word-3-gram set is mostly inside the larger —
     * containment c = |A∩B| / min(|A|,|B|) >= threshold. The asymmetric

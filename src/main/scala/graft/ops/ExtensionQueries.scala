@@ -2084,6 +2084,60 @@ object ExtensionQueries {
              |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents)
              |SELECT sha256(list_aggregate(list_sort(toks), 'string_agg', ' ')) AS bow_key,
              |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
-             |FROM t GROUP BY 1 ORDER BY bow_key""".stripMargin))
+             |FROM t GROUP BY 1 ORDER BY bow_key""".stripMargin)),
+
+    // Content-defined chunking dedup (the rsync/storage-dedup boundary
+    // trick applied to corpus text): a token whose poly31 hash ≡ 0 mod 8
+    // STARTS a new chunk, so chunk boundaries survive insertions/deletions
+    // elsewhere in the doc — shifted copies still produce identical chunks,
+    // which fixed-width segmenting (x27) cannot. Chunking is a row-local
+    // compiled kernel; the only shuffle is the chunk-digest groupBy.
+    QuerySpec(
+      "x61_cdc_chunks",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(Dedup.cdcChunksUdf(8L)(TextFunctions.tokens(col("text"))))
+              .as("chunk_text"))
+          .groupBy(sha2(col("chunk_text"), 256).as("chunk_key"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("chunk_key"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |u AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t),
+             |h AS (SELECT doc_id, i, w,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) for c in string_split(w, '')]),
+             |          (acc, x) -> (acc*31 + x) % 2147483647) % 8 = 0 AS is_b FROM u),
+             |c AS (SELECT doc_id, i, w,
+             |        SUM(CASE WHEN is_b THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS chunk FROM h),
+             |ch AS (SELECT doc_id, chunk, string_agg(w, ' ' ORDER BY i) AS chunk_text FROM c GROUP BY 1, 2)
+             |SELECT sha256(chunk_text) AS chunk_key, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM ch GROUP BY 1 ORDER BY chunk_key""".stripMargin)),
+
+    // Merkle-style range checksums: one digest per doc_id range bucket,
+    // computed over the id-ORDERED per-doc digests — two corpus replicas
+    // (or two pipeline versions) compare 10 range keys instead of N rows,
+    // and a mismatched bucket pins the diff to a 50-doc range. Ordered
+    // aggregation made deterministic by sorting the collected (id, digest)
+    // structs — no partition-order dependence; shuffle is on the bucket key.
+    QuerySpec(
+      "x62_merkle_ranges",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(expr("doc_id div 50").as("bucket"), col("doc_id"),
+            sha2(col("text"), 256).as("digest"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sha2(array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"), col("digest")))),
+                x => x.getField("digest")), ""), 256).as("range_key"))
+          .orderBy("bucket"),
+      Some("""WITH d AS (SELECT doc_id, doc_id // 50 AS bucket, sha256(text) AS digest FROM documents)
+             |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  sha256(string_agg(digest, '' ORDER BY doc_id)) AS range_key
+             |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }

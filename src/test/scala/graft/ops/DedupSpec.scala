@@ -48,6 +48,26 @@ class DedupSpec extends SparkSpec {
     assert(j === 0L)
   }
 
+  test("CDC chunks survive a prefix insertion; fixed-width segments do not") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val shifted = "inserted prefix " + base // every token position moves by 2
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        explode(Dedup.cdcChunksUdf(4L)(
+          graft.functions.TextFunctions.tokens(col("text")))).as("c"))
+      .as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // all of base's chunks except (at most) its first reappear verbatim
+    val shared = a.intersect(b)
+    assert(shared.size >= a.size - 1,
+      s"CDC lost chunks under shift: ${a.size} -> ${shared.size}")
+    // fixed-width segmenting at the same granularity shares nothing
+    val fixedA = base.split(" ").grouped(4).map(_.mkString(" ")).toSet
+    val fixedB = shifted.split(" ").grouped(4).map(_.mkString(" ")).toSet
+    assert(fixedA.intersect(fixedB).isEmpty)
+  }
+
   test("minhash signature is deterministic across runs") {
     val sig1 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
     val sig2 = Dedup.withMinhash(docs, "text", 16).select("sig").as[Seq[Long]].collect()
