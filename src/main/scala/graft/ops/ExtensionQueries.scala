@@ -2138,6 +2138,77 @@ object ExtensionQueries {
       Some("""WITH d AS (SELECT doc_id, doc_id // 50 AS bucket, sha256(text) AS digest FROM documents)
              |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  sha256(string_agg(digest, '' ORDER BY doc_id)) AS range_key
-             |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ANN index-quality eval: recall@10 of the IVF-PQ index (x57's exact
+    // configuration) against the exact cosine top-10 — the measurement
+    // that decides nProbe/m/codebook before an index ships. Composes the
+    // two verified operators; one left join on (qid, cid). The honest
+    // numbers here (recall ~0.2-0.5) are WHY the eval op exists: m=8 seed
+    // codebooks at nProbe=3 are coarse, and this query is the dial.
+    QuerySpec(
+      "x63_ann_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+        val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid"))
+        val codebook = Similarity
+          .seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        val approx = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+            k = 10, nProbe = 3, seedIds = (0L to 7L), m = 8, codebook)
+          .select(col("qid"), col("cid")).withColumn("hit", lit(1L))
+        exact.join(approx, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("qid"), col("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |ex AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |  FROM n q CROSS JOIN n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+             |exact10 AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM ex)
+             |  WHERE rn <= 10),
+             |ivf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |        FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |dv AS (SELECT e.vec_id, ivf.cell,
+             |         list_sum([(e.emb[i]-ivf.cemb[i])*(e.emb[i]-ivf.cemb[i]) for i in range(1,65)]) AS d2
+             |       FROM e CROSS JOIN ivf),
+             |rankedv AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM dv),
+             |assign AS (SELECT vec_id, cell FROM rankedv WHERE rnk = 1),
+             |probe AS (SELECT vec_id, cell FROM rankedv WHERE rnk <= 3 AND vec_id < 5),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (SELECT e.vec_id, sub.s, cb.c,
+             |        list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM e CROSS JOIN sub CROSS JOIN cb),
+             |code AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM d),
+             |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
+             |lut AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM d WHERE vec_id < 5),
+             |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+             |         FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
+             |f AS (SELECT cand.qid, cand.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |      FROM cand JOIN cc ON cc.cid = cand.cid
+             |      JOIN lut l ON l.qid = cand.qid AND l.s = cc.s AND l.c = cc.c
+             |      GROUP BY 1, 2),
+             |approx10 AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM f)
+             |  WHERE rn <= 10)
+             |SELECT e10.qid, CAST(COUNT(*) AS BIGINT) AS k,
+             |  CAST(COUNT(a10.cid) AS BIGINT) AS n_hit,
+             |  round(CAST(COUNT(a10.cid) AS DOUBLE) / COUNT(*), 4) AS recall
+             |FROM exact10 e10 LEFT JOIN approx10 a10 USING (qid, cid)
+             |GROUP BY 1 ORDER BY qid""".stripMargin))
   )
 }

@@ -64,6 +64,27 @@ object EventsStream {
         col("st._2").as("n_zero_regs"), col("builtin_est"))
   }
 
+  /** Per-window Count-Min cells as a streaming fold
+    * ([[graft.functions.CmsAggregator]]): the heavy-hitter companion of
+    * [[windowedDistinctSketch]] — per-window state is depth·width Longs
+    * regardless of event volume, partials merge across micro-batches by
+    * cell addition, and any key's frequency estimate is readable from the
+    * emitted cells after the fact (min over rows), which a plain
+    * `groupBy(key).count()` stream can only answer for keys it kept state
+    * for. */
+  def windowedCmsSketch(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "30 minutes", depth: Int = 3,
+      width: Int = 64): DataFrame = {
+    import graft.functions.CmsAggregator
+    val agg = new CmsAggregator(depth, width)
+    val cms = udaf(agg)
+    val h = pmod(col("user_id"), lit(2147483647L))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("win_start"))
+      .agg(cms(h).as("cells"), count(lit(1)).as("n_events"))
+  }
+
   /** Stream-stream interval join: each purchase joined to clicks of the same
     * user within the preceding `gapMinutes`. Both sides watermarked so the
     * join state is bounded — the streaming twin of

@@ -194,6 +194,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(EventsStream.slidingAgg(ev).count() >= out) // sliding ⊇ tumbling starts
   }
 
+  test("windowed CMS sketch: streaming cells equal the batch fold and " +
+      "answer per-key frequencies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+
+    val q = EventsStream.windowedCmsSketch(df, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("cms_win_test")
+      .outputMode("complete").start()
+    val data = Seq(
+      (ts("2024-01-01 00:01:00"), 7L), (ts("2024-01-01 00:02:00"), 7L),
+      (ts("2024-01-01 00:03:00"), 9L),
+      (ts("2024-01-01 00:12:00"), 7L))
+    mem.addData(data.take(2))
+    mem.addData(data.drop(2)) // user 7's window-0 count spans micro-batches
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM cms_win_test ORDER BY win_start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    val cells0 = rows(0).getSeq[Long](1).toArray
+    import graft.functions.CmsSketch
+    assert(CmsSketch.estimate(cells0, 7L, 3, 64) === 2L)
+    assert(CmsSketch.estimate(cells0, 9L, 3, 64) === 1L)
+    assert(CmsSketch.estimate(rows(1).getSeq[Long](1).toArray, 7L, 3, 64) === 1L)
+
+    val batch = EventsStream.windowedCmsSketch(
+        data.toDF("ts", "user_id"), "10 minutes", "1 hour")
+      .orderBy("win_start").collect()
+    assert(batch.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   test("windowed HLL sketch: streaming registers equal the batch fold") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
