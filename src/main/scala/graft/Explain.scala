@@ -31,7 +31,8 @@ object Explain {
       "x44_bigram_lm", "x45_bloom_contamination", "x46_hll_distinct",
       "x48_zorder_key", "x49_stratified_sample",
       "x50_quality_classifier", "x51_random_projection", "x53_cms_heavy_hitters",
-      "x54_centroid_outliers", "x55_curriculum_order")
+      "x54_centroid_outliers", "x55_curriculum_order",
+      "x57_ivfpq_topk", "x58_containment", "x59_source_kl", "x61_cdc_chunks")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

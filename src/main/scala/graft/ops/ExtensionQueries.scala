@@ -2209,6 +2209,58 @@ object ExtensionQueries {
              |  CAST(COUNT(a10.cid) AS BIGINT) AS n_hit,
              |  round(CAST(COUNT(a10.cid) AS DOUBLE) / COUNT(*), 4) AS recall
              |FROM exact10 e10 LEFT JOIN approx10 a10 USING (qid, cid)
-             |GROUP BY 1 ORDER BY qid""".stripMargin))
+             |GROUP BY 1 ORDER BY qid""".stripMargin)),
+
+    // Spark 4 VariantType ingestion: semi-structured props parsed ONCE into
+    // the binary variant encoding, then field access via typed variant_get
+    // — the shredded-JSON path that replaces per-access string re-parsing
+    // (q17's get_json_object re-tokenizes the string per call; variant
+    // parses per ROW and reads fields at binary offsets — the difference
+    // that matters when a 100 TB log table carries a wide JSON column).
+    QuerySpec(
+      "x64_variant_json",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS INT) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis 2006,
+    // public): key = ln(u)/w with u a content-hash-derived uniform — one
+    // pass, no RNG state, fully distributed (the exponential-key trick is
+    // THE way to draw a quality- or length-weighted sample from a corpus
+    // too big to sort by coin flips). Top-100 by key is a bounded top-k
+    // (Partial+Final WindowGroupLimit), never a full sort; u is replayable
+    // (md5 prefix), the key rounded to 8 decimals with id tiebreak so both
+    // engines rank identically.
+    QuerySpec(
+      "x65_weighted_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            ((conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long") + 1L) /
+              16777217.0).as("u"))
+          .select(col("doc_id"), col("n_chars"),
+            round(log(col("u")) / col("n_chars"), 8).as("es_key"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 100)
+          .select(col("doc_id"), col("n_chars"), col("rank"))
+          .orderBy("rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |    (CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) + 1) / 16777217.0 AS u
+             |  FROM documents),
+             |k AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 8) AS es_key FROM d)
+             |SELECT doc_id, n_chars, CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+             |FROM k QUALIFY rank <= 100 ORDER BY rank""".stripMargin))
   )
 }
