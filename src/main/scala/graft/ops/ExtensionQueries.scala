@@ -2261,6 +2261,43 @@ object ExtensionQueries {
              |  FROM documents),
              |k AS (SELECT doc_id, n_chars, round(ln(u) / n_chars, 8) AS es_key FROM d)
              |SELECT doc_id, n_chars, CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
-             |FROM k QUALIFY rank <= 100 ORDER BY rank""".stripMargin))
+             |FROM k QUALIFY rank <= 100 ORDER BY rank""".stripMargin)),
+
+    // Cross-source duplication matrix: near-dup PAIR counts per unordered
+    // source pair — the provenance view that decides which feeds to
+    // deprioritize or dedup against each other (a diagonal entry means a
+    // source duplicates itself). Composes x2's LSH pairs (recall complete
+    // at this threshold on this corpus, so the oracle is the exact sweep)
+    // with two slim id→source joins; the matrix is |sources|²-bounded.
+    QuerySpec(
+      "x66_source_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.8)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+          .select(least(col("source_a"), col("source_b")).as("src_lo"),
+            greatest(col("source_a"), col("source_b")).as("src_hi"))
+          .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |        len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |      WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+             |q AS (SELECT doc_a, doc_b FROM p WHERE round(CAST(i AS DOUBLE)/(na+nb-i), 4) >= 0.8),
+             |m AS (SELECT least(da.source, db.source) AS src_lo, greatest(da.source, db.source) AS src_hi
+             |      FROM q JOIN documents da ON q.doc_a = da.doc_id
+             |             JOIN documents db ON q.doc_b = db.doc_id)
+             |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
