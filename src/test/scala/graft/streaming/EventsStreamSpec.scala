@@ -194,6 +194,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(EventsStream.slidingAgg(ev).count() >= out) // sliding ⊇ tumbling starts
   }
 
+  test("stateful aggregation runs on the RocksDB state store (production " +
+      "backend) with identical results") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Timestamp, String, Double)]
+      val df = mem.toDF().toDF("ts", "event_type", "value")
+      val q = EventsStream.tumblingAgg(df, "10 minutes", "1 hour")
+        .writeStream.format("memory").queryName("rocksdb_test")
+        .outputMode("complete").start()
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:04:00"), "click", 2.0))
+      mem.addData((ts("2024-01-01 00:06:00"), "click", 4.0)) // same window, batch 2
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rocksdb_test ORDER BY win_start").collect()
+      q.stop()
+      // state merged across micro-batches through RocksDB
+      assert(rows.length === 1)
+      assert(rows(0).getLong(2) === 3L && rows(0).getDouble(3) === 7.0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("windowed CMS sketch: streaming cells equal the batch fold and " +
       "answer per-key frequencies") {
     implicit val sqlCtx = spark.sqlContext
