@@ -2298,6 +2298,51 @@ object ExtensionQueries {
              |      FROM q JOIN documents da ON q.doc_a = da.doc_id
              |             JOIN documents db ON q.doc_b = db.doc_id)
              |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
-             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Per-doc novelty vs a reference corpus (x21's contamination device
+    // inverted into a SCORE): novelty = fraction of a doc's distinct word
+    // 3-grams NOT present in the reference split — the memorization /
+    // freshness metric that gates eval-adjacent or stale content by
+    // degree instead of x21's binary leak flag. Same scale shape: gram
+    // hashes equi-join against the (small, broadcastable) reference gram
+    // set; cost follows total gram count.
+    QuerySpec(
+      "x67_novelty_score",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            Dedup.wordGramHashUdf(3)(TextFunctions.tokens(col("text"))).as("grams"))
+          .filter(size(col("grams")) > 0)
+        val ref = g.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("grams")).as("gram")).distinct()
+        g.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(ref.withColumn("known", lit(1L))), Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("known"), lit(0L))).as("n_known"))
+          .select(col("doc_id"), col("n_grams"), col("n_known"),
+            round(lit(1.0) - col("n_known").cast("double") / col("n_grams"), 4)
+              .as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |g AS (SELECT doc_id,
+             |  list_distinct([list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ord(c) AS BIGINT) for c in string_split(array_to_string(toks[i:i+2], ' '), '')]),
+             |    (acc, x) -> (acc*31 + x) % 2147483647)
+             |    for i in range(1, len(toks) - 1)]) AS grams
+             |  FROM t WHERE len(toks) >= 3),
+             |ref AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+             |d AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+             |hit AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |          CAST(COUNT(ref.gram) AS BIGINT) AS n_known
+             |        FROM d LEFT JOIN ref USING (gram) GROUP BY 1)
+             |SELECT doc_id, n_grams, n_known,
+             |  round(1.0 - CAST(n_known AS DOUBLE) / n_grams, 4) AS novelty
+             |FROM hit ORDER BY doc_id""".stripMargin))
   )
 }
