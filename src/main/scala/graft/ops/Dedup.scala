@@ -27,6 +27,16 @@ object Dedup {
   /** Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P.
     * a is odd and < 2^29 so a*x stays below 2^62 for 32-bit x (no ANSI
     * overflow); seed fixed for reproducibility. */
+  /** SplitMix64 finalizer over a (u, v) pair — the order-independent set
+    * checksum [[dupClustersStar]] sums per edge (public constant set from
+    * Steele et al. 2014, "Fast Splittable Pseudorandom Number Generators"). */
+  private[ops] def mix64(u: Long, v: Long): Long = {
+    var x = u * 0x9E3779B97F4A7C15L + v
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
   private def hashFamily(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(k)((rng.nextInt(1 << 28).toLong * 2 + 1, math.abs(rng.nextLong()) % P))
@@ -617,16 +627,45 @@ object Dedup {
     * toward smaller ids, the ≤ neighbors (and the node itself) re-attach to
     * that minimum. Both are one groupBy + one join per round; convergence =
     * the oriented edge set reaches a fixpoint (stars pointing at component
-    * minima). */
+    * minima).
+    *
+    * ONE Spark action per round, like [[dupClusters]]: the fixpoint test
+    * rides the same `mapPartitions` pass the round's eager
+    * `localCheckpoint` materializes, as an (edge-count, order-independent
+    * checksum) accumulator pair — the edge sets are `distinct()`, so equal
+    * count plus equal sum of per-edge mixed 64-bit hashes means equal sets
+    * (a false fixpoint needs a wraparound sum collision between two
+    * DIFFERENT star-contraction iterates: vanishingly unlikely, and a task
+    * retry polluting the accumulators at worst costs one extra confirming
+    * round because the next round's clean checksum won't match the polluted
+    * one). Replaces the earlier two `left_anti`+`count` probe jobs per
+    * round — at 100 TB those probes re-shuffled the edge set twice per
+    * round just to ask "same as before?". */
   def dupClustersStar(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 60): DataFrame = {
+    import org.apache.spark.sql.Encoders
     val spark = pairs.sparkSession
+    val cntAcc = spark.sparkContext.longAccumulator("graft.dupClustersStar.edges")
+    val sumAcc = spark.sparkContext.longAccumulator("graft.dupClustersStar.checksum")
+    // materialize an edge set eagerly, folding (count, checksum) into the
+    // checkpoint's own job so convergence needs no further action
+    def checkpointSummed(df: DataFrame): (DataFrame, Long, Long) = {
+      cntAcc.reset(); sumAcc.reset()
+      val ck = df.mapPartitions { rows =>
+        rows.map { r =>
+          cntAcc.add(1L)
+          sumAcc.add(Dedup.mix64(r.getLong(0), r.getLong(1)))
+          r
+        }
+      }(Encoders.row(df.schema)).localCheckpoint() // the round's ONE action
+      (ck, cntAcc.value, sumAcc.value)
+    }
     val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
-    var edges = pairs
+    var (edges, prevCnt, prevSum) = checkpointSummed(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var edgeIds = spark.sparkContext.getPersistentRDDs.keySet -- protectedIds
     var changed = true
     var iter = 0
@@ -648,11 +687,11 @@ object Dedup {
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .where(col("u") =!= col("v")).distinct()
       val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
-      val next = small.localCheckpoint()
-      // fixpoint test: the oriented edge sets are equal (both directions of
-      // the symmetric difference must be empty)
-      changed = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
-        edges.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      val (next, cnt, sum) = checkpointSummed(small)
+      // fixpoint = this round's (count, checksum) matches the previous
+      // edge set's — computed inside the checkpoint job above, no probes
+      changed = cnt != prevCnt || sum != prevSum
+      prevCnt = cnt; prevSum = sum
       val persisted = spark.sparkContext.getPersistentRDDs
       edgeIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
       edgeIds = spark.sparkContext.getPersistentRDDs.keySet -- beforeIds

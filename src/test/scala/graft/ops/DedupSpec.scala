@@ -246,4 +246,37 @@ class DedupSpec extends SparkSpec {
         s"expected 2 setup + 5 round checkpoints, got: $during")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("dupClustersStar runs exactly one Spark action per star round") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val actions = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = actions.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("doc_a", "doc_b")
+      Dedup.dupClustersStar(pairs) // loop runs inside; result plan stays lazy
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var last = -1
+      while (actions.size() != last && System.nanoTime() < deadline) {
+        last = actions.size()
+        Thread.sleep(500)
+      }
+      val during = actions.toArray(Array.empty[String]).toSeq
+      // convergence rides the checkpoint job's accumulators: the fixpoint
+      // probes (left_anti + limit(1).count() per direction per round) are
+      // gone — EVERY action in the loop is a round's localCheckpoint
+      assert(!during.contains("count"),
+        s"star convergence must not run probe count actions: $during")
+      assert(during.nonEmpty && during.forall(_ == "localCheckpoint"),
+        s"expected only localCheckpoint actions (1 setup + 1 per round), got: $during")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
