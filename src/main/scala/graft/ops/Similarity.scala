@@ -438,6 +438,42 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF-PQ with an exact re-rank tail (the FAISS `IndexRefineFlat`
+    * pattern; Jégou et al. 2011 §VII report the same shortlist-then-verify
+    * device, public): the PQ index's job shrinks from "rank exactly" to
+    * "don't lose the true neighbors from a `refine`-sized shortlist", and
+    * the final order comes from true cosine over the full vectors of
+    * shortlist members only. Closes the recall gap the ADC-only ranking
+    * leaves (seed-vector codebooks at m=8 measure recall@10 ≈ 0.2–0.5 on
+    * the harness embeddings; with nProbe=4 and refine=100 the re-ranked
+    * output measures 0.94 — x69 is the oracle-checked eval).
+    *
+    * Scale shape: the shortlist is |queries|·refine slim (qid, cid) rows —
+    * broadcastable by construction — so the full-vector fetch is one
+    * broadcast equi-join against the corpus scan, never a shuffle of the
+    * embedding column; per-query refine cost is `refine` exact dots, fixed
+    * and independent of corpus size. Output contract matches
+    * [[cosineTopK]]: (qid, cid, sim rounded 4, rn by sim desc / cid). */
+  def ivfPqRefineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int, seedIds: Seq[Long],
+      m: Int, codebook: Array[Array[Double]], refine: Int): DataFrame = {
+    val shortlist = ivfPqTopK(queries, corpus, idCol, embCol,
+        k = refine, nProbe, seedIds, m, codebook)
+      .select(col("qid"), col("cid"))
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("c_emb"))
+      .withColumn("c_nrm", sqrt(expr("float_dot(c_emb, c_emb)")))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("q_emb"))
+      .withColumn("q_nrm", sqrt(expr("float_dot(q_emb, q_emb)")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    broadcast(shortlist).join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"),
+        round(expr("float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF core given a fixed centroid table: cell assignment is a row-local
     * argmin over the broadcast centroids, queries explode to their `nProbe`
     * nearest cells, and the probe join is equi on cell id — per-query work
