@@ -2474,6 +2474,65 @@ object ExtensionQueries {
              |  CAST(COUNT(a10.cid) AS BIGINT) AS n_hit,
              |  round(CAST(COUNT(a10.cid) AS DOUBLE) / COUNT(*), 4) AS recall
              |FROM exact10 e10 LEFT JOIN approx10 a10 USING (qid, cid)
-             |GROUP BY 1 ORDER BY qid""".stripMargin))
+             |GROUP BY 1 ORDER BY qid""".stripMargin)),
+
+    // Index build/serve split: the IVF-PQ index is built ONCE, persisted
+    // to parquet (codes + centroids + codebook + meta), reloaded, and the
+    // query runs off the LOADED index — the production lifecycle (FAISS
+    // write_index/read_index) where a 100 TB corpus is encoded in one job
+    // and every later batch searches slim code rows without re-encoding.
+    // Oracle = x68's SQL verbatim: the round-trip must reproduce the
+    // rebuild-every-time result bit-for-bit or persistence lost something.
+    QuerySpec(
+      "x70_ivfpq_index_roundtrip",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val codebook = Similarity
+          .seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        val idxDir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ivfpq_index").toString
+        IvfPqIndex.build(e, "vec_id", "embedding",
+            seedIds = (0L to 7L), m = 8, codebook)
+          .save(idxDir)
+        IvfPqIndex.load(s, idxDir)
+          .refineTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+            k = 10, nProbe = 4, refine = 100)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |ivf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |        FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |dv AS (SELECT e.vec_id, ivf.cell,
+             |         list_sum([(e.emb[i]-ivf.cemb[i])*(e.emb[i]-ivf.cemb[i]) for i in range(1,65)]) AS d2
+             |       FROM e CROSS JOIN ivf),
+             |rankedv AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM dv),
+             |assign AS (SELECT vec_id, cell FROM rankedv WHERE rnk = 1),
+             |probe AS (SELECT vec_id, cell FROM rankedv WHERE rnk <= 4 AND vec_id < 5),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (SELECT e.vec_id, sub.s, cb.c,
+             |        list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM e CROSS JOIN sub CROSS JOIN cb),
+             |code AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM d),
+             |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
+             |lut AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM d WHERE vec_id < 5),
+             |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+             |         FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
+             |f AS (SELECT cand.qid, cand.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |      FROM cand JOIN cc ON cc.cid = cand.cid
+             |      JOIN lut l ON l.qid = cand.qid AND l.s = cc.s AND l.c = cc.c
+             |      GROUP BY 1, 2),
+             |short AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM f)
+             |  WHERE rn <= 100),
+             |r AS (SELECT s.qid, s.cid,
+             |        round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |      FROM short s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid)
+             |SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -403,12 +403,35 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int, nProbe: Int, seedIds: Seq[Long],
       m: Int, codebook: Array[Array[Double]]): DataFrame = {
-    val spark = corpus.sparkSession
     val cents = seedVectors(corpus, idCol, embCol, seedIds)
       .map(_.map(_.toDouble).toArray).toArray
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcCb = spark.sparkContext.broadcast(codebook)
+    val coded = ivfPqEncodeCells(corpus, idCol, embCol, cents, m, codebook)
+    ivfPqSearchCoded(queries, idCol, embCol, coded, cents, m, codebook,
+      k, nProbe)
+  }
+
+  /** The BUILD half of IVF-PQ: corpus rows assigned to their nearest coarse
+    * cell and PQ-coded — the (cid, cell, codes) table an index persists.
+    * Row-local kernels over broadcast centroids/codebook; no shuffle. */
+  private[ops] def ivfPqEncodeCells(corpus: DataFrame, idCol: String,
+      embCol: String, centroids: Array[Array[Double]], m: Int,
+      codebook: Array[Array[Double]]): DataFrame = {
+    val bcC = corpus.sparkSession.sparkContext.broadcast(centroids)
     val assignUdf = udf { v: Seq[Float] => nearestCentroid(v, bcC.value) }
+    pqEncode(corpus.withColumn("cell", assignUdf(col(embCol))),
+        idCol, embCol, m, codebook, keep = Seq("cell"))
+      .select(col(idCol).as("cid"), col("cell"), col("codes"))
+  }
+
+  /** The SERVE half of IVF-PQ: ADC top-k over an ALREADY-CODED corpus
+    * table — what runs against a loaded index, where the scan reads only
+    * (cid, cell, codes) and the full embedding column never appears. */
+  private[ops] def ivfPqSearchCoded(queries: DataFrame, idCol: String,
+      embCol: String, coded: DataFrame, centroids: Array[Array[Double]],
+      m: Int, codebook: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    val spark = coded.sparkSession
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(codebook)
     val probeUdf = udf { v: Seq[Float] =>
       val ds = bcC.value.zipWithIndex.map { case (cent, ci) =>
         var d = 0.0; var i = 0
@@ -421,11 +444,6 @@ object Similarity {
     }
     val lutUdf = pqLutUdf(m, bcCb)
     val adcUdf = pqAdcUdf(codebook.length)
-
-    val coded = pqEncode(
-        corpus.withColumn("cell", assignUdf(col(embCol))),
-        idCol, embCol, m, codebook, keep = Seq("cell"))
-      .select(col(idCol).as("cid"), col("cell"), col("codes"))
     val q = queries.select(col(idCol).as("qid"),
         lutUdf(col(embCol)).as("lut"),
         explode(probeUdf(col(embCol))).as("cell"))
@@ -460,6 +478,16 @@ object Similarity {
     val shortlist = ivfPqTopK(queries, corpus, idCol, embCol,
         k = refine, nProbe, seedIds, m, codebook)
       .select(col("qid"), col("cid"))
+    cosineRerank(shortlist, queries, corpus, idCol, embCol, k)
+  }
+
+  /** Exact-cosine re-rank of a slim (qid, cid) shortlist against full
+    * corpus vectors — the shared refine tail of [[ivfPqRefineTopK]] and
+    * [[IvfPqIndex.refineTopK]]. The shortlist is |queries|·refine rows by
+    * construction, so it broadcasts to the corpus scan; output contract
+    * matches [[cosineTopK]]. */
+  private[ops] def cosineRerank(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("cid"), col(embCol).as("c_emb"))
       .withColumn("c_nrm", sqrt(expr("float_dot(c_emb, c_emb)")))

@@ -180,6 +180,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.7, s"mean recall@10 $mean below the 0.7 bar: $recalls")
   }
 
+  test("IvfPqIndex: loaded index reproduces rebuilt results exactly") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter($"vec_id" < 5)
+    val codebook = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val built = IvfPqIndex.build(e, "vec_id", "embedding",
+      seedIds = (0L to 7L), m = 8, codebook)
+    built.save(dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    // the persisted halves round-trip bit-for-bit
+    assert(loaded.m === built.m)
+    assert(loaded.centroids.map(_.toSeq).toSeq === built.centroids.map(_.toSeq).toSeq)
+    assert(loaded.codebook.map(_.toSeq).toSeq === built.codebook.map(_.toSeq).toSeq)
+    assert(loaded.codes.orderBy("cid").collect().toSeq
+      === built.codes.orderBy("cid").collect().toSeq)
+    // serve path off the loaded index == rebuild-every-time operator, for
+    // both the raw ADC ranking and the refined tail
+    val fresh = Similarity.ivfPqTopK(q, e, "vec_id", "embedding",
+        k = 10, nProbe = 3, seedIds = (0L to 7L), m = 8, codebook)
+      .orderBy("qid", "rn").collect().toSeq
+    assert(loaded.topK(q, "vec_id", "embedding", k = 10, nProbe = 3)
+      .orderBy("qid", "rn").collect().toSeq === fresh)
+    val freshRefined = Similarity.ivfPqRefineTopK(q, e, "vec_id", "embedding",
+        k = 10, nProbe = 4, seedIds = (0L to 7L), m = 8, codebook, refine = 100)
+      .orderBy("qid", "rn").collect().toSeq
+    assert(loaded.refineTopK(q, e, "vec_id", "embedding",
+        k = 10, nProbe = 4, refine = 100)
+      .orderBy("qid", "rn").collect().toSeq === freshRefined)
+  }
+
   test("semDedup drops the higher id of in-cell near-dups, keeps the rest") {
     // cells from seeds 1 (x-axis) and 3 (y-axis): vecs 2,5 land in 1's
     // cell, 4 in 3's (d2 to x-axis seed is 4, to y-axis seed is 2)
