@@ -51,6 +51,45 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.n_bytes === 3L)
   }
 
+  test("decode dispatch honesty: real codec per decodable mime, labeled " +
+      "stub for JVM-absent codecs, never fabricated features") {
+    import Multimodal.{MediaFeatures, MediaRow, decode, decodeStub, decodePng}
+    // MediaFeatures carries an Array field (reference equality) — compare
+    // through a value tuple
+    def v(f: MediaFeatures) = (f.media_id, f.n_bytes, f.sha256, f.width,
+      f.height, f.mean_byte, f.histogram.toSeq)
+    val png = graft.Pipeline.pngBytes(Array.tabulate(48)(i => (i * 5).toShort), 8, 6)
+    val fakeBytes = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+
+    // image/png with a real payload: the REAL decoder answers — raster
+    // dimensions and pixel (not byte) statistics
+    val real = decode(MediaRow(1L, png, "image/png", 8, 6))
+    assert(v(real) === v(decodePng(MediaRow(1L, png, "image/png", 8, 6))))
+    assert(real.histogram.sum === 48L) // pixels counted, not payload bytes
+    assert(v(real) !== v(decodeStub(MediaRow(1L, png, "image/png", 8, 6))))
+
+    // image mimes whose codec the JVM lacks (ImageIO has no WebP/AVIF
+    // reader): decode must DEGRADE to the stub's byte stats — mime says
+    // image, but features must never be fabricated from a failed parse
+    Seq("image/webp", "image/avif").foreach { mime =>
+      val r = MediaRow(2L, fakeBytes, mime, 16, 16)
+      val f = decode(r)
+      assert(v(f) === v(decodeStub(r)), s"$mime must fall back to the stub")
+      assert(f.histogram.sum === fakeBytes.length.toLong) // byte stats
+      assert(f.width === 16 && f.height === 16) // metadata passthrough
+    }
+
+    // non-image mimes route straight to the stub by dispatch, not by a
+    // failed decode attempt
+    Seq("audio/wav", "video/mp4", "application/octet-stream").foreach { mime =>
+      val r = MediaRow(3L, fakeBytes, mime, 4, 4)
+      assert(v(decode(r)) === v(decodeStub(r)), s"$mime must use the stub")
+    }
+    // null mime: stub, no NPE
+    val nullMime = MediaRow(4L, fakeBytes, null, 4, 4)
+    assert(v(decode(nullMime)) === v(decodeStub(nullMime)))
+  }
+
   test("featurize runs partition-parallel and matches a local decode") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir))
       .repartition(3) // prove multi-partition batch shape
