@@ -36,24 +36,44 @@ object Bench {
     // a query whose isolated min-of-3 is 2.57 s). Min-of-N is the standard
     // noise-rejection device for wall-clock microbenchmarks: stalls only
     // ever ADD time, so the min is the best estimate of true cost.
+    //
+    // The reps run as INTERLEAVED FULL PASSES over the query list (pass 1
+    // of everything, then pass 2, ...), not back-to-back per query:
+    // back-to-back reps share one multi-minute co-tenant stall window and
+    // ALL get inflated (measured: a query at 0.35 s isolated read 6.5 s in
+    // all-reps-adjacent mode while the host was busy). Interleaving
+    // separates a query's reps by a whole pass (~minutes), so a stall
+    // window lands on different queries in different passes and the
+    // per-query min discards it.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // isolate reps and queries: caches built inside one query (the
-        // augmentation pipelines pin ~GBs of pixel rows) must not stay
-        // resident and GC-pressure whatever happens to run later in map
-        // order — measured 0.8 s -> 12 s on the last query before this
-        // was added
-        spark.catalog.clearCache()
-        // clearCache misses localCheckpoint blocks (iterative ops); drop them too
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }.min
-      name -> t
+    // optional comma-separated subset for isolating suspect queries
+    // (SPARK_GRAFT_BENCH_ONLY=q25_bbox_normalize,x34_dup_clusters_star)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate reps and queries: caches built inside one query (the
+      // augmentation pipelines pin ~GBs of pixel rows) must not stay
+      // resident and GC-pressure whatever happens to run later in map
+      // order — measured 0.8 s -> 12 s on the last query before this
+      // was added
+      spark.catalog.clearCache()
+      // clearCache misses localCheckpoint blocks (iterative ops); drop them too
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
+    }
+    val passes = (1 to reps).map { _ =>
+      selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
