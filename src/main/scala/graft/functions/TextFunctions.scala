@@ -334,4 +334,43 @@ object TextFunctions {
       when(v > 0 && v === best, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Within-doc n-gram repetition fractions (the Gopher §A1.1 repetition
+    * filters, Rae et al. 2021, public — templated/boilerplate docs repeat
+    * internal n-grams long before they duplicate ACROSS docs, so these
+    * row-local signals gate what document-level dedup cannot see):
+    * (_1) fraction of bigram occurrences whose bigram occurs >1 time in
+    * the doc, (_2) occurrence share of the single most frequent bigram,
+    * (_3) same as _1 for trigrams. Raw ratios — callers round. One hash
+    * map pass per row over materialized token arrays (generic Seq access
+    * in the loop is the measured 45x boxing trap). */
+  val repetitionUdf = udf { toksIn: Seq[String] =>
+    val toks = toksIn.toArray
+    def fracs(n: Int): (Double, Double) = {
+      val total = toks.length - n + 1
+      if (total <= 0) (0.0, 0.0)
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < total) {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          counts.merge(sb.toString, 1, Integer.sum)
+          i += 1
+        }
+        var dup = 0L; var top = 0
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c > 1) dup += c
+          if (c > top) top = c
+        }
+        (dup.toDouble / total, top.toDouble / total)
+      }
+    }
+    val (dup2, top2) = fracs(2)
+    val (dup3, _) = fracs(3)
+    (dup2, top2, dup3)
+  }
 }

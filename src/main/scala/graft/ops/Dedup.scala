@@ -710,6 +710,30 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Soft dedup: per-doc training weight 1/cluster_size instead of hard
+    * removal — repeated data loses value with each exposure (Muennighoff
+    * et al. 2023, "Scaling Data-Constrained Language Models", public:
+    * repeated-epoch value decays; inverse-multiplicity loss weighting is
+    * the continuous version of keep-one dedup, and what a data-constrained
+    * run wants when dropping duplicates would cost total tokens).
+    *
+    * Composes [[minhashNearDups]] → [[dupClusters]]; docs in no near-dup
+    * pair weigh 1.0. Scale shape: the cluster table only holds docs that
+    * appear in some pair (dup-count-sized, not corpus-sized), and the
+    * weight attach is one equi-join on doc id — every stage is the
+    * already-verified bucketed primitive. Returns every corpus doc:
+    * (doc_id, cluster_size, weight rounded 4). */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val clusters = dupClusters(
+        minhashNearDups(df, idCol, textCol, k, bands, threshold))
+      .select(col("doc_id").as(idCol), col("cluster_size"))
+    df.select(col(idCol)).join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 4).as("weight"))
+  }
+
   /** Exact duplicated-substring spans, the span-level complement of
     * document-level dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better" — their ExactSubstr deduplicates any

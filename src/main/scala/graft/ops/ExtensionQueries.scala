@@ -2533,6 +2533,64 @@ object ExtensionQueries {
              |        round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
              |      FROM short s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid)
              |SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
-             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
+             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Soft dedup: inverse-multiplicity training weights (1/cluster_size)
+    // instead of hard removal — the data-constrained regime's version of
+    // dedup, where dropping duplicates would cost total tokens but equal
+    // weighting over-trains on repeated content. Composes x2's pairs and
+    // x31's clusters; docs outside every cluster weigh 1.0. Oracle reuses
+    // the x31 recursive-closure CTEs.
+    QuerySpec(
+      "x71_soft_dedup_weights",
+      (s, dir) =>
+        Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text",
+            k = 64, bands = 16, threshold = 0.8)
+          .orderBy("doc_id"),
+      Some(dupGraphCtes +
+        """
+          |SELECT d.doc_id,
+          |  CAST(COALESCE(siz.cluster_size, 1) AS BIGINT) AS cluster_size,
+          |  round(1.0 / COALESCE(siz.cluster_size, 1), 4) AS weight
+          |FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+          |LEFT JOIN siz ON lab.cluster_id = siz.cluster_id
+          |ORDER BY d.doc_id""".stripMargin)),
+
+    // Within-doc n-gram repetition metrics (Gopher §A1.1 repetition
+    // filters): templated/spam docs repeat internal n-grams long before
+    // they duplicate across docs, so these row-local fractions gate what
+    // document-level dedup cannot see — the quality-filter complement of
+    // x26's length/stopword gates. One hash-map pass per row; no shuffle.
+    QuerySpec(
+      "x72_repetition_metrics",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), TextFunctions.repetitionUdf(col("toks")).as("r"))
+          .select(col("doc_id"),
+            round(col("r._1"), 4).as("dup_bigram_frac"),
+            round(col("r._2"), 4).as("top_bigram_frac"),
+            round(col("r._3"), 4).as("dup_trigram_frac"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |g2 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g
+             |       FROM t WHERE len(toks) >= 3),
+             |g3 AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS g
+             |       FROM t WHERE len(toks) >= 3),
+             |c2 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+             |c3 AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2),
+             |m2 AS (SELECT doc_id, SUM(cnt) AS n2,
+             |         COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup2, MAX(cnt) AS top2
+             |       FROM c2 GROUP BY 1),
+             |m3 AS (SELECT doc_id, SUM(cnt) AS n3,
+             |         COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup3
+             |       FROM c3 GROUP BY 1)
+             |SELECT m2.doc_id,
+             |  round(CAST(dup2 AS DOUBLE) / n2, 4) AS dup_bigram_frac,
+             |  round(CAST(top2 AS DOUBLE) / n2, 4) AS top_bigram_frac,
+             |  round(CAST(dup3 AS DOUBLE) / n3, 4) AS dup_trigram_frac
+             |FROM m2 JOIN m3 USING (doc_id) ORDER BY m2.doc_id""".stripMargin))
   )
 }

@@ -93,6 +93,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(f1.intersect(f2).nonEmpty)
   }
 
+  test("repetition fractions: closed-form values on crafted docs") {
+    def rep(text: String): (Double, Double, Double) =
+      one(text).select(TextFunctions.repetitionUdf(
+          TextFunctions.tokens($"text")).as("r"))
+        .select($"r._1", $"r._2", $"r._3")
+        .as[(Double, Double, Double)].head()
+    // "a b a b a": bigrams = ab, ba, ab, ba → all 4 occurrences duplicated,
+    // top bigram (ab) occurs 2 of 4; trigrams = aba, bab, aba → 2 of 3
+    assert(rep("a b a b a") === ((1.0, 0.5, 2.0 / 3)))
+    // all-distinct text: zero duplication, top bigram share = 1/total
+    val (d2, t2, d3) = rep("one two three four")
+    assert(d2 === 0.0 && d3 === 0.0)
+    assert(math.abs(t2 - 1.0 / 3) < 1e-12)
+    // fully repeated token: every n-gram identical
+    assert(rep("x x x x") === ((1.0, 1.0, 1.0)))
+  }
+
   test("langId votes with fixed priority, und when no markers") {
     assert(one("the cat is on a mat").select(TextFunctions.langId($"text"))
       .as[String].head() === "en")

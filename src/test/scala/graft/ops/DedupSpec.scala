@@ -247,6 +247,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("softDedupWeights: 1/cluster_size inside clusters, 1.0 outside, " +
+      "every doc present") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(w.length === n) // every corpus doc weighted
+    val clusters = Dedup.dupClusters(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(clusters.nonEmpty) // scenario non-vacuous on the harness corpus
+    w.foreach { case (id, size, weight) =>
+      val expectedSize = clusters.getOrElse(id, 1L)
+      assert(size === expectedSize)
+      assert(weight === BigDecimal(1.0 / expectedSize)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("dupClustersStar runs exactly one Spark action per star round") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
