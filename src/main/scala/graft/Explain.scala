@@ -32,7 +32,9 @@ object Explain {
       "x48_zorder_key", "x49_stratified_sample",
       "x50_quality_classifier", "x51_random_projection", "x53_cms_heavy_hitters",
       "x54_centroid_outliers", "x55_curriculum_order",
-      "x57_ivfpq_topk", "x58_containment", "x59_source_kl", "x61_cdc_chunks")
+      "x57_ivfpq_topk", "x58_containment", "x59_source_kl", "x61_cdc_chunks",
+      "x68_ivfpq_refined", "x70_ivfpq_index_roundtrip",
+      "x71_soft_dedup_weights", "x72_repetition_metrics")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

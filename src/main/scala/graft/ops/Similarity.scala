@@ -413,7 +413,7 @@ object Similarity {
   /** The BUILD half of IVF-PQ: corpus rows assigned to their nearest coarse
     * cell and PQ-coded — the (cid, cell, codes) table an index persists.
     * Row-local kernels over broadcast centroids/codebook; no shuffle. */
-  private[ops] def ivfPqEncodeCells(corpus: DataFrame, idCol: String,
+  private[graft] def ivfPqEncodeCells(corpus: DataFrame, idCol: String,
       embCol: String, centroids: Array[Array[Double]], m: Int,
       codebook: Array[Array[Double]]): DataFrame = {
     val bcC = corpus.sparkSession.sparkContext.broadcast(centroids)
