@@ -2591,6 +2591,67 @@ object ExtensionQueries {
              |  round(CAST(dup2 AS DOUBLE) / n2, 4) AS dup_bigram_frac,
              |  round(CAST(top2 AS DOUBLE) / n2, 4) AS top_bigram_frac,
              |  round(CAST(dup3 AS DOUBLE) / n3, 4) AS dup_trigram_frac
-             |FROM m2 JOIN m3 USING (doc_id) ORDER BY m2.doc_id""".stripMargin))
+             |FROM m2 JOIN m3 USING (doc_id) ORDER BY m2.doc_id""".stripMargin)),
+
+    // Quality-gate calibration: per-source DISCRETE percentiles of x50's
+    // continuous classifier score plus the threshold that keeps the top
+    // 70% — the table a gating policy reads before anyone picks a cutoff
+    // (a global threshold keeps 72% of one source and 44% of another;
+    // per-source calibration is how mixing stays controlled). Discrete
+    // (index-picked) percentiles, not interpolated: interpolation
+    // midpoints land on round-half boundaries where engines disagree,
+    // index picks are exact in both. One window per source — at 100 TB
+    // this runs per-source-sampled; the exact contract here is what the
+    // sample estimates.
+    QuerySpec(
+      "x73_quality_gate_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            QualityModel.scoreUdf(4096L)(TextFunctions.tokens(col("text"))).as("sc"))
+          .select(col("doc_id"), col("source"),
+            when(col("sc.n_feats") > 0,
+              round(col("sc.margin").cast("double") / (col("sc.n_feats") * 1048576L), 6))
+              .otherwise(lit(0.0)).as("score"))
+        val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+        val wn = Window.partitionBy("source")
+        def pick(q: Double) =
+          max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"), col("score")))
+        scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("source")
+          .agg(max(col("n")).as("n_docs"),
+            pick(0.25).as("p25"), pick(0.50).as("p50"), pick(0.75).as("p75"),
+            pick(0.30).as("keep70_threshold"),
+            round(avg(when(col("score") > 0, 1.0).otherwise(0.0)), 4).as("pos_rate"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  unnest(list_concat(toks, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS feat FROM t),
+             |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       [CAST(ord(c) AS BIGINT) for c in string_split(feat, '')]),
+             |       (acc, x) -> (acc*31 + x) % 2147483647) % 4096 AS b FROM f),
+             |m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             |        CAST(SUM((b * 2654435761) % 1048576 - 524288) AS BIGINT) AS margin
+             |      FROM h GROUP BY 1),
+             |s AS (SELECT t.doc_id, t.source,
+             |        CASE WHEN COALESCE(m.n_feats, 0) > 0
+             |             THEN round(CAST(m.margin AS DOUBLE) / (m.n_feats * 1048576), 6) ELSE 0.0 END AS score
+             |      FROM t LEFT JOIN m USING (doc_id)),
+             |r AS (SELECT source, score,
+             |        row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY source) AS n
+             |      FROM s)
+             |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN score END) AS p25,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN score END) AS p50,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN score END) AS p75,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.30 * n) AS BIGINT) THEN score END) AS keep70_threshold,
+             |  round(AVG(CASE WHEN score > 0 THEN 1.0 ELSE 0.0 END), 4) AS pos_rate
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }
