@@ -2652,6 +2652,59 @@ object ExtensionQueries {
              |  MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN score END) AS p75,
              |  MAX(CASE WHEN rn = CAST(ceil(0.30 * n) AS BIGINT) THEN score END) AS keep70_threshold,
              |  round(AVG(CASE WHEN score > 0 THEN 1.0 ELSE 0.0 END), 4) AS pos_rate
-             |FROM r GROUP BY source ORDER BY source""".stripMargin))
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Tokenizer fertility per (lang, source): BPE tokens per word and raw
+    // chars per BPE token — the table that prices every mixing decision
+    // in TOKENS instead of documents (a source whose fertility is 1.4x
+    // costs 1.4x the training budget per word; token-budget mixing reads
+    // this, not row counts). Composes x33's trained merges + x35's
+    // row-local segmentation; one groupBy on the (lang, source) key.
+    // chars_per_token is over raw document chars (n_chars) — the
+    // bytes-on-disk per token lens, deliberately including whitespace.
+    QuerySpec(
+      "x74_tokenizer_fertility",
+      (s, dir) => {
+        val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", BpeNumMerges)
+          .orderBy("step").select("merge_left", "merge_right")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) > 0)
+          .select(col("lang"), col("source"), col("n_chars"),
+            size(col("toks")).cast("long").as("n_words"),
+            BpeTrain.bpeTokenCountUdf(merges)(col("toks")).as("n_bpe"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_bpe")).as("n_bpe_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            round(sum(col("n_bpe")).cast("double") / sum(col("n_words")), 4)
+              .as("fertility"),
+            round(sum(col("n_chars")).cast("double") / sum(col("n_bpe")), 4)
+              .as("chars_per_token"))
+          .orderBy("lang", "source")
+      },
+      Some(bpeTrainCte + """,
+             |final AS (SELECT vocab FROM bpe
+             |          WHERE step = (SELECT MAX(step) FROM bpe)),
+             |wmap AS (SELECT replace(u.w.s, chr(1), '') AS word,
+             |                CAST(len(list_filter(string_split(u.w.s, chr(1)),
+             |                         x -> x <> '')) AS BIGINT) AS nseg
+             |         FROM final f, unnest(f.vocab) AS u(w)),
+             |dt AS (SELECT doc_id, lang, source, n_chars, unnest(list_filter(
+             |         regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS word
+             |       FROM documents),
+             |per AS (SELECT doc_id, lang, source, MAX(n_chars) AS nc,
+             |          CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(wmap.nseg) AS BIGINT) AS nb
+             |        FROM dt JOIN wmap USING (word) GROUP BY 1, 2, 3)
+             |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(nw) AS BIGINT) AS n_words,
+             |  CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+             |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+             |  round(CAST(SUM(nb) AS DOUBLE) / SUM(nw), 4) AS fertility,
+             |  round(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_token
+             |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
   )
 }
