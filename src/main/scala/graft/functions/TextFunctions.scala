@@ -335,6 +335,23 @@ object TextFunctions {
     }
   }
 
+  /** Overlapping sliding token windows — the chunking stage of an
+    * embed-and-index pipeline (fixed-size passages with overlap so no
+    * answer span straddles a chunk boundary unseen). Declarative HOF
+    * (sequence → transform → slice), fully codegen'd, no UDF: returns
+    * ARRAY<STRUCT<idx INT, chunk STRING>> where chunk k covers tokens
+    * [k·stride, k·stride + window); the tail chunk may be shorter, docs
+    * shorter than one window yield a single chunk. */
+  def slidingChunks(toks: Column, window: Int, stride: Int): Column = {
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(ceil((n - lit(window)).cast("double") / stride).cast("long") + 1L)
+    transform(sequence(lit(0L), nChunks - 1L), k =>
+      struct(k.cast("int").as("idx"),
+        concat_ws(" ", slice(toks, (k * stride).cast("int") + 1, lit(window)))
+          .as("chunk")))
+  }
+
   /** Within-doc n-gram repetition fractions (the Gopher §A1.1 repetition
     * filters, Rae et al. 2021, public — templated/boilerplate docs repeat
     * internal n-grams long before they duplicate ACROSS docs, so these

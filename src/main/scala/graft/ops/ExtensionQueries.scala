@@ -2705,6 +2705,37 @@ object ExtensionQueries {
              |  CAST(SUM(nc) AS BIGINT) AS n_chars,
              |  round(CAST(SUM(nb) AS DOUBLE) / SUM(nw), 4) AS fertility,
              |  round(CAST(SUM(nc) AS DOUBLE) / SUM(nb), 4) AS chars_per_token
-             |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
+             |FROM per GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
+    // Passage chunking for embed-and-index (the retrieval/RAG prep stage):
+    // overlapping 32-token windows at stride 24, so no 8-token span ever
+    // straddles a boundary unseen by both neighbors. Fully declarative
+    // (sequence → transform → slice HOFs, codegen'd, zero UDF); the
+    // explode is row-local fan-out — no shuffle until a consumer
+    // aggregates. Emits slim (doc, idx, n_tokens, sha) rows: the chunk
+    // digest is what a downstream embedding cache keys on.
+    QuerySpec(
+      "x75_passage_chunks",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            explode(TextFunctions.slidingChunks(col("toks"), 32, 24)).as("ch"))
+          .select(col("doc_id"), col("ch.idx").as("chunk_idx"),
+            size(TextFunctions.tokens(col("ch.chunk"))).cast("long").as("n_tokens"),
+            sha2(col("ch.chunk").cast("binary"), 256).as("chunk_sha"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |c AS (SELECT doc_id,
+             |  unnest([{'idx': k, 'chunk': array_to_string(toks[k*24+1 : k*24+32], ' ')}
+             |          for k in range(0, CASE WHEN len(toks) <= 32 THEN 1
+             |            ELSE CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24) AS BIGINT) + 1 END)]) AS ch
+             |  FROM t WHERE len(toks) > 0)
+             |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
+             |  CAST(len(list_filter(regexp_split_to_array(ch.chunk, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |  sha256(ch.chunk) AS chunk_sha
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -110,6 +110,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep("x x x x") === ((1.0, 1.0, 1.0)))
   }
 
+  test("slidingChunks: overlap invariant and tail handling") {
+    def chunks(text: String, w: Int, s: Int): Seq[(Int, String)] =
+      one(text).select(explode(TextFunctions.slidingChunks(
+          TextFunctions.tokens($"text"), w, s)).as("c"))
+        .select($"c.idx", $"c.chunk").as[(Int, String)].collect().toSeq
+    // 7 tokens, window 3, stride 2: starts 0,2,4 cover [0,3),[2,5),[4,7)
+    val c = chunks("t0 t1 t2 t3 t4 t5 t6", 3, 2)
+    assert(c === Seq((0, "t0 t1 t2"), (1, "t2 t3 t4"), (2, "t4 t5 t6")))
+    // every adjacent pair overlaps by window - stride tokens
+    c.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a.split(" ").takeRight(1).toSeq === b.split(" ").take(1).toSeq) }
+    // tail shorter than a window still emitted; short doc = one chunk
+    assert(chunks("a b c d e", 3, 3) === Seq((0, "a b c"), (1, "d e")))
+    assert(chunks("a b", 3, 2) === Seq((0, "a b")))
+  }
+
   test("langId votes with fixed priority, und when no markers") {
     assert(one("the cat is on a mat").select(TextFunctions.langId($"text"))
       .as[String].head() === "en")
