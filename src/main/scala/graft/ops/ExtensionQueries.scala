@@ -2736,6 +2736,52 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(ch.idx AS INT) AS chunk_idx,
              |  CAST(len(list_filter(regexp_split_to_array(ch.chunk, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
              |  sha256(ch.chunk) AS chunk_sha
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // IVF index health: per-cell occupancy share and distortion (avg/max
+    // squared distance to the assigned centroid) — the re-train signals
+    // for a frozen coarse quantizer (AnnStream's ingest note: appended
+    // data that drifts piles into few cells; this table is where it
+    // shows). Distances ride as integer micros so the per-cell fold is
+    // order-independent on both engines. One row-local kernel + one
+    // groupBy on the k-sized cell key.
+    QuerySpec(
+      "x76_ivf_cell_health",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cents = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 7L))
+          .map(_.map(_.toDouble).toArray).toArray
+        val assigned = e
+          .select(Similarity.cellAssignUdf(cents)(col("embedding")).as("ca"))
+          .select(col("ca.cell").as("cell"), col("ca.micros").as("micros"))
+        val tot = assigned.agg(count(lit(1)).as("n_total"))
+        assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("micros")).as("sum_micros"),
+            max(col("micros")).as("max_micros"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            round(col("n_vecs").cast("double") / col("n_total"), 4).as("share"),
+            round(col("sum_micros").cast("double") / col("n_vecs") / 1e6, 6)
+              .as("avg_d2"),
+            round(col("max_micros").cast("double") / 1e6, 6).as("max_d2"))
+          .orderBy("cell")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |ivf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |        FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |dv AS (SELECT e.vec_id, ivf.cell,
+             |         list_sum([(e.emb[i]-ivf.cemb[i])*(e.emb[i]-ivf.cemb[i]) for i in range(1,65)]) AS d2
+             |       FROM e CROSS JOIN ivf),
+             |assign AS (SELECT vec_id, cell, CAST(round(d2 * 1000000, 0) AS BIGINT) AS micros
+             |           FROM (SELECT vec_id, cell, d2,
+             |                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM dv)
+             |           WHERE rnk = 1),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assign)
+             |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 4) AS share,
+             |  round(CAST(SUM(micros) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_d2,
+             |  round(CAST(MAX(micros) AS DOUBLE) / 1000000, 6) AS max_d2
+             |FROM assign CROSS JOIN tot GROUP BY cell ORDER BY cell""".stripMargin))
   )
 }

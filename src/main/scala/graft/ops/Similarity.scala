@@ -231,6 +231,32 @@ object Similarity {
     best
   }
 
+  /** Cell assignment with its squared distance in integer micro-units —
+    * [[cellAssignUdf]]'s row type. Micros, not a rounded double: summing
+    * longs is order-independent, so per-cell aggregates match a SQL
+    * DECIMAL fold exactly (the x40/x44 determinism device). */
+  final case class CellAssign(cell: Int, micros: Long)
+
+  /** Nearest-centroid id AND distance in one pass (the index-health lens:
+    * per-cell occupancy and distortion are the re-train signals for a
+    * frozen coarse quantizer). Same flat-array kernel as
+    * [[nearestCentroid]]. */
+  def cellAssignUdf(cents: Array[Array[Double]]) = udf { v: Seq[Float] =>
+    val a = v.toArray
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cent = cents(c)
+      while (i < cent.length && i < a.length) {
+        val diff = a(i) - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    CellAssign(best, math.floor(bestD * 1e6 + 0.5).toLong)
+  }
+
   /** Per-vector int8 quantization summary from [[int8QuantUdf]]. */
   final case class QuantStats(q_min: Int, q_max: Int, mse_e6: Double)
 
