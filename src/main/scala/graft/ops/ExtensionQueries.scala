@@ -2782,6 +2782,51 @@ object ExtensionQueries {
              |  round(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 4) AS share,
              |  round(CAST(SUM(micros) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_d2,
              |  round(CAST(MAX(micros) AS DOUBLE) / 1000000, 6) AS max_d2
-             |FROM assign CROSS JOIN tot GROUP BY cell ORDER BY cell""".stripMargin))
+             |FROM assign CROSS JOIN tot GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // Marginal-novelty curve by source: for a fixed acquisition order,
+    // how many distinct word 3-grams each successive source adds that no
+    // earlier source had — the diminishing-returns table that prices the
+    // NEXT source (on this corpus new_frac decays 1.0 → ~0.41 down the
+    // order). Shuffles only slim gram hashes: distinct (source, gram),
+    // then first-source per gram, then |sources|-sized aggregates; the
+    // cumulative window runs over 20 rows, not the corpus.
+    QuerySpec(
+      "x77_source_novelty_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, dir)
+          .select(col("source"),
+            expr("CAST(substring(source, 4) AS INT)").as("src_ord"),
+            explode(Dedup.wordGramHashUdf(3)(TextFunctions.tokens(col("text"))))
+              .as("gram"))
+          .distinct()
+        val per = g.groupBy("src_ord", "source").agg(count(lit(1)).as("n_grams"))
+        val nw = g.groupBy("gram").agg(min(col("src_ord")).as("src_ord"))
+          .groupBy("src_ord").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy("src_ord").rowsBetween(Window.unboundedPreceding, 0)
+        per.join(nw, Seq("src_ord"), "left")
+          .select(col("src_ord"), col("source"), col("n_grams"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .withColumn("new_frac",
+            round(col("n_new").cast("double") / col("n_grams"), 4))
+          .withColumn("cum_new", sum(col("n_new")).over(w).cast("long"))
+          .orderBy("src_ord")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, CAST(substring(source, 4) AS INT) AS src_ord,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |g AS (SELECT DISTINCT src_ord, source, unnest([list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ord(c) AS BIGINT) for c in string_split(array_to_string(toks[i:i+2], ' '), '')]),
+             |    (acc, x) -> (acc*31 + x) % 2147483647)
+             |    for i in range(1, len(toks) - 1)]) AS gram
+             |  FROM t WHERE len(toks) >= 3),
+             |per AS (SELECT src_ord, source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1, 2),
+             |fst AS (SELECT gram, MIN(src_ord) AS first_src FROM g GROUP BY 1),
+             |nw AS (SELECT first_src AS src_ord, CAST(COUNT(*) AS BIGINT) AS n_new FROM fst GROUP BY 1)
+             |SELECT per.src_ord, per.source, per.n_grams, COALESCE(nw.n_new, 0) AS n_new,
+             |  round(CAST(COALESCE(nw.n_new, 0) AS DOUBLE) / per.n_grams, 4) AS new_frac,
+             |  CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY per.src_ord) AS BIGINT) AS cum_new
+             |FROM per LEFT JOIN nw USING (src_ord) ORDER BY per.src_ord""".stripMargin))
   )
 }
