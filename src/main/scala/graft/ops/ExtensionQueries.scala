@@ -2827,6 +2827,58 @@ object ExtensionQueries {
              |SELECT per.src_ord, per.source, per.n_grams, COALESCE(nw.n_new, 0) AS n_new,
              |  round(CAST(COALESCE(nw.n_new, 0) AS DOUBLE) / per.n_grams, 4) AS new_frac,
              |  CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY per.src_ord) AS BIGINT) AS cum_new
-             |FROM per LEFT JOIN nw USING (src_ord) ORDER BY per.src_ord""".stripMargin))
+             |FROM per LEFT JOIN nw USING (src_ord) ORDER BY per.src_ord""".stripMargin)),
+
+    // Retention cohort matrix over the events table (the standard product
+    // analytics view; here it also smoke-tests week truncation + date
+    // arithmetic agreement cross-engine): users grouped by first-active
+    // ISO week, distinct active users per (cohort, week offset). Two
+    // user-keyed aggregates and one equi-join — no window over the event
+    // stream.
+    QuerySpec(
+      "x78_retention_cohorts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+        val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+        e.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY 1)
+             |SELECT c.cohort_week, CAST(date_diff('day', c.cohort_week, e.wk) / 7 AS INT) AS week_offset,
+             |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // First-order event-transition matrix (Markov view of user journeys):
+    // per user the event stream ordered by (ts, event_id), each adjacent
+    // pair counted, transition probability normalized over the FROM type.
+    // One lead() window partitioned by user — state per partition is one
+    // row — then a 25-row aggregate; the funnel/journey primitive.
+    QuerySpec(
+      "x79_event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wt = Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wt), 4))
+          .orderBy("event_type", "next_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+             |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events)
+             |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+             |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
