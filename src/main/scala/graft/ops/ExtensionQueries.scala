@@ -2879,6 +2879,48 @@ object ExtensionQueries {
              |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events)
              |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
              |  round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
-             |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Strict ordered funnel with per-step conversion windows: first view →
+    // first click within 12h of it → first purchase within 12h of that
+    // (150 → 37 → 7 users on this corpus). The sequential-constraint
+    // shape window functions can't express alone: each stage is a
+    // user-keyed min over events AFTER the previous stage's anchor, i.e.
+    // one equi-join + groupBy per step, all on the user key — a funnel of
+    // depth d costs d user-keyed shuffles, never a per-event window.
+    QuerySpec(
+      "x80_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = e.join(v, "user_id")
+          .filter(col("event_type") === "click" && col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 12 HOURS"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = e.join(c, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 12 HOURS"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        val tot = e.agg(countDistinct(col("user_id")).as("n"))
+        v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(1))
+          .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(2)))
+          .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(3)))
+          .crossJoin(broadcast(tot))
+          .select(col("stage"), col("n_users").cast("long").as("n_users"),
+            round(col("n_users").cast("double") / col("n"), 4).as("rate"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 12 HOURS GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 12 HOURS GROUP BY 1),
+             |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+             |SELECT stage, n_users, round(CAST(n_users AS DOUBLE) / tot.n, 4) AS rate FROM (
+             |  SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+             |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
+             |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p) s
+             |CROSS JOIN tot ORDER BY stage""".stripMargin))
   )
 }
