@@ -2921,6 +2921,42 @@ object ExtensionQueries {
              |  SELECT 1 AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
              |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
              |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p) s
-             |CROSS JOIN tot ORDER BY stage""".stripMargin))
+             |CROSS JOIN tot ORDER BY stage""".stripMargin)),
+
+    // Join-key skew audit: the diagnostic that DECIDES salting (q46 is the
+    // remedy; this is the detector a pipeline runs first). Per-key counts
+    // of orders.o_custkey → key-count histogram stats + the top-5 heavy
+    // keys with their skew factor vs the mean. One groupBy on the key +
+    // one bounded top-k (Partial+Final WindowGroupLimit) + a broadcast of
+    // the 1-row stats — nothing scales with anything but the key count.
+    QuerySpec(
+      "x81_skew_audit",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("cnt"))
+        val st = k.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          round(sum(col("cnt")).cast("double") / count(lit(1)), 4).as("mean_cnt"),
+          max(col("cnt")).as("max_cnt"))
+        val w = Window.orderBy(col("cnt").desc, col("key"))
+        k.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .crossJoin(broadcast(st))
+          .select(col("rnk"), col("key"), col("cnt"),
+            col("n_keys"), col("n_rows"), col("mean_cnt"),
+            round(col("cnt").cast("double") / col("mean_cnt"), 4).as("skew_vs_mean"),
+            round(col("max_cnt").cast("double") / col("mean_cnt"), 4).as("max_skew"))
+          .orderBy("rnk")
+      },
+      Some("""WITH k AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             |         round(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 4) AS mean_cnt,
+             |         CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k),
+             |top AS (SELECT key, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rnk
+             |        FROM k QUALIFY rnk <= 5)
+             |SELECT top.rnk, top.key, top.cnt, st.n_keys, st.n_rows, st.mean_cnt,
+             |  round(CAST(top.cnt AS DOUBLE) / st.mean_cnt, 4) AS skew_vs_mean,
+             |  round(CAST(st.max_cnt AS DOUBLE) / st.mean_cnt, 4) AS max_skew
+             |FROM top CROSS JOIN st ORDER BY rnk""".stripMargin))
   )
 }
