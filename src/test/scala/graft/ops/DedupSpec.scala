@@ -266,6 +266,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupClustersStar needs O(log) rounds on a chain where min-label " +
+      "needs O(n) — the algorithmic reason the variant exists") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    def checkpointActions(body: => Unit): Int = {
+      val actions = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          if (funcName == "localCheckpoint") actions.incrementAndGet()
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        body
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1
+        while (actions.get() != last && System.nanoTime() < deadline) {
+          last = actions.get()
+          Thread.sleep(500)
+        }
+        actions.get()
+      } finally spark.listenerManager.unregister(listener)
+    }
+    // path graph 0-1-2-...-40: component minimum is 40 hops from the far end
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starActions = checkpointActions {
+      assert(Dedup.dupClustersStar(chain).as[(Long, Long, Long)]
+        .collect().toSet === (0L to 40L).map(i => (i, 0L, 41L)).toSet)
+    }
+    val labelActions = checkpointActions {
+      assert(Dedup.dupClusters(chain).as[(Long, Long, Long)]
+        .collect().toSet === (0L to 40L).map(i => (i, 0L, 41L)).toSet)
+    }
+    // min-label walks one hop per round (~40 rounds = ~40+ checkpoints);
+    // star contracts the chain in O(log^2 n) (observed ~6). Assert the
+    // asymmetry with slack, not exact counts.
+    assert(starActions <= 15,
+      s"star should contract a 41-node chain in few rounds, took $starActions checkpoints")
+    assert(labelActions >= 2 * starActions,
+      s"expected min-label ($labelActions) >> star ($starActions) on a deep chain")
+  }
+
   test("dupClustersStar runs exactly one Spark action per star round") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener

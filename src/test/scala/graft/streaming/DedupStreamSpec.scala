@@ -61,4 +61,32 @@ class DedupStreamSpec extends SparkSpec {
       assert(!(si.exists(_._1 == a) && si.exists(_._1 == b)),
         s"near-dup pair ($a, $b) both admitted to the index") }
   }
+
+  test("re-delivered content is never re-admitted: the whole batch flags " +
+      "as index dups and the index is unchanged") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").orderBy("doc_id").limit(40)
+      .as[(Long, String)].collect().toSeq
+    val (idx, prs) = (tmp("dedup_r_idx"), tmp("dedup_r_pairs"))
+    DedupStream.ingestBatch(docs.toDF("doc_id", "text"), "doc_id", "text",
+      s"$idx/t", s"$prs/t", batchId = 0L)
+    val once = spark.read.parquet(s"$idx/t")
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSeq
+    // upstream re-delivers the same content in a later micro-batch: every
+    // doc is an exact dup of the index (jaccard 1.0 self-match through
+    // the banding), so NOTHING is admitted twice
+    DedupStream.ingestBatch(docs.toDF("doc_id", "text"), "doc_id", "text",
+      s"$idx/t", s"$prs/t", batchId = 1L)
+    val after = spark.read.parquet(s"$idx/t")
+      .select("doc_id", "batch_id").as[(Long, Long)].collect().toSeq
+    assert(after.sorted === once.sorted, "re-delivery must not re-admit")
+    // and the pair log carries the evidence for every batch-1 doc: either
+    // it hit the index, or it was dropped first as the higher id of a
+    // WITHIN-batch near-dup pair (that stage runs before the index check)
+    val p1 = spark.read.parquet(s"$prs/t").filter($"batch_id" === 1L)
+      .select("doc_a", "doc_b", "kind").as[(Long, Long, String)].collect()
+    val hit = p1.collect { case (a, _, "index") => a }.toSet
+    val droppedInternally = p1.collect { case (_, b, "batch") => b }.toSet
+    assert((hit ++ droppedInternally) === docs.map(_._1).toSet)
+  }
 }
