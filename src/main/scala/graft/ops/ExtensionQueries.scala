@@ -2957,6 +2957,59 @@ object ExtensionQueries {
              |SELECT top.rnk, top.key, top.cnt, st.n_keys, st.n_rows, st.mean_cnt,
              |  round(CAST(top.cnt AS DOUBLE) / st.mean_cnt, 4) AS skew_vs_mean,
              |  round(CAST(st.max_cnt AS DOUBLE) / st.mean_cnt, 4) AS max_skew
-             |FROM top CROSS JOIN st ORDER BY rnk""".stripMargin))
+             |FROM top CROSS JOIN st ORDER BY rnk""".stripMargin)),
+
+    // Referential-integrity audit: the data-quality gate a pipeline runs
+    // before trusting a snapshot (orphan children, childless parents,
+    // broken dims, duplicate keys, domain violations). Each check is an
+    // anti-join or keyed aggregate producing ONE count — integer-exact,
+    // engine-independent; at 100 TB each check is a slim-key shuffle and
+    // the report stays |checks| rows. childless_orders = 257 on this
+    // corpus (consistent with q13's except), all other checks clean.
+    QuerySpec(
+      "x82_integrity_audit",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val lineitem = Tables.lineitem(s, dir)
+        val customer = Tables.customer(s, dir)
+        def one(id: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_bad"))
+            .select(lit(id).as("check_id"), lit(name).as("check_name"),
+              col("n_bad").cast("long").as("n_bad"))
+        val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1)
+          .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_bad"))
+          .select(lit(4).as("check_id"), lit("duplicate_orderkeys").as("check_name"),
+            col("n_bad").cast("long").as("n_bad"))
+        one(1, "orphan_lineitems",
+            lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"),
+              "left_anti"))
+          .unionByName(one(2, "childless_orders",
+            orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"),
+              "left_anti")))
+          .unionByName(one(3, "orders_without_customer",
+            orders.join(customer, orders("o_custkey") === customer("c_custkey"),
+              "left_anti")))
+          .unionByName(dupKeys)
+          .unionByName(one(5, "negative_quantities",
+            lineitem.where(col("l_quantity") <= 0)))
+          .orderBy("check_id")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 1 AS check_id, 'orphan_lineitems' AS check_name,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS
+             |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+             |UNION ALL SELECT 2, 'childless_orders',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+             |     (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             |UNION ALL SELECT 3, 'orders_without_customer',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+             |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |UNION ALL SELECT 4, 'duplicate_orderkeys',
+             |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+             |     (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1) d)
+             |UNION ALL SELECT 5, 'negative_quantities',
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
+             |) ORDER BY check_id""".stripMargin))
   )
 }
