@@ -1899,30 +1899,77 @@ object ExtensionQueries {
              |SELECT vec_id, d2n, CAST(row_number() OVER (ORDER BY d2n DESC, vec_id) AS BIGINT) AS rank
              |FROM d QUALIFY rank <= 25 ORDER BY rank""".stripMargin)),
 
-    // Curriculum ordering: 5 difficulty buckets (ntile on n_chars) round-
-    // robin interleaved by in-bucket content-hash rank — every training
-    // window sees the full difficulty mix, deterministically. Windows
-    // only; at 100 TB both sorts are range-partitioned (no single-node
-    // sort), and the global position is consumed as a sort KEY by the
-    // writer, never materialized on the driver.
+    // Curriculum ordering: 5 difficulty buckets round-robin interleaved by
+    // in-bucket content-hash rank — every training window sees the full
+    // difficulty mix, deterministically. NO corpus-wide window anywhere
+    // (the round-6 version's global ntile + global row_number funneled the
+    // whole corpus through one WindowExec task):
+    //   bucket   — discrete quintile thresholds off the n_chars HISTOGRAM
+    //              (x73's device): the only window runs over |distinct
+    //              lengths| rows, docs get buckets via a broadcast join;
+    //              value ties snap to one bucket, so sizes are ~n/5, not
+    //              exactly n/5 — the honest price of a shuffle-free bucket.
+    //   rn       — two-phase distributed rank: rank within (bucket, salt)
+    //              where salt = md5 prefix (order-compatible with the full
+    //              md5 sort key), then add per-salt-group offsets from a
+    //              ≤5×256-row count table. Each WindowExec partition holds
+    //              ~corpus/1280 rows at any scale.
+    //   position — computed ANALYTICALLY from (rn, bucket) + the 5-row
+    //              bucket-count table via broadcast HOFs: rank of (rn, b)
+    //              under (rn, bucket) order = Σ_b' min(rn−1, n_b') +
+    //              #{b' < b : n_b' ≥ rn} + 1. No final window at all; the
+    //              trailing orderBy is a range-partitioned SORT (safe).
     QuerySpec(
       "x55_curriculum_order",
       (s, dir) => {
-        val wB = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_chars"), col("doc_id"))
-        val wIn = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bucket")).orderBy(md5(col("text")), col("doc_id"))
-        val wPos = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rn"), col("bucket"))
-        Tables.documents(s, dir)
-          .withColumn("bucket", ntile(5).over(wB).cast("long"))
-          .withColumn("rn", row_number().over(wIn).cast("long"))
-          .withColumn("position", row_number().over(wPos).cast("long"))
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // Every un-cached reuse of a subtree re-reads the corpus, so the
+        // DAG is shaped to touch `docs` exactly twice (window branch +
+        // count branch), each pulling ONE broadcast built from one tiny
+        // histogram: bucket thresholds fold into the n_chars→bucket map,
+        // and the rank offsets and bucket-count array ride ONE (bucket,
+        // salt)-keyed broadcast (a naive composition of the same algebra
+        // measured 3x slower from repeated scans).
+        val bucketOf = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c"))
+            .over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .withColumn("n", sum(col("c")).over(wAll).cast("long"))
+          .select(col("n_chars"), expr("1L + ((cum - 1L) * 5L) div n").as("bucket"))
+        val bucketed = docs
+          .join(broadcast(bucketOf), Seq("n_chars"))
+          .withColumn("h", md5(col("text")))
+          .withColumn("salt", substring(col("h"), 1, 2))
+        val wLocal = Window.partitionBy("bucket", "salt")
+          .orderBy(col("h"), col("doc_id"))
+        val local = bucketed.withColumn("rl", row_number().over(wLocal).cast("long"))
+        val offs = bucketed.groupBy("bucket", "salt").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt"))
+            .over(Window.partitionBy("bucket").orderBy("salt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bn", sum(col("cnt"))
+            .over(Window.partitionBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("bcs", collect_set(struct(col("bucket"), col("bn"))).over(wAll))
+          .select(col("bucket"), col("salt"), col("off"), col("bcs"))
+        local
+          .join(broadcast(offs), Seq("bucket", "salt"))
+          .withColumn("rn", col("off") + col("rl"))
+          .withColumn("position",
+            lit(1L) + expr("aggregate(bcs, 0L, (acc, x) -> acc + least(rn - 1L, x.bn))") +
+              expr("size(filter(bcs, x -> x.bucket < bucket AND x.bn >= rn))").cast("long"))
           .select(col("position"), col("doc_id"), col("bucket"), col("rn"))
           .orderBy("position")
       },
-      Some("""WITH b AS (SELECT doc_id, text,
-             |  CAST(ntile(5) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket FROM documents),
+      Some("""WITH hist AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+             |cum AS (SELECT n_chars, CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum FROM hist),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |b AS (SELECT d.doc_id, d.text,
+             |        CAST(1 + ((cum.cum - 1) * 5) // tot.n AS BIGINT) AS bucket
+             |      FROM documents d JOIN cum ON d.n_chars = cum.n_chars CROSS JOIN tot),
              |r AS (SELECT doc_id, bucket,
              |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY md5(text), doc_id) AS BIGINT) AS rn FROM b)
              |SELECT CAST(row_number() OVER (ORDER BY rn, bucket) AS BIGINT) AS position,
@@ -2251,9 +2298,14 @@ object ExtensionQueries {
               16777217.0).as("u"))
           .select(col("doc_id"), col("n_chars"),
             round(log(col("u")) / col("n_chars"), 8).as("es_key"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 100)
-          .select(col("doc_id"), col("n_chars"), col("rank"))
+          // rank filtered UNCAST: a Cast around the window expression
+          // defeats InferWindowGroupLimit's rank pattern and the top-k
+          // degrades to a true global window (PlansSpec caught it);
+          // filtering the raw row_number keeps the Partial+Final
+          // WindowGroupLimit pushdown, cast happens post-filter.
+          .withColumn("rank0", row_number().over(w))
+          .filter(col("rank0") <= 100)
+          .select(col("doc_id"), col("n_chars"), col("rank0").cast("long").as("rank"))
           .orderBy("rank")
       },
       Some("""WITH d AS (SELECT doc_id, n_chars,

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-regression gate: turns the per-round manual `Explain` audit into a
+  * test. Every registered query's physical plan is asserted free of the
+  * two known 100 TB scale-killers, and known-filtering queries are
+  * asserted to actually push their predicates into the parquet scan.
+  *
+  * Rule 1 — no partition-less WindowExec over unbounded input. A window
+  * with an empty partitionSpec moves its ENTIRE input through one task
+  * (Spark does NOT range-partition it; this is the `WindowExec: No
+  * Partition Defined` warning). It is acceptable only when the input is
+  * provably small or bounded:
+  *   - an aggregate below the window (histogram / per-group count tables
+  *     whose cardinality is the group key's, not the corpus's), or
+  *   - a WindowGroupLimit below it (bounded top-k: Partial+Final rank
+  *     pushdown keeps ≤k rows per partition before the window), or
+  *   - a limit below it (LimitPushDownThroughWindow rewrites
+  *     `row_number over () <= k` into TakeOrderedAndProject(k) under the
+  *     window, so the window input is k rows), or
+  *   - an explicitly allowlisted documented fidelity-only path.
+  * Rule 2 — no CartesianProduct anywhere.
+  * Rule 3 — queries that filter a base table must show non-empty
+  * PushedFilters in the scan (predicate reached parquet).
+  */
+class PlansSpec extends SparkSpec {
+
+  /** Documented fidelity-only global-window paths (oracle-parity variants
+    * whose scale-default twin avoids the window; see Pipeline.split8020 /
+    * hashSplit8020 and the Queries.scala notes). */
+  private val fidelityAllowlist: Set[String] = Set(
+    "q23_split_rownum" // reference-semantics 80/20 split; scale path is hashSplit8020
+  )
+
+  private def offendingGlobalWindows(plan: SparkPlan): Seq[WindowExec] =
+    plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case a: BaseAggregateExec => a
+            case g: WindowGroupLimitExec => g
+            case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+            case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+            case l: org.apache.spark.sql.execution.CollectLimitExec => l
+          }.isEmpty => w
+    }
+
+  private def cartesians(plan: SparkPlan): Seq[SparkPlan] =
+    plan.collect { case c: CartesianProductExec => c }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"plan hygiene: $name") {
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan
+      val badWindows = offendingGlobalWindows(plan)
+      if (!fidelityAllowlist(name)) {
+        assert(badWindows.isEmpty,
+          s"$name has ${badWindows.size} partition-less WindowExec over " +
+            s"unbounded input:\n${badWindows.map(_.simpleStringWithNodeId()).mkString("\n")}")
+      }
+      assert(cartesians(plan).isEmpty,
+        s"$name plans a CartesianProduct — unbounded O(n*m) at scale")
+    }
+  }
+
+  /** Queries whose semantics filter a base table: the predicate must reach
+    * the parquet scan, not run post-scan (a scan that reads every row for
+    * a filtering query is wrong at 100 TB). */
+  private val mustPushFilters = Seq(
+    "q2_filter_project", "q5_semi_join",
+    "q42_returned_revenue", "x13_ann_ivf", "x22_clean_corpus")
+
+  mustPushFilters.foreach { name =>
+    test(s"pushed filters: $name") {
+      val s = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined,
+        s"$name shows no non-empty PushedFilters in its formatted plan")
+    }
+  }
+}
