@@ -3062,6 +3062,84 @@ object ExtensionQueries {
              |     (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1) d)
              |UNION ALL SELECT 5, 'negative_quantities',
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
-             |) ORDER BY check_id""".stripMargin))
+             |) ORDER BY check_id""".stripMargin)),
+
+    // Full index lifecycle with a health-triggered RETRAIN (closes the
+    // x76 loop): v1 is built on half the corpus with a deliberately
+    // under-trained coarse quantizer (2 cells — the drifted-distribution
+    // stand-in), the other half append-ingests through the frozen
+    // quantizers (AnnStream's batch twin), the occupancy health signal
+    // fires (2 cells ⇒ max share ≥ 0.5 > 0.25), and retrainIfUnhealthy
+    // re-trains both quantizers on the full corpus, re-encodes, and
+    // atomically swaps the CURRENT pointer to v2. Serving off the swapped
+    // pointer must equal a fresh full-corpus build bit-for-bit — the
+    // oracle is x70's SQL verbatim (same final quantizer spec), so a
+    // retrain that loses or double-encodes anything hash-fails.
+    QuerySpec(
+      "x83_ivfpq_retrain_swap",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_ivfpq_versioned").toString
+        // versions accumulate across runs under a fixed tmp root: start clean
+        val rootPath = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(rootPath)) {
+          val it = java.nio.file.Files.walk(rootPath)
+          try it.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+          finally it.close()
+        }
+        val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+        val first = e.filter(col("vec_id") <= mid)
+        val cbA = Similarity.seedVectors(first, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        IvfPqIndex.publish(
+          IvfPqIndex.build(first, "vec_id", "embedding",
+            seedIds = (0L to 1L), m = 8, cbA), root, v = 1)
+        graft.streaming.AnnStream.ingestBatch(e.filter(col("vec_id") > mid),
+          "vec_id", "embedding", IvfPqIndex.currentDir(root))
+        val v = IvfPqIndex.retrainIfUnhealthy(s, root, e, "vec_id", "embedding",
+          seedIds = (0L to 7L), m = 8, codebookSeedIds = (0L to 15L),
+          maxShare = 0.25)
+        require(v.contains(2), s"health trigger must fire on a 2-cell index, got $v")
+        IvfPqIndex.loadCurrent(s, root)
+          .refineTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding",
+            k = 10, nProbe = 4, refine = 100)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |ivf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+             |        FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+             |dv AS (SELECT e.vec_id, ivf.cell,
+             |         list_sum([(e.emb[i]-ivf.cemb[i])*(e.emb[i]-ivf.cemb[i]) for i in range(1,65)]) AS d2
+             |       FROM e CROSS JOIN ivf),
+             |rankedv AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk FROM dv),
+             |assign AS (SELECT vec_id, cell FROM rankedv WHERE rnk = 1),
+             |probe AS (SELECT vec_id, cell FROM rankedv WHERE rnk <= 4 AND vec_id < 5),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |d AS (SELECT e.vec_id, sub.s, cb.c,
+             |        list_sum([(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(e.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM e CROSS JOIN sub CROSS JOIN cb),
+             |code AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM d),
+             |cc AS (SELECT vec_id AS cid, s, c FROM code WHERE rnk = 1),
+             |lut AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM d WHERE vec_id < 5),
+             |cand AS (SELECT p.vec_id AS qid, a.vec_id AS cid
+             |         FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.vec_id),
+             |f AS (SELECT cand.qid, cand.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |      FROM cand JOIN cc ON cc.cid = cand.cid
+             |      JOIN lut l ON l.qid = cand.qid AND l.s = cc.s AND l.c = cc.c
+             |      GROUP BY 1, 2),
+             |short AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM f)
+             |  WHERE rn <= 100),
+             |r AS (SELECT s.qid, s.cid,
+             |        round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |      FROM short s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid)
+             |SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 }

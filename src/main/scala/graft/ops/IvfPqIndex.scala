@@ -44,6 +44,20 @@ final case class IvfPqIndex(
     this
   }
 
+  /** The re-train signal (x76's report computed against THIS index):
+    * per-cell occupancy share off the slim codes table — no corpus scan,
+    * no re-encoding; one groupBy on the |cells|-sized key. Under frozen
+    * quantizers a drifting ingest distribution piles rows into few cells,
+    * and it shows here first: probed-cell candidate lists (and therefore
+    * per-query serve cost) follow occupancy. */
+  def occupancy(): DataFrame = {
+    val tot = codes.agg(count(lit(1)).as("n_total"))
+    codes.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 4).as("share"))
+  }
+
   /** ADC top-k straight off the (possibly loaded) code table — same output
     * contract as [[Similarity.ivfPqTopK]], no corpus re-encoding. */
   def topK(queries: DataFrame, idCol: String, embCol: String, k: Int,
@@ -88,5 +102,70 @@ object IvfPqIndex {
       vecs(s"$dir/centroids", "cell"),
       vecs(s"$dir/codebook", "c"),
       spark.read.parquet(s"$dir/meta").head.getInt(0))
+  }
+
+  // ---- versioned lifecycle: build → serve/ingest → health → re-train ----
+  //
+  // A retrain re-encodes the corpus, so it must not clobber the index a
+  // concurrent reader is serving from. Versions are immutable directories
+  // (v1, v2, ...) under one root; a CURRENT pointer file names the live
+  // one and is the ONLY thing a swap rewrites — written to a temp name
+  // and atomically renamed, so a reader sees either the old or the new
+  // index, never a half-written one (the _last_checkpoint /
+  // HDFS-edit-log pointer idiom; on an object store the rename becomes
+  // the store's atomic-put of a tiny object).
+
+  private def pointer(root: String) = java.nio.file.Paths.get(root, "CURRENT")
+
+  /** The live version number at `root`, if a pointer has been published. */
+  def currentVersion(root: String): Option[Int] = {
+    val p = pointer(root)
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.stripPrefix("v").toInt)
+    else None
+  }
+
+  /** Directory of the live version (where a streaming ingest appends). */
+  def currentDir(root: String): String =
+    s"$root/v${currentVersion(root).getOrElse(sys.error(s"no CURRENT at $root"))}"
+
+  /** Persist `idx` as version `v` under `root` and atomically publish it
+    * as CURRENT. Returns the version directory. */
+  def publish(idx: IvfPqIndex, root: String, v: Int): String = {
+    val dir = s"$root/v$v"
+    idx.save(dir)
+    val tmp = java.nio.file.Paths.get(root, s".CURRENT.v$v.tmp")
+    java.nio.file.Files.writeString(tmp, s"v$v")
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    dir
+  }
+
+  /** Load whatever CURRENT points at. */
+  def loadCurrent(spark: SparkSession, root: String): IvfPqIndex =
+    load(spark, currentDir(root))
+
+  /** Close the loop on the health signal: if the live index's occupancy
+    * has degraded past `maxShare` (one cell holding more than that
+    * fraction of the corpus — drifted ingest under frozen quantizers, the
+    * exact failure AnnStream's scaladoc predicts), re-train both
+    * quantizers on the CURRENT corpus, re-encode, and atomically swap the
+    * pointer to the new version. Returns the new version if a retrain
+    * fired. The decision reads the |cells|-sized occupancy table; the
+    * retrain itself is the one full-corpus job a rebuild always is. */
+  def retrainIfUnhealthy(spark: SparkSession, root: String, corpus: DataFrame,
+      idCol: String, embCol: String, seedIds: Seq[Long], m: Int,
+      codebookSeedIds: Seq[Long], maxShare: Double): Option[Int] = {
+    val cur = loadCurrent(spark, root)
+    val worst = cur.occupancy().agg(max(col("share"))).head.getDouble(0)
+    if (worst <= maxShare) None
+    else {
+      val cb = Similarity.seedVectors(corpus, idCol, embCol, codebookSeedIds)
+        .map(_.map(_.toDouble).toArray).toArray
+      val v = currentVersion(root).getOrElse(0) + 1
+      publish(build(corpus, idCol, embCol, seedIds, m, cb), root, v)
+      Some(v)
+    }
   }
 }
