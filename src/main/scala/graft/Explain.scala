@@ -34,7 +34,11 @@ object Explain {
       "x54_centroid_outliers", "x55_curriculum_order",
       "x57_ivfpq_topk", "x58_containment", "x59_source_kl", "x61_cdc_chunks",
       "x68_ivfpq_refined", "x70_ivfpq_index_roundtrip",
-      "x71_soft_dedup_weights", "x72_repetition_metrics")
+      "x71_soft_dedup_weights", "x72_repetition_metrics",
+      "x78_retention_cohorts", "x80_funnel",
+      "x83_ivfpq_retrain_swap", "x84_opq_rotation_eval", "x85_item_pmi",
+      "x86_shuffle_shard", "x87_embedding_drift", "x88_leakage_safe_split",
+      "x89_source_cap", "x90_vocab_coverage")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -3411,6 +3411,141 @@ object ExtensionQueries {
              |         CAST(round(sqrt(SUM((m1-m0)*(m1-m0))), 6) AS DECIMAL(18,6)) AS value
              |       FROM m)
              |SELECT * FROM (SELECT * FROM cosr UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM top10)
-             |ORDER BY metric, dim""".stripMargin))
+             |ORDER BY metric, dim""".stripMargin)),
+
+    // Leakage-safe train/val split: split assignment happens at the
+    // NEAR-DUP-GROUP level (x31's connected components; singletons are
+    // their own group), so two near-copies can never straddle the
+    // boundary and leak training text into eval — the contamination mode
+    // a per-doc hash split (q22/O1) cannot prevent. The output carries
+    // its own evidence: span_groups (groups split across both sides) is
+    // structurally 0, while naive_leaked_pairs counts the near-dup pairs
+    // a PER-DOC hash split of the same corpus WOULD have leaked (4 here —
+    // the guard is load-bearing, not vacuous). Scale shape: rides x31's
+    // bucketed candidate generation + O(diameter) label propagation; the
+    // split itself is one hash projection on the group id, and the report
+    // is a 2-row groupBy with two 1-row broadcast joins.
+    QuerySpec(
+      "x88_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.8)
+        val clusters = Dedup.dupClusters(pairs)
+          .select(col("doc_id"), col("cluster_id"))
+        def splitOf(c: org.apache.spark.sql.Column) =
+          when(conv(substring(md5(concat(lit("split:"), c.cast("string"))),
+            1, 6), 16, 10).cast("long") % 10 < 8, "train").otherwise("val")
+        val gs = docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("gid"),
+            col("cluster_id").isNotNull.as("clustered"))
+          .withColumn("split", splitOf(col("gid")))
+        val span = gs.groupBy("gid")
+          .agg(countDistinct(col("split")).as("ns"))
+          .filter(col("ns") > 1)
+          .agg(count(lit(1)).as("span_groups"))
+        val naive = pairs
+          .select((splitOf(col("doc_a")) =!= splitOf(col("doc_b")))
+            .cast("long").as("leak"))
+          .agg(coalesce(sum(col("leak")), lit(0L)).as("naive_leaked_pairs"))
+        gs.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("gid")).as("n_groups"),
+            sum(col("clustered").cast("long")).as("n_clustered_docs"))
+          .crossJoin(broadcast(span)).crossJoin(broadcast(naive))
+          .orderBy("split")
+      },
+      Some(dupGraphCtes + ",\n" +
+        """alld AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS gid
+          |         FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+          |gs AS (SELECT doc_id, gid,
+          |         CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(gid AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8
+          |              THEN 'train' ELSE 'val' END AS split
+          |       FROM alld),
+          |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaked_pairs FROM p
+          |       WHERE (CAST(('0x' || substr(md5('split:' || CAST(doc_a AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8)
+          |          <> (CAST(('0x' || substr(md5('split:' || CAST(doc_b AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8)),
+          |span AS (SELECT CAST(COUNT(*) AS BIGINT) AS span_groups FROM (
+          |           SELECT gid FROM gs GROUP BY 1 HAVING COUNT(DISTINCT split) > 1)),
+          |cl AS (SELECT doc_id FROM lab)
+          |SELECT gs.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(DISTINCT gs.gid) AS BIGINT) AS n_groups,
+          |  CAST(SUM(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+          |  span.span_groups, nv.naive_leaked_pairs
+          |FROM gs LEFT JOIN cl ON cl.doc_id = gs.doc_id CROSS JOIN span CROSS JOIN nv
+          |GROUP BY gs.split, span.span_groups, nv.naive_leaked_pairs ORDER BY gs.split""".stripMargin)),
+
+    // Deterministic per-source cap (domain capping: no single feed may
+    // contribute more than `cap` docs — the CC-pipeline defense against a
+    // heavy domain drowning the mixture). Selection inside each source is
+    // by seeded content-free hash, so the kept subset is a uniform,
+    // run-reproducible sample, not head-of-file bias. The rank window is
+    // PARTITIONED by source (never global), and the report is a
+    // |sources|-row groupBy.
+    QuerySpec(
+      "x89_source_cap",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+            col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_before"),
+            sum((col("rk") <= 15).cast("long")).as("n_kept"),
+            sum(when(col("rk") <= 15, col("n_chars")).otherwise(lit(0L)))
+              .as("kept_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+             |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    // does a top-V vocabulary cover, at doubling V — the curve that sizes
+    // a tokenizer vocab (or quantifies OOV pressure) before training one.
+    // The token count is one distributed groupBy; ranking is a bounded
+    // top-32 (raw row_number filter => Partial+Final WindowGroupLimit,
+    // never a global window over the full vocab), and the curve join runs
+    // 6 sizes x 32 ranked rows.
+    QuerySpec(
+      "x90_vocab_coverage",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "")
+        val tc = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        val tot = tc.agg(sum(col("n")).as("total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("t"))
+        val top = tc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 32)
+        val sizes = s.range(0, 6)
+          .select(pow(lit(2), col("id")).cast("long").as("vocab_size"))
+        sizes.join(top, col("rk") <= col("vocab_size"))
+          .crossJoin(broadcast(tot))
+          .groupBy("vocab_size")
+          .agg(sum(col("n")).as("cum_tokens"),
+            round(sum(col("n")).cast("double") / max(col("total")), 6)
+              .cast("decimal(18,6)").as("coverage"))
+          .orderBy("vocab_size")
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |tc AS (SELECT t, COUNT(*) AS n FROM tok WHERE t <> '' GROUP BY 1),
+             |tot AS (SELECT SUM(n) AS total FROM tc),
+             |r AS (SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk FROM tc QUALIFY rk <= 32),
+             |v AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS v)
+             |SELECT CAST(v.v AS BIGINT) AS vocab_size, CAST(SUM(r.n) AS BIGINT) AS cum_tokens,
+             |  CAST(round(CAST(SUM(r.n) AS DOUBLE) / MAX(tot.total), 6) AS DECIMAL(18,6)) AS coverage
+             |FROM v JOIN r ON r.rk <= v.v CROSS JOIN tot
+             |GROUP BY v.v ORDER BY vocab_size""".stripMargin))
   )
 }
