@@ -3546,6 +3546,153 @@ object ExtensionQueries {
              |SELECT CAST(v.v AS BIGINT) AS vocab_size, CAST(SUM(r.n) AS BIGINT) AS cum_tokens,
              |  CAST(round(CAST(SUM(r.n) AS DOUBLE) / MAX(tot.total), 6) AS DECIMAL(18,6)) AS coverage
              |FROM v JOIN r ON r.rk <= v.v CROSS JOIN tot
-             |GROUP BY v.v ORDER BY vocab_size""".stripMargin))
+             |GROUP BY v.v ORDER BY vocab_size""".stripMargin)),
+
+    // Right-to-erasure sweep (the GDPR/CCPA delete every production data
+    // platform must run): a tombstone list of users — here derived by
+    // seeded hash so the oracle can re-derive it — is purged from the
+    // events table by anti-join, with a per-event-type purge/keep report
+    // AND a residuals counter that re-joins the kept rows against the
+    // tombstones to prove the purge left nothing behind (0 by
+    // construction, verified from data). Scale shape: the tombstone list
+    // broadcasts; purge and residual checks are each one equi/anti join;
+    // the report is |event types| rows.
+    QuerySpec(
+      "x91_deletion_sweep",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tomb = ev.select(col("user_id")).distinct()
+          .filter(conv(substring(md5(concat(lit("forget:"),
+            col("user_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 20 === 0)
+        val purged = ev.join(broadcast(tomb), Seq("user_id"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_purged"),
+            countDistinct(col("user_id")).as("n_users_purged"))
+        val keptEv = ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+        val kept = keptEv.groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+        val resid = keptEv.select("user_id")
+          .join(broadcast(tomb), Seq("user_id"))
+          .agg(count(lit(1)).as("residuals"))
+        kept.join(purged, Seq("event_type"), "left")
+          .crossJoin(broadcast(resid))
+          .select(col("event_type"),
+            coalesce(col("n_purged"), lit(0L)).as("n_purged"),
+            coalesce(col("n_users_purged"), lit(0L)).as("n_users_purged"),
+            col("n_kept"), col("residuals"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tomb AS (SELECT DISTINCT user_id FROM events
+             |              WHERE CAST(('0x' || substr(md5('forget:' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 20 = 0),
+             |purged AS (SELECT e.event_type, COUNT(*) AS n_purged, COUNT(DISTINCT e.user_id) AS n_users
+             |           FROM events e JOIN tomb USING (user_id) GROUP BY 1),
+             |kept AS (SELECT e.event_type, COUNT(*) AS n_kept
+             |         FROM events e ANTI JOIN tomb USING (user_id) GROUP BY 1),
+             |resid AS (SELECT CAST(COUNT(*) AS BIGINT) AS residuals FROM (
+             |            SELECT user_id FROM events ANTI JOIN tomb USING (user_id)) r JOIN tomb USING (user_id))
+             |SELECT k.event_type, CAST(COALESCE(p.n_purged, 0) AS BIGINT) AS n_purged,
+             |  CAST(COALESCE(p.n_users, 0) AS BIGINT) AS n_users_purged,
+             |  CAST(k.n_kept AS BIGINT) AS n_kept, resid.residuals
+             |FROM kept k LEFT JOIN purged p USING (event_type) CROSS JOIN resid
+             |ORDER BY event_type""".stripMargin)),
+
+    // Matryoshka truncation eval (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning", public): recall@10 of cosine search over
+    // PREFIX-truncated embeddings (16/32/64 dims) against the full-dim
+    // exact truth — the measurement that decides whether a cheaper
+    // low-dim first-stage retrieval is safe for this embedding model.
+    // MEASURED ANSWER here: these synthetic embeddings carry NO
+    // matryoshka structure (recall 0.1-0.3 @16, 0.2-0.5 @32; 1.0 @64 is
+    // the built-in sanity check) — information is spread uniformly across
+    // dims, consistent with x84's isotropy finding. On an MRL-trained
+    // model the same query grades the dim-budget trade directly.
+    QuerySpec(
+      "x92_matryoshka_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+        val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid"))
+        val t10 = Seq(16, 32, 64).map { d =>
+          val te = e.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding"))
+          val tq = q.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding"))
+          Similarity.cosineTopK(tq, te, "vec_id", "embedding", k = 10)
+            .select(lit(d.toLong).as("dims"), col("qid"), col("cid"),
+              lit(1L).as("hit"))
+        }.reduce(_ union _)
+        val dimsDf = Seq(16L, 32L, 64L).toDF("dims")
+        exact.crossJoin(broadcast(dimsDf))
+          .join(t10, Seq("dims", "qid", "cid"), "left")
+          .groupBy("dims", "qid")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("dims"), col("qid"), col("n_hit"),
+            round(col("n_hit").cast("double") / 10, 4).as("recall"))
+          .orderBy("dims", "qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |dims AS (SELECT unnest([16, 32, 64]) AS d),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |ex AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |         round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)])/(q.nrm*c.nrm),4) AS sim
+             |       FROM n q CROSS JOIN n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+             |exact10 AS (SELECT qid, cid FROM (
+             |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn FROM ex) WHERE rn <= 10),
+             |tr AS (SELECT d.d, e.vec_id, e.emb[1:d.d] AS temb,
+             |         sqrt(list_sum([x*x for x in e.emb[1:d.d]])) AS tnrm
+             |       FROM e CROSS JOIN dims d),
+             |tx AS (SELECT q.d, q.vec_id AS qid, c.vec_id AS cid,
+             |         round(list_sum([q.temb[i]*c.temb[i] for i in range(1, q.d+1)])/(q.tnrm*c.tnrm), 4) AS sim
+             |       FROM tr q JOIN tr c ON q.d = c.d AND q.vec_id < 5 AND q.vec_id <> c.vec_id),
+             |t10 AS (SELECT d, qid, cid FROM (
+             |    SELECT d, qid, cid, row_number() OVER (PARTITION BY d, qid ORDER BY sim DESC, cid) AS rn FROM tx) WHERE rn <= 10)
+             |SELECT dims.d AS dims, e10.qid AS qid, CAST(COUNT(t10.cid) AS BIGINT) AS n_hit,
+             |  round(CAST(COUNT(t10.cid) AS DOUBLE) / 10, 4) AS recall
+             |FROM dims CROSS JOIN exact10 e10
+             |LEFT JOIN t10 ON t10.d = dims.d AND t10.qid = e10.qid AND t10.cid = e10.cid
+             |GROUP BY 1, 2 ORDER BY dims, qid""".stripMargin)),
+
+    // Token-budget source selection: rank sources by quality and admit
+    // them greedily until the token budget is spent — the mixture-design
+    // step that turns "we can afford B tokens" into a concrete source
+    // list. Per-source stats are one distributed groupBy (token counts
+    // via codegen HOFs, no UDF); the ranking window runs over the
+    // |sources|-row AGGREGATE (Rule-1-safe), and selection is a pure
+    // cumulative-sum threshold, reproducible run to run.
+    QuerySpec(
+      "x93_budget_selection",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("quality").desc, col("source"))
+        val cum = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(filter(split(col("text"), " "), x => x =!= "")))
+              .as("n_tokens"),
+            round(avg(col("n_chars")), 6).as("quality"))
+          .select(col("source"),
+            row_number().over(w).cast("long").as("rank"),
+            col("quality").cast("decimal(18,6)").as("quality"),
+            col("n_tokens"),
+            sum(col("n_tokens")).over(cum).as("cum_tokens"))
+          .withColumn("selected", (col("cum_tokens") <= 15000).cast("long"))
+          .orderBy("rank")
+      },
+      Some("""WITH ds AS (SELECT source,
+             |       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens,
+             |       round(AVG(n_chars), 6) AS quality
+             |     FROM documents GROUP BY 1),
+             |r AS (SELECT source, n_tokens, quality,
+             |        row_number() OVER (ORDER BY quality DESC, source) AS rank,
+             |        SUM(n_tokens) OVER (ORDER BY quality DESC, source ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |      FROM ds)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, CAST(quality AS DECIMAL(18,6)) AS quality,
+             |  n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+             |FROM r ORDER BY rank""".stripMargin))
   )
 }
