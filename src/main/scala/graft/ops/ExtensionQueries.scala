@@ -3156,7 +3156,10 @@ object ExtensionQueries {
     // wired into the serving path (x68/x70); it earns its keep on real
     // embedding models whose leading dims concentrate variance. The
     // oracle re-derives the permutation from per-dim variance in SQL, so
-    // the snake allocation itself is hash-checked, not inlined.
+    // the snake allocation itself is hash-checked, not inlined. The FULL
+    // learned-rotation OPQ (dense orthogonal R via alternating Procrustes)
+    // lives in [[Opq]] — its SVD is not SQL-expressible, so it is
+    // test-gated (OpqSpec) rather than oracle-checked.
     QuerySpec(
       "x84_opq_rotation_eval",
       (s, dir) => {
