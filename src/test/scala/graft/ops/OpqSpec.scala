@@ -56,6 +56,46 @@ class OpqSpec extends SparkSpec {
       s"OPQ encode MSE $opqMse not below seed-PQ baseline $plainMse")
   }
 
+  // MEASURED finding, same story as x84/x92: on these near-isotropic
+  // synthetic embeddings the trained rotation+codebooks cut encode MSE
+  // (previous test) but do NOT lift retrieval recall — L2 reconstruction
+  // error is not the same objective as ADC cosine RANKING, and with no
+  // variance structure to concentrate, the ranking does not improve
+  // (measured 0.44 OPQ vs 0.46 seed-PQ @ refine=20 on sf0.001). The test
+  // pins that measurement: recall must stay in the baseline's band (a
+  // pipeline break would send it toward 0) without claiming a lift the
+  // data cannot show. On variance-concentrated real embeddings the same
+  // harness measures the lift directly.
+  test("trained OPQ pipeline holds seed-codebook PQ recall at equal refine depth") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(q, e, "vec_id", "embedding", k = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallOf(short: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.cosineRerank(short.select("qid", "cid"), q, e,
+          "vec_id", "embedding", k = 10)
+        .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+
+    val seedCb = Similarity.seedVectors(e, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val plainRecall = recallOf(
+      Similarity.pqAdcTopK(q, e, "vec_id", "embedding", m = 8, k = 20, seedCb))
+
+    val model = Opq.train(sample(), m = 8, k = 16, iters = 5)
+    val eRot = e.select(col("vec_id"),
+      Opq.rotate(col("embedding"), model.r).as("embedding"))
+    val qRot = eRot.filter(col("vec_id") < 5)
+    val opqRecall = recallOf(Similarity.pqAdcTopK(qRot, eRot, "vec_id",
+      "embedding", m = 8, k = 20, model.codebooks))
+
+    info(f"recall@10 refine=20: seed-PQ $plainRecall%.3f, trained OPQ $opqRecall%.3f")
+    assert(opqRecall >= plainRecall - 0.05,
+      s"trained OPQ recall $opqRecall fell out of the seed-PQ band $plainRecall")
+  }
+
   test("rotate kernel matches driver-side matrix product; cosines preserved") {
     val model = Opq.train(sample(), m = 8, k = 16, iters = 3)
     val d = model.r.length
