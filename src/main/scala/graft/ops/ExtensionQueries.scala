@@ -3432,8 +3432,11 @@ object ExtensionQueries {
       "x88_leakage_safe_split",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // the slim surviving-pair table feeds TWO consumers (cluster
+        // formation and the naive-split counterfactual); checkpoint it so
+        // the banding+verify pipeline runs once, not per consumer
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          k = 64, bands = 16, threshold = 0.8)
+          k = 64, bands = 16, threshold = 0.8).localCheckpoint()
         val clusters = Dedup.dupClusters(pairs)
           .select(col("doc_id"), col("cluster_id"))
         def splitOf(c: org.apache.spark.sql.Column) =
