@@ -3699,6 +3699,68 @@ object ExtensionQueries {
              |SELECT source, CAST(rank AS BIGINT) AS rank, CAST(quality AS DECIMAL(18,6)) AS quality,
              |  n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
              |  CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
-             |FROM r ORDER BY rank""".stripMargin))
+             |FROM r ORDER BY rank""".stripMargin)),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    // Buettcher, SIGIR 2009, public — the fusion rule RAG stacks use to
+    // blend lexical and vector retrieval without score calibration):
+    // rank candidates independently by token overlap and by cosine, then
+    // fuse with 1/(60+rank) + 1/(60+rank). Rank positions, not raw
+    // scores, so the two modalities need no common scale. Here both
+    // rankings are computed in full for oracle parity; at 100 TB each
+    // side is its own index's top-k (inverted index / x68's IVF-PQ) and
+    // the fusion join runs over the k-bounded union — the join is on
+    // (qid, cid) either way. Final top-10 filters the RAW row_number so
+    // the fused cut stays a bounded WindowGroupLimit.
+    QuerySpec(
+      "x94_hybrid_rrf",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            array_distinct(filter(split(col("text"), " "), x => x =!= ""))
+              .as("toks"))
+        val q = toks.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("toks").as("qtoks"))
+        val lex = toks.join(broadcast(q), col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("doc_id").as("cid"),
+            size(array_intersect(col("qtoks"), col("toks"))).as("overlap"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("overlap").desc, col("cid"))
+        val lrank = lex.withColumn("rl", row_number().over(wl).cast("long"))
+          .select("qid", "cid", "rl")
+        val e = Tables.embeddings(s, dir)
+        val vrank = Similarity.cosineTopK(e.filter(col("vec_id") < 3), e,
+            "vec_id", "embedding", k = Int.MaxValue)
+          .select(col("qid"), col("cid"), col("rn").as("rv"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rrf").desc, col("cid"))
+        lrank.join(vrank, Seq("qid", "cid"))
+          .withColumn("rrf",
+            round(lit(1.0) / (lit(60) + col("rl")) +
+              lit(1.0) / (lit(60) + col("rv")), 6).cast("decimal(18,6)"))
+          .withColumn("rank0", row_number().over(wf))
+          .filter(col("rank0") <= 10)
+          .select(col("qid"), col("cid"), col("rl").as("lex_rank"),
+            col("rv").as("vec_rank"), col("rrf"),
+            col("rank0").cast("long").as("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH d AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents),
+             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |q AS (SELECT doc_id AS qid, toks AS qtoks FROM d WHERE doc_id < 3),
+             |lex AS (SELECT q.qid, d2.doc_id AS cid, len(list_intersect(q.qtoks, d2.toks)) AS overlap
+             |        FROM q CROSS JOIN d d2 WHERE d2.doc_id <> q.qid),
+             |lrank AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY overlap DESC, cid) AS rl FROM lex),
+             |vec AS (SELECT nq.vec_id AS qid, nc.vec_id AS cid,
+             |          round(list_sum([nq.emb[i]*nc.emb[i] for i in range(1,65)])/(nq.nrm*nc.nrm), 4) AS sim
+             |        FROM n nq CROSS JOIN n nc WHERE nq.vec_id < 3 AND nq.vec_id <> nc.vec_id),
+             |vrank AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rv FROM vec),
+             |fused AS (SELECT l.qid, l.cid, l.rl, v.rv,
+             |            CAST(round(1.0/(60 + l.rl) + 1.0/(60 + v.rv), 6) AS DECIMAL(18,6)) AS rrf
+             |          FROM lrank l JOIN vrank v ON l.qid = v.qid AND l.cid = v.cid)
+             |SELECT qid, cid, CAST(rl AS BIGINT) AS lex_rank, CAST(rv AS BIGINT) AS vec_rank, rrf,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS BIGINT) AS rn
+             |FROM fused QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 }
