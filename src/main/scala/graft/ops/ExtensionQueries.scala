@@ -3761,6 +3761,53 @@ object ExtensionQueries {
              |          FROM lrank l JOIN vrank v ON l.qid = v.qid AND l.cid = v.cid)
              |SELECT qid, cid, CAST(rl AS BIGINT) AS lex_rank, CAST(rv AS BIGINT) AS vec_rank, rrf,
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS BIGINT) AS rn
-             |FROM fused QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
+             |FROM fused QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Event-volume changepoint watch (one-sided CUSUM, Page 1954, public):
+    // the pipeline-monitoring alarm that catches a feed going quiet or a
+    // bot flood, upstream of any per-record check. The CUSUM recurrence
+    // s_t = max(0, s_{t-1} + z_t - k) is rewritten with the running-min
+    // identity s_t = cum_t - min(0, min_{j<=t} cum_j) so it becomes two
+    // cumulative windows over the |days|-row DAILY AGGREGATE (Rule-1-safe
+    // — the corpus never enters a window), replayable in any SQL engine
+    // without recursion. Zero flags on this corpus is the healthy-data
+    // answer (x82-residuals flavor); z and cusum columns prove the
+    // statistic is live.
+    QuerySpec(
+      "x95_volume_anomaly",
+      (s, dir) => {
+        val wd = org.apache.spark.sql.expressions.Window.orderBy("day")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.agg(round(avg(col("n")), 6).as("mu"),
+          round(stddev_pop(col("n")), 6).as("sigma"))
+        daily.crossJoin(broadcast(stats))
+          .select(col("day"), col("n"),
+            round((col("n") - col("mu")) / col("sigma"), 6).as("z"))
+          .withColumn("cum", sum(col("z") - lit(0.5)).over(wd))
+          .withColumn("cusum",
+            round(col("cum") - least(lit(0.0), min(col("cum")).over(wd)), 6))
+          .select(col("day"), col("n"),
+            col("z").cast("decimal(18,6)").as("z"),
+            col("cusum").cast("decimal(18,6)").as("cusum"),
+            (col("cusum") > 4).cast("long").as("flag"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+             |stats AS (SELECT round(AVG(n), 6) AS mu, round(stddev_pop(n), 6) AS sigma FROM daily),
+             |z AS (SELECT day, n, round((n - stats.mu) / stats.sigma, 6) AS z FROM daily CROSS JOIN stats),
+             |c AS (SELECT day, n, z,
+             |        SUM(z - 0.5) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM z),
+             |s AS (SELECT day, n, z, cum,
+             |        round(cum - LEAST(0, MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+             |      FROM c)
+             |SELECT day, n, CAST(z AS DECIMAL(18,6)) AS z, CAST(cusum AS DECIMAL(18,6)) AS cusum,
+             |  CAST(CASE WHEN cusum > 4 THEN 1 ELSE 0 END AS BIGINT) AS flag
+             |FROM s ORDER BY day""".stripMargin))
   )
 }
