@@ -3808,6 +3808,150 @@ object ExtensionQueries {
              |      FROM c)
              |SELECT day, n, CAST(z AS DECIMAL(18,6)) AS z, CAST(cusum AS DECIMAL(18,6)) AS cusum,
              |  CAST(CASE WHEN cusum > 4 THEN 1 ELSE 0 END AS BIGINT) AS flag
-             |FROM s ORDER BY day""".stripMargin))
+             |FROM s ORDER BY day""".stripMargin)),
+
+    // Temperature-scaled mixture weights (the multilingual/multi-source
+    // sampling rule of mT5/UniMax lineage, public: p_s ~ n_s^alpha) over
+    // TOKEN mass per source, at three temperatures — the planning table
+    // that says how much to up/down-sample each source before x36
+    // executes a mixture. alpha=1 is proportional (boost 1 everywhere,
+    // the built-in sanity row); alpha<1 lifts the tail (smallest source
+    // here gets 1.15x at alpha=0.2). One groupBy + a 3-row broadcast
+    // cross; everything downstream is |sources|x|alphas| rows.
+    QuerySpec(
+      "x96_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        val alphas = Seq(0.2, 0.5, 1.0).toDF("alpha")
+        val c = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(filter(split(col("text"), " "), x => x =!= "")))
+            .as("n"))
+        val p = c.crossJoin(broadcast(alphas))
+          .select(col("alpha"), col("source"), col("n"),
+            round(pow(col("n"), col("alpha")), 6).as("na"))
+        val t = p.groupBy("alpha")
+          .agg(sum(col("na")).as("tot"), sum(col("n")).as("ntot"))
+        p.join(broadcast(t), "alpha")
+          .select(col("alpha").cast("decimal(3,1)").as("alpha"),
+            col("source"), col("n"),
+            round(col("n").cast("double") / col("ntot"), 6)
+              .cast("decimal(18,6)").as("orig_share"),
+            round(col("na") / col("tot"), 6)
+              .cast("decimal(18,6)").as("temp_share"),
+            round((col("na") / col("tot")) /
+              (col("n").cast("double") / col("ntot")), 6)
+              .cast("decimal(18,6)").as("boost"))
+          .orderBy("alpha", "source")
+      },
+      Some("""WITH c AS (SELECT source,
+             |       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n
+             |     FROM documents GROUP BY 1),
+             |a AS (SELECT unnest([0.2, 0.5, 1.0]) AS alpha),
+             |p AS (SELECT a.alpha, c.source, c.n, round(pow(c.n, a.alpha), 6) AS na FROM c CROSS JOIN a),
+             |t AS (SELECT alpha, SUM(na) AS tot, SUM(n) AS ntot FROM p GROUP BY 1)
+             |SELECT CAST(p.alpha AS DECIMAL(3,1)) AS alpha, p.source, p.n,
+             |  CAST(round(CAST(p.n AS DOUBLE) / t.ntot, 6) AS DECIMAL(18,6)) AS orig_share,
+             |  CAST(round(p.na / t.tot, 6) AS DECIMAL(18,6)) AS temp_share,
+             |  CAST(round((p.na / t.tot) / (CAST(p.n AS DOUBLE) / t.ntot), 6) AS DECIMAL(18,6)) AS boost
+             |FROM p JOIN t USING (alpha) ORDER BY alpha, source""".stripMargin)),
+
+    // Boilerplate/tag stripping (the extraction stage between crawl and
+    // every text op; jusText/trafilatura territory, here the regex-chain
+    // core). The corpus is plain text, so the markup is built IN-PLAN
+    // from the data (the x32 unicode-damage device): wrap each doc in
+    // head/nav/footer chrome, then strip container blocks (non-greedy,
+    // no backreferences — RE2-safe for the oracle) and remaining tags.
+    // Both engines damage and clean with their own regex engines; the
+    // hash compare proves the cleaned text and removed-char accounting
+    // agree byte-for-byte. Row-local, codegen, no shuffle.
+    QuerySpec(
+      "x97_boilerplate_strip",
+      (s, dir) => {
+        val h = Tables.documents(s, dir)
+          .select(col("doc_id"), concat(
+            lit("<html><head><title>t</title></head><body><nav>menu home about</nav><p>"),
+            substring(col("text"), 1, 60),
+            lit("</p><footer>copyright 2024 corp</footer></body></html>"))
+            .as("html"))
+        val clean = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(col("html"),
+            "<head>.*?</head>", ""),
+            "<nav>.*?</nav>", ""),
+            "<footer>.*?</footer>", ""),
+            "<[^>]*>", "")
+        h.select(col("doc_id"), clean.as("clean"),
+            (length(col("html")) - length(clean)).cast("long")
+              .as("removed_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  '<html><head><title>t</title></head><body><nav>menu home about</nav><p>' ||
+             |  substr(text, 1, 60) || '</p><footer>copyright 2024 corp</footer></body></html>' AS html
+             |  FROM documents),
+             |c AS (SELECT doc_id, html,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+             |    '<head>.*?</head>', '', 'g'),
+             |    '<nav>.*?</nav>', '', 'g'),
+             |    '<footer>.*?</footer>', '', 'g'),
+             |    '<[^>]*>', '', 'g') AS clean
+             |  FROM h)
+             |SELECT doc_id, clean, CAST(length(html) - length(clean) AS BIGINT) AS removed_chars
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Next-event prediction eval — model evaluation INSIDE the engine:
+    // fit the x79 first-order transition model on the first 23 days,
+    // predict argmax(to|from), score hit@1 on the held-out last week.
+    // Train/test split is by TIME (the only split that does not leak
+    // future behavior into the model). Measured answer on this corpus:
+    // hit@1 ~= 0.20 across all five from-types — the synthetic journeys
+    // are near-memoryless, and the eval PROVES that instead of assuming
+    // it. Two windowed passes + a 5-row broadcast of the fitted model.
+    QuerySpec(
+      "x98_next_event_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        def trans(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+        val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+        val cnt = trans(ev.where(col("ts") < cut))
+          .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("next_type"))
+        val pred = cnt.withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("next_type").as("predicted"))
+        trans(ev.where(col("ts") >= cut))
+          .join(broadcast(pred), "event_type")
+          .groupBy("event_type", "predicted")
+          .agg(count(lit(1)).as("n_test"),
+            sum((col("next_type") === col("predicted")).cast("long"))
+              .as("n_hit"))
+          .select(col("event_type"), col("predicted"), col("n_test"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_test"), 4)
+              .as("hit_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH tr AS (SELECT user_id, event_type,
+             |       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |     FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'),
+             |cnt AS (SELECT event_type, next_type, COUNT(*) AS n FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |pred AS (SELECT event_type, next_type AS predicted FROM (
+             |    SELECT event_type, next_type, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, next_type) AS rk FROM cnt)
+             |  WHERE rk = 1),
+             |te AS (SELECT user_id, event_type,
+             |       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |     FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'),
+             |evalrows AS (SELECT t.event_type, t.next_type, p.predicted
+             |             FROM te t JOIN pred p USING (event_type) WHERE t.next_type IS NOT NULL)
+             |SELECT event_type, predicted, CAST(COUNT(*) AS BIGINT) AS n_test,
+             |  CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  round(CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS hit_rate
+             |FROM evalrows GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }
