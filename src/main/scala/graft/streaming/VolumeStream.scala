@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming volume watch — the stream-side twin of the x95 CUSUM
+  * changepoint query, so the feed-went-quiet/bot-flood alarm runs ON the
+  * ingest instead of a nightly batch. State is per-day event-count
+  * partials (a commutative monoid: any micro-batch split sums to the
+  * same daily counts), written into batch_id partitions with dynamic
+  * overwrite so an at-least-once re-delivery REPLACES its contribution —
+  * the [[DriftStream]]/[[PmiStream]] idempotency discipline. The report
+  * recomputes the x95 statistic from the |days|-row count table; the
+  * event stream itself is never rescanned. VolumeStreamSpec proves
+  * stream == one-shot == registry x95.
+  */
+object VolumeStream {
+
+  /** One micro-batch's contribution: per-day counts. */
+  def accumulateBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit =
+    batch.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+
+  /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
+    * stream carrying a `ts` column. */
+  def volumeOnIngest(stream: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        accumulateBatch(b, stateDir, id)
+      }
+      .start()
+
+  /** CUSUM report off the accumulated state — the EXACT x95 output
+    * contract (day, n, z, cusum, flag), so the streaming path inherits
+    * the oracle-checked semantics. */
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    val wd = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = spark.read.parquet(stateDir)
+      .groupBy("day").agg(sum(col("n")).as("n"))
+    val stats = daily.agg(round(avg(col("n")), 6).as("mu"),
+      round(stddev_pop(col("n")), 6).as("sigma"))
+    daily.crossJoin(broadcast(stats))
+      .select(col("day"), col("n"),
+        round((col("n") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("cum", sum(col("z") - lit(0.5)).over(wd))
+      .withColumn("cusum",
+        round(col("cum") - least(lit(0.0), min(col("cum")).over(wd)), 6))
+      .select(col("day"), col("n"),
+        col("z").cast("decimal(18,6)").as("z"),
+        col("cusum").cast("decimal(18,6)").as("cusum"),
+        (col("cusum") > 4).cast("long").as("flag"))
+      .orderBy("day")
+  }
+}
