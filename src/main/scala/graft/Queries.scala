@@ -12,7 +12,11 @@ import org.apache.spark.sql.types._
   *  - every query ends with a total ORDER BY (ties broken by a unique key);
   *  - double aggregates go through DECIMAL(18,6) so the sum is exact and
   *    associative (identical in Spark and DuckDB regardless of add order),
-  *    then cast back to DOUBLE;
+  *    then cast back to DOUBLE — the cast back is LOAD-BEARING: an emitted
+  *    DecimalType column hash-mismatches whenever a value has trailing
+  *    zeros at the declared scale (the driver reads Spark parquet decimals
+  *    exactly but its oracle frame coerces DECIMAL to float64 — round-7
+  *    adjudication; PlansSpec now rejects DecimalType output columns);
   *  - computed integers are cast to BIGINT on both sides (Spark window/size
   *    functions return INT, DuckDB returns BIGINT);
   *  - column names are aliased identically on both sides.

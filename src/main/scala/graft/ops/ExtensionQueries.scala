@@ -3079,16 +3079,11 @@ object ExtensionQueries {
       "x83_ivfpq_retrain_swap",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_ivfpq_versioned").toString
-        // versions accumulate across runs under a fixed tmp root: start clean
-        val rootPath = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(rootPath)) {
-          val it = java.nio.file.Files.walk(rootPath)
-          try it.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
-          finally it.close()
-        }
+        // Fresh root per invocation (AnnStreamSpec's discipline): a fixed
+        // shared tmp root would let two concurrent sessions (bench +
+        // verify) race on each other's recursive delete.
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_versioned").toString
         val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
         val first = e.filter(col("vec_id") <= mid)
         val cbA = Similarity.seedVectors(first, "vec_id", "embedding", (0L to 15L))
@@ -3303,8 +3298,7 @@ object ExtensionQueries {
           .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
             col("n_b"),
             round(log(col("n_ab").cast("double") * col("n_ctx") /
-              (col("n_a") * col("n_b"))), 6)
-              .cast("decimal(18,6)").as("pmi"))
+              (col("n_a") * col("n_b"))), 6).as("pmi"))
           .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
           .limit(50)
       },
@@ -3317,7 +3311,7 @@ object ExtensionQueries {
              |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
              |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
              |  CAST(ia.n_i AS BIGINT) AS n_a, CAST(ib.n_i AS BIGINT) AS n_b,
-             |  CAST(round(ln(CAST(n_ab AS DOUBLE) * n.n_ctx / (ia.n_i * ib.n_i)), 6) AS DECIMAL(18,6)) AS pmi
+             |  round(ln(CAST(n_ab AS DOUBLE) * n.n_ctx / (ia.n_i * ib.n_i)), 6) AS pmi
              |FROM pc JOIN ic ia ON ia.item = pc.item_a JOIN ic ib ON ib.item = pc.item_b CROSS JOIN n
              |ORDER BY pmi DESC, item_a, item_b LIMIT 50""".stripMargin)),
 
@@ -3380,7 +3374,7 @@ object ExtensionQueries {
           round(abs(col("m1") - col("m0")), 6).as("ad"))
         val top10 = delta.orderBy(col("ad").desc, col("dim")).limit(10)
           .select(lit("abs_delta").as("metric"), col("dim"),
-            col("ad").cast("decimal(18,6)").as("value"))
+            col("ad").as("value"))
         val summary = delta.agg(
             round(sum(col("m0") * col("m1")) /
               (sqrt(sum(col("m0") * col("m0"))) *
@@ -3388,9 +3382,9 @@ object ExtensionQueries {
             round(sqrt(sum(pow(col("m1") - col("m0"), lit(2)))), 6)
               .as("delta_l2"))
         val cosRow = summary.select(lit("mean_cos").as("metric"),
-          lit(-1L).as("dim"), col("mean_cos").cast("decimal(18,6)").as("value"))
+          lit(-1L).as("dim"), col("mean_cos").as("value"))
         val l2Row = summary.select(lit("delta_l2").as("metric"),
-          lit(-1L).as("dim"), col("delta_l2").cast("decimal(18,6)").as("value"))
+          lit(-1L).as("dim"), col("delta_l2").as("value"))
         cosRow.union(l2Row).union(top10).orderBy("metric", "dim")
       },
       Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
@@ -3404,14 +3398,14 @@ object ExtensionQueries {
              |      FROM d GROUP BY 1),
              |delta AS (SELECT dim, m0, m1, round(abs(m1 - m0), 6) AS ad FROM m),
              |top10 AS (SELECT 'abs_delta' AS metric, CAST(dim AS BIGINT) AS dim,
-             |            CAST(ad AS DECIMAL(18,6)) AS value
+             |            CAST(ad AS DOUBLE) AS value
              |          FROM (SELECT dim, ad, row_number() OVER (ORDER BY ad DESC, dim) AS rn FROM delta)
              |          WHERE rn <= 10),
              |cosr AS (SELECT 'mean_cos' AS metric, CAST(-1 AS BIGINT) AS dim,
-             |           CAST(round(SUM(m0*m1) / (sqrt(SUM(m0*m0)) * sqrt(SUM(m1*m1))), 6) AS DECIMAL(18,6)) AS value
+             |           round(SUM(m0*m1) / (sqrt(SUM(m0*m0)) * sqrt(SUM(m1*m1))), 6) AS value
              |         FROM m),
              |l2 AS (SELECT 'delta_l2' AS metric, CAST(-1 AS BIGINT) AS dim,
-             |         CAST(round(sqrt(SUM((m1-m0)*(m1-m0))), 6) AS DECIMAL(18,6)) AS value
+             |         round(sqrt(SUM((m1-m0)*(m1-m0))), 6) AS value
              |       FROM m)
              |SELECT * FROM (SELECT * FROM cosr UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM top10)
              |ORDER BY metric, dim""".stripMargin)),
@@ -3541,7 +3535,7 @@ object ExtensionQueries {
           .groupBy("vocab_size")
           .agg(sum(col("n")).as("cum_tokens"),
             round(sum(col("n")).cast("double") / max(col("total")), 6)
-              .cast("decimal(18,6)").as("coverage"))
+              .as("coverage"))
           .orderBy("vocab_size")
       },
       Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
@@ -3550,7 +3544,7 @@ object ExtensionQueries {
              |r AS (SELECT t, n, row_number() OVER (ORDER BY n DESC, t) AS rk FROM tc QUALIFY rk <= 32),
              |v AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS v)
              |SELECT CAST(v.v AS BIGINT) AS vocab_size, CAST(SUM(r.n) AS BIGINT) AS cum_tokens,
-             |  CAST(round(CAST(SUM(r.n) AS DOUBLE) / MAX(tot.total), 6) AS DECIMAL(18,6)) AS coverage
+             |  round(CAST(SUM(r.n) AS DOUBLE) / MAX(tot.total), 6) AS coverage
              |FROM v JOIN r ON r.rk <= v.v CROSS JOIN tot
              |GROUP BY v.v ORDER BY vocab_size""".stripMargin)),
 
@@ -3682,7 +3676,7 @@ object ExtensionQueries {
             round(avg(col("n_chars")), 6).as("quality"))
           .select(col("source"),
             row_number().over(w).cast("long").as("rank"),
-            col("quality").cast("decimal(18,6)").as("quality"),
+            col("quality"),
             col("n_tokens"),
             sum(col("n_tokens")).over(cum).as("cum_tokens"))
           .withColumn("selected", (col("cum_tokens") <= 15000).cast("long"))
@@ -3696,7 +3690,7 @@ object ExtensionQueries {
              |        row_number() OVER (ORDER BY quality DESC, source) AS rank,
              |        SUM(n_tokens) OVER (ORDER BY quality DESC, source ROWS UNBOUNDED PRECEDING) AS cum_tokens
              |      FROM ds)
-             |SELECT source, CAST(rank AS BIGINT) AS rank, CAST(quality AS DECIMAL(18,6)) AS quality,
+             |SELECT source, CAST(rank AS BIGINT) AS rank, quality,
              |  n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
              |  CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
              |FROM r ORDER BY rank""".stripMargin)),
@@ -3737,7 +3731,7 @@ object ExtensionQueries {
         lrank.join(vrank, Seq("qid", "cid"))
           .withColumn("rrf",
             round(lit(1.0) / (lit(60) + col("rl")) +
-              lit(1.0) / (lit(60) + col("rv")), 6).cast("decimal(18,6)"))
+              lit(1.0) / (lit(60) + col("rv")), 6))
           .withColumn("rank0", row_number().over(wf))
           .filter(col("rank0") <= 10)
           .select(col("qid"), col("cid"), col("rl").as("lex_rank"),
@@ -3757,7 +3751,7 @@ object ExtensionQueries {
              |        FROM n nq CROSS JOIN n nc WHERE nq.vec_id < 3 AND nq.vec_id <> nc.vec_id),
              |vrank AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rv FROM vec),
              |fused AS (SELECT l.qid, l.cid, l.rl, v.rv,
-             |            CAST(round(1.0/(60 + l.rl) + 1.0/(60 + v.rv), 6) AS DECIMAL(18,6)) AS rrf
+             |            round(CAST(1.0 AS DOUBLE)/(60 + l.rl) + CAST(1.0 AS DOUBLE)/(60 + v.rv), 6) AS rrf
              |          FROM lrank l JOIN vrank v ON l.qid = v.qid AND l.cid = v.cid)
              |SELECT qid, cid, CAST(rl AS BIGINT) AS lex_rank, CAST(rv AS BIGINT) AS vec_rank, rrf,
              |  CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS BIGINT) AS rn
@@ -3791,9 +3785,7 @@ object ExtensionQueries {
           .withColumn("cum", sum(col("z") - lit(0.5)).over(wd))
           .withColumn("cusum",
             round(col("cum") - least(lit(0.0), min(col("cum")).over(wd)), 6))
-          .select(col("day"), col("n"),
-            col("z").cast("decimal(18,6)").as("z"),
-            col("cusum").cast("decimal(18,6)").as("cusum"),
+          .select(col("day"), col("n"), col("z"), col("cusum"),
             (col("cusum") > 4).cast("long").as("flag"))
           .orderBy("day")
       },
@@ -3806,7 +3798,7 @@ object ExtensionQueries {
              |s AS (SELECT day, n, z, cum,
              |        round(cum - LEAST(0, MIN(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS cusum
              |      FROM c)
-             |SELECT day, n, CAST(z AS DECIMAL(18,6)) AS z, CAST(cusum AS DECIMAL(18,6)) AS cusum,
+             |SELECT day, n, z, cusum,
              |  CAST(CASE WHEN cusum > 4 THEN 1 ELSE 0 END AS BIGINT) AS flag
              |FROM s ORDER BY day""".stripMargin)),
 
@@ -3833,15 +3825,12 @@ object ExtensionQueries {
         val t = p.groupBy("alpha")
           .agg(sum(col("na")).as("tot"), sum(col("n")).as("ntot"))
         p.join(broadcast(t), "alpha")
-          .select(col("alpha").cast("decimal(3,1)").as("alpha"),
+          .select(col("alpha"),
             col("source"), col("n"),
-            round(col("n").cast("double") / col("ntot"), 6)
-              .cast("decimal(18,6)").as("orig_share"),
-            round(col("na") / col("tot"), 6)
-              .cast("decimal(18,6)").as("temp_share"),
+            round(col("n").cast("double") / col("ntot"), 6).as("orig_share"),
+            round(col("na") / col("tot"), 6).as("temp_share"),
             round((col("na") / col("tot")) /
-              (col("n").cast("double") / col("ntot")), 6)
-              .cast("decimal(18,6)").as("boost"))
+              (col("n").cast("double") / col("ntot")), 6).as("boost"))
           .orderBy("alpha", "source")
       },
       Some("""WITH c AS (SELECT source,
@@ -3850,10 +3839,10 @@ object ExtensionQueries {
              |a AS (SELECT unnest([0.2, 0.5, 1.0]) AS alpha),
              |p AS (SELECT a.alpha, c.source, c.n, round(pow(c.n, a.alpha), 6) AS na FROM c CROSS JOIN a),
              |t AS (SELECT alpha, SUM(na) AS tot, SUM(n) AS ntot FROM p GROUP BY 1)
-             |SELECT CAST(p.alpha AS DECIMAL(3,1)) AS alpha, p.source, p.n,
-             |  CAST(round(CAST(p.n AS DOUBLE) / t.ntot, 6) AS DECIMAL(18,6)) AS orig_share,
-             |  CAST(round(p.na / t.tot, 6) AS DECIMAL(18,6)) AS temp_share,
-             |  CAST(round((p.na / t.tot) / (CAST(p.n AS DOUBLE) / t.ntot), 6) AS DECIMAL(18,6)) AS boost
+             |SELECT CAST(p.alpha AS DOUBLE) AS alpha, p.source, p.n,
+             |  round(CAST(p.n AS DOUBLE) / t.ntot, 6) AS orig_share,
+             |  round(p.na / t.tot, 6) AS temp_share,
+             |  round((p.na / t.tot) / (CAST(p.n AS DOUBLE) / t.ntot), 6) AS boost
              |FROM p JOIN t USING (alpha) ORDER BY alpha, source""".stripMargin)),
 
     // Boilerplate/tag stripping (the extraction stage between crawl and

@@ -66,7 +66,7 @@ object DriftStream {
         round(abs(col("m1") - col("m0")), 6).as("ad"))
     val top10 = delta.orderBy(col("ad").desc, col("dim")).limit(10)
       .select(lit("abs_delta").as("metric"), col("dim"),
-        col("ad").cast("decimal(18,6)").as("value"))
+        col("ad").as("value"))
     val summary = delta.agg(
         round(sum(col("m0") * col("m1")) /
           (sqrt(sum(col("m0") * col("m0"))) *
@@ -74,9 +74,9 @@ object DriftStream {
         round(sqrt(sum(pow(col("m1") - col("m0"), lit(2)))), 6)
           .as("delta_l2"))
     val cosRow = summary.select(lit("mean_cos").as("metric"),
-      lit(-1L).as("dim"), col("mean_cos").cast("decimal(18,6)").as("value"))
+      lit(-1L).as("dim"), col("mean_cos").as("value"))
     val l2Row = summary.select(lit("delta_l2").as("metric"),
-      lit(-1L).as("dim"), col("delta_l2").cast("decimal(18,6)").as("value"))
+      lit(-1L).as("dim"), col("delta_l2").as("value"))
     cosRow.union(l2Row).union(top10).orderBy("metric", "dim")
   }
 }

@@ -39,8 +39,16 @@ object PmiStream {
     val spark = batch.sparkSession
     val b = ctxItems(batch)
     val itemsPath = s"$stateDir/items"
+    // Resolve existence through the session's Hadoop FileSystem, not
+    // java.io.File: stateDir may be an HDFS/S3 URI at scale, where a
+    // local-FS check would silently report "absent", treat all prior
+    // state as empty, and double-count pairs.
+    val hPath = new org.apache.hadoop.fs.Path(itemsPath)
+    val itemsExist = hPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(hPath)
     val existing =
-      if (new java.io.File(itemsPath).exists())
+      if (itemsExist)
         spark.read.parquet(itemsPath)
           .filter(col("batch_id") =!= batchId)
           .select("user_id", "day", "item")
@@ -100,8 +108,7 @@ object PmiStream {
       .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
         col("n_b"),
         round(log(col("n_ab").cast("double") * col("n_ctx") /
-          (col("n_a") * col("n_b"))), 6)
-          .cast("decimal(18,6)").as("pmi"))
+          (col("n_a") * col("n_b"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("item_a"), col("item_b"))
       .limit(50)
   }

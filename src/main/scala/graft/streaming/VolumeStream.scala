@@ -55,9 +55,7 @@ object VolumeStream {
       .withColumn("cum", sum(col("z") - lit(0.5)).over(wd))
       .withColumn("cusum",
         round(col("cum") - least(lit(0.0), min(col("cum")).over(wd)), 6))
-      .select(col("day"), col("n"),
-        col("z").cast("decimal(18,6)").as("z"),
-        col("cusum").cast("decimal(18,6)").as("cusum"),
+      .select(col("day"), col("n"), col("z"), col("cusum"),
         (col("cusum") > 4).cast("long").as("flag"))
       .orderBy("day")
   }

@@ -65,6 +65,27 @@ class PlansSpec extends SparkSpec {
       }
       assert(cartesians(plan).isEmpty,
         s"$name plans a CartesianProduct — unbounded O(n*m) at scale")
+      val decimalCols = df.schema.fields
+        .filter(f => containsDecimal(f.dataType)).map(_.name)
+      assert(decimalCols.isEmpty,
+        s"$name emits DecimalType column(s) ${decimalCols.mkString(", ")} — " +
+          "the driver reads Spark parquet decimals exactly (trailing zeros " +
+          "kept) but its DuckDB oracle frame coerces DECIMAL to float64, so " +
+          "any value with trailing zeros at the declared scale hash-" +
+          "mismatches despite equal values (round-7 adjudication). Emit " +
+          "round(..., n) as DOUBLE; decimals are fine inside a computation.")
+    }
+  }
+
+  /** DecimalType anywhere in a (possibly nested) output type. */
+  private def containsDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => true
+      case a: ArrayType => containsDecimal(a.elementType)
+      case m: MapType => containsDecimal(m.keyType) || containsDecimal(m.valueType)
+      case s: StructType => s.fields.exists(f => containsDecimal(f.dataType))
+      case _ => false
     }
   }
 
@@ -73,7 +94,8 @@ class PlansSpec extends SparkSpec {
     * a filtering query is wrong at 100 TB). */
   private val mustPushFilters = Seq(
     "q2_filter_project", "q5_semi_join",
-    "q42_returned_revenue", "x13_ann_ivf", "x22_clean_corpus")
+    "q42_returned_revenue", "x13_ann_ivf", "x22_clean_corpus",
+    "x94_hybrid_rrf", "x98_next_event_eval")
 
   mustPushFilters.foreach { name =>
     test(s"pushed filters: $name") {
