@@ -38,7 +38,10 @@ object Explain {
       "x78_retention_cohorts", "x80_funnel",
       "x83_ivfpq_retrain_swap", "x84_opq_rotation_eval", "x85_item_pmi",
       "x86_shuffle_shard", "x87_embedding_drift", "x88_leakage_safe_split",
-      "x89_source_cap", "x90_vocab_coverage")
+      "x89_source_cap", "x90_vocab_coverage", "x91_deletion_sweep",
+      "x92_matryoshka_recall", "x93_budget_selection", "x94_hybrid_rrf",
+      "x95_volume_anomaly", "x96_temperature_mix", "x97_boilerplate_strip",
+      "x98_next_event_eval", "x99_suffix_dedup")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -788,4 +788,79 @@ object Dedup {
         sum(col("b") - col("a") + 1).cast("long").as("dup_tokens"),
         max(col("b") - col("a") + 1).cast("long").as("max_span"))
   }
+
+  /** Character-level duplicated-substring spans via SORTED-SUFFIX ranges —
+    * the suffix-array device of Lee et al. 2022's ExactSubstr proper,
+    * where [[duplicatedSpans]] is the fixed-k gram approximation. A
+    * substring is duplicated iff, in the lexicographic order of all corpus
+    * suffixes, it shares a long common prefix with a NEIGHBOR (the suffix-
+    * array/LCP-array property: the nearest match in sorted order realizes
+    * the maximum LCP on its side). So: enumerate suffixes truncated to
+    * `depth` chars, sort them WITHIN first-`bucketLen`-char buckets, take
+    * each suffix's LCP with its lag/lead neighbor, and keep positions
+    * whose maximal match length ml >= `minLen`; overlapping [pos, pos+ml)
+    * intervals merge into maximal spans per doc. Unlike the k-gram
+    * version, the match length is MEASURED (up to `depth`), not assumed.
+    *
+    * Correctness of bucketing: two suffixes with LCP >= minLen share
+    * their first bucketLen <= minLen chars, hence the bucket — no
+    * qualifying neighbor pair straddles a bucket boundary. Ties (equal
+    * truncated suffixes) give the same LCP to any permutation, so the
+    * result is engine- and partition-order-independent under byte-wise
+    * string collation (both Spark and DuckDB default).
+    *
+    * Plan shape at 100 TB: the suffix table is one row per char position
+    * (the same O(n) entries a suffix array holds; slim — bucket key +
+    * depth-char payload), shuffled ONCE on the bucket key; the sort and
+    * both LCP windows are per-bucket (PARTITIONED — the corpus never
+    * enters a global window); the island merge windows run per doc over
+    * only the marked positions. Nothing is quadratic; a pathological
+    * shared prefix (one hot bucket) is the documented skew risk — deepen
+    * bucketLen toward minLen or salt-and-rejoin, same as any hot-key
+    * shuffle. LCP costs O(depth^2) char compares per row worst-case;
+    * depth is a small constant (32), kept codegen-friendly via left()
+    * prefix equality inside a filter HOF.
+    *
+    * Returns one row per doc owning >= 1 duplicated span: (doc_id,
+    * n_spans, dup_chars, max_span), 1-based char positions. */
+  def suffixDupSpans(df: DataFrame, idCol: String, textCol: String,
+      depth: Int = 32, minLen: Int = 16, bucketLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketLen <= minLen, "bucket prefix must not exceed minLen")
+    val sfx = df
+      .select(col(idCol), col(textCol).as("t"))
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, length(t))," +
+          s" i -> struct(i AS pos, substring(t, i, $depth) AS sfx))")).as("g"))
+      .select(col(idCol), col("g.pos").cast("long").as("pos"),
+        col("g.sfx").as("sfx"))
+    val wb = Window.partitionBy(substring(col("sfx"), 1, bucketLen))
+      .orderBy(col("sfx"), col(idCol), col("pos"))
+    // LCP(sfx, other) truncated at depth: prefix equality is monotone in k,
+    // so counting the k with equal k-prefixes IS the common-prefix length.
+    def lcpWith(other: Column): Column =
+      when(other.isNull, lit(0)).otherwise(size(filter(
+        sequence(lit(1), lit(depth)),
+        k => col("sfx").substr(lit(1), k) === other.substr(lit(1), k))))
+    val marked = sfx
+      .withColumn("prv", lag(col("sfx"), 1).over(wb))
+      .withColumn("nxt", lead(col("sfx"), 1).over(wb))
+      .withColumn("ml", least(length(col("sfx")),
+        greatest(lcpWith(col("prv")), lcpWith(col("nxt")))))
+      .where(col("ml") >= minLen)
+      .select(col(idCol), col("pos"), (col("pos") + col("ml") - 1).as("e"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("e"))
+    val spans = marked
+      .withColumn("pmax", max(col("e"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("st",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1).otherwise(0))
+      .withColumn("sid", sum(col("st")).over(byPos))
+      .groupBy(col(idCol), col("sid"))
+      .agg(min(col("pos")).as("a"), max(col("e")).as("b"))
+    spans.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("b") - col("a") + 1).cast("long").as("dup_chars"),
+        max(col("b") - col("a") + 1).cast("long").as("max_span"))
+  }
 }

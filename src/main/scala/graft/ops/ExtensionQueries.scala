@@ -3941,6 +3941,48 @@ object ExtensionQueries {
              |SELECT event_type, predicted, CAST(COUNT(*) AS BIGINT) AS n_test,
              |  CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              |  round(CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS hit_rate
-             |FROM evalrows GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |FROM evalrows GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Exact substring dedup via SORTED-SUFFIX ranges (Lee et al. 2022
+    // ExactSubstr, the suffix-array device proper — x38 is its fixed-k
+    // gram approximation): truncated suffixes sort inside first-8-char
+    // buckets, each takes its measured LCP against its lag/lead neighbor
+    // (the suffix-array property: the nearest sorted neighbor realizes
+    // the maximal match on its side), positions with LCP >= 16 chars
+    // mark [pos, pos+lcp) and overlapping marks merge into maximal
+    // per-doc spans. Both LCP windows are bucket-PARTITIONED and the
+    // island windows are per-doc — the corpus never enters a global
+    // window; all outputs integers. See Dedup.suffixDupSpans scaladoc
+    // for the 100 TB plan-shape argument.
+    QuerySpec(
+      "x99_suffix_dedup",
+      (s, dir) =>
+        Dedup.suffixDupSpans(Tables.documents(s, dir), "doc_id", "text",
+            depth = 32, minLen = 16, bucketLen = 8)
+          .orderBy("doc_id"),
+      Some("""WITH s0 AS (SELECT doc_id, unnest(range(1, len(text)+1)) AS pos, text FROM documents),
+             |sfx AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, substr(text, CAST(pos AS INT), 32) AS sfx FROM s0),
+             |nb AS (SELECT doc_id, pos, sfx,
+             |         lag(sfx)  OVER (PARTITION BY substr(sfx, 1, 8) ORDER BY sfx, doc_id, pos) AS prv,
+             |         lead(sfx) OVER (PARTITION BY substr(sfx, 1, 8) ORDER BY sfx, doc_id, pos) AS nxt
+             |       FROM sfx),
+             |lcp AS (SELECT doc_id, pos,
+             |          least(len(sfx), greatest(
+             |            CASE WHEN prv IS NULL THEN 0 ELSE len(list_filter(range(1, 33), k -> left(sfx, CAST(k AS INT)) = left(prv, CAST(k AS INT)))) END,
+             |            CASE WHEN nxt IS NULL THEN 0 ELSE len(list_filter(range(1, 33), k -> left(sfx, CAST(k AS INT)) = left(nxt, CAST(k AS INT)))) END)) AS ml
+             |        FROM nb),
+             |h AS (SELECT doc_id, pos, pos + ml - 1 AS e FROM lcp WHERE ml >= 16),
+             |m AS (SELECT doc_id, pos, e,
+             |        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |      FROM h),
+             |st AS (SELECT doc_id, pos, e,
+             |         CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS st FROM m),
+             |sp AS (SELECT doc_id, pos, e, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos, e) AS sid FROM st),
+             |spans AS (SELECT doc_id, sid, MIN(pos) AS a, MAX(e) AS b FROM sp GROUP BY 1, 2)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |       CAST(SUM(b - a + 1) AS BIGINT) AS dup_chars,
+             |       CAST(MAX(b - a + 1) AS BIGINT) AS max_span
+             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

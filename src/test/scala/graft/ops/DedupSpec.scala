@@ -107,6 +107,41 @@ class DedupSpec extends SparkSpec {
       (12L, 2L, 8L, 4L)))
   }
 
+  test("suffixDupSpans: measured LCP spans, cross- and within-doc, no false hits") {
+    val shared = "0123456789abcdefghij" // 20 chars, >= minLen=16
+    val d = Seq(
+      (10L, s"AA${shared}BB"),          // shares 20 chars with doc 11
+      (11L, s"XYZ${shared}QRS"),
+      (12L, s"${shared}--${shared}"),   // within-doc repeat, disjoint spans
+      (13L, "no repeats live here at all, every char run is fresh!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.suffixDupSpans(d, "doc_id", "text",
+        depth = 32, minLen = 16, bucketLen = 8)
+      .select("doc_id", "n_spans", "dup_chars", "max_span")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    // Docs 10/11: exactly the 20 shared chars (positions 3..22 / 4..23) —
+    // marked suffixes [start, start+lcp) telescope into one maximal span
+    // of MEASURED length 20, not a fixed k. Doc 12: both copies found as
+    // separate spans (disjoint, so they stay apart); the second copy's
+    // span is also 20 long. Doc 13: absent (no >= 16-char repeat).
+    assert(out === Array((10L, 1L, 20L, 20L), (11L, 1L, 20L, 20L),
+      (12L, 2L, 40L, 20L)))
+  }
+
+  test("suffixDupSpans: bucket boundary cannot hide a qualifying pair") {
+    // Two docs sharing exactly minLen chars whose first bucketLen chars
+    // are identical by construction (the bucketing soundness argument:
+    // LCP >= minLen implies same first-bucketLen bucket).
+    val d = Seq(
+      (1L, "prefix__SHAREDRUN1234567890suffixA"),
+      (2L, "other___SHAREDRUN1234567890tailBBB")
+    ).toDF("doc_id", "text")
+    val out = Dedup.suffixDupSpans(d, "doc_id", "text",
+        depth = 32, minLen = 16, bucketLen = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L))
+  }
+
   test("minhashNearDupsAgainst: batch-vs-index pairs only, doc_a is batch-side") {
     // index = the standing corpus; batch = tonight's ingest. Ids disjoint
     // (the documented precondition). batch doc 101 near-dups index doc 1;
