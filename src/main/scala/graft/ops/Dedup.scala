@@ -836,17 +836,20 @@ object Dedup {
         col("g.sfx").as("sfx"))
     val wb = Window.partitionBy(substring(col("sfx"), 1, bucketLen))
       .orderBy(col("sfx"), col(idCol), col("pos"))
-    // LCP(sfx, other) truncated at depth: prefix equality is monotone in k,
-    // so counting the k with equal k-prefixes IS the common-prefix length.
-    def lcpWith(other: Column): Column =
-      when(other.isNull, lit(0)).otherwise(size(filter(
-        sequence(lit(1), lit(depth)),
-        k => col("sfx").substr(lit(1), k) === other.substr(lit(1), k))))
+    // Native codegen LCP ([[graft.plans.LcpChars]]): one byte-walk per
+    // neighbor instead of the O(depth²)-substring SQL formulation — LCP
+    // runs twice per corpus character, so the constant matters. The
+    // oracle replays the equivalent count-of-equal-k-prefixes form
+    // (prefix equality is monotone in k, so the count IS the LCP).
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    def lcpWith(other: String): Column =
+      when(col(other).isNull, lit(0))
+        .otherwise(expr(s"lcp_chars(sfx, $other)"))
     val marked = sfx
       .withColumn("prv", lag(col("sfx"), 1).over(wb))
       .withColumn("nxt", lead(col("sfx"), 1).over(wb))
       .withColumn("ml", least(length(col("sfx")),
-        greatest(lcpWith(col("prv")), lcpWith(col("nxt")))))
+        greatest(lcpWith("prv"), lcpWith("nxt"))))
       .where(col("ml") >= minLen)
       .select(col(idCol), col("pos"), (col("pos") + col("ml") - 1).as("e"))
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"), col("e"))

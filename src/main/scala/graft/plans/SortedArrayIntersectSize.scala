@@ -92,7 +92,9 @@ object GraftFunctions {
     ("repair_mojibake", classOf[RepairMojibake].getName,
       (c: Seq[Expression]) => RepairMojibake(c(0))),
     ("zorder_key", classOf[ZOrderKey].getName,
-      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))))
+      (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
+    ("lcp_chars", classOf[LcpChars].getName,
+      (c: Seq[Expression]) => LcpChars(c(0), c(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>
