@@ -112,17 +112,34 @@ object IvfPqIndex {
   // one and is the ONLY thing a swap rewrites — written to a temp name
   // and atomically renamed, so a reader sees either the old or the new
   // index, never a half-written one (the _last_checkpoint /
-  // HDFS-edit-log pointer idiom; on an object store the rename becomes
-  // the store's atomic-put of a tiny object).
+  // HDFS-edit-log pointer idiom). All pointer I/O goes through Hadoop's
+  // FileSystem/FileContext resolved from `root`'s scheme, so the root may
+  // be hdfs:// (FileContext rename with OVERWRITE is atomic there, as on
+  // a local posix FS) — the same discipline as PmiStream's state reads;
+  // java.io/java.nio here would silently report "no index" on any
+  // non-local root. On S3-class stores rename is copy+delete, so a real
+  // deployment there would publish via the store's conditional-put of
+  // this same tiny object.
 
-  private def pointer(root: String) = java.nio.file.Paths.get(root, "CURRENT")
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def pointer(root: String) =
+    new org.apache.hadoop.fs.Path(root, "CURRENT")
 
   /** The live version number at `root`, if a pointer has been published. */
   def currentVersion(root: String): Option[Int] = {
     val p = pointer(root)
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim.stripPrefix("v").toInt)
-    else None
+    val fs = p.getFileSystem(hconf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.stripPrefix("v").toInt)
+      finally in.close()
+    } else None
   }
 
   /** Directory of the live version (where a streaming ingest appends). */
@@ -134,11 +151,15 @@ object IvfPqIndex {
   def publish(idx: IvfPqIndex, root: String, v: Int): String = {
     val dir = s"$root/v$v"
     idx.save(dir)
-    val tmp = java.nio.file.Paths.get(root, s".CURRENT.v$v.tmp")
-    java.nio.file.Files.writeString(tmp, s"v$v")
-    java.nio.file.Files.move(tmp, pointer(root),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val p = pointer(root)
+    val fs = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".CURRENT.v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$v".getBytes("UTF-8")) finally out.close()
+    // FileSystem.rename refuses an existing destination on HDFS;
+    // FileContext rename with OVERWRITE is the portable atomic swap.
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     dir
   }
 
