@@ -3983,6 +3983,173 @@ object ExtensionQueries {
              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              |       CAST(SUM(b - a + 1) AS BIGINT) AS dup_chars,
              |       CAST(MAX(b - a + 1) AS BIGINT) AS max_span
-             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Gap-based sessionization — the canonical event-analytics primitive
+    // (a session ends after 30 idle minutes; GA/Adobe semantics): per
+    // user, a new session starts where the gap to the previous event
+    // exceeds the threshold; a running sum of the start flags numbers the
+    // sessions. All timestamp math in integer MICROSECONDS (unix_micros /
+    // epoch_us) so both engines compare and subtract exactly. Scale
+    // shape: both windows are user-PARTITIONED (per-partition state is
+    // one row), the aggregate is keyed on (user, session) — nothing
+    // global; the downstream of x79/x80, which consume the same stream.
+    QuerySpec(
+      "x100_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(w))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            countDistinct(col("event_type")).as("n_types"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy("user_id", "sid")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT user_id, event_id, event_type, us,
+             |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+             |             THEN 1 ELSE 0 END AS new_s
+             |      FROM e),
+             |s AS (SELECT user_id, event_type, us,
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM g)
+             |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Dictionary / topic tagging — the C4-badwords-style wordlist stage
+    // every corpus pipeline runs (flagging, topic routing, blocklist
+    // filtering), here as per-(source, topic) coverage: documents hit,
+    // total hits, share of the source's docs. The dictionary is a tiny
+    // BROADCAST dim joined against row-local exploded tokens — at 100 TB
+    // the corpus side never shuffles on content, only the (source, topic)
+    // aggregate moves; a real deployment swaps the literal list for a
+    // loaded wordlist, same plan.
+    QuerySpec(
+      "x101_dict_tag",
+      (s, dir) => {
+        import s.implicits._
+        val dict = Seq(
+          ("join", "relational"), ("filter", "relational"),
+          ("sort", "relational"), ("agg", "relational"),
+          ("stream", "streaming"), ("window", "streaming"),
+          ("batch", "streaming"),
+          ("vector", "vectorized"), ("column", "vectorized"),
+          ("scan", "vectorized")).toDF("word", "topic")
+        val d = Tables.documents(s, dir)
+        val tok = d.select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        val hits = tok.join(broadcast(dict), tok("w") === dict("word"))
+          .groupBy("source", "topic")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_hits"))
+        val tot = d.groupBy("source").agg(count(lit(1)).as("n_tot"))
+        hits.join(tot, "source")
+          .select(col("source"), col("topic"), col("n_docs"), col("n_hits"),
+            round(col("n_docs").cast("double") / col("n_tot"), 4)
+              .as("doc_share"))
+          .orderBy("source", "topic")
+      },
+      Some("""WITH dict(word, topic) AS (VALUES
+             |  ('join','relational'), ('filter','relational'),
+             |  ('sort','relational'), ('agg','relational'),
+             |  ('stream','streaming'), ('window','streaming'),
+             |  ('batch','streaming'),
+             |  ('vector','vectorized'), ('column','vectorized'),
+             |  ('scan','vectorized')),
+             |tok AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+             |h AS (SELECT source, topic, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_hits
+             |      FROM tok JOIN dict ON tok.w = dict.word GROUP BY 1, 2),
+             |t AS (SELECT source, COUNT(*) AS n_tot FROM documents GROUP BY 1)
+             |SELECT h.source, h.topic, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_hits AS BIGINT) AS n_hits,
+             |  round(CAST(n_docs AS DOUBLE) / t.n_tot, 4) AS doc_share
+             |FROM h JOIN t USING (source) ORDER BY 1, 2""".stripMargin)),
+
+    // Weighted PageRank over the item co-occurrence graph (Page et al.
+    // 1999; the centrality ranking behind related-item surfacing and
+    // mixture curation) — x85's pair graph made undirected (each pair
+    // emitted both ways), out-weight-normalized, damping 0.85, 3 power
+    // iterations, top-20. Determinism device (the x40 discipline): each
+    // iteration's per-edge contribution is rounded to 6 dp and summed as
+    // DECIMAL(18,6) — exact and associative, so partition/add order can't
+    // flip the hash — then cast back to DOUBLE for the damping step;
+    // NOTHING decimal is emitted. Scale shape: every iteration is one
+    // src-keyed equi-join + one dst-keyed aggregate on slim (item, item,
+    // w) edges — cost is |edges| per iteration, never corpus-quadratic;
+    // the node count broadcasts as one row; undirected edges mean no
+    // dangling mass to redistribute.
+    QuerySpec(
+      "x102_item_pagerank",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
+          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+        val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+        val e2 = edges.join(wout, "src")
+        val nodes = edges.select(col("src").as("v")).distinct()
+        val nN = nodes.agg(count(lit(1)).as("n"))
+        var pr = nodes.crossJoin(broadcast(nN))
+          .select(col("v"), round(lit(1.0) / col("n"), 6).as("pr"))
+        for (_ <- 1 to 3) {
+          pr = e2.join(pr.select(col("v").as("src"), col("pr")), "src")
+            .select(col("dst").as("v"),
+              round(col("pr") * col("w") / col("wout"), 6)
+                .cast("decimal(18,6)").as("c"))
+            .groupBy("v")
+            .agg(sum(col("c")).as("csum"))
+            .crossJoin(broadcast(nN))
+            .select(col("v"),
+              round(lit(0.15) / col("n") +
+                lit(0.85) * col("csum").cast("double"), 6).as("pr"))
+        }
+        pr.select(col("v").as("item"), col("pr"))
+          .orderBy(col("pr").desc, col("item"))
+          .limit(20)
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc UNION ALL SELECT ib, ia, w FROM pc),
+             |wo AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+             |e2 AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
+             |nodes AS (SELECT DISTINCT src AS v FROM e),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |pr0 AS (SELECT v, round(CAST(1.0 AS DOUBLE) / nn.n, 6) AS pr FROM nodes CROSS JOIN nn),
+             |pr1 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr0 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n),
+             |pr2 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr1 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n),
+             |pr3 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr2 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n)
+             |SELECT v AS item, pr FROM pr3 ORDER BY pr DESC, item LIMIT 20""".stripMargin))
   )
 }
