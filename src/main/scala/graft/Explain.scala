@@ -41,8 +41,8 @@ object Explain {
       "x89_source_cap", "x90_vocab_coverage", "x91_deletion_sweep",
       "x92_matryoshka_recall", "x93_budget_selection", "x94_hybrid_rrf",
       "x95_volume_anomaly", "x96_temperature_mix", "x97_boilerplate_strip",
-      "x98_next_event_eval", "x99_suffix_dedup", "x100_sessionize",
-      "x101_dict_tag", "x102_item_pagerank")
+      "x98_next_event_eval", "x99_suffix_dedup", "x100_dict_tag",
+      "x101_item_pagerank")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -3985,49 +3985,6 @@ object ExtensionQueries {
              |       CAST(MAX(b - a + 1) AS BIGINT) AS max_span
              |FROM spans GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
-    // Gap-based sessionization — the canonical event-analytics primitive
-    // (a session ends after 30 idle minutes; GA/Adobe semantics): per
-    // user, a new session starts where the gap to the previous event
-    // exceeds the threshold; a running sum of the start flags numbers the
-    // sessions. All timestamp math in integer MICROSECONDS (unix_micros /
-    // epoch_us) so both engines compare and subtract exactly. Scale
-    // shape: both windows are user-PARTITIONED (per-partition state is
-    // one row), the aggregate is keyed on (user, session) — nothing
-    // global; the downstream of x79/x80, which consume the same stream.
-    QuerySpec(
-      "x100_sessionize",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("new_s",
-            when(col("prev_us").isNull ||
-              col("us") - col("prev_us") > 1800L * 1000000L, 1L)
-              .otherwise(0L))
-          .withColumn("sid", sum(col("new_s")).over(w))
-          .groupBy(col("user_id"), col("sid"))
-          .agg(count(lit(1)).cast("long").as("n_events"),
-            countDistinct(col("event_type")).as("n_types"),
-            (max(col("us")) - min(col("us"))).as("dur_us"))
-          .orderBy("user_id", "sid")
-      },
-      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-             |g AS (SELECT user_id, event_id, event_type, us,
-             |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
-             |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
-             |             THEN 1 ELSE 0 END AS new_s
-             |      FROM e),
-             |s AS (SELECT user_id, event_type, us,
-             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
-             |      FROM g)
-             |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(COUNT(*) AS BIGINT) AS n_events,
-             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
-             |  CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
-             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
     // Dictionary / topic tagging — the C4-badwords-style wordlist stage
     // every corpus pipeline runs (flagging, topic routing, blocklist
     // filtering), here as per-(source, topic) coverage: documents hit,
@@ -4037,7 +3994,7 @@ object ExtensionQueries {
     // aggregate moves; a real deployment swaps the literal list for a
     // loaded wordlist, same plan.
     QuerySpec(
-      "x101_dict_tag",
+      "x100_dict_tag",
       (s, dir) => {
         import s.implicits._
         val dict = Seq(
@@ -4091,7 +4048,7 @@ object ExtensionQueries {
     // the node count broadcasts as one row; undirected edges mean no
     // dangling mass to redistribute.
     QuerySpec(
-      "x102_item_pagerank",
+      "x101_item_pagerank",
       (s, dir) => {
         val ctx = Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("day"),

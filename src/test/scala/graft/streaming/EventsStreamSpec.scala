@@ -282,4 +282,22 @@ class EventsStreamSpec extends SparkSpec {
     assert(rows(0).getLong(2) === 62L) // 64 - 2 distinct users
     assert(rows(1).getLong(2) === 61L) // 64 - 3 distinct users
   }
+
+  test("native session_window == q38's lag-gap sessionization on the sf corpus") {
+    // Two independent formulations of the same 30-min cut — the engine's
+    // gap-merged window state vs the relational lag+running-sum device —
+    // must produce identical (user, start, n_events) sessions on real
+    // data. They can differ only on a gap EXACTLY equal to the threshold
+    // (half-open window merge vs strict >), which a real-valued event
+    // stream does not produce; this is the corpus-scale proof.
+    val native = EventsStream.sessionWindowAgg(
+        Tables.events(spark, sfDir), "30 minutes")
+      .select(col("user_id"), col("win_start"), col("n_events"))
+    val relational = graft.SparkEntry.queries("q38_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("session_start").as("win_start"),
+        col("n_events"))
+    assert(native.count() === relational.count())
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
+  }
 }
