@@ -4107,6 +4107,215 @@ object ExtensionQueries {
              |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
              |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
              |        FROM e2 JOIN pr2 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n)
-             |SELECT v AS item, pr FROM pr3 ORDER BY pr DESC, item LIMIT 20""".stripMargin))
+             |SELECT v AS item, pr FROM pr3 ORDER BY pr DESC, item LIMIT 20""".stripMargin)),
+
+    // Deequ/TFDV-style column profile — the data-validation gate a
+    // pipeline runs before training on a new snapshot: per column,
+    // non-null count, exact distinct count, completeness. ONE aggregate
+    // over one scan (multi-distinct plans as Expand — grouped row
+    // replication, no per-column rescan), then the 1-row result unpivots
+    // via stack into the per-column report; at 100 TB the only thing that
+    // moves is the Expand shuffle of slim (col-tag, value) pairs.
+    QuerySpec(
+      "x102_column_profile",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val a = e.agg(count(lit(1)).as("n"),
+          count(col("event_id")).as("c1"), countDistinct(col("event_id")).as("d1"),
+          count(col("ts")).as("c2"), countDistinct(col("ts")).as("d2"),
+          count(col("user_id")).as("c3"), countDistinct(col("user_id")).as("d3"),
+          count(col("event_type")).as("c4"), countDistinct(col("event_type")).as("d4"),
+          count(col("value")).as("c5"), countDistinct(col("value")).as("d5"),
+          count(col("props")).as("c6"), countDistinct(col("props")).as("d6"))
+        a.select(col("n"), expr(
+            """stack(6,
+              |  'event_id',   c1, d1,
+              |  'ts',         c2, d2,
+              |  'user_id',    c3, d3,
+              |  'event_type', c4, d4,
+              |  'value',      c5, d5,
+              |  'props',      c6, d6) AS (col_name, n_nonnull, n_distinct)
+              |""".stripMargin))
+          .select(col("col_name"), col("n").as("n_rows"),
+            col("n_nonnull"), col("n_distinct"),
+            round(col("n_nonnull").cast("double") / col("n"), 4)
+              .as("completeness"))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT COUNT(*) AS n,
+             |  COUNT(event_id) AS c1, COUNT(DISTINCT event_id) AS d1,
+             |  COUNT(ts) AS c2, COUNT(DISTINCT ts) AS d2,
+             |  COUNT(user_id) AS c3, COUNT(DISTINCT user_id) AS d3,
+             |  COUNT(event_type) AS c4, COUNT(DISTINCT event_type) AS d4,
+             |  COUNT(value) AS c5, COUNT(DISTINCT value) AS d5,
+             |  COUNT(props) AS c6, COUNT(DISTINCT props) AS d6
+             |  FROM events),
+             |u AS (
+             |  SELECT 'event_id' AS col_name, n, c1 AS n_nonnull, d1 AS n_distinct FROM a
+             |  UNION ALL SELECT 'ts', n, c2, d2 FROM a
+             |  UNION ALL SELECT 'user_id', n, c3, d3 FROM a
+             |  UNION ALL SELECT 'event_type', n, c4, d4 FROM a
+             |  UNION ALL SELECT 'value', n, c5, d5 FROM a
+             |  UNION ALL SELECT 'props', n, c6, d6 FROM a)
+             |SELECT col_name, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(n_nonnull AS BIGINT) AS n_nonnull,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  round(CAST(n_nonnull AS DOUBLE) / n, 4) AS completeness
+             |FROM u ORDER BY col_name""".stripMargin)),
+
+    // k-anonymity audit (Sweeney 2002) — the re-identification risk gate
+    // before a corpus release: bucket documents by quasi-identifier
+    // (lang, source, n_chars/100), then for each policy k report how many
+    // QI groups and documents sit in groups smaller than k. Scale shape:
+    // one QI-keyed groupBy; the |QI-groups| table is bounded by the QI
+    // domain (|langs|·|sources|·|buckets|), so the k sweep is a broadcast
+    // cross of a 4-row dim against a small aggregate — the corpus is
+    // touched once.
+    QuerySpec(
+      "x103_k_anonymity",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val g = d.groupBy(col("lang"), col("source"),
+            floor(col("n_chars") / 100).cast("int").as("szb"))
+          .agg(count(lit(1)).as("gsz"))
+        val tot = d.agg(count(lit(1)).as("n_docs"))
+        val ks = Seq(2, 5, 10, 20).toDF("k")
+        val below = g.crossJoin(broadcast(ks))
+          .filter(col("gsz") < col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_groups_below"),
+            sum(col("gsz")).as("n_docs_below"))
+        ks.join(below, Seq("k"), "left_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("k").cast("long").as("k"),
+            coalesce(col("n_groups_below"), lit(0L)).as("n_groups_below"),
+            coalesce(col("n_docs_below"), lit(0L)).as("n_docs_below"),
+            round(coalesce(col("n_docs_below"), lit(0L)).cast("double") /
+              col("n_docs"), 4).as("doc_share"))
+          .orderBy("k")
+      },
+      Some("""WITH g AS (SELECT lang, source, CAST(FLOOR(n_chars / 100) AS INT) AS szb,
+             |             COUNT(*) AS gsz
+             |           FROM documents GROUP BY 1, 2, 3),
+             |t AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |ks(k) AS (VALUES (2), (5), (10), (20)),
+             |b AS (SELECT ks.k, COUNT(*) AS n_groups_below, SUM(gsz) AS n_docs_below
+             |      FROM g JOIN ks ON g.gsz < ks.k GROUP BY 1)
+             |SELECT CAST(ks.k AS BIGINT) AS k,
+             |  CAST(COALESCE(b.n_groups_below, 0) AS BIGINT) AS n_groups_below,
+             |  CAST(COALESCE(b.n_docs_below, 0) AS BIGINT) AS n_docs_below,
+             |  round(CAST(COALESCE(b.n_docs_below, 0) AS DOUBLE) / t.n_docs, 4) AS doc_share
+             |FROM ks LEFT JOIN b ON b.k = ks.k CROSS JOIN t ORDER BY k""".stripMargin)),
+
+    // Equi-width histogram — the distribution profile behind outlier
+    // gates and binned drift monitors: 20 buckets over the observed
+    // [min, max] of events.value, count + share per bucket, bucket =
+    // least(floor((v-lo)/(hi-lo)*20)+1, 20) (the width_bucket formula,
+    // spelled out because DuckDB lacks the function; v == max folds into
+    // the top bucket). The (min, max, n) bounds are one broadcast row;
+    // bucketing is a row-local projection and the only shuffle is the
+    // 20-key aggregate.
+    QuerySpec(
+      "x104_value_histogram",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+        e.crossJoin(broadcast(st))
+          .select(least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L))
+            .as("bucket"), col("lo"), col("hi"), col("n"))
+          .groupBy("bucket")
+          .agg(round(min(col("lo")) +
+              (col("bucket") - 1) * (min(col("hi")) - min(col("lo"))) / 20, 6)
+              .as("bin_lo"),
+            round(min(col("lo")) +
+              col("bucket") * (min(col("hi")) - min(col("lo"))) / 20, 6)
+              .as("bin_hi"),
+            count(lit(1)).as("cnt"),
+            round(count(lit(1)).cast("double") / min(col("n")), 4).as("share"))
+          .orderBy("bucket")
+      },
+      Some("""WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events),
+             |b AS (SELECT LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) AS bucket,
+             |             st.lo, st.hi, st.n
+             |      FROM events e CROSS JOIN st)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  round(MIN(lo) + (bucket - 1) * (MIN(hi) - MIN(lo)) / 20, 6) AS bin_lo,
+             |  round(MIN(lo) + bucket * (MIN(hi) - MIN(lo)) / 20, 6) AS bin_hi,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  round(CAST(COUNT(*) AS DOUBLE) / MIN(n), 4) AS share
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // Population Stability Index (the credit-scoring / model-monitoring
+    // standard; Siddiqi 2006) over events.value: x104's 20-bucket device
+    // applied to the FIRST vs SECOND half of the stream's time range
+    // (split at the midpoint epoch — integer-microsecond math, exact in
+    // both engines), PSI = Σ (p_i − q_i)·ln(p_i/q_i) with shares floored
+    // at 1e-6 so empty bins stay finite. Per-bucket contributions are
+    // rounded then summed as DECIMAL(18,6) internally (the x101
+    // discipline — add order can't flip the hash), emitted as DOUBLE:
+    // per-bin rows plus a bucket=-1 total row. Scale shape: the bounds
+    // row broadcasts, bucketing is row-local, and everything downstream
+    // of the one 20×2-key aggregate is constant-sized.
+    QuerySpec(
+      "x105_psi",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("value"), unix_micros(col("ts")).as("us"))
+        val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          min(col("us")).as("t0"), max(col("us")).as("t1"))
+        val binned = e.crossJoin(broadcast(st))
+          .select(least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L))
+            .as("bucket"),
+            // first half: us < midpoint (integer average; exact both engines)
+            (col("us") < (col("t0") + col("t1")) / 2).cast("int").as("is_a"))
+        val g = binned.groupBy("bucket")
+          .agg(sum(col("is_a")).as("n_a"),
+            sum(lit(1) - col("is_a")).as("n_b"))
+        val tot = g.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        val per = g.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            greatest(col("n_a").cast("double") / col("ta"), lit(1e-6))
+              .as("p"),
+            greatest(col("n_b").cast("double") / col("tb"), lit(1e-6))
+              .as("q"))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            round(col("p"), 6).as("p_a"), round(col("q"), 6).as("p_b"),
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+              .as("contrib"))
+        val total = per.agg(
+            sum(col("contrib").cast("decimal(18,6)")).as("psi"))
+          .select(lit(-1L).as("bucket"), lit(null).cast("long").as("n_a"),
+            lit(null).cast("long").as("n_b"),
+            lit(null).cast("double").as("p_a"),
+            lit(null).cast("double").as("p_b"),
+            col("psi").cast("double").as("contrib"))
+        per.unionByName(total).orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
+             |st AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+             |         MIN(us) AS t0, MAX(us) AS t1 FROM e),
+             |b AS (SELECT LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) AS bucket,
+             |        CASE WHEN e.us < (st.t0 + st.t1) / 2 THEN 1 ELSE 0 END AS is_a
+             |      FROM e CROSS JOIN st),
+             |g AS (SELECT bucket, SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b FROM b GROUP BY 1),
+             |t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM g),
+             |per AS (SELECT g.bucket, g.n_a, g.n_b,
+             |          GREATEST(CAST(g.n_a AS DOUBLE) / t.ta, 1e-6) AS p,
+             |          GREATEST(CAST(g.n_b AS DOUBLE) / t.tb, 1e-6) AS q
+             |        FROM g CROSS JOIN t),
+             |rows_ AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |            round(p, 6) AS p_a, round(q, 6) AS p_b,
+             |            round((p - q) * ln(p / q), 6) AS contrib
+             |          FROM per),
+             |tt AS (SELECT CAST(-1 AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS n_a,
+             |         CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS DOUBLE) AS p_a,
+             |         CAST(NULL AS DOUBLE) AS p_b,
+             |         CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS contrib
+             |       FROM rows_)
+             |SELECT * FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM tt) ORDER BY bucket""".stripMargin))
   )
 }
