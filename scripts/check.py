@@ -100,11 +100,22 @@ def tolerant_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     try:
         an = a.reindex(sorted(a.columns), axis=1)
         bn = b.reindex(sorted(b.columns), axis=1)
+
+        def coerce(v):
+            # per-VALUE (not row-0 sniff): a leading NULL or a mixed
+            # column must not skip the conversion, and None must survive
+            # (astype(float) would raise on it)
+            if isinstance(v, decimal.Decimal):
+                return float(v)
+            if isinstance(v, datetime.date) and not isinstance(
+                    v, datetime.datetime):
+                # pyarrow date objects vs DuckDB datetime64
+                return pd.Timestamp(v)
+            return v
         for df in (an, bn):
             for c in df.columns:
-                if df[c].dtype == object and len(df) and isinstance(
-                        df[c].iloc[0], decimal.Decimal):
-                    df[c] = df[c].astype(float)
+                if df[c].dtype == object:
+                    df[c] = df[c].map(coerce)
         an = an.sort_values(by=list(an.columns), ignore_index=True)
         bn = bn.sort_values(by=list(bn.columns), ignore_index=True)
         pd.testing.assert_frame_equal(

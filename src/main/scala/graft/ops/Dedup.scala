@@ -827,13 +827,17 @@ object Dedup {
       depth: Int = 32, minLen: Int = 16, bucketLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bucketLen <= minLen, "bucket prefix must not exceed minLen")
+    // Explode the POSITION sequence (8 bytes/element) and cut each suffix
+    // AFTER the explode: building transform(..., i -> struct(i, substring))
+    // first would materialize the whole per-doc suffix array (~40·n bytes)
+    // inside one row before the generator runs — a 10 MB document would
+    // pin a ~400 MB single-row array in task memory.
     val sfx = df
       .select(col(idCol), col(textCol).as("t"))
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, length(t))," +
-          s" i -> struct(i AS pos, substring(t, i, $depth) AS sfx))")).as("g"))
-      .select(col(idCol), col("g.pos").cast("long").as("pos"),
-        col("g.sfx").as("sfx"))
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), length(col("t")))).as("posi"))
+      .select(col(idCol), col("posi").cast("long").as("pos"),
+        col("t").substr(col("posi"), lit(depth)).as("sfx"))
     val wb = Window.partitionBy(substring(col("sfx"), 1, bucketLen))
       .orderBy(col("sfx"), col(idCol), col("pos"))
     // Native codegen LCP ([[graft.plans.LcpChars]]): one byte-walk per

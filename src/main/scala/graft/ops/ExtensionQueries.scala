@@ -23,6 +23,29 @@ object ExtensionQueries {
     * selector all derive from this one value. */
   private val BpeNumMerges = 20
 
+  /** Recursively delete `dir` at JVM exit — for per-invocation scratch
+    * roots (x83) whose contents must outlive the query body (the returned
+    * DataFrame lazily re-reads them) but not the process. One hook for
+    * all registrations. */
+  private val exitDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach { d =>
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          val it = java.nio.file.Files.walk(p)
+          try it.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => try java.nio.file.Files.delete(q)
+              catch { case _: java.io.IOException => () })
+          finally it.close()
+        }
+      }))
+  private def deleteOnExit(dir: String): Unit = {
+    exitHookInstalled
+    exitDirs.add(dir)
+  }
+
   /** x33/x35 shared oracle prefix: word counts -> recursive-CTE BPE
     * training state (the whole segmented vocab in one row per step). */
   private val bpeTrainCte: String =
@@ -3081,9 +3104,14 @@ object ExtensionQueries {
         val e = Tables.embeddings(s, dir)
         // Fresh root per invocation (AnnStreamSpec's discipline): a fixed
         // shared tmp root would let two concurrent sessions (bench +
-        // verify) race on each other's recursive delete.
+        // verify) race on each other's recursive delete. The root can't
+        // be deleted inside this body — the returned DataFrame lazily
+        // re-reads the published index — so an exit hook reaps it (each
+        // bench/verify invocation would otherwise leak two full index
+        // copies per run).
         val root = java.nio.file.Files
           .createTempDirectory("graft_ivfpq_versioned").toString
+        deleteOnExit(root)
         val mid = e.agg(max(col("vec_id"))).head.getLong(0) / 2
         val first = e.filter(col("vec_id") <= mid)
         val cbA = Similarity.seedVectors(first, "vec_id", "embedding", (0L to 15L))
@@ -4223,9 +4251,14 @@ object ExtensionQueries {
         val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
           count(lit(1)).as("n"))
         e.crossJoin(broadcast(st))
-          .select(least(floor((col("value") - col("lo")) /
-              (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L))
-            .as("bucket"), col("lo"), col("hi"), col("n"))
+          .select(
+            // hi == lo (degenerate snapshot) => everything in bucket 1 on
+            // BOTH sides; unguarded, Spark floor-casts the NaN to 0 while
+            // DuckDB raises on the cast
+            when(col("hi") === col("lo"), lit(1L))
+              .otherwise(least(floor((col("value") - col("lo")) /
+                (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L)))
+              .as("bucket"), col("lo"), col("hi"), col("n"))
           .groupBy("bucket")
           .agg(round(min(col("lo")) +
               (col("bucket") - 1) * (min(col("hi")) - min(col("lo"))) / 20, 6)
@@ -4238,7 +4271,8 @@ object ExtensionQueries {
           .orderBy("bucket")
       },
       Some("""WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events),
-             |b AS (SELECT LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) AS bucket,
+             |b AS (SELECT CASE WHEN st.hi = st.lo THEN 1
+             |             ELSE LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) END AS bucket,
              |             st.lo, st.hi, st.n
              |      FROM events e CROSS JOIN st)
              |SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -4267,11 +4301,16 @@ object ExtensionQueries {
         val st = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
           min(col("us")).as("t0"), max(col("us")).as("t1"))
         val binned = e.crossJoin(broadcast(st))
-          .select(least(floor((col("value") - col("lo")) /
-              (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L))
+          .select(when(col("hi") === col("lo"), lit(1L))
+            .otherwise(least(floor((col("value") - col("lo")) /
+              (col("hi") - col("lo")) * 20).cast("long") + 1, lit(20L)))
             .as("bucket"),
-            // first half: us < midpoint (integer average; exact both engines)
-            (col("us") < (col("t0") + col("t1")) / 2).cast("int").as("is_a"))
+            // first half: us < midpoint (sum exact under 2^53, both
+            // engines divide as double). when/otherwise (not a bare
+            // cast) so a null ts lands in the ELSE branch exactly like
+            // the oracle's CASE WHEN.
+            when(col("us") < (col("t0") + col("t1")) / 2, 1)
+              .otherwise(0).as("is_a"))
         val g = binned.groupBy("bucket")
           .agg(sum(col("is_a")).as("n_a"),
             sum(lit(1) - col("is_a")).as("n_b"))
@@ -4298,7 +4337,8 @@ object ExtensionQueries {
       Some("""WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
              |st AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
              |         MIN(us) AS t0, MAX(us) AS t1 FROM e),
-             |b AS (SELECT LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) AS bucket,
+             |b AS (SELECT CASE WHEN st.hi = st.lo THEN 1
+             |               ELSE LEAST(CAST(FLOOR((e.value - st.lo) / (st.hi - st.lo) * 20) AS BIGINT) + 1, 20) END AS bucket,
              |        CASE WHEN e.us < (st.t0 + st.t1) / 2 THEN 1 ELSE 0 END AS is_a
              |      FROM e CROSS JOIN st),
              |g AS (SELECT bucket, SUM(is_a) AS n_a, SUM(1 - is_a) AS n_b FROM b GROUP BY 1),
