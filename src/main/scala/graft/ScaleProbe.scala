@@ -66,9 +66,10 @@ object ScaleProbe {
       // 10x-longer sessions). Funnel/retention/session ops shuffle on
       // user_id, so this grows the shuffled key space 10x while keeping
       // per-key state constant: the honest scale shape for x78-x80/q26/q38.
-      // ts stays a raw INT64 of nanos (read without Tables.events'
-      // micros conversion) so the replica parquet round-trips through
-      // Tables.events identically to the driver-generated original.
+      // ts passes through in the source file's own physical encoding
+      // (INT64-nanos or TIMESTAMP(MICROS), depending on harness vintage —
+      // read without Tables.events' normalization) so the replica parquet
+      // round-trips through Tables.events identically to the original.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$baseSf/events.parquet")
       val eMax = ev.agg(max(col("event_id"))).head.getLong(0) + 1L

@@ -18,13 +18,23 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds (identical to
-    * DuckDB's ns→µs handling, so oracle comparisons stay exact). */
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * harness refreshes: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, truncate to microseconds, identical to
+    * DuckDB's ns→µs handling) and plain TIMESTAMP(MICROS) (isAdjustedToUTC
+    * false → TIMESTAMP_NTZ). Normalize both to session-TZ TIMESTAMP (all
+    * sessions pin spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is
+    * value-exact and oracle comparisons stay byte-identical). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
