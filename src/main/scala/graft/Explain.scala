@@ -43,7 +43,8 @@ object Explain {
       "x95_volume_anomaly", "x96_temperature_mix", "x97_boilerplate_strip",
       "x98_next_event_eval", "x99_suffix_dedup", "x100_dict_tag",
       "x101_item_pagerank", "x102_column_profile", "x103_k_anonymity",
-      "x104_value_histogram", "x105_psi")
+      "x104_value_histogram", "x105_psi", "x106_bm25_topk",
+      "x107_image_neardup")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

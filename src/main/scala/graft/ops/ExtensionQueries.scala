@@ -4356,6 +4356,164 @@ object ExtensionQueries {
              |         CAST(NULL AS DOUBLE) AS p_b,
              |         CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS contrib
              |       FROM rows_)
-             |SELECT * FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM tt) ORDER BY bucket""".stripMargin))
+             |SELECT * FROM (SELECT * FROM rows_ UNION ALL SELECT * FROM tt) ORDER BY bucket""".stripMargin)),
+
+    // Okapi BM25 top-k retrieval (Robertson et al., TREC-3 1994, public) —
+    // the lexical scorer every hybrid stack pairs with the vector arm:
+    // x94 fuses rank lists; THIS is the ranker that produces the lexical
+    // one (its overlap arm was a placeholder scorer). Plan shape is the
+    // inverted-index join: postings (doc, term, tf) shuffle once on term,
+    // the query side (terms of docs 0-2 + per-term idf) is a few hundred
+    // rows and BROADCASTS — candidates are only docs sharing a query
+    // term, never all pairs; per-candidate scoring is row-local; the
+    // top-10 window is qid-partitioned and rank-pushed (WindowGroupLimit
+    // keeps ≤10 rows/partition pre-shuffle). Constants k1=1.2, b=0.75
+    // appear as the SAME decimal literals in both engines and every
+    // fp op is written in the same order, so scores agree bit-for-bit;
+    // per-term contributions round to 6 and sum as DECIMAL(18,6)
+    // internally (the x101/x105 add-order discipline), emitted DOUBLE.
+    QuerySpec(
+      "x106_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = docs
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), " "), x => x =!= ""))
+              .as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val st = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(tf.agg(sum("tf").as("ntok"))) // both one row
+          .select(col("n_docs"),
+            (col("ntok").cast("double") / col("n_docs")).as("avgdl"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val qdf = tf.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("term"))
+          .join(df, "term")
+          .crossJoin(broadcast(st))
+          .select(col("qid"), col("term"),
+            log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))).as("idf"),
+            col("avgdl"))
+        val cand = tf.join(broadcast(qdf), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .join(dl, "doc_id")
+          .select(col("qid"), col("doc_id").as("cid"),
+            round(col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+              .as("contrib"))
+        val sc = cand.groupBy("qid", "cid")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("contrib").cast("decimal(18,6)")).cast("double")
+              .as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("score").desc, col("cid"))
+        sc.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             |         CAST((SELECT SUM(tf) FROM tf) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |qdf AS (SELECT q.doc_id AS qid, q.term,
+             |          ln(1 + (st.n_docs - df.df + 0.5e0) / (df.df + 0.5e0)) AS idf, st.avgdl
+             |        FROM tf q JOIN df USING (term) CROSS JOIN st WHERE q.doc_id < 3),
+             |cand AS (SELECT qdf.qid, tf.doc_id AS cid,
+             |           round(qdf.idf * (tf.tf * 2.2e0) /
+             |             (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / qdf.avgdl)), 6) AS contrib
+             |         FROM tf JOIN qdf ON tf.term = qdf.term AND tf.doc_id <> qdf.qid
+             |         JOIN dl ON dl.doc_id = tf.doc_id),
+             |sc AS (SELECT qid, cid, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |         CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS score
+             |       FROM cand GROUP BY 1, 2)
+             |SELECT qid, cid, n_terms, score,
+             |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn
+             |FROM sc QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Image near-duplicate detection via banded perceptual hash — the
+    // multimodal twin of MinHash+LSH text dedup (x2) and the dedup
+    // modality an image-bearing corpus needs (crops/re-encodes of one
+    // image collapse to nearby aHashes). REAL path end to end: gradient
+    // images PNG-encoded by the stage-1 encoder, ImageIO-decoded and
+    // grid-sampled by the aHash kernel (Multimodal.aHash), 64 bits as
+    // four 16-bit bands; candidates come from an equi-join on
+    // (band, value) — the LSH device: only images agreeing EXACTLY on
+    // ≥1 band pair up, never all pairs — then exact Hamming ≤ 6 confirms.
+    // The oracle recomputes the hash from closed-form pixel math, so a
+    // single wrong decoded pixel flips a band and reddens the row.
+    // Output is the per-image summary (|images| rows, not |pairs|):
+    // candidate count, confirmed near-dups, nearest-neighbor distance.
+    QuerySpec(
+      "x107_image_neardup",
+      (s, dir) => {
+        val ids = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+        // 4 plan branches reuse the hash table (two band sides, two pair
+        // sides); localCheckpoint materializes the decode+hash kernel ONCE
+        // — 5 longs per image, vs re-decoding every PNG per branch
+        val hashes = Multimodal
+          .imageHashes(s, Multimodal.pngMediaFromIds(s, ids)).toDF()
+          .localCheckpoint()
+        val bands = hashes.select(col("media_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .toDF("media_id", "band", "v")
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .distinct()
+        val ham = cand
+          .join(hashes.select(col("media_id").as("id_a"),
+            col("b0").as("a0"), col("b1").as("a1"),
+            col("b2").as("a2"), col("b3").as("a3")), "id_a")
+          .join(hashes.select(col("media_id").as("id_b"),
+            col("b0").as("c0"), col("b1").as("c1"),
+            col("b2").as("c2"), col("b3").as("c3")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+              bit_count(col("a1").bitwiseXOR(col("c1"))) +
+              bit_count(col("a2").bitwiseXOR(col("c2"))) +
+              bit_count(col("a3").bitwiseXOR(col("c3")))).as("d"))
+        ham.select(col("id_a").as("media_id"), col("d"))
+          .unionAll(ham.select(col("id_b").as("media_id"), col("d")))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_cand"),
+            sum((col("d") <= 6).cast("long")).as("n_dup"),
+            min(col("d")).cast("long").as("nn"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (SELECT doc_id AS id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h FROM documents),
+             |grid AS (SELECT gx.range AS gx, gy.range AS gy FROM range(8) gx CROSS JOIN range(8) gy),
+             |cells AS (SELECT id, gy * 8 + gx AS bit,
+             |            (id + ((gy * h) // 8) * w + ((gx * w) // 8)) % 256 AS v
+             |          FROM g CROSS JOIN grid),
+             |m AS (SELECT id, CAST(SUM(v) AS DOUBLE) / 64 AS mu FROM cells GROUP BY 1),
+             |bits AS (SELECT c.id, c.bit, CASE WHEN c.v > m.mu THEN 1 ELSE 0 END AS b
+             |         FROM cells c JOIN m USING (id)),
+             |hx AS (SELECT id,
+             |         CAST(SUM(CASE WHEN bit < 16 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b0,
+             |         CAST(SUM(CASE WHEN bit >= 16 AND bit < 32 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b1,
+             |         CAST(SUM(CASE WHEN bit >= 32 AND bit < 48 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b2,
+             |         CAST(SUM(CASE WHEN bit >= 48 THEN b * (1 << (bit % 16)) ELSE 0 END) AS BIGINT) AS b3
+             |       FROM bits GROUP BY 1),
+             |bands AS (SELECT id, 0 AS band, b0 AS v FROM hx UNION ALL
+             |          SELECT id, 1, b1 FROM hx UNION ALL
+             |          SELECT id, 2, b2 FROM hx UNION ALL
+             |          SELECT id, 3, b3 FROM hx),
+             |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+             |ham AS (SELECT c.id_a, c.id_b,
+             |          bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+             |          bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS d
+             |        FROM cand c JOIN hx a ON a.id = c.id_a JOIN hx b ON b.id = c.id_b),
+             |u AS (SELECT id_a AS media_id, d FROM ham UNION ALL SELECT id_b, d FROM ham)
+             |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             |  CAST(SUM(CASE WHEN d <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  CAST(MIN(d) AS BIGINT) AS nn
+             |FROM u GROUP BY 1 ORDER BY media_id""".stripMargin))
   )
 }

@@ -143,6 +143,64 @@ object Multimodal {
     }
   }
 
+  /** A 64-bit perceptual hash packed as four 16-bit bands (LSH-ready and
+    * overflow-free in any SQL engine — no 1<<63 sign games). */
+  final case class ImageHash(media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Average-hash (aHash — the block-mean member of the pHash family,
+    * Zauner 2010, public): decode the payload, sample an 8×8
+    * nearest-neighbor grid (sx = ⌊gx·w/8⌋, sy = ⌊gy·h/8⌋ — defined for any
+    * w,h ≥ 1, no resampling kernel needed), threshold each sample at the
+    * strict grid mean, pack bit gy·8+gx into band (bit div 16) at offset
+    * (bit mod 16). Integer-exact end to end, so the whole hash replays in
+    * SQL from closed-form pixel values — the oracle checks the REAL
+    * PNG-encode→ImageIO-decode→sample path against the math.
+    * Non-decodable payloads hash their raw bytes through the same grid
+    * (the decodeStub honesty rule: degrade, don't kill the job). */
+  def aHash(r: MediaRow): ImageHash = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: java.io.IOException => null }
+    val v = new Array[Int](64)
+    var sum = 0
+    if (img != null) {
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val s = raster.getSample(gx * w / 8, gy * h / 8, 0) & 0xff
+          v(gy * 8 + gx) = s; sum += s; gx += 1
+        }
+        gy += 1
+      }
+    } else {
+      val n = math.max(1, r.payload.length)
+      var i = 0
+      while (i < 64) {
+        val s = r.payload((i * n / 64) % n) & 0xff
+        v(i) = s; sum += s; i += 1
+      }
+    }
+    val mean = sum / 64.0
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (v(i) > mean) bands(i >> 4) |= 1L << (i & 15)
+      i += 1
+    }
+    ImageHash(r.media_id, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Partition-parallel aHash over a media table: decode + hash stay
+    * row-local; only 4 small band columns come out — nothing shuffles
+    * pixel bytes (the same contract as [[featurize]]). */
+  def imageHashes(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(aHash))
+  }
+
   /** STUB resize: real impl would decode → scale → re-encode. The stub keeps
     * the byte-level contract (output length scales with the area ratio) so
     * downstream schema/partitioning logic is exercised for real. */

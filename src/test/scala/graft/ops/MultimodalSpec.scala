@@ -105,4 +105,45 @@ class MultimodalSpec extends SparkSpec {
       assert(f.histogram.sum === f.n_bytes) // histogram partitions the bytes
     }
   }
+
+  test("aHash: decoded-PNG hash equals the closed-form pixel math") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 23L, 47L, 95L).toDF("media_id")
+    val media = Multimodal.pngMediaFromIds(spark, ids)
+    val got = Multimodal.imageHashes(spark, media).collect()
+      .map(x => x.media_id -> x).toMap
+    got.keySet.foreach { id =>
+      val w = (id % 16 + 1).toInt; val h = (id % 12 + 1).toInt
+      val v = Array.tabulate(64) { bit =>
+        val gx = bit % 8; val gy = bit / 8
+        ((id + (gy * h / 8) * w + (gx * w / 8)) % 256).toInt
+      }
+      val mean = v.sum / 64.0
+      val bands = new Array[Long](4)
+      for (i <- 0 until 64 if v(i) > mean) bands(i >> 4) |= 1L << (i & 15)
+      val x = got(id)
+      assert(Seq(x.b0, x.b1, x.b2, x.b3) === bands.toSeq,
+        s"hash mismatch for gradient image $id ($w x $h)")
+      assert(Seq(x.b0, x.b1, x.b2, x.b3).forall(b => b >= 0 && b <= 0xffffL))
+    }
+  }
+
+  test("aHash: brightness shift without wraparound preserves the hash; " +
+      "non-decodable payloads degrade to deterministic byte sampling") {
+    def gray(px: Array[Short], w: Int, h: Int) = Multimodal.aHash(
+      Multimodal.MediaRow(0L, graft.Pipeline.pngBytes(px, w, h), "image/png", w, h))
+    val base = Array.tabulate(12 * 10)(i => ((i * 7) % 100).toShort)
+    val brighter = base.map(v => (v + 50).toShort) // still < 256: no wrap
+    val a = gray(base, 12, 10); val b = gray(brighter, 12, 10)
+    assert((a.b0, a.b1, a.b2, a.b3) === ((b.b0, b.b1, b.b2, b.b3)),
+      "aHash must be invariant to a uniform brightness shift")
+    // a genuinely different image lands at a different hash
+    val other = gray(base.reverse, 12, 10)
+    assert((a.b0, a.b1, a.b2, a.b3) !== ((other.b0, other.b1, other.b2, other.b3)))
+    // corrupt payload: stub path, deterministic, no exception
+    val junk = Array[Byte](9, 8, 7, 6, 5)
+    val s1 = Multimodal.aHash(Multimodal.MediaRow(1L, junk, "image/png", 1, 1))
+    val s2 = Multimodal.aHash(Multimodal.MediaRow(1L, junk, "image/png", 1, 1))
+    assert((s1.b0, s1.b1, s1.b2, s1.b3) === ((s2.b0, s2.b1, s2.b2, s2.b3)))
+  }
 }
