@@ -4376,42 +4376,8 @@ object ExtensionQueries {
       "x106_bm25_topk",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tf = docs
-          .select(col("doc_id"),
-            explode(filter(split(col("text"), " "), x => x =!= ""))
-              .as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-        val st = docs.agg(count(lit(1)).as("n_docs"))
-          .crossJoin(tf.agg(sum("tf").as("ntok"))) // both one row
-          .select(col("n_docs"),
-            (col("ntok").cast("double") / col("n_docs")).as("avgdl"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val qdf = tf.filter(col("doc_id") < 3)
-          .select(col("doc_id").as("qid"), col("term"))
-          .join(df, "term")
-          .crossJoin(broadcast(st))
-          .select(col("qid"), col("term"),
-            log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))).as("idf"),
-            col("avgdl"))
-        val cand = tf.join(broadcast(qdf), Seq("term"))
-          .filter(col("doc_id") =!= col("qid"))
-          .join(dl, "doc_id")
-          .select(col("qid"), col("doc_id").as("cid"),
-            round(col("idf") * (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
-              .as("contrib"))
-        val sc = cand.groupBy("qid", "cid")
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("contrib").cast("decimal(18,6)")).cast("double")
-              .as("score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("score").desc, col("cid"))
-        sc.withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 10)
-          .orderBy("qid", "rn")
+        Bm25.topK(Bm25.termFreqs(docs),
+          docs.agg(count(lit(1)).as("n_docs")))
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -4451,38 +4417,19 @@ object ExtensionQueries {
       "x107_image_neardup",
       (s, dir) => {
         val ids = Tables.documents(s, dir).select(col("doc_id").as("media_id"))
-        // 4 plan branches reuse the hash table (two band sides, two pair
-        // sides); localCheckpoint materializes the decode+hash kernel ONCE
-        // — 5 longs per image, vs re-decoding every PNG per branch
+        // multiple plan branches reuse the hash table; localCheckpoint
+        // materializes the decode+hash kernel ONCE — 5 longs per image,
+        // vs re-decoding every PNG per branch
         val hashes = Multimodal
           .imageHashes(s, Multimodal.pngMediaFromIds(s, ids)).toDF()
           .localCheckpoint()
-        val bands = hashes.select(col("media_id"),
-          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-          .toDF("media_id", "band", "v")
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-              col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-          .distinct()
-        val ham = cand
-          .join(hashes.select(col("media_id").as("id_a"),
-            col("b0").as("a0"), col("b1").as("a1"),
-            col("b2").as("a2"), col("b3").as("a3")), "id_a")
-          .join(hashes.select(col("media_id").as("id_b"),
-            col("b0").as("c0"), col("b1").as("c1"),
-            col("b2").as("c2"), col("b3").as("c3")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            (bit_count(col("a0").bitwiseXOR(col("c0"))) +
-              bit_count(col("a1").bitwiseXOR(col("c1"))) +
-              bit_count(col("a2").bitwiseXOR(col("c2"))) +
-              bit_count(col("a3").bitwiseXOR(col("c3")))).as("d"))
-        ham.select(col("id_a").as("media_id"), col("d"))
-          .unionAll(ham.select(col("id_b").as("media_id"), col("d")))
-          .groupBy("media_id")
-          .agg(count(lit(1)).as("n_cand"),
-            sum((col("d") <= 6).cast("long")).as("n_dup"),
-            min(col("d")).cast("long").as("nn"))
+        // group-collapsed pairing (exact-dedup-first): the banded join
+        // runs over DISTINCT hashes, per-image counts reconstruct from
+        // group sizes — byte-identical to all-pairs enumeration
+        // (MultimodalSpec), O(groups²) not O(pairs) on re-encode-heavy
+        // corpora like this one (every 768th gradient image is an exact
+        // pixel repeat, so hash groups are deep)
+        Multimodal.nearDupSummary(hashes, maxHamming = 6)
           .orderBy("media_id")
       },
       Some("""WITH g AS (SELECT doc_id AS id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h FROM documents),

@@ -128,6 +128,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearDupSummary: group-collapsed pairing == brute-force all-pairs") {
+    import spark.implicits._
+    // 300 gradient images: geometry repeats every 48 ids and pixels every
+    // 768, so the set has deep exact-duplicate hash groups AND cross-group
+    // near-misses — both paths of the group formulation are exercised
+    val ids = (0L until 300L).toDF("media_id")
+    val hashes = Multimodal
+      .imageHashes(spark, Multimodal.pngMediaFromIds(spark, ids)).collect()
+    val local = hashes.map(h => h.media_id -> Array(h.b0, h.b1, h.b2, h.b3)).toMap
+    // brute force: every unordered pair sharing >= 1 exact band value
+    val expected = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)] // id -> (n_cand, n_dup, nn)
+    val idsArr = local.keys.toArray.sorted
+    for {
+      i <- idsArr.indices; j <- (i + 1) until idsArr.length
+      a = local(idsArr(i)); b = local(idsArr(j))
+      if a.indices.exists(k => a(k) == b(k))
+    } {
+      val d = a.indices.map(k => java.lang.Long.bitCount(a(k) ^ b(k))).sum.toLong
+      Seq(idsArr(i), idsArr(j)).foreach { id =>
+        val (c, dup, nn) = expected.getOrElse(id, (0L, 0L, Long.MaxValue))
+        expected(id) = (c + 1, dup + (if (d <= 6) 1L else 0L), math.min(nn, d))
+      }
+    }
+    val got = Multimodal.nearDupSummary(
+        spark.createDataFrame(hashes.toSeq), maxHamming = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v === expected(id), s"summary mismatch for image $id")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("aHash: brightness shift without wraparound preserves the hash; " +
       "non-decodable payloads degrade to deterministic byte sampling") {
     def gray(px: Array[Short], w: Int, h: Int) = Multimodal.aHash(
