@@ -257,8 +257,17 @@ object TextFunctions {
 
   /** Polynomial rolling-hash fingerprint of the full text
     * (acc*31 + codepoint, mod 2^31-1) — order-sensitive, so reordered
-    * near-dups fingerprint differently while exact copies collide. */
+    * near-dups fingerprint differently while exact copies collide.
+    * Served by the native codegen [[graft.plans.RollingFingerprint]]
+    * (one UTF-8 byte walk, zero allocation); [[fingerprintHof]] keeps the
+    * SQL-replayable fold the oracle mirrors, and ExprPropertySpec pins
+    * the two equal on random unicode inputs. */
   def fingerprint(text: Column): Column =
+    call_function("rolling_fingerprint", text)
+
+  /** The HOF formulation of [[fingerprint]] — the exact shape DuckDB
+    * replays with list_reduce; retained as the property-test twin. */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

@@ -406,10 +406,12 @@ object ExtensionQueries {
 
     QuerySpec(
       "x10_fingerprint",
-      (s, dir) =>
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         Tables.documents(s, dir)
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id,
              |  list_reduce(
              |    list_prepend(CAST(0 AS BIGINT),
@@ -647,13 +649,15 @@ object ExtensionQueries {
     // reproducible, and replayable by the oracle (same fingerprint as x10).
     QuerySpec(
       "x24_stratified_sample",
-      (s, dir) =>
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
             TextFunctions.fingerprint(col("text")).as("fp"))
           .filter(pmod(col("fp"), lit(10)) < 3)
           .select(col("doc_id"), col("lang"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some("""WITH fp AS (
              |  SELECT doc_id, lang,
              |    list_reduce(
@@ -1133,6 +1137,7 @@ object ExtensionQueries {
     QuerySpec(
       "x36_mixture_sample",
       (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
         val docs = Tables.documents(s, dir)
         val ratios = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
           .withColumn("w",

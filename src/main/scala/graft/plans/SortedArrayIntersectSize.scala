@@ -94,7 +94,9 @@ object GraftFunctions {
     ("zorder_key", classOf[ZOrderKey].getName,
       (c: Seq[Expression]) => ZOrderKey(c(0), c(1))),
     ("lcp_chars", classOf[LcpChars].getName,
-      (c: Seq[Expression]) => LcpChars(c(0), c(1))))
+      (c: Seq[Expression]) => LcpChars(c(0), c(1))),
+    ("rolling_fingerprint", classOf[RollingFingerprint].getName,
+      (c: Seq[Expression]) => RollingFingerprint(c(0))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>

@@ -22,6 +22,7 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("fingerprint: exact polynomial rolling hash, order-sensitive") {
+    graft.plans.GraftFunctions.register(spark)
     val expected = "ab".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
     assert(one("ab").select(TextFunctions.fingerprint($"text"))
       .as[Long].head() === expected)

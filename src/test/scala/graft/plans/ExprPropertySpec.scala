@@ -61,4 +61,47 @@ class ExprPropertySpec extends SparkSpec {
     assert(mismatched.head.isNullAt(0),
       "mismatched lengths must yield NULL, not a partial dot")
   }
+
+  test("rolling_fingerprint == the SQL HOF fold over 200 random unicode strings") {
+    GraftFunctions.register(spark)
+    val rnd = new java.util.Random(99)
+    // mixed-plane alphabet: ASCII, Latin-1, CJK, an astral code point —
+    // exercises every UTF-8 sequence length the byte walk decodes
+    val alphabet = "abc XYZ09üß€漢字😀".toCharArray
+    def str(): String = {
+      val n = rnd.nextInt(60)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // never emit a lone surrogate: take the pair together
+        if (Character.isHighSurrogate(c)) { sb.append("😀"); i += 1 }
+        else if (!Character.isLowSurrogate(c)) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
+    val cases = (0 until 200).map(i => (i.toLong, str())) :+ (200L, "")
+    val df = cases.toDF("id", "text")
+    val native = df.select($"id", expr("rolling_fingerprint(text)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.select($"id",
+        graft.functions.TextFunctions.fingerprintHof($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // plain-Scala reference: fold over code points
+    val local = cases.map { case (id, s) =>
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 2147483647L
+        i += Character.charCount(cp)
+      }
+      id -> acc
+    }.toMap
+    cases.foreach { case (id, s) =>
+      assert(native(id) === local(id), s"native vs local for '$s'")
+      assert(hof(id) === local(id), s"HOF vs local for '$s'")
+    }
+  }
 }
