@@ -4466,6 +4466,150 @@ object ExtensionQueries {
              |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
              |  CAST(SUM(CASE WHEN d <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
              |  CAST(MIN(d) AS BIGINT) AS nn
-             |FROM u GROUP BY 1 ORDER BY media_id""".stripMargin))
+             |FROM u GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    // SCD-2 history (Kimball type-2 slowly changing dimension) built from
+    // the events change feed: per user, consecutive repeats of event_type
+    // collapse and each surviving change opens a version row
+    // [valid_from, valid_to) — the metadata-versioning op a warehouse
+    // MERGE pipeline runs on every dimension load. Both windows partition
+    // on user_id (per-key history, never corpus-global); event_id breaks
+    // same-timestamp ties so re-delivery reproduces byte-identical
+    // history. user_id < 10 bounds the demo output; the op itself is
+    // one shuffle on the key at any corpus size.
+    QuerySpec(
+      "x108_scd2_history",
+      (s, dir) =>
+        Relational.scd2History(
+            Tables.events(s, dir).filter(col("user_id") < 10),
+            "user_id", "ts", "event_id", "event_type")
+          .orderBy("user_id", "version"),
+      Some("""WITH f AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 10),
+             |c AS (SELECT user_id, ts, event_id, event_type,
+             |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |      FROM f),
+             |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+             |       WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER w AS BIGINT) AS version,
+             |        event_type AS state, ts AS valid_from,
+             |        lead(ts) OVER w AS valid_to
+             |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, version, state, valid_from, valid_to,
+             |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
+    // Hard-negative mining for contrastive training (FaceNet, Schroff et
+    // al. 2015): per anchor (vec_id < 20, a training batch), the 5 most
+    // cosine-similar DIFFERENT-label rows, the best same-label similarity,
+    // and the semi-hard flag (neg still inside the positive radius — the
+    // triplet-loss training regime). Anchors broadcast; the corpus streams
+    // through one pass feeding both the positive max and the negative
+    // top-5; the anchor-keyed window is WindowGroupLimit-capped. At
+    // 100 TB the scan swaps for ivfPqTopK candidates, same contract.
+    QuerySpec(
+      "x109_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+            "vec_id", "embedding", "label", k = 5)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, label, emb, sqrt(list_sum([x*x for x in emb])) AS nrm FROM e),
+             |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.label AS ql, c.label AS cl,
+             |        round(list_sum([q.emb[i]*c.emb[i] for i in range(1,65)])/(q.nrm*c.nrm), 4) AS sim
+             |      FROM n q CROSS JOIN n c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |pos AS (SELECT qid, MAX(sim) AS pos_sim FROM p WHERE ql = cl GROUP BY 1),
+             |neg AS (SELECT qid, cid, sim,
+             |          CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |        FROM p WHERE ql <> cl QUALIFY rn <= 5)
+             |SELECT neg.qid, neg.rn, neg.cid, neg.sim AS neg_sim, pos.pos_sim,
+             |  CAST(CASE WHEN neg.sim < pos.pos_sim THEN 1 ELSE 0 END AS BIGINT) AS semi_hard
+             |FROM neg LEFT JOIN pos ON pos.qid = neg.qid
+             |ORDER BY neg.qid, rn""".stripMargin)),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 — the CCMatrix
+    // device): en-side docs score against de-side docs by cosine divided
+    // by the mean of each member's 4 nearest cross-side similarities;
+    // the margin denominator cancels hubness, so a pair wins only by
+    // being similar BEYOND its members' background similarity. Output:
+    // each en doc's best de match with forward margin ("max" strategy).
+    // Brute-force bipartite scan here (the correctness baseline,
+    // localCheckpointed so three consumers share one pass); at 100 TB
+    // each side's k-NN list comes from the IVF-PQ index and the margin
+    // algebra is unchanged. k-NN sums accumulate round-4 sims as
+    // DECIMAL(18,6) — exact, order-free — then one fixed-order division.
+    QuerySpec(
+      "x110_bitext_margin",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+          .withColumnRenamed("vec_id", "doc_id")
+        def side(lang: String) =
+          docs.filter(col("lang") === lang).select("doc_id").join(emb, "doc_id")
+        Similarity.bitextMarginPairs(side("en"), side("de"),
+            "doc_id", "embedding", k = 4)
+          .orderBy("src_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |x AS (SELECT d.doc_id AS src_id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
+             |      FROM documents d JOIN e ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
+             |y AS (SELECT d.doc_id AS tgt_id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
+             |      FROM documents d JOIN e ON e.vec_id = d.doc_id WHERE d.lang = 'de'),
+             |p AS (SELECT x.src_id, y.tgt_id,
+             |        round(list_sum([x.emb[i]*y.emb[i] for i in range(1,65)])/(x.nrm*y.nrm), 4) AS sim
+             |      FROM x CROSS JOIN y),
+             |kx AS (SELECT src_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sx
+             |       FROM (SELECT src_id, sim,
+             |               row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+             |             FROM p QUALIFY rn <= 4) GROUP BY 1),
+             |ky AS (SELECT tgt_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sy
+             |       FROM (SELECT tgt_id, sim,
+             |               row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+             |             FROM p QUALIFY rn <= 4) GROUP BY 1),
+             |m AS (SELECT p.src_id, p.tgt_id, p.sim,
+             |        round(p.sim / ((kx.sx + ky.sy) / 8.0), 4) AS margin
+             |      FROM p JOIN kx USING (src_id) JOIN ky USING (tgt_id))
+             |SELECT src_id, tgt_id, sim, margin
+             |FROM (SELECT src_id, tgt_id, sim, margin,
+             |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+             |      FROM m QUALIFY rn = 1)
+             |ORDER BY src_id""".stripMargin)),
+
+    // Inter-annotator agreement (Cohen 1960 kappa) between two heuristic
+    // quality labelers — the label-QA gate a labeled-data pipeline runs
+    // before trusting its labels. Labeler A: n_chars >= 300; labeler B:
+    // token count >= 50 (the house tokenizer). Per-lang rows plus the
+    // '_all' rollup via a 2-way explode; one map-side-combined groupBy of
+    // |langs|+1 rows, all kappa arithmetic row-local on the aggregate in
+    // one fixed fp order (pe = 1 degenerate groups report kappa 0).
+    QuerySpec(
+      "x111_labeler_agreement",
+      (s, dir) => {
+        val labeled = Tables.documents(s, dir)
+          .select(
+            explode(array(col("lang"), lit("_all"))).as("grp"),
+            (col("n_chars") >= 300).cast("long").as("la"),
+            (size(TextFunctions.tokens(col("text"))) >= 50)
+              .cast("long").as("lb"))
+        QualityModel.cohenKappa(labeled, "grp", "la", "lb").orderBy("grp")
+      },
+      Some("""WITH l AS (SELECT lang,
+             |  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS la,
+             |  CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) >= 50
+             |       THEN 1 ELSE 0 END AS lb
+             |  FROM documents),
+             |x AS (SELECT unnest([lang, '_all']) AS grp, la, lb FROM l),
+             |g AS (SELECT grp, COUNT(*) AS n, SUM(la) AS na, SUM(lb) AS nb,
+             |        SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree
+             |      FROM x GROUP BY 1),
+             |k AS (SELECT grp, n, CAST(agree AS DOUBLE) / n AS po,
+             |        (CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n) +
+             |        (1.0 - CAST(na AS DOUBLE) / n) * (1.0 - CAST(nb AS DOUBLE) / n) AS pe
+             |      FROM g)
+             |SELECT grp, CAST(n AS BIGINT) AS n, round(po, 6) AS po, round(pe, 6) AS pe,
+             |  round(CASE WHEN pe = 1.0 THEN 0.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+             |FROM k ORDER BY grp""".stripMargin))
   )
 }

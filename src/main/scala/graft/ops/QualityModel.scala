@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Hashed linear text scorer — the fastText shape (Joulin et al. 2016,
@@ -42,5 +43,37 @@ object QualityModel {
       i += 1
     }
     Scored(n, margin)
+  }
+
+  /** Cohen's kappa (Cohen 1960) between two binary labelers, per group —
+    * the inter-annotator-agreement gate a labeled-data pipeline runs
+    * before trusting its labels. Input needs the two 0/1 label columns
+    * and a group column already computed (so the labelers themselves stay
+    * caller-defined).
+    *
+    * po = observed agreement, pe = chance agreement from the marginals,
+    * kappa = (po − pe) / (1 − pe); the degenerate pe = 1 group (both
+    * labelers constant and equal) reports kappa = 0 by convention.
+    *
+    * Scale shape: one groupBy over the group key with four conditional
+    * sums — a single map-side-combined shuffle of |groups| rows; all
+    * arithmetic afterward is row-local on the aggregate row. Every
+    * double op is written in one fixed order so a SQL twin replays it
+    * bit-for-bit. */
+  def cohenKappa(labeled: DataFrame, group: String, labelA: String,
+      labelB: String): DataFrame = {
+    val g = labeled.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelA)).as("na"),
+        sum(col(labelB)).as("nb"),
+        sum(when(col(labelA) === col(labelB), 1L).otherwise(0L)).as("agree"))
+    val po = col("agree").cast("double") / col("n")
+    val pa = col("na").cast("double") / col("n")
+    val pb = col("nb").cast("double") / col("n")
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    g.select(col(group), col("n").cast("long").as("n"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        round(when(pe === 1.0, 0.0).otherwise((po - pe) / (lit(1.0) - pe)), 6)
+          .as("kappa"))
   }
 }

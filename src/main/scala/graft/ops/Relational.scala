@@ -93,4 +93,33 @@ object Relational {
       explode(sequence(lit(0L), lit((salts - 1).toLong))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** SCD-2 history construction (Kimball's type-2 slowly changing
+    * dimension) from an append-only change feed: per key ordered by
+    * (ts, seq), consecutive repeats of the tracked attribute collapse,
+    * and each surviving change opens a version row valid from its own
+    * timestamp until the next change's timestamp (NULL while current).
+    *
+    * Scale shape: both windows partition on the dimension key — per-key
+    * history is bounded by that key's change count, never corpus-global —
+    * so the op is one shuffle on `key` and streams within each partition.
+    * `seq` breaks same-timestamp ties deterministically (the change feed's
+    * own monotonic id), which makes the output reproducible under
+    * re-delivery — the property a warehouse MERGE pipeline needs. */
+  def scd2History(feed: DataFrame, key: String, ts: String, seq: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+    val changes = feed
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attr))
+    val wc = Window.partitionBy(col(key)).orderBy(col(ts), col(seq))
+    changes
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(wc))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col(key), col("version"), col(attr).as("state"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
 }

@@ -667,4 +667,94 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_outer")
       .withColumn("keep", col("dup_of").isNull.cast("long"))
   }
+
+  /** Hard-negative mining for contrastive training (the FaceNet device,
+    * Schroff et al. 2015): for each anchor, the k most cosine-similar
+    * corpus rows with a DIFFERENT label — "hard" because the encoder
+    * currently confuses them — plus the anchor's best same-label
+    * similarity, and the semi-hard flag (negative still inside the
+    * positive's radius, the regime the triplet loss trains on).
+    *
+    * Scale shape: the anchor set is small by construction (a training
+    * batch), so it broadcasts and the corpus streams through ONE pass
+    * computing both the positive max and the negative top-k; the only
+    * shuffle is the anchor-keyed window over candidate rows, and
+    * WindowGroupLimit caps it at k rows per anchor pre-shuffle. At 100 TB
+    * the brute-force scan swaps for [[ivfPqTopK]] candidates feeding the
+    * same ranking — the output contract is unchanged. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val a = anchors.select(col(idCol).as("qid"), col(embCol).as("q_emb"),
+        col(labelCol).as("q_label"))
+      .withColumn("q_nrm", sqrt(expr("float_dot(q_emb, q_emb)")))
+    val c = corpus.select(col(idCol).as("cid"), col(embCol).as("c_emb"),
+        col(labelCol).as("c_label"))
+      .withColumn("c_nrm", sqrt(expr("float_dot(c_emb, c_emb)")))
+    val scored = broadcast(a).crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("q_label"), col("c_label"),
+        round(expr("float_dot(q_emb, c_emb)") / (col("q_nrm") * col("c_nrm")), 4)
+          .as("sim"))
+    val pos = scored.filter(col("q_label") === col("c_label"))
+      .groupBy("qid").agg(max(col("sim")).as("pos_sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.filter(col("q_label") =!= col("c_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .join(broadcast(pos), Seq("qid"), "left_outer")
+      .select(col("qid"), col("rn"), col("cid"), col("sim").as("neg_sim"),
+        col("pos_sim"),
+        // anchors with no same-label peer report semi_hard = 0, not NULL
+        when(col("sim") < col("pos_sim"), 1L).otherwise(0L).as("semi_hard"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LAŠER /
+    * CCMatrix device): candidate translation pairs across two monolingual
+    * sides score cos(x,y) divided by the mean of each side's k-nearest
+    * cross-side similarities — the margin denominator cancels hubness, so
+    * a pair only wins if it is similar BEYOND how similar its members are
+    * to everything. Emits each source row's best target by margin (the
+    * "max" strategy of the paper) with the forward margin.
+    *
+    * Determinism: per-pair cosines round to 4 decimals; each side's
+    * k-NN sum accumulates those rounded values as DECIMAL(18,6) (exact,
+    * order-free) and the final margin divides in one fixed expression
+    * order — a SQL twin replays it bit-for-bit.
+    *
+    * Scale shape: the bipartite pair table is |X|·|Y| here (brute force —
+    * correct baseline); at 100 TB each side's k-NN list comes from
+    * [[ivfPqTopK]] and the margin join is two |X|·k tables keyed on the
+    * pair — the ranking algebra below is unchanged. Window partitions are
+    * per-source-row / per-target-row, never global. */
+  def bitextMarginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    val x = src.select(col(idCol).as("src_id"), col(embCol).as("x_emb"))
+      .withColumn("x_nrm", sqrt(expr("float_dot(x_emb, x_emb)")))
+    val y = tgt.select(col(idCol).as("tgt_id"), col(embCol).as("y_emb"))
+      .withColumn("y_nrm", sqrt(expr("float_dot(y_emb, y_emb)")))
+    val pairs = x.crossJoin(y)
+      .select(col("src_id"), col("tgt_id"),
+        round(expr("float_dot(x_emb, y_emb)") / (col("x_nrm") * col("y_nrm")), 4)
+          .as("sim"))
+      .localCheckpoint() // three consumers below; compute the O(|X||Y|) scan once
+    val wx = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("tgt_id"))
+    val knnX = pairs.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= k).groupBy("src_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("sx"))
+    val wy = Window.partitionBy(col("tgt_id")).orderBy(col("sim").desc, col("src_id"))
+    val knnY = pairs.withColumn("rn", row_number().over(wy))
+      .filter(col("rn") <= k).groupBy("tgt_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("sy"))
+    val kD = k.toDouble
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    pairs.join(knnX, "src_id").join(knnY, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(col("sim") /
+          ((col("sx") + col("sy")) / lit(2.0 * kD)), 4).as("margin"))
+      .withColumn("rn", row_number().over(wBest).cast("long"))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

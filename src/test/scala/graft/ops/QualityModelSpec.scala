@@ -39,4 +39,33 @@ class QualityModelSpec extends SparkSpec {
       .select(col("sc.margin")).as[Long].collect()
     assert(margins.toSet.size === 1)
   }
+
+  private def kappaOf(rows: Seq[(String, Long, Long)]): Map[String, (Long, Double, Double, Double)] =
+    QualityModel.cohenKappa(rows.toDF("grp", "la", "lb"), "grp", "la", "lb")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+  test("cohenKappa: perfect agreement is 1, textbook 2x2 matches by hand") {
+    val perfect = (1 to 10).map(i => ("p", (i % 2).toLong, (i % 2).toLong))
+    assert(kappaOf(perfect)("p") === ((10L, 1.0, 0.5, 1.0)))
+
+    // Cohen's own worked shape: a=20 both-yes, d=15 both-no, b=10, c=5
+    // po = 35/50 = 0.7, pe = (30/50)(25/50) + (20/50)(25/50) = 0.5
+    // kappa = (0.7 - 0.5) / 0.5 = 0.4
+    val cells = Seq.fill(20)(("c", 1L, 1L)) ++ Seq.fill(10)(("c", 1L, 0L)) ++
+      Seq.fill(5)(("c", 0L, 1L)) ++ Seq.fill(15)(("c", 0L, 0L))
+    assert(kappaOf(cells)("c") === ((50L, 0.7, 0.5, 0.4)))
+  }
+
+  test("cohenKappa: degenerate constant-equal labelers report 0, not NaN") {
+    val const = Seq.fill(7)(("k", 1L, 1L))
+    val (n, po, pe, kappa) = kappaOf(const)("k")
+    assert(n === 7L && po === 1.0 && pe === 1.0 && kappa === 0.0)
+  }
+
+  test("cohenKappa: anti-correlated labelers go negative") {
+    val anti = (1 to 10).map(i => ("a", (i % 2).toLong, ((i + 1) % 2).toLong))
+    assert(kappaOf(anti)("a")._4 === -1.0)
+  }
 }

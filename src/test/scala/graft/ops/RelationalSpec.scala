@@ -68,4 +68,54 @@ class RelationalSpec extends SparkSpec {
     val counts = top.groupBy("o_custkey").count().as[(Long, Long)].collect()
     assert(counts.forall(_._2 <= 2))
   }
+
+  test("scd2History: versions partition each key's timeline exactly") {
+    val ev = Tables.events(spark, sfDir)
+    val hist = Relational
+      .scd2History(ev, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getLong(5)))
+      .groupBy(_._1)
+
+    val feed = ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+
+    assert(hist.keySet === feed.keySet)
+    hist.foreach { case (uid, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_._2)
+      // versions are 1..n dense
+      assert(rows.map(_._2).toSeq === (1L to rows.length))
+      // intervals chain: valid_to(v) == valid_from(v+1); only the last is open
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid v${a._2} interval gap")
+          assert(a._6 === 0L)
+        case _ =>
+      }
+      assert(rows.last._5.isEmpty && rows.last._6 === 1L)
+      // no two consecutive versions share a state (changes collapsed)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 !== b._3, s"user $uid uncollapsed")
+        case _ =>
+      }
+      // replaying the feed's per-key change sequence gives the states
+      val expected = feed(uid).sortBy(e => (e._2.getTime, e._3)).map(_._4)
+        .foldLeft(List.empty[String]) {
+          case (acc, s) if acc.headOption.contains(s) => acc
+          case (acc, s) => s :: acc
+        }.reverse
+      assert(rows.map(_._3).toSeq === expected, s"user $uid states")
+    }
+  }
+
+  test("scd2History: shuffled input re-delivery reproduces the history") {
+    val ev = Tables.events(spark, sfDir).filter($"user_id" < 30)
+    def run(df: org.apache.spark.sql.DataFrame) = Relational
+      .scd2History(df, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version").collect().toSeq
+    assert(run(ev) === run(ev.repartition(7).sortWithinPartitions("event_type")))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -225,5 +225,84 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) === ((None, 1L)))        // alone-ish in its own cell
     assert(out(4L) === ((None, 1L)))        // opposite vector: cos = -1
     assert(out.size === 5)                  // every input row present
+  }
+
+  test("hardNegatives: cross-label top-k with a correct semi-hard flag") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 4
+    val rows = Similarity
+      .hardNegatives(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    rows.groupBy(_._1).foreach { case (qid, negs) =>
+      val (_, qemb, qlabel) = all.find(_._1 == qid).get
+      val posMax = all.filter(x => x._1 != qid && x._3 == qlabel)
+        .map(x => cos(qemb, x._2)).max
+      val expected = all.filter(x => x._1 != qid && x._3 != qlabel)
+        .map(x => (cos(qemb, x._2), x._1))
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(negs.sortBy(_._2).map(x => (x._4, x._3)).toSeq === expected.toSeq,
+        s"anchor $qid top-$k")
+      negs.foreach { n =>
+        assert(n._5 === posMax, s"anchor $qid pos_sim")
+        assert(n._6 === (if (n._4 < posMax) 1L else 0L), s"anchor $qid semi_hard")
+      }
+    }
+    assert(rows.map(_._1).distinct.length === 10)
+  }
+
+  test("bitextMarginPairs: margin algebra matches a driver-side replay") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 3
+    val src = emb.filter(col("vec_id") < 8)
+    val tgt = emb.filter(col("vec_id") >= 8 && col("vec_id") < 28)
+    val out = Similarity
+      .bitextMarginPairs(src, tgt, "vec_id", "embedding", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    val sv = src.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tv = tgt.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pairs = for ((sid, se) <- sv; (tid, te) <- tv)
+      yield (sid, tid, cos(se, te))
+    // exact decimal k-NN sums, as the op documents
+    def knnSum(xs: Seq[Double]): Double =
+      xs.sorted.reverse.take(k).map(BigDecimal(_)).sum.toDouble
+    val sx = pairs.groupBy(_._1).map { case (s, p) => s -> knnSum(p.map(_._3).toSeq) }
+    val sy = pairs.groupBy(_._2).map { case (t, p) => t -> knnSum(p.map(_._3).toSeq) }
+    val margins = pairs.map { case (s, t, sim) =>
+      (s, t, sim, BigDecimal(sim / ((sx(s) + sy(t)) / (2.0 * k)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val best = margins.groupBy(_._1).map { case (s, ms) =>
+      ms.minBy { case (_, t, _, m) => (-m, t) }
+    }.toSeq.sortBy(_._1)
+
+    assert(out.sortBy(_._1).toSeq === best)
+    assert(out.length === 8) // one row per source
   }
 }
