@@ -4610,6 +4610,108 @@ object ExtensionQueries {
              |      FROM g)
              |SELECT grp, CAST(n AS BIGINT) AS n, round(po, 6) AS po, round(pe, 6) AS pe,
              |  round(CASE WHEN pe = 1.0 THEN 0.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
-             |FROM k ORDER BY grp""".stripMargin))
+             |FROM k ORDER BY grp""".stripMargin)),
+
+    // Fact-to-SCD2 temporal lookup — the point-in-time dimension join
+    // every star-schema fact load runs. The dimension is x108's history
+    // built from the even-event feed; facts are the odd events; each fact
+    // resolves the version whose [valid_from, valid_to) contains its ts.
+    // Implementation is Relational.asofJoin (union + one per-key window),
+    // NOT an inequality range join — the latter explodes to |facts|·|vers|
+    // candidate pairs per key at 100 TB, the as-of trick stays one shuffle.
+    // Empty [t, t) versions (two same-timestamp changes) are dropped
+    // first, which makes (key, valid_from) unique and the as-of pick
+    // exactly the interval-containment match. Facts before any version
+    // report state 'none', version 0.
+    QuerySpec(
+      "x112_dim_lookup_asof",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id") < 10)
+        val dim = Relational.scd2History(
+            ev.filter(col("event_id") % 2 === 0),
+            "user_id", "ts", "event_id", "event_type")
+          .filter(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+          .select(col("user_id"), col("valid_from"),
+            struct(col("version"), col("state")).as("ver"))
+        val facts = ev.filter(col("event_id") % 2 === 1)
+          .select("event_id", "user_id", "ts")
+        Relational.asofJoin(facts, dim, "user_id", "ts", "valid_from",
+            "ver", "asof")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("asof.state"), lit("none")).as("state"),
+            coalesce(col("asof.version"), lit(0L)).as("version"))
+          .orderBy("event_id")
+      },
+      Some("""WITH feed AS (SELECT user_id, ts, event_id, event_type FROM events
+             |              WHERE event_id % 2 = 0 AND user_id < 10),
+             |c AS (SELECT user_id, ts, event_id, event_type,
+             |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |      FROM feed),
+             |ch AS (SELECT user_id, ts, event_id, event_type FROM c
+             |       WHERE prev IS NULL OR prev <> event_type),
+             |v AS (SELECT user_id,
+             |        CAST(row_number() OVER w AS BIGINT) AS version,
+             |        event_type AS state, ts AS valid_from,
+             |        lead(ts) OVER w AS valid_to
+             |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |nz AS (SELECT * FROM v WHERE valid_to IS NULL OR valid_to > valid_from),
+             |f AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_id % 2 = 1 AND user_id < 10)
+             |SELECT f.event_id, f.user_id,
+             |  coalesce(nz.state, 'none') AS state,
+             |  coalesce(nz.version, 0) AS version
+             |FROM f LEFT JOIN nz ON nz.user_id = f.user_id
+             |  AND nz.valid_from <= f.ts
+             |  AND (f.ts < nz.valid_to OR nz.valid_to IS NULL)
+             |ORDER BY event_id""".stripMargin)),
+
+    // k-center coreset by farthest-first traversal (Gonzalez 1985): 6
+    // centers over the embeddings, each pass one corpus scan against the
+    // single newest center + a top-1 reduce (no pairwise table); the
+    // radius sequence is the coverage curve coreset selection reads.
+    // d² = na + nb − 2·a·b with ascending-index dots, rounded to 4 before
+    // any comparison, ties to the lower id — the oracle replays the
+    // traversal step by step in chained CTEs.
+    QuerySpec(
+      "x113_kcenter_coreset",
+      (s, dir) =>
+        Similarity.kcenterCoreset(Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 6)
+          .orderBy("rank"),
+      Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
+             |n AS (SELECT vec_id, emb, list_sum([x*x for x in emb]) AS na FROM e),
+             |c1 AS (SELECT vec_id, emb, na FROM n ORDER BY vec_id LIMIT 1),
+             |d1 AS (SELECT p.vec_id,
+             |         round(p.na + c.na - 2*list_sum([p.emb[i]*c.emb[i] for i in range(1,65)]), 4) AS dmin
+             |       FROM n p CROSS JOIN c1 c),
+             |p2 AS (SELECT vec_id, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |c2 AS (SELECT n.vec_id, n.emb, n.na FROM n JOIN p2 ON p2.vec_id = n.vec_id),
+             |d2 AS (SELECT d1.vec_id,
+             |         least(d1.dmin, round(p.na + c.na - 2*list_sum([p.emb[i]*c.emb[i] for i in range(1,65)]), 4)) AS dmin
+             |       FROM d1 JOIN n p ON p.vec_id = d1.vec_id CROSS JOIN c2 c),
+             |p3 AS (SELECT vec_id, dmin FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |c3 AS (SELECT n.vec_id, n.emb, n.na FROM n JOIN p3 ON p3.vec_id = n.vec_id),
+             |d3 AS (SELECT d2.vec_id,
+             |         least(d2.dmin, round(p.na + c.na - 2*list_sum([p.emb[i]*c.emb[i] for i in range(1,65)]), 4)) AS dmin
+             |       FROM d2 JOIN n p ON p.vec_id = d2.vec_id CROSS JOIN c3 c),
+             |p4 AS (SELECT vec_id, dmin FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |c4 AS (SELECT n.vec_id, n.emb, n.na FROM n JOIN p4 ON p4.vec_id = n.vec_id),
+             |d4 AS (SELECT d3.vec_id,
+             |         least(d3.dmin, round(p.na + c.na - 2*list_sum([p.emb[i]*c.emb[i] for i in range(1,65)]), 4)) AS dmin
+             |       FROM d3 JOIN n p ON p.vec_id = d3.vec_id CROSS JOIN c4 c),
+             |p5 AS (SELECT vec_id, dmin FROM d4 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |c5 AS (SELECT n.vec_id, n.emb, n.na FROM n JOIN p5 ON p5.vec_id = n.vec_id),
+             |d5 AS (SELECT d4.vec_id,
+             |         least(d4.dmin, round(p.na + c.na - 2*list_sum([p.emb[i]*c.emb[i] for i in range(1,65)]), 4)) AS dmin
+             |       FROM d4 JOIN n p ON p.vec_id = d4.vec_id CROSS JOIN c5 c),
+             |p6 AS (SELECT vec_id, dmin FROM d5 ORDER BY dmin DESC, vec_id LIMIT 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS radius FROM c1
+             |  UNION ALL SELECT 2, vec_id, dmin FROM p2
+             |  UNION ALL SELECT 3, vec_id, dmin FROM p3
+             |  UNION ALL SELECT 4, vec_id, dmin FROM p4
+             |  UNION ALL SELECT 5, vec_id, dmin FROM p5
+             |  UNION ALL SELECT 6, vec_id, dmin FROM p6
+             |) ORDER BY rank""".stripMargin))
   )
 }

@@ -709,6 +709,56 @@ object Similarity {
         when(col("sim") < col("pos_sim"), 1L).otherwise(0L).as("semi_hard"))
   }
 
+  /** k-center coreset by farthest-first traversal (Gonzalez 1985) — the
+    * classic 2-approximation to the k-center cover, and the seeding step
+    * of coreset-based data selection: pick the lowest id, then repeatedly
+    * the point farthest (squared L2) from everything picked so far.
+    * Returns (rank, id, radius) — radius is the pick's distance at
+    * selection time, a non-increasing sequence that reads as the corpus
+    * coverage curve.
+    *
+    * Scale shape: k passes over the corpus, each one scan computing a
+    * rowwise min against the single newest center (a broadcast literal)
+    * and one top-1 reduce — no pairwise table, no per-row state beyond
+    * the running dmin column; localCheckpoint pins each pass so lineage
+    * stays O(1). Driver pulls exactly one row per pass (k-bounded).
+    *
+    * Determinism: d² decomposes as na + nb − 2·a·b with every dot an
+    * ascending-index sum, rounded to 4 before any comparison; ties break
+    * to the lower id — a SQL twin replays the traversal exactly. */
+  def kcenterCoreset(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val base = corpus
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .withColumn("na", expr("float_dot(emb, emb)"))
+      .localCheckpoint()
+    def centerLit(e: Seq[Float]): Column = array(e.map(lit): _*)
+    def selfDot(e: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < e.length) { s += e(i).toDouble * e(i); i += 1 }
+      s
+    }
+    def d2(e: Seq[Float]): Column =
+      round(col("na") + lit(selfDot(e)) -
+        lit(2.0) * call_function("float_dot", col("emb"), centerLit(e)), 4)
+
+    val first = base.orderBy("id").limit(1).select("id", "emb").head()
+    var picked = List((1L, first.getLong(0), 0.0))
+    var cur = base.withColumn("dmin", d2(first.getSeq[Float](1)))
+      .localCheckpoint()
+    (2 to k).foreach { j =>
+      val p = cur.orderBy(col("dmin").desc, col("id")).limit(1)
+        .select("id", "dmin", "emb").head()
+      picked ::= ((j.toLong, p.getLong(0), p.getDouble(1)))
+      cur = cur.withColumn("dmin",
+        least(col("dmin"), d2(p.getSeq[Float](2)))).localCheckpoint()
+    }
+    picked.reverse.toDF("rank", "vec_id", "radius")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, the LAŠER /
     * CCMatrix device): candidate translation pairs across two monolingual
     * sides score cos(x,y) divided by the mean of each side's k-nearest

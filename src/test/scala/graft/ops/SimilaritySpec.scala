@@ -266,6 +266,46 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length === 10)
   }
 
+  test("kcenterCoreset: replays the farthest-first traversal exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = 5
+    val out = Similarity.kcenterCoreset(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def sq(a: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }; s
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(sq(a) + sq(b) - 2.0 * dot(a, b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    var centers = List(all.head)
+    var expected = List((1L, all.head._1, 0.0))
+    var dmin = all.map(p => p._1 -> d2(p._2, all.head._2)).toMap
+    (2 to k).foreach { j =>
+      val pick = all.map(p => (p._1, dmin(p._1)))
+        .minBy { case (id, d) => (-d, id) }
+      expected ::= ((j.toLong, pick._1, pick._2))
+      val ce = all.find(_._1 == pick._1).get
+      centers ::= ce
+      dmin = all.map(p => p._1 -> math.min(dmin(p._1), d2(p._2, ce._2))).toMap
+    }
+    assert(out.toSeq === expected.reverse)
+    // radii never increase: the coverage-curve property selection reads
+    assert(out.map(_._3).drop(1).sliding(2).forall {
+      case Array(a, b) => b <= a
+      case _ => true
+    })
+  }
+
   test("bitextMarginPairs: margin algebra matches a driver-side replay") {
     val emb = Tables.embeddings(spark, sfDir)
     val k = 3
