@@ -4712,6 +4712,55 @@ object ExtensionQueries {
              |  UNION ALL SELECT 4, vec_id, dmin FROM p4
              |  UNION ALL SELECT 5, vec_id, dmin FROM p5
              |  UNION ALL SELECT 6, vec_id, dmin FROM p6
-             |) ORDER BY rank""".stripMargin))
+             |) ORDER BY rank""".stripMargin)),
+
+    // Per-item triangle counts + local clustering coefficient over x101's
+    // co-occurrence graph, by degree-ordered wedge enumeration (Suri &
+    // Vassilvitskii WWW'11 — the "curse of the last reducer" fix): each
+    // edge orients low→high (degree, id) rank, wedges enumerate only at
+    // their minimum-rank vertex, and one edge-keyed equi-join closes them
+    // — a hub's raw degree never becomes one reducer's pair count. The
+    // clustering coefficient is the community-structure signal
+    // recommendation curation reads off the item graph.
+    QuerySpec(
+      "x114_triangle_count",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val und = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+          .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
+          .select("a", "b")
+        Graph.triangleStats(und).orderBy("v")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |und AS (SELECT a.item AS a, b.item AS b
+             |        FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |deg AS (SELECT v, COUNT(*) AS deg
+             |        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+             |e AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+             |               THEN und.a ELSE und.b END AS src,
+             |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+             |          THEN und.b ELSE und.a END AS dst,
+             |        CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+             |          THEN db.deg ELSE da.deg END AS ddeg
+             |      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+             |wedge AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |          FROM e e1 JOIN e e2 ON e1.src = e2.src
+             |            AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
+             |tri AS (SELECT u, v, w FROM wedge JOIN (SELECT src AS v, dst AS w FROM e) c USING (v, w)),
+             |pv AS (SELECT x AS v, COUNT(*) AS n_tri
+             |       FROM (SELECT unnest([u, v, w]) AS x FROM tri) GROUP BY 1)
+             |SELECT deg.v, CAST(deg.deg AS BIGINT) AS deg,
+             |  CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+             |  CASE WHEN deg.deg < 2 THEN 0.0
+             |       ELSE round(2.0 * coalesce(pv.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6) END AS clustering
+             |FROM deg LEFT JOIN pv ON pv.v = deg.v ORDER BY deg.v""".stripMargin))
   )
 }
