@@ -82,6 +82,27 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      // TPC-H fact + dim for the join-shaped probes (x115/x116): lineitem
+      // replicates 10x with fresh orderkeys but UNCHANGED l_partkey — facts
+      // grow deeper over the same dimension, the real warehouse shape — so
+      // per-key match counts grow 10x while the dim filter stays fixed.
+      // part replicates 10x with fresh partkeys and UNCHANGED names: the
+      // record-linkage name-group table keeps its 64 distinct names while
+      // group sizes grow 10x (what the group-collapse discipline absorbs).
+      val li = Tables.lineitem(spark, baseSf)
+      val oMax = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+      li.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("l_orderkey") + col("rep") * oMax).as("l_orderkey") +:
+          li.columns.filterNot(_ == "l_orderkey").map(col): _*)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      val pt = Tables.part(spark, baseSf)
+      val pMax = pt.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+      pt.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("p_partkey") + col("rep") * pMax).as("p_partkey") +:
+          pt.columns.filterNot(_ == "p_partkey").map(col): _*)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/part.parquet")
     }
 
     def time(name: String, dir: String): Double = {

@@ -117,4 +117,28 @@ object Bloom {
         probeUdf(gramUdf(TextFunctions.tokens(col(textCol)))).as("n_flagged"))
       .filter(col("n_flagged") > 0)
   }
+
+  /** Semi-join reduction via a broadcast Bloom filter — the device that
+    * makes a big⋈small join cheap when the small side is selective: fold
+    * the small side's join keys into one m-bit filter (map-side-OR'd
+    * mergeable aggregate), broadcast it, and drop big-side rows that
+    * cannot match BEFORE the join's shuffle. The result is exactly
+    * `big.join(small, key)` — the filter never false-negatives, and any
+    * false positive is eliminated by the real join that follows; only the
+    * shuffled volume changes (at 100 TB, from the full fact table to
+    * ~the matching fraction). Spark's own runtime row-level filtering
+    * does this adaptively; here it is an explicit, tunable operator.
+    *
+    * Keys hash through xxhash64 folded into the 31-bit double-hash domain
+    * of [[positions]]. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      m: Int = DefaultBits, k: Int = DefaultHashes): DataFrame = {
+    def keyHash(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(2147483647L))
+    val bits = build(small.select(keyHash(col(key)).as("h")), m, k)
+    val bc = big.sparkSession.sparkContext.broadcast(bits)
+    val (mm, kk) = (m, k)
+    val probeUdf = udf { h: Long => mightContain(bc.value, h, mm, kk) }
+    big.filter(probeUdf(keyHash(col(key)))).join(small, key)
+  }
 }

@@ -4761,6 +4761,66 @@ object ExtensionQueries {
              |  CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
              |  CASE WHEN deg.deg < 2 THEN 0.0
              |       ELSE round(2.0 * coalesce(pv.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6) END AS clustering
-             |FROM deg LEFT JOIN pv ON pv.v = deg.v ORDER BY deg.v""".stripMargin))
+             |FROM deg LEFT JOIN pv ON pv.v = deg.v ORDER BY deg.v""".stripMargin)),
+
+    // Bloom-pruned fact join (semi-join reduction): lineitem rows that
+    // cannot match the selective part subset are dropped by a broadcast
+    // 128 KiB filter BEFORE the join's shuffle — at 100 TB the shuffled
+    // volume falls from the whole fact table to ~the matching fraction,
+    // while the result is provably identical to the plain join (no false
+    // negatives; false positives die in the real join). The oracle is
+    // that plain join — the filter must be invisible in the output.
+    QuerySpec(
+      "x115_bloom_pruned_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+        val red = Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red "))
+          .select("p_partkey", "p_name")
+        Bloom.bloomPrunedJoin(li, red, "p_partkey")
+          .groupBy("p_partkey", "p_name")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+              .as("sum_qty"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT l.l_partkey AS p_partkey, p.p_name,
+             |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_name LIKE 'red %'
+             |GROUP BY 1, 2 ORDER BY p_partkey""".stripMargin)),
+
+    // Record linkage by blocking + edit distance — the entity-resolution
+    // primitive: exact-collapse names first (the x107 group discipline:
+    // 2000 parts -> 64 distinct names), block on the first token so only
+    // same-block names pair, confirm with levenshtein <= 3; n_pairs
+    // reconstructs record-level pair counts from group sizes. All-integer
+    // output. At 100 TB the block key swaps for multi-pass sorted
+    // neighborhood; the pair stage stays per-block-bounded.
+    QuerySpec(
+      "x116_record_linkage",
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", split(col("p_name"), " ").getItem(0))
+        names.as("a").join(names.as("b"),
+            col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+            levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"),
+            (col("a.cnt") * col("b.cnt")).as("n_pairs"))
+          .filter(col("dist") <= 3)
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH n AS (SELECT p_name, COUNT(*) AS cnt,
+             |             split_part(p_name, ' ', 1) AS blk
+             |           FROM part GROUP BY 1)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+             |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |ORDER BY name_a, name_b""".stripMargin))
   )
 }

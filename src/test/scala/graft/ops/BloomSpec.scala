@@ -63,4 +63,29 @@ class BloomSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 2L)) // two 8-gram windows of the 9-token copy
   }
+
+  test("bloomPrunedJoin returns exactly the plain join, and actually prunes") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_partkey".as("p_partkey"), $"l_orderkey", $"l_linenumber")
+    val dim = graft.Tables.part(spark, sfDir)
+      .filter($"p_partkey" % 10 === 0).select($"p_partkey", $"p_name")
+    val pruned = Bloom.bloomPrunedJoin(li, dim, "p_partkey")
+      .select($"p_partkey", $"l_orderkey", $"l_linenumber", $"p_name")
+      .as[(Long, Long, Int, String)].collect().sorted.toSeq
+    val plain = li.join(dim, "p_partkey")
+      .select($"p_partkey", $"l_orderkey", $"l_linenumber", $"p_name")
+      .as[(Long, Long, Int, String)].collect().sorted.toSeq
+    assert(pruned === plain)
+    assert(plain.nonEmpty)
+    // the filter side must actually cut the big side before the join:
+    // with a 1% FP rate and a 1-in-10 dim, the survivor count sits near
+    // the true match count, far below the full fact table
+    val bits = Bloom.build(dim.select(
+      pmod(xxhash64($"p_partkey"), lit(2147483647L)).as("h")))
+    val bc = spark.sparkContext.broadcast(bits)
+    val probe = udf { h: Long => Bloom.mightContain(bc.value, h, Bloom.DefaultBits, Bloom.DefaultHashes) }
+    val survivors = li.filter(probe(pmod(xxhash64($"p_partkey"), lit(2147483647L)))).count()
+    val total = li.count()
+    assert(survivors < total / 2, s"$survivors of $total survived the filter")
+  }
 }
