@@ -47,7 +47,8 @@ object Explain {
       "x107_image_neardup", "x108_scd2_history", "x109_hard_negatives",
       "x110_bitext_margin", "x111_labeler_agreement", "x112_dim_lookup_asof",
       "x113_kcenter_coreset", "x114_triangle_count",
-      "x115_bloom_pruned_join", "x116_record_linkage")
+      "x115_bloom_pruned_join", "x116_record_linkage",
+      "x117_snapshot_diff")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

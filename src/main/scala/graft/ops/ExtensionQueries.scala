@@ -4821,6 +4821,60 @@ object ExtensionQueries {
              |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
              |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
              |WHERE levenshtein(a.p_name, b.p_name) <= 3
-             |ORDER BY name_a, name_b""".stripMargin))
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // Snapshot diff / CDC between two table versions — the
+    // change-detection op an incremental pipeline runs before reprocessing
+    // only what moved. v2 derives deterministically from v1 (drop id%23,
+    // revise text of id%17, clone id%20 under offset ids), and the diff is
+    // ONE full-outer join on the key emitting only added/deleted/changed
+    // rows — |output| is the change rate, not the table. The full-outer
+    // mode is the point: left/semi/anti each miss one of the three change
+    // classes. At 100 TB both sides shuffle once on the key; comparing a
+    // precomputed row hash instead of raw text is the same plan one
+    // column narrower.
+    QuerySpec(
+      "x117_snapshot_diff",
+      (s, dir) => {
+        val v1 = Tables.documents(s, dir)
+        val v2 = v1.filter(col("doc_id") % 23 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        v1.select(col("doc_id"), col("text").as("t1"))
+          .join(v2.select(col("doc_id"), col("text").as("t2")),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("t1").isNull, "added")
+              .when(col("t2").isNull, "deleted")
+              .when(col("t1") =!= col("t2"), "changed").as("status"),
+            length(col("t1")).cast("long").as("len_v1"),
+            length(col("t2")).cast("long").as("len_v2"))
+          .filter(col("status").isNotNull)
+          .orderBy("doc_id")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 23 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |        a.text AS t1, b.text AS t2
+             |      FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN t1 IS NULL THEN 'added'
+             |       WHEN t2 IS NULL THEN 'deleted'
+             |       WHEN t1 <> t2 THEN 'changed' END AS status,
+             |  CAST(length(t1) AS BIGINT) AS len_v1,
+             |  CAST(length(t2) AS BIGINT) AS len_v2
+             |FROM j
+             |WHERE (CASE WHEN t1 IS NULL THEN 'added'
+             |            WHEN t2 IS NULL THEN 'deleted'
+             |            WHEN t1 <> t2 THEN 'changed' END) IS NOT NULL
+             |ORDER BY doc_id""".stripMargin))
   )
 }
