@@ -4875,6 +4875,84 @@ object ExtensionQueries {
              |WHERE (CASE WHEN t1 IS NULL THEN 'added'
              |            WHEN t2 IS NULL THEN 'deleted'
              |            WHEN t1 <> t2 THEN 'changed' END) IS NOT NULL
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Peak session concurrency per day — the interval-sweep occupancy op
+    // (max concurrent sessions = capacity planning's load curve): q38's
+    // sessions clip to calendar-day segments (explode over the touched
+    // days, so a midnight-crosser counts in both days), each segment
+    // contributes +1 at its start and −1 at its (exclusive) end, and the
+    // day's peak is the max of the ordered running sum. The sweep window
+    // partitions by DAY — bounded by that day's sessions, never
+    // corpus-global — which is exactly how the classic algorithm
+    // distributes: day-partition the deltas, sweep within.
+    QuerySpec(
+      "x118_peak_concurrency",
+      (s, dir) => {
+        val Window = org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_idx", sum(col("new_session")).over(run))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(min(col("ts")).as("a"), max(col("ts")).as("b"))
+        val seg = sess
+          .select(col("user_id"), col("a"), col("b"),
+            explode(sequence(to_date(col("a")), to_date(col("b")))).as("day"))
+          .select(col("user_id"), col("day"),
+            greatest(col("a"), col("day").cast("timestamp")).as("seg_start"),
+            least(col("b"), date_add(col("day"), 1).cast("timestamp")).as("seg_end"))
+        val deltas = seg
+          .select(col("day"), col("seg_start").as("t"), lit(1L).as("delta"),
+            col("user_id"))
+          .unionByName(seg.select(col("day"), col("seg_end").as("t"),
+            lit(-1L).as("delta"), col("user_id")))
+        val sweep = Window.partitionBy(col("day"))
+          .orderBy(col("t"), col("delta"), col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("c", sum(col("delta")).over(sweep))
+          .groupBy("day")
+          .agg((count(lit(1)) / lit(2)).cast("long").as("n_sessions"),
+            max(col("c")).as("peak"))
+          .orderBy("day")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |si AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             |  FROM marked),
+             |sess AS (SELECT user_id, session_idx, MIN(ts) AS a, MAX(ts) AS b
+             |         FROM si GROUP BY 1, 2),
+             |seg0 AS (SELECT user_id, a, b,
+             |           CAST(unnest(generate_series(CAST(a AS DATE), CAST(b AS DATE),
+             |             INTERVAL 1 DAY)) AS DATE) AS day
+             |         FROM sess),
+             |seg AS (SELECT user_id, day,
+             |          greatest(a, CAST(day AS TIMESTAMP)) AS t_start,
+             |          least(b, CAST(day + 1 AS TIMESTAMP)) AS t_end
+             |        FROM seg0),
+             |d AS (SELECT day, t_start AS t, 1 AS delta, user_id FROM seg
+             |      UNION ALL
+             |      SELECT day, t_end, -1, user_id FROM seg),
+             |c AS (SELECT day,
+             |        SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+             |      FROM d)
+             |SELECT day, CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+             |  CAST(MAX(c) AS BIGINT) AS peak
+             |FROM c GROUP BY 1 ORDER BY day""".stripMargin))
   )
 }
