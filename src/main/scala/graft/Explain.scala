@@ -48,7 +48,8 @@ object Explain {
       "x110_bitext_margin", "x111_labeler_agreement", "x112_dim_lookup_asof",
       "x113_kcenter_coreset", "x114_triangle_count",
       "x115_bloom_pruned_join", "x116_record_linkage",
-      "x117_snapshot_diff", "x118_peak_concurrency")
+      "x117_snapshot_diff", "x118_peak_concurrency",
+      "x119_quantile_normalize")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -4953,6 +4953,57 @@ object ExtensionQueries {
              |      FROM d)
              |SELECT day, CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
              |  CAST(MAX(c) AS BIGINT) AS peak
-             |FROM c GROUP BY 1 ORDER BY day""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Quantile normalization across sources (the batch-effect correction
+    // standard, Bolstad et al. 2003, nearest-rank form): each doc's
+    // within-source percentile maps onto the GLOBAL value distribution,
+    // so per-source scale drift cancels before cross-source comparison.
+    // All integer arithmetic: within-source rank r over a source-bounded
+    // window, target global rank k = ceil(r·N/n) as (r·N + n − 1) div n,
+    // and g(k) looked up in the global cumulative histogram — which is
+    // aggregate-bounded (|distinct values| rows), rides ONE broadcast as
+    // a sorted struct array, and resolves per row with a filter HOF.
+    // No corpus-global window anywhere: the only global window runs over
+    // the histogram (x55's Rule-1-safe shape).
+    QuerySpec(
+      "x119_quantile_normalize",
+      (s, dir) => {
+        val Window = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c"))
+            .over(Window.orderBy("n_chars")
+              .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        val packed = hist.agg(
+          sort_array(collect_list(struct(col("n_chars"), col("cum"))))
+            .as("h"),
+          max(col("cum")).as("ntot"))
+        val bySrc = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ranked = docs
+          .withColumn("r", row_number().over(bySrc).cast("long"))
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy(col("source"))).cast("long"))
+        ranked.crossJoin(broadcast(packed)) // one histogram row
+          .withColumn("k", (col("r") * col("ntot") + col("n") - 1L) / col("n"))
+          .withColumn("k", col("k").cast("long"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            expr("filter(h, x -> x.cum >= k)[0].n_chars").as("mapped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH hist AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+             |cum AS (SELECT n_chars, CAST(SUM(c) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+             |        FROM hist),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM documents),
+             |r AS (SELECT doc_id, source, n_chars,
+             |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+             |      FROM documents)
+             |SELECT r.doc_id, r.source, r.n_chars,
+             |  (SELECT MIN(n_chars) FROM cum
+             |   WHERE cum.cum >= (r.r * tot.N + r.n - 1) // r.n) AS mapped
+             |FROM r CROSS JOIN tot
+             |ORDER BY doc_id""".stripMargin))
   )
 }
