@@ -5004,6 +5004,124 @@ object ExtensionQueries {
              |  (SELECT MIN(n_chars) FROM cum
              |   WHERE cum.cum >= (r.r * tot.N + r.n - 1) // r.n) AS mapped
              |FROM r CROSS JOIN tot
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Label-propagation community detection (Raghavan et al. 2007) over
+    // the item co-occurrence graph — the linear-time community miner that
+    // complements x101's centrality ranking and x34's connected
+    // components (CC merges anything touching; LPA splits a connected
+    // graph into cohesive neighborhoods). Synchronous updates, 3 rounds,
+    // deterministic tie-break: a node adopts the label with the largest
+    // incident edge weight, smallest label on ties. EVERYTHING is integer
+    // arithmetic (labels are item ids, weights are co-occurrence counts)
+    // so no float can flip the hash. Scale shape: each round is one
+    // src-keyed equi-join of slim (src, dst, w) edges against the (v,
+    // lab) table plus one (dst, lab) aggregate — cost |edges| per round,
+    // never corpus-quadratic; the argmax-per-node is a max(struct) agg
+    // (map-side partial, |nodes| groups), not a window.
+    QuerySpec(
+      "x120_label_propagation",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
+          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+        Graph.labelPropagation(edges, rounds = 3)
+          .select(col("v").as("item"), col("lab").as("community"))
+          .orderBy("item")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc UNION ALL SELECT ib, ia, w FROM pc),
+             |lab0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+             |s1 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab0 l ON l.v = e.src GROUP BY 1, 2),
+             |lab1 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s1)
+             |  WHERE rn = 1),
+             |s2 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab1 l ON l.v = e.src GROUP BY 1, 2),
+             |lab2 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s2)
+             |  WHERE rn = 1),
+             |s3 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab2 l ON l.v = e.src GROUP BY 1, 2),
+             |lab3 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s3)
+             |  WHERE rn = 1)
+             |SELECT v AS item, lab AS community FROM lab3 ORDER BY item""".stripMargin)),
+
+    // In-engine logistic-regression training (batch gradient descent,
+    // the fastText/quality-classifier training loop that x50 only
+    // SERVES): 3 full-batch GD steps on a binary target (label < 5) over
+    // the 64-dim embeddings, bias included as dim 0, lr = 1. The 100 TB
+    // shape of distributed GD: weights are a 65-double array that rides
+    // into every executor as a plan LITERAL (no join to score rows), the
+    // margin is one zip_with/aggregate fold per row in a single scan,
+    // and the gradient is a posexplode to slim (dim, contrib) pairs into
+    // a 65-group aggregate — map-side partial, so each step moves
+    // 65 rows per task regardless of corpus size. Steps 1–2 collect 65
+    // weights to the driver (k-sized by construction); the returned plan
+    // is step 3, fully lazy. Determinism: per-row contributions are
+    // rounded to 6 dp and summed as DECIMAL(18,6) — exact, associative,
+    // partition-order-proof — and EVERY rounding (margin, sigmoid,
+    // gradient, weight update) happens in Spark's own round so the
+    // oracle replays the identical value sequence; nothing decimal is
+    // emitted.
+    QuerySpec(
+      "x121_logreg_train",
+      (s, dir) => {
+        val ex = Tables.embeddings(s, dir)
+          .select(
+            when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y"),
+            col("embedding").as("emb"))
+        QualityModel.trainLogReg(ex, nDims = 64, steps = 3).orderBy("dim")
+      },
+      Some("""WITH emb AS (SELECT CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE)
+             |         ELSE CAST(0.0 AS DOUBLE) END AS y, embedding AS e FROM embeddings),
+             |d AS (SELECT CAST(range AS BIGINT) AS dim FROM range(0, 65)),
+             |w0 AS (SELECT dim, CAST(0.0 AS DOUBLE) AS w FROM d),
+             |wl1 AS (SELECT list(w ORDER BY dim) AS wl FROM w0 WHERE dim >= 1),
+             |wb1 AS (SELECT w AS b FROM w0 WHERE dim = 0),
+             |p1 AS (SELECT y, e,
+             |        round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+             |          round(wb.b + list_sum([e[k] * wl.wl[k] for k in range(1, 65)]), 6)))), 6) - y AS err
+             |       FROM emb CROSS JOIN wl1 wl CROSS JOIN wb1 wb),
+             |g1 AS (SELECT d.dim,
+             |        round(CAST(SUM(CAST(round(err * (CASE WHEN d.dim = 0 THEN CAST(1.0 AS DOUBLE)
+             |            ELSE e[CAST(d.dim AS INT)] END), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS g
+             |       FROM p1 CROSS JOIN d GROUP BY d.dim),
+             |w1 AS (SELECT g.dim, round(p.w - g.g, 6) AS w FROM g1 g JOIN w0 p USING (dim)),
+             |wl2 AS (SELECT list(w ORDER BY dim) AS wl FROM w1 WHERE dim >= 1),
+             |wb2 AS (SELECT w AS b FROM w1 WHERE dim = 0),
+             |p2 AS (SELECT y, e,
+             |        round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+             |          round(wb.b + list_sum([e[k] * wl.wl[k] for k in range(1, 65)]), 6)))), 6) - y AS err
+             |       FROM emb CROSS JOIN wl2 wl CROSS JOIN wb2 wb),
+             |g2 AS (SELECT d.dim,
+             |        round(CAST(SUM(CAST(round(err * (CASE WHEN d.dim = 0 THEN CAST(1.0 AS DOUBLE)
+             |            ELSE e[CAST(d.dim AS INT)] END), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS g
+             |       FROM p2 CROSS JOIN d GROUP BY d.dim),
+             |w2 AS (SELECT g.dim, round(p.w - g.g, 6) AS w FROM g2 g JOIN w1 p USING (dim)),
+             |wl3 AS (SELECT list(w ORDER BY dim) AS wl FROM w2 WHERE dim >= 1),
+             |wb3 AS (SELECT w AS b FROM w2 WHERE dim = 0),
+             |p3 AS (SELECT y, e,
+             |        round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+             |          round(wb.b + list_sum([e[k] * wl.wl[k] for k in range(1, 65)]), 6)))), 6) - y AS err
+             |       FROM emb CROSS JOIN wl3 wl CROSS JOIN wb3 wb),
+             |g3 AS (SELECT d.dim,
+             |        round(CAST(SUM(CAST(round(err * (CASE WHEN d.dim = 0 THEN CAST(1.0 AS DOUBLE)
+             |            ELSE e[CAST(d.dim AS INT)] END), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS g
+             |       FROM p3 CROSS JOIN d GROUP BY d.dim),
+             |w3 AS (SELECT g.dim, round(p.w - g.g, 6) AS w FROM g3 g JOIN w2 p USING (dim))
+             |SELECT dim, w FROM w3 ORDER BY dim""".stripMargin))
   )
 }

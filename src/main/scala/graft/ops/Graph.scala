@@ -63,4 +63,33 @@ object Graph {
           .otherwise(round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
             (col("deg") * (col("deg") - 1)), 6)).as("clustering"))
   }
+
+  /** Label-propagation community detection (Raghavan et al. 2007),
+    * synchronous variant with a deterministic tie-break: each round every
+    * vertex adopts the label carrying the largest incident edge weight,
+    * smallest label on ties. Labels start as vertex ids.
+    *
+    * Input: directed edge list (src, dst, w) — pass each undirected edge
+    * both ways. Integer weights keep every round exactly associative (no
+    * float ever enters), so partition order cannot flip a label.
+    *
+    * Output: (v, lab) for every vertex with at least one in-edge.
+    *
+    * Scale shape: each round is one src-keyed equi-join of the slim edge
+    * list against the (v, lab) table plus one (dst, lab) SUM and one
+    * per-vertex max(struct) — map-side partial aggregation, |nodes|
+    * groups, no window, cost O(|edges|) per round. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    var lab = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to rounds) {
+      lab = edges.join(lab.select(col("v").as("src"), col("lab")), "src")
+        .groupBy(col("dst"), col("lab"))
+        .agg(sum(col("w")).as("ws"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("ws"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("dst").as("v"), (-col("m.nl")).as("lab"))
+    }
+    lab
+  }
 }

@@ -76,4 +76,49 @@ object QualityModel {
         round(when(pe === 1.0, 0.0).otherwise((po - pe) / (lit(1.0) - pe)), 6)
           .as("kappa"))
   }
+
+  /** One full-batch logistic-regression gradient step (lr = 1) over rows
+    * of (y: DOUBLE 0/1, emb: ARRAY of numerics) given weights `w` (bias
+    * at index 0, then one weight per dimension). Returns the updated
+    * weights as a (dim, w) DataFrame of `w.length` rows.
+    *
+    * Distributed-GD shape: weights enter the plan as LITERALS (broadcast
+    * by the closure, no join), the margin is one zip_with/aggregate fold
+    * per row, the gradient is a posexplode into a |dims|+1-group
+    * aggregate with map-side partials — per-task output is |dims|+1 rows
+    * regardless of corpus size. Determinism: per-row contributions round
+    * to 6 dp and sum as DECIMAL(18,6) (exact, associative); margin,
+    * sigmoid, gradient and update each round to 6 dp IN SPARK, so an SQL
+    * twin replays the identical value sequence. Nothing decimal leaves. */
+  def logRegStep(rows: DataFrame, w: Array[Double]): DataFrame = {
+    val wDims = array(w.drop(1).map(lit): _*)
+    val wAll = array(w.map(lit): _*)
+    val m = round(
+      lit(w(0)) + aggregate(
+        zip_with(col("emb"), wDims, (x, wi) => x * wi),
+        lit(0.0), (acc, v) => acc + v), 6)
+    rows.select(col("y"), col("emb"),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 6).as("p"))
+      .select((col("p") - col("y")).as("err"),
+        posexplode(concat(array(lit(1.0)), col("emb"))))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("err") * col("col"), 6).cast("decimal(18,6)").as("c"))
+      .groupBy("dim")
+      .agg(sum(col("c")).as("gs"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        round(element_at(wAll, (col("dim") + 1).cast("int")) -
+          round(col("gs").cast("double") / col("n"), 6), 6).as("w"))
+  }
+
+  /** `steps` full-batch GD steps from zero weights; the first `steps − 1`
+    * collect |dims|+1 weights to the driver (k-sized by construction),
+    * the returned DataFrame is the final step, fully lazy. */
+  def trainLogReg(rows: DataFrame, nDims: Int, steps: Int): DataFrame = {
+    var w = Array.fill(nDims + 1)(0.0)
+    for (_ <- 1 until steps)
+      w = logRegStep(rows, w).collect()
+        .map(r => r.getLong(0).toInt -> r.getDouble(1))
+        .sortBy(_._1).map(_._2)
+    logRegStep(rows, w)
+  }
 }

@@ -68,4 +68,51 @@ class QualityModelSpec extends SparkSpec {
     val anti = (1 to 10).map(i => ("a", (i % 2).toLong, ((i + 1) % 2).toLong))
     assert(kappaOf(anti)("a")._4 === -1.0)
   }
+
+  // linearly separable toy set: y = 1 iff first feature positive
+  private def sepRows = {
+    import spark.implicits._
+    Seq((1.0, Seq(2.0f, 0.5f)), (1.0, Seq(1.5f, -0.5f)),
+      (1.0, Seq(3.0f, 0.0f)), (0.0, Seq(-2.0f, 0.5f)),
+      (0.0, Seq(-1.0f, -0.5f)), (0.0, Seq(-2.5f, 0.0f)))
+      .toDF("y", "emb")
+  }
+
+  test("trainLogReg: weights move toward the separating direction") {
+    val w = QualityModel.trainLogReg(sepRows, nDims = 2, steps = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(0L, 1L, 2L))
+    assert(w(1L) > 0.3, s"dim-1 weight should be clearly positive, got ${w(1L)}")
+    assert(math.abs(w(2L)) < w(1L), "uninformative dim stays smaller")
+  }
+
+  test("trainLogReg: each step strictly lowers training log-loss") {
+    def logLoss(w: Map[Long, Double]): Double = {
+      val rows = Seq((1.0, Seq(2.0, 0.5)), (1.0, Seq(1.5, -0.5)),
+        (1.0, Seq(3.0, 0.0)), (0.0, Seq(-2.0, 0.5)),
+        (0.0, Seq(-1.0, -0.5)), (0.0, Seq(-2.5, 0.0)))
+      rows.map { case (y, x) =>
+        val m = w(0L) + x.zipWithIndex.map { case (v, i) => v * w(i + 1L) }.sum
+        val p = 1.0 / (1.0 + math.exp(-m))
+        -(y * math.log(p) + (1 - y) * math.log(1 - p))
+      }.sum / rows.size
+    }
+    val losses = (1 to 3).map { k =>
+      val w = QualityModel.trainLogReg(sepRows, nDims = 2, steps = k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      logLoss(w)
+    }
+    assert(losses(1) < losses(0) && losses(2) < losses(1),
+      s"log-loss should fall monotonically, got $losses")
+    assert(losses(0) < logLoss(Map(0L -> 0.0, 1L -> 0.0, 2L -> 0.0)),
+      "first step already beats zero weights")
+  }
+
+  test("trainLogReg: deterministic under repartitioning") {
+    val a = QualityModel.trainLogReg(sepRows, nDims = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = QualityModel.trainLogReg(sepRows.repartition(7), nDims = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
