@@ -5122,6 +5122,130 @@ object ExtensionQueries {
              |            ELSE e[CAST(d.dim AS INT)] END), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS g
              |       FROM p3 CROSS JOIN d GROUP BY d.dim),
              |w3 AS (SELECT g.dim, round(p.w - g.g, 6) AS w FROM g3 g JOIN w2 p USING (dim))
-             |SELECT dim, w FROM w3 ORDER BY dim""".stripMargin))
+             |SELECT dim, w FROM w3 ORDER BY dim""".stripMargin)),
+
+    // Holt linear-trend exponential smoothing (Holt 1957) over per-type
+    // daily event volumes — the forecasting twin of x95's CUSUM detector
+    // (CUSUM flags level SHIFTS after the fact; Holt carries a live
+    // level+trend state and prices each day against its one-step-ahead
+    // forecast). α = 0.5, β = 0.3, l₁ = y₁, b₁ = 0; SSE accumulates the
+    // squared one-step-ahead residuals. Scale shape: the heavy input
+    // reduces FIRST to a (type, day) count table — map-side-combined,
+    // |types|·|days| rows — and the sequential recurrence then folds a
+    // bounded per-type day array inside one aggregate HOF (x97's
+    // discipline: the inherently serial part touches only the
+    // aggregate-bounded series, never the raw corpus). Pure +/× IEEE
+    // arithmetic inside the fold — bit-identical on any engine — with
+    // rounding only at emission.
+    QuerySpec(
+      "x122_holt_trend",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+            .as("sd"))
+          .select(col("event_type"),
+            size(col("sd")).cast("long").as("n_days"),
+            expr("""aggregate(
+                |  slice(transform(sd, x -> CAST(x.y AS DOUBLE)), 2, size(sd) - 1),
+                |  named_struct('l', CAST(sd[0].y AS DOUBLE),
+                |               'b', CAST(0.0 AS DOUBLE),
+                |               'sse', CAST(0.0 AS DOUBLE)),
+                |  (acc, y) -> named_struct(
+                |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
+                |    'b', 0.3D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
+                |         + 0.7D * acc.b,
+                |    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))
+                |""".stripMargin).as("st"))
+          .select(col("event_type"), col("n_days"),
+            round(col("st.l"), 6).as("level"),
+            round(col("st.b"), 6).as("trend"),
+            round(col("st.l") + col("st.b"), 6).as("forecast"),
+            round(col("st.sse"), 6).as("sse"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE
+             |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+             |          FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+             |      FROM daily),
+             |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM r GROUP BY 1),
+             |st AS (
+             |  SELECT event_type, 1 AS t, y AS l, CAST(0.0 AS DOUBLE) AS b,
+             |         CAST(0.0 AS DOUBLE) AS sse
+             |  FROM r WHERE t = 1
+             |  UNION ALL
+             |  SELECT r.event_type, r.t,
+             |    CAST(0.5 AS DOUBLE) * r.y + CAST(0.5 AS DOUBLE) * (st.l + st.b),
+             |    CAST(0.3 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * r.y
+             |        + CAST(0.5 AS DOUBLE) * (st.l + st.b) - st.l)
+             |      + CAST(0.7 AS DOUBLE) * st.b,
+             |    st.sse + (r.y - (st.l + st.b)) * (r.y - (st.l + st.b))
+             |  FROM st JOIN r ON r.event_type = st.event_type AND r.t = st.t + 1),
+             |last AS (SELECT event_type, MAX(t) AS t FROM st GROUP BY 1)
+             |SELECT st.event_type, nd.n_days, round(st.l, 6) AS level,
+             |  round(st.b, 6) AS trend, round(st.l + st.b, 6) AS forecast,
+             |  round(st.sse, 6) AS sse
+             |FROM st JOIN last USING (event_type, t) JOIN nd USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // Audio features through the REAL WAV codec (Multimodal.encodeWavPcm16
+    // / decodeWav — dependency-free RIFF writer + chunk-walking parser,
+    // the audio sibling of the DICOM and PNG codecs): 8 deterministic
+    // integer sawtooth waveforms synthesize from event-table wave ids,
+    // encode to genuine RIFF/WAVE PCM16 bytes, decode back through the
+    // chunk walker, and featurize (peak, RMS, sign-change zero
+    // crossings). The waveform is ALL-INTEGER (sample = ((i mod p) −
+    // p/2)·step) so the oracle replays every sample in SQL and checks
+    // the full encode→decode→featurize path — including the 44-byte
+    // header framing (n_bytes = 44 + 2n). Scale shape: synth + codec +
+    // features are row-local in one mapPartitions (no pixel/sample bytes
+    // ever shuffle — the [[Multimodal]] contract); output is 8 slim rows.
+    QuerySpec(
+      "x123_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val wids = Tables.events(s, dir)
+          .select((col("user_id") % 8).cast("long").as("wid"))
+          .distinct().as[Long]
+        wids.map { wid =>
+          val n = (4000 + 250 * wid).toInt
+          val p = (20 + 4 * wid).toInt
+          val step = (40 + 10 * wid).toInt
+          val samples = Array.tabulate(n)(i => (((i % p) - p / 2) * step).toShort)
+          Multimodal.decodeWav(wid,
+            Multimodal.encodeWavPcm16(samples, 8000)).get
+        }.toDF()
+          .select(col("media_id").as("wid"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_samples"), col("n_bytes"), col("peak"),
+            round(sqrt(col("mean_square")), 6).as("rms"),
+            col("n_zero_cross"))
+          .orderBy("wid")
+      },
+      Some("""WITH w AS (SELECT DISTINCT CAST(user_id % 8 AS BIGINT) AS wid FROM events),
+             |par AS (SELECT wid, 4000 + 250 * wid AS n, 20 + 4 * wid AS p,
+             |               40 + 10 * wid AS step FROM w),
+             |s AS (SELECT par.wid, t.i,
+             |        ((t.i % par.p) - par.p // 2) * par.step AS s, par.n
+             |      FROM par CROSS JOIN range(0, 5750) t(i)
+             |      WHERE t.i < par.n),
+             |z AS (SELECT wid, i, s, n,
+             |        CASE WHEN i > 0 AND
+             |             ((lag(s) OVER (PARTITION BY wid ORDER BY i) < 0) <> (s < 0))
+             |             THEN 1 ELSE 0 END AS zc
+             |      FROM s),
+             |agg AS (SELECT wid, COUNT(*) AS n, MAX(abs(s)) AS peak,
+             |          SUM(s * s) AS ss, SUM(zc) AS nzc
+             |        FROM z GROUP BY 1)
+             |SELECT wid, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+             |  CAST(peak AS BIGINT) AS peak,
+             |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
+             |  CAST(nzc AS BIGINT) AS n_zero_cross
+             |FROM agg ORDER BY wid""".stripMargin))
   )
 }

@@ -265,6 +265,102 @@ object Multimodal {
       .filter(col("n_cand") > 0)
   }
 
+  /** Decoded-audio features: what [[decodeWav]] emits per payload. */
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      bits_per_sample: Int,
+      n_samples: Long,
+      n_bytes: Long,
+      peak: Long,
+      mean_square: Double,
+      n_zero_cross: Long)
+
+  /** Real WAV encoder: canonical 44-byte RIFF/WAVE header + 16-bit PCM
+    * mono little-endian data chunk — the exact layout in the public
+    * RIFF/WAVE spec (and what `wave.py` / libsndfile emit for mono
+    * PCM16). Dependency-free like [[graft.sources.DicomDecode]]. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1) // PCM, mono
+    bb.putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate·block
+    bb.putShort(2).putShort(16) // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Real WAV decoder: walks the RIFF chunk list (word-aligned, unknown
+    * chunks skipped — LIST/INFO chunks from real encoders must not break
+    * the parse), reads the fmt chunk, and streams the 16-bit PCM data
+    * chunk into features: peak |sample|, mean square (RMS²), and
+    * sign-change zero-crossing count ((prev < 0) ≠ (cur < 0), zero
+    * counted as non-negative). Returns None for anything that is not
+    * decodable 16-bit PCM — the degrade-don't-kill rule; the caller
+    * routes those to [[decodeStub]]-style byte stats. Multi-channel data
+    * is featurized over the interleaved sample sequence. */
+  def decodeWav(mediaId: Long, bytes: Array[Byte]): Option[AudioFeatures] = {
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def leInt(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def leShort(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 12 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      return None
+    var pos = 12
+    var fmtCode = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val id = ascii(pos)
+      val size = leInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        fmtCode = leShort(pos + 8)
+        channels = leShort(pos + 10)
+        rate = leInt(pos + 12)
+        bits = leShort(pos + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || channels < 1 || dataOff < 0) return None
+    val n = dataLen / 2
+    var peak = 0L; var sumSq = 0L; var zc = 0L
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val s = leShort(dataOff + 2 * i).toShort.toInt
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some(AudioFeatures(mediaId, rate, channels, bits, n.toLong,
+      bytes.length.toLong, peak,
+      if (n == 0) 0.0 else sumSq.toDouble / n, zc))
+  }
+
+  /** Partition-parallel audio featurize — the audio twin of [[featurize]]:
+    * decode stays row-local, only slim feature rows come out. Rows whose
+    * payload is not decodable WAV are dropped (callers wanting byte stats
+    * route them through [[decodeStub]] instead). */
+  def audioFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r => decodeWav(r.media_id, r.payload)))
+  }
+
   /** STUB resize: real impl would decode → scale → re-encode. The stub keeps
     * the byte-level contract (output length scales with the area ratio) so
     * downstream schema/partitioning logic is exercised for real. */

@@ -181,4 +181,69 @@ class MultimodalSpec extends SparkSpec {
     val s2 = Multimodal.aHash(Multimodal.MediaRow(1L, junk, "image/png", 1, 1))
     assert((s1.b0, s1.b1, s1.b2, s1.b3) === ((s2.b0, s2.b1, s2.b2, s2.b3)))
   }
+
+  test("WAV codec: encode→decode round-trips header fields and features") {
+    val samples = Array[Short](0, 100, -100, 200, -200, 300, 0, -1)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    assert(bytes.length === 44 + samples.length * 2)
+    val f = Multimodal.decodeWav(7L, bytes).get
+    assert(f.media_id === 7L)
+    assert(f.sample_rate === 44100 && f.n_channels === 1 &&
+      f.bits_per_sample === 16)
+    assert(f.n_samples === samples.length.toLong)
+    assert(f.n_bytes === bytes.length.toLong)
+    assert(f.peak === 300L)
+    val expSs = samples.map(s => s.toLong * s).sum
+    assert(f.mean_square === expSs.toDouble / samples.length)
+    // sign changes ((prev<0) != (cur<0)), zero non-negative:
+    // 0,100 no; 100,-100 yes; -100,200 yes; 200,-200 yes; -200,300 yes;
+    // 300,0 no; 0,-1 yes => 5
+    assert(f.n_zero_cross === 5L)
+  }
+
+  test("WAV decoder walks unknown chunks and word-aligned padding") {
+    val samples = Array[Short](10, -20, 30)
+    val plain = Multimodal.encodeWavPcm16(samples, 8000)
+    // splice a 5-byte junk chunk (odd size => 1 pad byte) between
+    // fmt and data: RIFF(12) + fmt(8+16) = 36 bytes prefix
+    val junkChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val spliced = plain.take(36) ++ junkChunk ++ plain.drop(36)
+    // fix the RIFF size field (bytes 4..7, little-endian)
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte
+    spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte
+    spliced(7) = ((total >> 24) & 0xff).toByte
+    val f = Multimodal.decodeWav(1L, spliced).get
+    assert(f.n_samples === 3L && f.peak === 30L)
+    assert(f.n_zero_cross === 2L)
+  }
+
+  test("WAV decoder honesty: corrupt, truncated and non-PCM payloads " +
+      "return None, never throw") {
+    assert(Multimodal.decodeWav(1L, Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.decodeWav(1L,
+      "RIFFxxxxJUNK".getBytes("US-ASCII")) === None)
+    val good = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    // truncate mid-data: chunk size now exceeds payload
+    assert(Multimodal.decodeWav(1L, good.take(good.length - 2)) === None)
+    // flip the format code to 3 (IEEE float) — not 16-bit PCM
+    val nonPcm = good.clone(); nonPcm(20) = 3
+    assert(Multimodal.decodeWav(1L, nonPcm) === None)
+  }
+
+  test("audioFeatures runs partition-parallel and drops non-WAV rows") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L,
+        Multimodal.encodeWavPcm16(Array[Short](5, -5, 5), 16000),
+        "audio/wav", 0, 0),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3), "audio/wav", 0, 0))
+    val out = Multimodal.audioFeatures(spark,
+        rows.toDS().repartition(3))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L))
+    assert(out.head.sample_rate === 16000 && out.head.n_zero_cross === 2L)
+  }
 }
