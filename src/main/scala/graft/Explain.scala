@@ -49,7 +49,8 @@ object Explain {
       "x113_kcenter_coreset", "x114_triangle_count",
       "x115_bloom_pruned_join", "x116_record_linkage",
       "x117_snapshot_diff", "x118_peak_concurrency",
-      "x119_quantile_normalize")
+      "x119_quantile_normalize", "x120_label_propagation",
+      "x121_logreg_train", "x122_holt_trend", "x123_audio_features")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

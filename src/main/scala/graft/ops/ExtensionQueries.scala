@@ -5143,28 +5143,7 @@ object ExtensionQueries {
         val daily = Tables.events(s, dir)
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("y"))
-        daily.groupBy("event_type")
-          .agg(sort_array(collect_list(struct(col("day"), col("y"))))
-            .as("sd"))
-          .select(col("event_type"),
-            size(col("sd")).cast("long").as("n_days"),
-            expr("""aggregate(
-                |  slice(transform(sd, x -> CAST(x.y AS DOUBLE)), 2, size(sd) - 1),
-                |  named_struct('l', CAST(sd[0].y AS DOUBLE),
-                |               'b', CAST(0.0 AS DOUBLE),
-                |               'sse', CAST(0.0 AS DOUBLE)),
-                |  (acc, y) -> named_struct(
-                |    'l', 0.5D * y + 0.5D * (acc.l + acc.b),
-                |    'b', 0.3D * (0.5D * y + 0.5D * (acc.l + acc.b) - acc.l)
-                |         + 0.7D * acc.b,
-                |    'sse', acc.sse + (y - (acc.l + acc.b)) * (y - (acc.l + acc.b))))
-                |""".stripMargin).as("st"))
-          .select(col("event_type"), col("n_days"),
-            round(col("st.l"), 6).as("level"),
-            round(col("st.b"), 6).as("trend"),
-            round(col("st.l") + col("st.b"), 6).as("forecast"),
-            round(col("st.sse"), 6).as("sse"))
-          .orderBy("event_type")
+        Forecast.holt(daily, "event_type").orderBy("event_type")
       },
       Some("""WITH RECURSIVE
              |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
