@@ -50,7 +50,9 @@ object Explain {
       "x115_bloom_pruned_join", "x116_record_linkage",
       "x117_snapshot_diff", "x118_peak_concurrency",
       "x119_quantile_normalize", "x120_label_propagation",
-      "x121_logreg_train", "x122_holt_trend", "x123_audio_features")
+      "x121_logreg_train", "x122_holt_trend", "x123_audio_features",
+      "x124_kaplan_meier", "x125_cuped", "x126_dp_counts",
+      "x127_pca_power")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -5225,6 +5225,315 @@ object ExtensionQueries {
              |  CAST(peak AS BIGINT) AS peak,
              |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
              |  CAST(nzc AS BIGINT) AS n_zero_cross
-             |FROM agg ORDER BY wid""".stripMargin))
+             |FROM agg ORDER BY wid""".stripMargin)),
+
+    // Kaplan-Meier time-to-first-failure curve (Kaplan & Meier 1958):
+    // per user, duration = days from first event to first 'error' event;
+    // users who never error are RIGHT-CENSORED at the end of the
+    // observation window — the estimator the naive "avg days to error"
+    // metric gets wrong (it silently drops or mis-prices the censored
+    // mass). Scale shape (ops/Survival.kaplanMeier): subjects reduce
+    // first to the |distinct t| table; the at-risk running sum is an
+    // integer window over that aggregate (Rule-1-safe) and the survival
+    // product folds the packed array per row (x122's device). The factor
+    // chain is pure IEEE divide/multiply on integer-valued doubles — no
+    // transcendentals — so the recursive-CTE oracle replays it exactly.
+    QuerySpec(
+      "x124_kaplan_meier",
+      (s, dir) => {
+        val span = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("f"),
+            min(when(col("event_type") === "error", to_date(col("ts"))))
+              .as("e"))
+        val gmax = span.agg(max(greatest(col("f"), col("e"))).as("gmax"))
+        val durations = span.crossJoin(broadcast(gmax))
+          .select(
+            when(col("e").isNotNull, datediff(col("e"), col("f")))
+              .otherwise(datediff(col("gmax"), col("f")))
+              .cast("long").as("t"),
+            col("e").isNotNull.cast("long").as("obs"))
+        Survival.kaplanMeier(durations).orderBy("t")
+      },
+      Some("""WITH RECURSIVE
+             |span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |                MIN(CASE WHEN event_type = 'error'
+             |                         THEN CAST(ts AS DATE) END) AS e
+             |         FROM events GROUP BY 1),
+             |g AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
+             |u AS (SELECT CAST(CASE WHEN e IS NOT NULL THEN datediff('day', f, e)
+             |                       ELSE datediff('day', f, g.gmax) END AS BIGINT) AS t,
+             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |      FROM span CROSS JOIN g),
+             |agg AS (SELECT t, SUM(obs) AS d, SUM(1 - obs) AS c FROM u GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM u),
+             |r AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS i,
+             |        tot.n - COALESCE(SUM(d + c) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |      FROM agg CROSS JOIN tot),
+             |km AS (
+             |  SELECT i, t, d, c, n_risk,
+             |    (CAST(n_risk AS DOUBLE) - d) / n_risk AS s
+             |  FROM r WHERE i = 1
+             |  UNION ALL
+             |  SELECT r.i, r.t, r.d, r.c, r.n_risk,
+             |    km.s * ((CAST(r.n_risk AS DOUBLE) - r.d) / r.n_risk)
+             |  FROM km JOIN r ON r.i = km.i + 1)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_at_risk,
+             |  CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+             |  round(s, 6) AS survival
+             |FROM km ORDER BY t""".stripMargin)),
+
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    // the industry-standard A/B-test sharpener): adjust each user's
+    // experiment-period purchase count y by their PRE-period count x,
+    // y' = y − θ(x − x̄) with θ = cov(x,y)/var(x), which strips the
+    // between-user variance the randomization already balanced. Variant
+    // = user_id parity; pre-period = first 15 days. Determinism: x, y
+    // are integer counts so every global moment (Σx, Σy, Σx², Σxy) is
+    // BIGINT-exact and θ/x̄ are single fixed-order double expressions;
+    // per-user y' rounds to 6 dp and per-variant means/variances sum as
+    // DECIMAL(18,6). Scale shape: one user-keyed count aggregate, one
+    // 1-row global-moment broadcast, one row-local adjustment, one
+    // 2-group variant aggregate — no window, no join wider than the
+    // broadcast.
+    QuerySpec(
+      "x125_cuped",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val d0 = ev.agg(min(to_date(col("ts"))).as("d0"))
+        val u = ev.crossJoin(broadcast(d0))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase" &&
+              datediff(to_date(col("ts")), col("d0")) < 15, 1L)
+              .otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase" &&
+              datediff(to_date(col("ts")), col("d0")) >= 15, 1L)
+              .otherwise(0L)).as("y"))
+        val gs = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val th = gs.select(
+          (col("sx").cast("double") / col("n")).as("xbar"),
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"))).as("theta"))
+        val adj = u.crossJoin(broadcast(th))
+          .select((col("user_id") % 2).as("variant"), col("y"),
+            round(col("y") - col("theta") * (col("x") - col("xbar")), 6)
+              .as("yadj"),
+            col("theta"))
+        adj.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("yadj").cast("decimal(18,6)")).as("sa"),
+            sum(round(col("yadj") * col("yadj"), 6).cast("decimal(18,6)"))
+              .as("saa"),
+            max(col("theta")).as("theta"))
+          .select(col("variant"), col("n"),
+            round(col("sy").cast("double") / col("n"), 6).as("mean_y"),
+            round(col("sa").cast("double") / col("n"), 6).as("mean_y_adj"),
+            round(col("syy").cast("double") / col("n") -
+              (col("sy").cast("double") / col("n")) *
+                (col("sy").cast("double") / col("n")), 6).as("var_y"),
+            round(col("saa").cast("double") / col("n") -
+              (col("sa").cast("double") / col("n")) *
+                (col("sa").cast("double") / col("n")), 6).as("var_y_adj"),
+            round(col("theta"), 6).as("theta"))
+          .orderBy("variant")
+      },
+      Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+             |u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |             AND datediff('day', b.d0, CAST(ts AS DATE)) < 15
+             |             THEN 1 ELSE 0 END) AS x,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |             AND datediff('day', b.d0, CAST(ts AS DATE)) >= 15
+             |             THEN 1 ELSE 0 END) AS y
+             |      FROM events CROSS JOIN b GROUP BY 1),
+             |gs AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |         SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM u),
+             |th AS (SELECT CAST(sx AS DOUBLE) / n AS xbar,
+             |         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             |         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta
+             |       FROM gs),
+             |adj AS (SELECT user_id % 2 AS variant, y,
+             |          round(y - th.theta * (x - th.xbar), 6) AS yadj, th.theta
+             |        FROM u CROSS JOIN th),
+             |v AS (SELECT variant, COUNT(*) AS n, SUM(y) AS sy,
+             |        SUM(y * y) AS syy,
+             |        SUM(CAST(yadj AS DECIMAL(18,6))) AS sa,
+             |        SUM(CAST(round(yadj * yadj, 6) AS DECIMAL(18,6))) AS saa,
+             |        MAX(theta) AS theta
+             |      FROM adj GROUP BY 1)
+             |SELECT variant, CAST(n AS BIGINT) AS n,
+             |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+             |  round(CAST(sa AS DOUBLE) / n, 6) AS mean_y_adj,
+             |  round(CAST(syy AS DOUBLE) / n -
+             |    (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS var_y,
+             |  round(CAST(saa AS DOUBLE) / n -
+             |    (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n), 6) AS var_y_adj,
+             |  round(theta, 6) AS theta
+             |FROM v ORDER BY variant""".stripMargin)),
+
+    // Differentially-private count release (Dwork et al. 2006) with
+    // SEEDED Laplace noise — the x103 k-anonymity gate's quantitative
+    // sibling: per-(type, day) event counts plus Laplace(1/ε) noise at
+    // ε = 1, sensitivity 1. The noise is inverse-CDF sampled from a
+    // deterministic uniform built the x86 way (48-bit md5 prefix of the
+    // seeded group key), so the whole mechanism — seed, uniform,
+    // inverse CDF — replays in SQL: u = (k + 0.5)/2⁴⁸ − 0.5 ∈ (−½, ½)
+    // and never exactly 0, noise = −sign(u)·ln(1 − 2|u|). (A production
+    // release would keep a private seed and drop n_true; the mechanism
+    // and its plan shape are what ship.) Scale: one map-side-combined
+    // count aggregate; noise is row-local arithmetic on the |groups|
+    // rows.
+    QuerySpec(
+      "x126_dp_counts",
+      (s, dir) => {
+        val two48 = lit(281474976710656.0) // 2^48
+        val k = conv(substring(md5(concat(lit("graft-dp-42:"),
+          col("event_type"), lit("|"), col("day").cast("string"))), 1, 12),
+          16, 10).cast("long")
+        val u = (k.cast("double") + lit(0.5)) / two48 - lit(0.5)
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_true"))
+          .withColumn("u", u)
+          .select(col("event_type"), col("day"), col("n_true"),
+            round(col("n_true") +
+              -when(col("u") < 0, lit(-1.0)).otherwise(lit(1.0)) *
+                log(lit(1.0) - lit(2.0) * abs(col("u"))), 6)
+              .as("n_noisy"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |         COUNT(*) AS n_true
+             |       FROM events GROUP BY 1, 2),
+             |k AS (SELECT event_type, day, n_true,
+             |        CAST(('0x' || substr(md5('graft-dp-42:' || event_type || '|' ||
+             |          CAST(day AS VARCHAR)), 1, 12)) AS BIGINT) AS kk
+             |      FROM c),
+             |uu AS (SELECT event_type, day, n_true,
+             |         (CAST(kk AS DOUBLE) + 0.5) / 281474976710656.0 - 0.5 AS u
+             |       FROM k)
+             |SELECT event_type, day, CAST(n_true AS BIGINT) AS n_true,
+             |  round(n_true + -(CASE WHEN u < 0 THEN CAST(-1.0 AS DOUBLE)
+             |                        ELSE CAST(1.0 AS DOUBLE) END) *
+             |    ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u)), 6) AS n_noisy
+             |FROM uu ORDER BY event_type, day""".stripMargin)),
+
+    // Top principal component by distributed covariance + power iteration
+    // (the PCA workhorse; von Mises & Pollaczek-Geiringer 1929) — the
+    // spectral summary x87's per-dim drift means can't give: the
+    // DIRECTION of maximum variance in the embedding cloud, plus its
+    // eigenvalue. Two-phase, the only shape that survives 100 TB: (1)
+    // the corpus reduces to 64² second moments in ONE scan — the outer
+    // product expands row-LOCALLY (flatten/transform, no self-join, no
+    // shuffle of vector pairs) into slim (i, j, p) rows that map-side-
+    // combine into 4096 groups; localCheckpoint pins the tiny C so the
+    // iterations never rescan the corpus. (2) Three power iterations run
+    // entirely on the 4096-row C: each is a j-keyed equi-join against
+    // the 64-row vector + a 64-group aggregate. Determinism: products
+    // and squares round to 6 dp and sum as DECIMAL(18,6); the v₀ = e₁
+    // start fixes the sign. The oracle replays both phases in SQL
+    // (range² expansion + three chained mat-vec/normalize CTEs).
+    QuerySpec(
+      "x127_pca_power",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("embedding").as("e"))
+        val mu = e.select(posexplode(expr(
+            """transform(e, (v, i) -> named_struct('i', i + 1,
+              |  'v', CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))))
+              |""".stripMargin)))
+          .select(col("col.i").as("i"), col("col.v").as("v"))
+          .groupBy("i").agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+          .select(col("i"), (col("sv").cast("double") / col("n")).as("mu"))
+        // upper triangle only (j >= i, via a per-position tail slice);
+        // the mirror below restores full C — round(vi*vj*1e6) is exactly
+        // commutative, so mirrored cells equal directly-computed ones
+        // (which is also why the oracle can compute all 64² directly)
+        val upper = e.select(col("e"), posexplode(col("e")))
+          .select((col("pos") + 1).as("i"),
+            col("col").cast("double").as("vi"),
+            expr("slice(e, pos + 1, 65)").as("tail"))
+          .select(col("i"), col("vi"), posexplode(col("tail")))
+          .select(col("i"), (col("i") + col("pos")).as("j"),
+            round(col("vi") * col("col") * lit(1000000.0), 0)
+              .cast("long").as("p"))
+          .groupBy("i", "j")
+          .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+        val sums = upper.unionByName(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("sp"), col("n")))
+        val cmat = sums
+          .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")
+          .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))), "j")
+          .select(col("i"), col("j"),
+            (col("sp").cast("double") / lit(1000000.0) / col("n") -
+              col("mi") * col("mj")).as("c"))
+          .localCheckpoint() // 4096 rows; iterations never rescan the corpus
+        var v = cmat.select(col("i").as("j")).distinct()
+          .select(col("j"),
+            when(col("j") === 1, lit(1.0)).otherwise(lit(0.0)).as("vj"))
+        var lam: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val w = cmat.join(v, "j")
+            .groupBy(col("i"))
+            .agg(sum(round(col("c") * col("vj"), 6).cast("decimal(18,6)"))
+              .as("wd"))
+            .select(col("i"), col("wd").cast("double").as("w"))
+          lam = w.agg(
+            sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
+              .cast("double")).as("nrm"))
+          v = w.crossJoin(broadcast(lam))
+            .select(col("i").as("j"),
+              round(col("w") / col("nrm"), 6).as("vj"))
+        }
+        v.crossJoin(broadcast(lam))
+          .select(col("j").cast("long").as("dim"), col("vj").as("loading"),
+            round(col("nrm"), 6).as("eigenvalue"))
+          .orderBy("dim")
+      },
+      Some("""WITH d AS (SELECT CAST(range AS INT) AS i FROM range(1, 65)),
+             |mu AS (SELECT d.i,
+             |         CAST(SUM(CAST(round(CAST(e.embedding[d.i] AS DOUBLE), 6)
+             |           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+             |       FROM embeddings e CROSS JOIN d GROUP BY d.i),
+             |cm AS (SELECT di.i, dj.i AS j,
+             |         CAST(SUM(CAST(round(CAST(e.embedding[di.i] AS DOUBLE)
+             |             * e.embedding[dj.i] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             |           / 1000000.0 / COUNT(*)
+             |           - mi.mu * mj.mu AS c
+             |       FROM embeddings e CROSS JOIN d di CROSS JOIN d dj
+             |         JOIN mu mi ON mi.i = di.i JOIN mu mj ON mj.i = dj.i
+             |       GROUP BY di.i, dj.i, mi.mu, mj.mu),
+             |v0 AS (SELECT i AS j, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+             |                          ELSE CAST(0.0 AS DOUBLE) END AS vj FROM d),
+             |w1 AS (SELECT cm.i, CAST(SUM(CAST(round(cm.c * v0.vj, 6)
+             |         AS DECIMAL(18,6))) AS DOUBLE) AS w
+             |       FROM cm JOIN v0 ON v0.j = cm.j GROUP BY cm.i),
+             |n1 AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(18,6)))
+             |         AS DOUBLE)) AS nrm FROM w1),
+             |v1 AS (SELECT w1.i AS j, round(w1.w / n1.nrm, 6) AS vj
+             |       FROM w1 CROSS JOIN n1),
+             |w2 AS (SELECT cm.i, CAST(SUM(CAST(round(cm.c * v1.vj, 6)
+             |         AS DECIMAL(18,6))) AS DOUBLE) AS w
+             |       FROM cm JOIN v1 ON v1.j = cm.j GROUP BY cm.i),
+             |n2 AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(18,6)))
+             |         AS DOUBLE)) AS nrm FROM w2),
+             |v2 AS (SELECT w2.i AS j, round(w2.w / n2.nrm, 6) AS vj
+             |       FROM w2 CROSS JOIN n2),
+             |w3 AS (SELECT cm.i, CAST(SUM(CAST(round(cm.c * v2.vj, 6)
+             |         AS DECIMAL(18,6))) AS DOUBLE) AS w
+             |       FROM cm JOIN v2 ON v2.j = cm.j GROUP BY cm.i),
+             |n3 AS (SELECT sqrt(CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(18,6)))
+             |         AS DOUBLE)) AS nrm FROM w3),
+             |v3 AS (SELECT w3.i AS j, round(w3.w / n3.nrm, 6) AS vj
+             |       FROM w3 CROSS JOIN n3)
+             |SELECT CAST(v3.j AS BIGINT) AS dim, v3.vj AS loading,
+             |  round(n3.nrm, 6) AS eigenvalue
+             |FROM v3 CROSS JOIN n3 ORDER BY dim""".stripMargin))
   )
 }
