@@ -52,7 +52,7 @@ object Explain {
       "x119_quantile_normalize", "x120_label_propagation",
       "x121_logreg_train", "x122_holt_trend", "x123_audio_features",
       "x124_kaplan_meier", "x125_cuped", "x126_dp_counts",
-      "x127_pca_power")
+      "x127_pca_power", "x128_negative_samples", "x129_ks_test")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

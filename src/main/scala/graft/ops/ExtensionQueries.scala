@@ -5534,6 +5534,181 @@ object ExtensionQueries {
              |       FROM w3 CROSS JOIN n3)
              |SELECT CAST(v3.j AS BIGINT) AS dim, v3.vj AS loading,
              |  round(n3.nrm, 6) AS eigenvalue
-             |FROM v3 CROSS JOIN n3 ORDER BY dim""".stripMargin))
+             |FROM v3 CROSS JOIN n3 ORDER BY dim""".stripMargin)),
+
+    // Unigram^0.75 negative sampling (Mikolov et al. 2013 — the SGNS /
+    // contrastive-training sampler): each purchase event draws 4
+    // negatives from the item distribution raised to the 3/4 power,
+    // inverse-CDF sampled with the x86 seeded-uniform device so every
+    // draw replays in SQL. The cumulative table is integer-micros
+    // (exact cumsum over the |items|-bounded aggregate, Rule-1-safe
+    // window) and rides as ONE broadcast sorted struct array resolved
+    // row-locally with a filter HOF — the x119 lookup shape; the draw is
+    // target = md5₄₈(event, r) mod W. Output aggregates the 4·|ctx|
+    // draws per item and prices them against the theoretical w/W share —
+    // the sampler's distribution check. Scale: one item-count aggregate,
+    // one broadcast, one row-local 4-way fan-out + lookup, one |items|
+    // aggregate; nothing corpus-quadratic, no corpus-global window.
+    QuerySpec(
+      "x128_negative_samples",
+      (s, dir) => {
+        val items = Tables.events(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')")
+            .as("item"))
+          .groupBy("item").agg(count(lit(1)).as("n_i"))
+          .select(col("item"), col("n_i"),
+            round(pow(col("n_i").cast("double"), lit(0.75)) * lit(1000000.0),
+              0).cast("long").as("w"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .orderBy("item")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // window rides INSIDE the checkpoint (aggregate-bounded input);
+        // the |items|-row result is shared by the lookup array, the
+        // final join, and bigw — one corpus scan total
+        val cum = items.withColumn("cum", sum(col("w")).over(wCum))
+          .localCheckpoint()
+        val packed = cum.agg(
+          expr("transform(sort_array(collect_list(struct(item, cum))), x -> x.item)")
+            .as("its"),
+          expr("transform(sort_array(collect_list(struct(item, cum))), x -> x.cum)")
+            .as("cums"),
+          max(col("cum")).as("bigw"))
+        // the md5 target threads through the fold ACCUMULATOR — inlined
+        // free-standing into the lambda, CollapseProject would re-evaluate
+        // the md5 per array element (measured 5x the whole query's cost)
+        val draws = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), explode(sequence(lit(0), lit(3))).as("r"))
+          .crossJoin(broadcast(packed))
+          .select(pmod(conv(substring(md5(concat(lit("graft-neg-42:"),
+              col("event_id").cast("string"), lit(":"),
+              col("r").cast("string"))), 1, 12), 16, 10).cast("long"),
+            col("bigw")).as("target"),
+            col("its"), col("cums"))
+          .select(expr(
+            """element_at(its, aggregate(cums, named_struct('t', target, 'k', 0),
+              |  (acc, c) -> named_struct('t', acc.t,
+              |    'k', acc.k + IF(c <= acc.t, 1, 0))).k + 1)
+              |""".stripMargin).as("item"))
+        val nDraws = draws.groupBy("item").agg(count(lit(1)).as("n_drawn"))
+        // every draw picks exactly one item, so n_tot = 4·|purchases| —
+        // a slim pushdown-friendly count, not a second pass over draws
+        val tot = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .agg((count(lit(1)) * 4).as("n_tot"))
+        nDraws.join(cum, "item")
+          .crossJoin(broadcast(packed.select(col("bigw"))))
+          .crossJoin(broadcast(tot))
+          .select(col("item"), col("n_i"), col("n_drawn"),
+            round(col("w").cast("double") / col("bigw"), 6).as("w_share"),
+            round(col("n_drawn").cast("double") / col("n_tot"), 6)
+              .as("draw_share"))
+          .orderBy("item")
+      },
+      Some("""WITH it AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        COUNT(*) AS n_i
+             |      FROM events GROUP BY 1),
+             |wt AS (SELECT item, n_i,
+             |         CAST(round(pow(CAST(n_i AS DOUBLE), 0.75) * 1000000.0, 0)
+             |           AS BIGINT) AS w
+             |       FROM it),
+             |cum AS (SELECT item, n_i, w,
+             |          SUM(w) OVER (ORDER BY item
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |        FROM wt),
+             |bw AS (SELECT MAX(cum) AS bigw FROM cum),
+             |dr AS (SELECT e.event_id, t.r,
+             |         CAST(('0x' || substr(md5('graft-neg-42:' ||
+             |           CAST(e.event_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)),
+             |           1, 12)) AS BIGINT) % bw.bigw AS target
+             |       FROM events e CROSS JOIN range(0, 4) t(r) CROSS JOIN bw
+             |       WHERE e.event_type = 'purchase'),
+             |pick AS (SELECT (SELECT MIN(c.item) FROM cum c WHERE c.cum > dr.target)
+             |           AS item
+             |         FROM dr),
+             |nd AS (SELECT item, COUNT(*) AS n_drawn FROM pick GROUP BY 1),
+             |tt AS (SELECT SUM(n_drawn) AS n_tot FROM nd)
+             |SELECT nd.item, CAST(cum.n_i AS BIGINT) AS n_i,
+             |  CAST(nd.n_drawn AS BIGINT) AS n_drawn,
+             |  round(CAST(cum.w AS DOUBLE) / bw.bigw, 6) AS w_share,
+             |  round(CAST(nd.n_drawn AS DOUBLE) / tt.n_tot, 6) AS draw_share
+             |FROM nd JOIN cum ON cum.item = nd.item
+             |  CROSS JOIN bw CROSS JOIN tt
+             |ORDER BY nd.item""".stripMargin)),
+
+    // Two-sample Kolmogorov-Smirnov test (Smirnov 1939) between the A/B
+    // variants' per-user purchase counts — the distribution-level
+    // companion to x125's mean-level CUPED read: D = max |F_A − F_B|
+    // over the pooled value grid, with the 5%-level critical value
+    // c(α)·√((n_A+n_B)/(n_A·n_B)). ECDFs are exact integer ratios
+    // (cumulative counts over the |distinct y| aggregate — Rule-1-safe
+    // windows); the argmax resolves deterministically by (D, −v)
+    // max(struct). Scale: one user-keyed count aggregate, one
+    // |distinct y| aggregate + bounded windows, one 1-row reduce.
+    QuerySpec(
+      "x129_ks_test",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val u = ev.groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+          .select((col("user_id") % 2).as("variant"), col("y"))
+        val grid = u.groupBy(col("y"))
+          .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+        val wc = W.orderBy("y").rowsBetween(W.unboundedPreceding, 0)
+        val steps = grid
+          .withColumn("cuma", sum(col("ca")).over(wc))
+          .withColumn("cumb", sum(col("cb")).over(wc))
+        val tots = u.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+        steps.crossJoin(broadcast(tots))
+          .select(col("y"), col("na"), col("nb"),
+            abs(col("cuma").cast("double") / col("na") -
+              col("cumb").cast("double") / col("nb")).as("d"))
+          .agg(max(struct(col("d"), (-col("y")).as("ny"), col("na"),
+            col("nb"))).as("m"))
+          .select(round(col("m.d"), 6).as("d_stat"),
+            (-col("m.ny")).as("at_value"),
+            col("m.na").as("n_a"), col("m.nb").as("n_b"),
+            round(lit(1.358) * sqrt((col("m.na") + col("m.nb"))
+              .cast("double") / (col("m.na") * col("m.nb"))), 6)
+              .as("d_crit_05"),
+            (col("m.d") > lit(1.358) * sqrt((col("m.na") + col("m.nb"))
+              .cast("double") / (col("m.na") * col("m.nb"))))
+              .cast("long").as("reject_05"))
+      },
+      Some("""WITH u AS (SELECT user_id % 2 AS variant,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |grid AS (SELECT y,
+             |           SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+             |           SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+             |         FROM u GROUP BY 1),
+             |steps AS (SELECT y,
+             |            SUM(ca) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+             |              AND CURRENT ROW) AS cuma,
+             |            SUM(cb) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+             |              AND CURRENT ROW) AS cumb
+             |          FROM grid),
+             |tots AS (SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+             |           SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb
+             |         FROM u),
+             |dd AS (SELECT y, na, nb,
+             |         abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS d
+             |       FROM steps CROSS JOIN tots),
+             |best AS (SELECT d, y, na, nb FROM (
+             |    SELECT d, y, na, nb,
+             |      row_number() OVER (ORDER BY d DESC, y) AS rn FROM dd)
+             |  WHERE rn = 1)
+             |SELECT round(d, 6) AS d_stat, CAST(y AS BIGINT) AS at_value,
+             |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6)
+             |    AS d_crit_05,
+             |  CAST(CASE WHEN d > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
+             |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+             |FROM best""".stripMargin))
   )
 }

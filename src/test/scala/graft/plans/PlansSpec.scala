@@ -96,7 +96,7 @@ class PlansSpec extends SparkSpec {
     "q2_filter_project", "q5_semi_join",
     "q42_returned_revenue", "x13_ann_ivf", "x22_clean_corpus",
     "x94_hybrid_rrf", "x98_next_event_eval", "x108_scd2_history",
-    "x112_dim_lookup_asof")
+    "x112_dim_lookup_asof", "x128_negative_samples")
   // x110_bitext_margin also filters its scans (lang = 'en'/'de') but
   // localCheckpoints the pair table, which truncates lineage — the final
   // plan can't surface the pre-checkpoint PushedFilters for this gate.
