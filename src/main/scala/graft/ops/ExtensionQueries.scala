@@ -5709,6 +5709,533 @@ object ExtensionQueries {
              |    AS d_crit_05,
              |  CAST(CASE WHEN d > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb))
              |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
-             |FROM best""".stripMargin))
+             |FROM best""".stripMargin)),
+
+    // Binary (sign-bit) embedding quantization + Hamming-shortlist ANN
+    // (Charikar 2002 hyperplane LSH at its degenerate axis-aligned limit;
+    // the "binary quantization" serving trick in modern vector stores):
+    // each 64-dim float vector (256 B) compresses to TWO 32-bit sign
+    // words (16 B) stored as BIGINTs; candidate search is bit_count(XOR)
+    // popcount over the packed codes — 16× less data moves than floats —
+    // and only the top-20 Hamming shortlist is reranked with exact
+    // cosine. Scale shape: the query side (5 rows) broadcasts, the
+    // corpus side streams slim (id, lo, hi) codes, both rank stages are
+    // WindowGroupLimit-bounded, and full embeddings attach ONLY to the
+    // |queries|·20 shortlist rows.
+    QuerySpec(
+      "x130_binary_hamming_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val packLo =
+          """aggregate(sequence(0, 31), 0L, (acc, j) ->
+            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+            |           shiftleft(1L, j), 0L))""".stripMargin
+        val packHi =
+          """aggregate(sequence(32, 63), 0L, (acc, j) ->
+            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+            |           shiftleft(1L, j - 32), 0L))""".stripMargin
+        val codes = e.select(col("vec_id"), expr(packLo).as("lo"),
+          expr(packHi).as("hi"))
+        val q = codes.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+            col("hi").as("qhi"))
+        val ham = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            (expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)"))
+              .cast("long").as("ham"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ham"), col("cid"))
+        val short = ham.withColumn("hrn", row_number().over(wq))
+          .filter(col("hrn") <= 20).drop("hrn")
+        val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val ce = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val sim =
+          """round(
+            |  aggregate(zip_with(qe, ce,
+            |      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+            |    0.0D, (acc, x) -> acc + x)
+            |  / (sqrt(aggregate(qe, 0.0D,
+            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            |   * sqrt(aggregate(ce, 0.0D,
+            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+            |  4)""".stripMargin
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        short.join(broadcast(qe), "qid").join(ce, "cid")
+          .select(col("qid"), col("cid"), col("ham"), expr(sim).as("sim"))
+          .withColumn("rn", row_number().over(wr).cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END
+             |         for j in range(0, 32)]) AS BIGINT) AS lo,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END
+             |         for j in range(32, 64)]) AS BIGINT) AS hi
+             |  FROM embeddings),
+             |h AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |        CAST(bit_count(xor(q.lo, c.lo))
+             |           + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS ham
+             |      FROM p q JOIN p c ON c.vec_id <> q.vec_id
+             |      WHERE q.vec_id < 5),
+             |s AS (SELECT qid, cid, ham,
+             |        row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrn
+             |      FROM h QUALIFY hrn <= 20),
+             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |f AS (SELECT s.qid, s.cid, s.ham, q.nrm AS qn, c.nrm AS cn,
+             |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
+             |      FROM s JOIN n q ON q.vec_id = s.qid
+             |        JOIN n c ON c.vec_id = s.cid),
+             |d AS (SELECT qid, cid, any_value(ham) AS ham,
+             |        round(sum(qv * cv) / (any_value(qn) * any_value(cn)), 4)
+             |          AS sim
+             |      FROM f GROUP BY qid, cid)
+             |SELECT qid, cid, ham, sim,
+             |  CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, cid) AS BIGINT) AS rn
+             |FROM d QUALIFY rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // Zone-map (min/max statistics) pruning audit — the device behind
+    // Parquet row-group skipping, Snowflake micro-partition pruning, and
+    // Databricks data skipping: per-shard min/max of the predicate
+    // column decide whether a monthly ship-date window can skip the
+    // shard without reading it. Two physical layouts are audited side by
+    // side — shards keyed by l_orderkey range (insert order: shipdates
+    // scatter, zone maps span everything, ~zero pruning) vs shards keyed
+    // by ship-month (clustered: maps are tight, non-matching shards all
+    // prune) — quantifying WHY clustering/Z-order choice, not the stats
+    // machinery, determines scan cost at 100 TB. Scale shape: zone maps
+    // are one bounded aggregate per layout (≤64 + |months| rows), the
+    // audit cross-joins them against 12 predicate rows, and the
+    // row-level match counts are one month-grouped aggregate.
+    QuerySpec(
+      "x131_zonemap_prune",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
+        val w = li.agg((floor(max(col("l_orderkey")) / lit(64.0))
+          .cast("long") + 1L).as("w"))
+        val byKey = li.crossJoin(broadcast(w))
+          .groupBy(expr("l_orderkey div w").as("shard"))
+          .agg(min("d").as("min_d"), max("d").as("max_d"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("layout", lit("by_orderkey"))
+        val byMonth = li
+          .groupBy((year(col("d")) * 12 + month(col("d"))).cast("long")
+            .as("shard"))
+          .agg(min("d").as("min_d"), max("d").as("max_d"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("layout", lit("by_shipmonth"))
+        val zm = byKey.unionByName(byMonth)
+        val months = s.range(0, 12)
+          .select(expr("add_months(DATE '1995-01-01', CAST(id AS INT))")
+            .as("lo"))
+          .select(col("lo"), expr("add_months(lo, 1)").as("hi"))
+        val tot = li.agg(count(lit(1)).as("total_rows"))
+        val fl = zm.crossJoin(broadcast(months))
+          .withColumn("pruned",
+            col("max_d") < col("lo") || col("min_d") >= col("hi"))
+        val ag = fl.groupBy("layout", "lo")
+          .agg(count(lit(1)).as("n_shards"),
+            sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(col("pruned"), 0L).otherwise(col("n_rows")))
+              .as("rows_scanned"))
+        val mt = li
+          .filter(col("d") >= lit("1995-01-01") && col("d") < lit("1996-01-01"))
+          .groupBy(trunc(col("d"), "month").as("lo"))
+          .agg(count(lit(1)).as("rows_matching"))
+        ag.join(mt, Seq("lo"), "left")
+          .na.fill(0L, Seq("rows_matching"))
+          .crossJoin(broadcast(tot))
+          .select(col("layout"), col("lo").as("month"), col("n_shards"),
+            col("n_pruned"), col("rows_scanned"), col("rows_matching"),
+            round(col("rows_scanned").cast("double") / col("total_rows"), 6)
+              .as("scan_fraction"),
+            round((col("rows_scanned") - col("rows_matching"))
+              .cast("double") / col("rows_scanned"), 6).as("waste_fraction"))
+          .orderBy("layout", "month")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d
+             |      FROM lineitem),
+             |w AS (SELECT CAST(floor(max(l_orderkey) / 64.0) AS BIGINT) + 1 AS w
+             |      FROM li),
+             |zm AS (
+             |  SELECT 'by_orderkey' AS layout, l_orderkey // w.w AS shard,
+             |    min(d) AS min_d, max(d) AS max_d, count(*) AS n_rows
+             |  FROM li CROSS JOIN w GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'by_shipmonth', CAST(year(d) * 12 + month(d) AS BIGINT),
+             |    min(d), max(d), count(*)
+             |  FROM li GROUP BY 1, 2),
+             |mo AS (SELECT CAST(DATE '1995-01-01' + (m * INTERVAL 1 MONTH)
+             |          AS DATE) AS lo,
+             |        CAST(DATE '1995-01-01' + ((m + 1) * INTERVAL 1 MONTH)
+             |          AS DATE) AS hi
+             |       FROM range(0, 12) t(m)),
+             |tot AS (SELECT count(*) AS total_rows FROM li),
+             |fl AS (SELECT zm.layout, mo.lo, zm.n_rows,
+             |         (zm.max_d < mo.lo OR zm.min_d >= mo.hi) AS pruned
+             |       FROM zm CROSS JOIN mo),
+             |ag AS (SELECT layout, lo, count(*) AS n_shards,
+             |         sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS n_pruned,
+             |         sum(CASE WHEN pruned THEN 0 ELSE n_rows END)
+             |           AS rows_scanned
+             |       FROM fl GROUP BY 1, 2),
+             |mt AS (SELECT date_trunc('month', d)::DATE AS lo,
+             |         count(*) AS rows_matching
+             |       FROM li
+             |       WHERE d >= DATE '1995-01-01' AND d < DATE '1996-01-01'
+             |       GROUP BY 1)
+             |SELECT ag.layout, ag.lo AS month,
+             |  CAST(ag.n_shards AS BIGINT) AS n_shards,
+             |  CAST(ag.n_pruned AS BIGINT) AS n_pruned,
+             |  CAST(ag.rows_scanned AS BIGINT) AS rows_scanned,
+             |  CAST(COALESCE(mt.rows_matching, 0) AS BIGINT) AS rows_matching,
+             |  round(CAST(ag.rows_scanned AS DOUBLE) / tot.total_rows, 6)
+             |    AS scan_fraction,
+             |  round(CAST(ag.rows_scanned - COALESCE(mt.rows_matching, 0)
+             |    AS DOUBLE) / ag.rows_scanned, 6) AS waste_fraction
+             |FROM ag LEFT JOIN mt ON mt.lo = ag.lo CROSS JOIN tot
+             |ORDER BY layout, month""".stripMargin)),
+
+    // Incremental materialized-view maintenance (delta-merge IVM — the
+    // Materialize/Snowflake-MV device, here the groupBy-agg special
+    // case): the per-user snapshot over the BASE window (days < cutoff)
+    // merges with a partial aggregate over only the DELTA tail (last 7
+    // days) via full-outer coalesce-add — counts add, decimal revenue
+    // sums add exactly — instead of recomputing the view over the whole
+    // corpus. The oracle recomputes the SAME view from scratch over all
+    // events, so a hash match PROVES merge == full recompute. Scale
+    // shape: at 100 TB the base snapshot is a stored table; each
+    // maintenance tick shuffles only the delta partition's users plus a
+    // user-keyed merge join; nothing rescans history. Revenue goes
+    // through the round-6/DECIMAL(18,6) bridge so both paths and the
+    // oracle sum exactly in any add order.
+    QuerySpec(
+      "x132_mv_incremental",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"),
+            round(col("value"), 6).cast("decimal(18,6)").as("v"))
+        val cut = ev.agg(date_sub(max(col("day")), 7).as("cut"))
+        val tagged = ev.crossJoin(broadcast(cut))
+        def snap(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            sum(col("v")).as("rev"))
+        val base = snap(tagged.filter(col("day") < col("cut")))
+        val delta = snap(tagged.filter(col("day") >= col("cut")))
+        val merged = base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("b.n_events"), lit(0L)) +
+              coalesce(col("d.n_events"), lit(0L))).as("n_events"),
+            (coalesce(col("b.n_purchases"), lit(0L)) +
+              coalesce(col("d.n_purchases"), lit(0L))).as("n_purchases"),
+            (coalesce(col("b.rev"), lit(java.math.BigDecimal.ZERO)
+              .cast("decimal(18,6)")) +
+              coalesce(col("d.rev"), lit(java.math.BigDecimal.ZERO)
+                .cast("decimal(18,6)"))).cast("double").as("revd"))
+        merged
+          .select(col("user_id"), col("n_events"), col("n_purchases"),
+            round(col("revd"), 6).as("revenue"))
+          .orderBy(col("n_events").desc, col("user_id")).limit(20)
+      },
+      Some("""WITH v AS (SELECT user_id,
+             |        count(*) AS n_events,
+             |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |          AS n_purchases,
+             |        CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS revd
+             |      FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(n_purchases AS BIGINT) AS n_purchases,
+             |  round(revd, 6) AS revenue
+             |FROM v ORDER BY n_events DESC, user_id LIMIT 20""".stripMargin)),
+
+    // Welch's unequal-variance t-test (Welch 1947) + sample-ratio-
+    // mismatch guardrail (Fabijan et al. 2019) over the A/B variants'
+    // per-user purchase counts — the mean-level significance read that
+    // completes the x125 (CUPED) / x129 (KS) experiment-analysis suite,
+    // plus the chi-square check that the 50/50 assignment actually
+    // delivered 50/50 (an SRM invalidates any downstream stat). All
+    // moments (n, Σy, Σy²) are INTEGER aggregates — exact in any add
+    // order, no decimal bridge needed — and the t/df/chi² arithmetic is
+    // a deterministic single-row expression over those integers. Scale
+    // shape: one user-keyed count aggregate, one 1-row reduce.
+    QuerySpec(
+      "x133_ab_welch_srm",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+          .select((col("user_id") % 2).as("variant"), col("y"))
+        u.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sa"),
+            sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sb"),
+            sum(when(col("variant") === 0, col("y") * col("y")).otherwise(0L))
+              .as("ssa"),
+            sum(when(col("variant") === 1, col("y") * col("y")).otherwise(0L))
+              .as("ssb"))
+          .select(col("na"), col("nb"),
+            round(col("sa").cast("double") / col("na"), 6).as("mean_a"),
+            round(col("sb").cast("double") / col("nb"), 6).as("mean_b"),
+            expr("CAST(ssa * na - sa * sa AS DOUBLE) / (CAST(na AS DOUBLE) * (na - 1))").as("va"),
+            expr("CAST(ssb * nb - sb * sb AS DOUBLE) / (CAST(nb AS DOUBLE) * (nb - 1))").as("vb"))
+          .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+            round(col("va"), 6).as("var_a"), round(col("vb"), 6).as("var_b"),
+            round((col("mean_a") - col("mean_b")) /
+              sqrt(col("va") / col("na") + col("vb") / col("nb")), 6)
+              .as("t_welch"),
+            round(pow(col("va") / col("na") + col("vb") / col("nb"), 2) /
+              (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+               pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6)
+              .as("df_welch"),
+            round(pow(col("na") - (col("na") + col("nb")) / lit(2.0), 2) /
+              ((col("na") + col("nb")) / lit(2.0)) +
+              pow(col("nb") - (col("na") + col("nb")) / lit(2.0), 2) /
+              ((col("na") + col("nb")) / lit(2.0)), 6).as("srm_chi2"))
+          .withColumn("srm_reject_05",
+            (col("srm_chi2") > 3.841).cast("long"))
+      },
+      Some("""WITH u AS (SELECT user_id % 2 AS variant,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |          AS y
+             |      FROM events GROUP BY user_id),
+             |m AS (SELECT
+             |        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+             |        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+             |        SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sa,
+             |        SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sb,
+             |        SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS ssa,
+             |        SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS ssb
+             |      FROM u),
+             |vv AS (SELECT na, nb,
+             |        round(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
+             |        round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+             |        CAST(ssa * na - sa * sa AS DOUBLE)
+             |          / (CAST(na AS DOUBLE) * (na - 1)) AS va,
+             |        CAST(ssb * nb - sb * sb AS DOUBLE)
+             |          / (CAST(nb AS DOUBLE) * (nb - 1)) AS vb
+             |      FROM m)
+             |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             |  mean_a, mean_b,
+             |  round(va, 6) AS var_a, round(vb, 6) AS var_b,
+             |  round((mean_a - mean_b) / sqrt(va / na + vb / nb), 6)
+             |    AS t_welch,
+             |  round(pow(va / na + vb / nb, 2) /
+             |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6)
+             |    AS df_welch,
+             |  round(pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0) +
+             |        pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0), 6)
+             |    AS srm_chi2,
+             |  CAST(CASE WHEN pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0) +
+             |        pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0) > 3.841
+             |       THEN 1 ELSE 0 END AS BIGINT) AS srm_reject_05
+             |FROM vv""".stripMargin)),
+
+    // Autocorrelation function (Box & Jenkins 1970) of the daily event-
+    // count series at lags 1–7 — the model-identification read that
+    // precedes any ARIMA/seasonal fit, and the companion diagnostic to
+    // x122's Holt trend: a spike at lag 7 says "weekly seasonality",
+    // geometric decay says "trend". Lagged pairs come from an EQUI-join
+    // of the |days|-row aggregate against itself on day+lag (never a
+    // theta/cross join); centered products round to 6 dp and sum as
+    // DECIMAL(18,6) so partition order can't move the hash. Scale
+    // shape: one corpus day-count aggregate, then bounded |days|·7 work.
+    QuerySpec(
+      "x134_acf_daily",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val mu = d.agg((sum(col("n")).cast("double") / count(lit(1)))
+          .as("mu"))
+        val c = d.crossJoin(broadcast(mu))
+          .select(col("day"), (col("n") - col("mu")).as("xc"))
+          .localCheckpoint()
+        val denom = c.agg(sum(round(col("xc") * col("xc"), 6)
+          .cast("decimal(18,6)")).cast("double").as("denom"))
+        val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+        val pairs = c.as("a")
+          .crossJoin(broadcast(lags))
+          .select(col("lag"), expr("date_add(day, lag)").as("lday"),
+            col("xc").as("xa"))
+          .join(c.as("b").select(col("day").as("lday"), col("xc").as("xb")),
+            "lday")
+        pairs.groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round(col("xa") * col("xb"), 6).cast("decimal(18,6)"))
+              .cast("double").as("num"))
+          .crossJoin(broadcast(denom))
+          .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+            round(col("num") / col("denom"), 6).as("acf"))
+          .orderBy("lag")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM d),
+             |c AS (SELECT day, n - mu.mu AS xc FROM d CROSS JOIN mu),
+             |dn AS (SELECT CAST(sum(CAST(round(xc * xc, 6) AS DECIMAL(18,6)))
+             |         AS DOUBLE) AS denom FROM c),
+             |l AS (SELECT CAST(lag AS INT) AS lag FROM range(1, 8) t(lag)),
+             |pr AS (SELECT l.lag, a.xc AS xa, b.xc AS xb
+             |       FROM c a CROSS JOIN l
+             |         JOIN c b ON b.day = a.day + l.lag * INTERVAL 1 DAY)
+             |SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+             |  round(CAST(sum(CAST(round(xa * xb, 6) AS DECIMAL(18,6)))
+             |    AS DOUBLE) / any_value(dn.denom), 6) AS acf
+             |FROM pr CROSS JOIN dn GROUP BY lag ORDER BY lag""".stripMargin)),
+
+    // Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) with
+    // tie correction between the A/B variants' per-user purchase counts —
+    // the nonparametric companion to x133's Welch t (heavy-tailed user
+    // metrics break the t-test's moment assumptions; ranks don't care).
+    // The whole rank computation stays INTEGER-exact: average ranks ride
+    // as 2·rank (ca·(2·cum_before + cnt + 1) — no .5 floats), so the
+    // rank-sum, U, and the tie term Σ(t³−t) are BIGINTs in any add
+    // order; only the final 1-row z arithmetic is floating. Windows run
+    // over the |distinct y| aggregate — Rule-1-safe bounded input.
+    QuerySpec(
+      "x135_mann_whitney",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+          .select((col("user_id") % 2).as("variant"), col("y"))
+        val grid = u.groupBy(col("y"))
+          .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+          .withColumn("cnt", col("ca") + col("cb"))
+        val wc = W.orderBy("y").rowsBetween(W.unboundedPreceding, -1)
+        val ranked = grid.withColumn("cumprev",
+          coalesce(sum(col("cnt")).over(wc), lit(0L)))
+        val m = ranked.agg(
+          sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca") * (lit(2L) * col("cumprev") + col("cnt") + 1L))
+            .as("r2a"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+        m.select(col("na"), col("nb"),
+            ((col("r2a") - col("na") * (col("na") + 1L)).cast("double") / 2.0)
+              .as("u_a"),
+            (col("na") * col("nb") / lit(2.0)).as("mu_u"),
+            (col("na").cast("double") * col("nb") / 12.0 *
+              ((col("na") + col("nb") + 1L) -
+                col("ties").cast("double") /
+                  ((col("na") + col("nb")).cast("double") *
+                    (col("na") + col("nb") - 1L)))).as("var_u"))
+          .select(col("na"), col("nb"), round(col("u_a"), 6).as("u_a"),
+            round((col("u_a") - col("mu_u")) / sqrt(col("var_u")), 6)
+              .as("z"),
+            (abs((col("u_a") - col("mu_u")) / sqrt(col("var_u"))) > 1.96)
+              .cast("long").as("reject_05"))
+      },
+      Some("""WITH u AS (SELECT user_id % 2 AS variant,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |          AS y
+             |      FROM events GROUP BY user_id),
+             |grid AS (SELECT y,
+             |           SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+             |           SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb,
+             |           COUNT(*) AS cnt0
+             |         FROM u GROUP BY 1),
+             |g2 AS (SELECT y, ca, cb, ca + cb AS cnt,
+             |         COALESCE(SUM(ca + cb) OVER (ORDER BY y
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS cumprev
+             |       FROM grid),
+             |m AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+             |        SUM(ca * (2 * cumprev + cnt + 1)) AS r2a,
+             |        SUM(cnt * cnt * cnt - cnt) AS ties
+             |      FROM g2),
+             |v AS (SELECT na, nb,
+             |        CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_a,
+             |        na * nb / 2.0 AS mu_u,
+             |        CAST(na AS DOUBLE) * nb / 12.0 *
+             |          ((na + nb + 1) - CAST(ties AS DOUBLE) /
+             |            (CAST(na + nb AS DOUBLE) * (na + nb - 1))) AS var_u
+             |      FROM m)
+             |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             |  round(u_a, 6) AS u_a,
+             |  round((u_a - mu_u) / sqrt(var_u), 6) AS z,
+             |  CAST(CASE WHEN abs((u_a - mu_u) / sqrt(var_u)) > 1.96
+             |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+             |FROM v""".stripMargin)),
+
+    // Day-of-week seasonal profile + MAD-robust anomaly count (the
+    // classical-decomposition seasonal index, Cleveland's STL at its
+    // cheapest; MAD×1.4826 as the robust sigma per Hampel 1974) over the
+    // daily event-count series — the "is Tuesday always like this, and
+    // which days broke pattern" read that precedes x95's CUSUM alarm.
+    // Day-of-week comes from epoch-day mod 7 (engine-portable, no
+    // locale); residuals are vs the dow mean; the MAD is an exact median
+    // over the |days|-row aggregate. Scale shape: one corpus day-count
+    // aggregate, then ≤7-row and 1-row reduces — every window/median
+    // input is aggregate-bounded.
+    QuerySpec(
+      "x136_dow_seasonality",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow",
+            expr("datediff(day, DATE '1970-01-01') % 7").cast("long"))
+          .localCheckpoint()
+        val mu = d.agg((sum(col("n")).cast("double") / count(lit(1)))
+          .as("mu"))
+        val dm = d.groupBy("dow")
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("tot"),
+            (sum(col("n")).cast("double") / count(lit(1))).as("dmean"))
+        val resid = d.join(dm.select(col("dow"), col("dmean")), "dow")
+          .select(col("dow"), col("day"),
+            abs(col("n") - col("dmean")).as("ar"))
+        val mad = resid.agg(expr("percentile(ar, 0.5)").as("mad"))
+        val an = resid.crossJoin(broadcast(mad))
+          .filter(col("ar") > lit(3.0) * lit(1.4826) * col("mad"))
+          .groupBy("dow").agg(count(lit(1)).as("n_anom"))
+        dm.join(an, Seq("dow"), "left").na.fill(0L, Seq("n_anom"))
+          .crossJoin(broadcast(mu))
+          .select(col("dow"), col("n_days"), col("tot").as("total_events"),
+            round(col("dmean"), 6).as("dow_mean"),
+            round(col("dmean") / col("mu"), 6).as("seasonal_index"),
+            col("n_anom"))
+          .orderBy("dow")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |      FROM events GROUP BY 1),
+             |dd AS (SELECT day, n,
+             |         CAST(date_diff('day', DATE '1970-01-01', day) % 7
+             |           AS BIGINT) AS dow
+             |       FROM d),
+             |mu AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM dd),
+             |dm AS (SELECT dow, count(*) AS n_days, sum(n) AS tot,
+             |         CAST(sum(n) AS DOUBLE) / count(*) AS dmean
+             |       FROM dd GROUP BY 1),
+             |r AS (SELECT dd.dow, dd.day, abs(dd.n - dm.dmean) AS ar
+             |      FROM dd JOIN dm ON dm.dow = dd.dow),
+             |md AS (SELECT quantile_cont(ar, 0.5) AS mad FROM r),
+             |an AS (SELECT dow, count(*) AS n_anom
+             |       FROM r CROSS JOIN md
+             |       WHERE ar > 3.0 * 1.4826 * md.mad GROUP BY 1)
+             |SELECT dm.dow, CAST(dm.n_days AS BIGINT) AS n_days,
+             |  CAST(dm.tot AS BIGINT) AS total_events,
+             |  round(dm.dmean, 6) AS dow_mean,
+             |  round(dm.dmean / mu.mu, 6) AS seasonal_index,
+             |  CAST(COALESCE(an.n_anom, 0) AS BIGINT) AS n_anom
+             |FROM dm LEFT JOIN an ON an.dow = dm.dow CROSS JOIN mu
+             |ORDER BY dm.dow""".stripMargin))
   )
 }
