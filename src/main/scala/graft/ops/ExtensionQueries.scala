@@ -6008,6 +6008,7 @@ object ExtensionQueries {
               ((col("na") + col("nb")) / lit(2.0)), 6).as("srm_chi2"))
           .withColumn("srm_reject_05",
             (col("srm_chi2") > 3.841).cast("long"))
+          .orderBy("na")
       },
       Some("""WITH u AS (SELECT user_id % 2 AS variant,
              |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -6043,7 +6044,7 @@ object ExtensionQueries {
              |  CAST(CASE WHEN pow(na - (na + nb) / 2.0, 2) / ((na + nb) / 2.0) +
              |        pow(nb - (na + nb) / 2.0, 2) / ((na + nb) / 2.0) > 3.841
              |       THEN 1 ELSE 0 END AS BIGINT) AS srm_reject_05
-             |FROM vv""".stripMargin)),
+             |FROM vv ORDER BY na""".stripMargin)),
 
     // Autocorrelation function (Box & Jenkins 1970) of the daily event-
     // count series at lags 1–7 — the model-identification read that
@@ -6142,6 +6143,7 @@ object ExtensionQueries {
               .as("z"),
             (abs((col("u_a") - col("mu_u")) / sqrt(col("var_u"))) > 1.96)
               .cast("long").as("reject_05"))
+          .orderBy("na")
       },
       Some("""WITH u AS (SELECT user_id % 2 AS variant,
              |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -6173,7 +6175,7 @@ object ExtensionQueries {
              |  round((u_a - mu_u) / sqrt(var_u), 6) AS z,
              |  CAST(CASE WHEN abs((u_a - mu_u) / sqrt(var_u)) > 1.96
              |       THEN 1 ELSE 0 END AS BIGINT) AS reject_05
-             |FROM v""".stripMargin)),
+             |FROM v ORDER BY na""".stripMargin)),
 
     // Day-of-week seasonal profile + MAD-robust anomaly count (the
     // classical-decomposition seasonal index, Cleveland's STL at its
