@@ -6238,6 +6238,218 @@ object ExtensionQueries {
              |  round(dm.dmean / mu.mu, 6) AS seasonal_index,
              |  CAST(COALESCE(an.n_anom, 0) AS BIGINT) AS n_anom
              |FROM dm LEFT JOIN an ON an.dow = dm.dow CROSS JOIN mu
-             |ORDER BY dm.dow""".stripMargin))
+             |ORDER BY dm.dow""".stripMargin)),
+
+    // Poisson bootstrap CI (Chamandy, Muralidharan, Najmi & Naidu 2012,
+    // "Estimating uncertainty for massive data streams" — Google's
+    // at-scale bootstrap) for the mean per-user purchase count: classical
+    // resampling needs n draws per replicate from one machine; the
+    // Poisson trick gives each (user, replicate) an independent
+    // Poisson(1) weight so ALL 201 replicates ride one map-side fan-out
+    // of the slim (user, y) aggregate — no resampling shuffle, no
+    // driver-side loop. Weights are deterministic: the x86/x128 seeded
+    // md5₄₈ uniform inverse-CDF'd through Poisson(1) thresholds
+    // (literals identical in both engines). Replicate sums are INTEGER
+    // (w·y with integer w, y) so partition/add order can't move them;
+    // 201 replicates put the 2.5%/97.5% quantile positions at exact
+    // order statistics (0.025·200 = 5), so percentile interpolates
+    // nothing and both engines pick the same element. Scale shape: one
+    // user-keyed aggregate, a 201× broadcast fan-out with map-side
+    // partial aggregation into 201 cells, one 201-row quantile.
+    QuerySpec(
+      "x137_bootstrap_ci",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        val reps = s.range(0, 201).select(col("id").as("r"))
+        val w = u.crossJoin(broadcast(reps))
+          .select(col("y"), col("r"),
+            (conv(substring(md5(concat(lit("graft-boot-42:"),
+              col("user_id").cast("string"), lit(":"),
+              col("r").cast("string"))), 1, 12), 16, 10)
+              .cast("long").cast("double") / lit(281474976710656.0)).as("uu"))
+          .select(col("r"), col("y"),
+            when(col("uu") <= 0.36787944117144233, 0L)
+              .when(col("uu") <= 0.7357588823428847, 1L)
+              .when(col("uu") <= 0.9196986029286058, 2L)
+              .when(col("uu") <= 0.9810118431238462, 3L)
+              .when(col("uu") <= 0.9963401531726563, 4L)
+              .when(col("uu") <= 0.9994058151824183, 5L)
+              .when(col("uu") <= 0.999916758850712, 6L)
+              .otherwise(7L).as("w"))
+        val m = w.groupBy("r")
+          .agg(sum(col("w") * col("y")).as("sa"), sum(col("w")).as("na"))
+        val q = m.select((col("sa").cast("double") / col("na")).as("mr"))
+          .agg(expr("percentile(mr, 0.025)").as("lo"),
+            expr("percentile(mr, 0.975)").as("hi"))
+        val pt = u.agg(count(lit(1)).as("n_users"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("mean_hat"))
+        pt.crossJoin(broadcast(q))
+          .select(col("n_users"), lit(201L).as("n_reps"),
+            round(col("mean_hat"), 6).as("mean_hat"),
+            round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |d AS (SELECT u.y, t.r,
+             |        CAST(('0x' || substr(md5('graft-boot-42:' ||
+             |          CAST(u.user_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)),
+             |          1, 12)) AS BIGINT) / 281474976710656.0 AS uu
+             |      FROM u CROSS JOIN range(0, 201) t(r)),
+             |w AS (SELECT r, y,
+             |        CASE WHEN uu <= 0.36787944117144233 THEN 0
+             |             WHEN uu <= 0.7357588823428847 THEN 1
+             |             WHEN uu <= 0.9196986029286058 THEN 2
+             |             WHEN uu <= 0.9810118431238462 THEN 3
+             |             WHEN uu <= 0.9963401531726563 THEN 4
+             |             WHEN uu <= 0.9994058151824183 THEN 5
+             |             WHEN uu <= 0.999916758850712 THEN 6
+             |             ELSE 7 END AS w
+             |      FROM d),
+             |m AS (SELECT r, SUM(w * y) AS sa, SUM(w) AS na FROM w GROUP BY r),
+             |q AS (SELECT quantile_cont(CAST(sa AS DOUBLE) / na, 0.025) AS lo,
+             |        quantile_cont(CAST(sa AS DOUBLE) / na, 0.975) AS hi
+             |      FROM m),
+             |pt AS (SELECT COUNT(*) AS n_users,
+             |         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_hat FROM u)
+             |SELECT CAST(pt.n_users AS BIGINT) AS n_users,
+             |  CAST(201 AS BIGINT) AS n_reps,
+             |  round(pt.mean_hat, 6) AS mean_hat,
+             |  round(q.lo, 6) AS ci_lo, round(q.hi, 6) AS ci_hi
+             |FROM pt CROSS JOIN q ORDER BY n_users""".stripMargin)),
+
+    // Pareto frontier (skyline operator — Börzsönyi, Kossmann &
+    // Stocker, ICDE 2001) of documents on (shorter, lexically richer):
+    // a doc survives iff nothing else has ≤ its token count AND ≥ its
+    // distinct-token count with one strict — the curation read for
+    // "densest short documents" before budgeted selection (x93). The
+    // naive skyline is all-pairs; for a 2-D skyline the exact
+    // aggregate-bounded plan is: per-x max(y) over the |distinct
+    // n_tokens| GROUP BY, a prefix-max window over that aggregate
+    // (bounded input, Rule-1-safe), then one equi-join back to attach
+    // doc ids only to surviving (x, maxy) cells. Everything is integer,
+    // so cross-engine equality is exact. Scale: one corpus tokenize +
+    // groupBy; the window input is the ≤|distinct lengths| aggregate,
+    // never the corpus.
+    QuerySpec(
+      "x138_pareto_frontier",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"))
+        val g = d.groupBy("n_tokens")
+          .agg(max(col("n_distinct")).as("maxy"))
+        val wv = W.orderBy("n_tokens")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val fx = g
+          .withColumn("prevmax", coalesce(max(col("maxy")).over(wv), lit(-1)))
+          .filter(col("maxy") > col("prevmax"))
+        d.join(fx, Seq("n_tokens"))
+          .filter(col("n_distinct") === col("maxy"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct").cast("long").as("n_distinct"))
+          .orderBy("n_tokens", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |        list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |                    x -> x <> '') AS toks
+             |      FROM documents),
+             |d AS (SELECT doc_id, len(toks) AS n_tokens,
+             |        len(list_distinct(toks)) AS n_distinct FROM t),
+             |g AS (SELECT n_tokens, MAX(n_distinct) AS maxy FROM d GROUP BY 1),
+             |f AS (SELECT n_tokens, maxy,
+             |        COALESCE(MAX(maxy) OVER (ORDER BY n_tokens
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |          AS prevmax
+             |      FROM g)
+             |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(d.n_distinct AS BIGINT) AS n_distinct
+             |FROM d JOIN f ON f.n_tokens = d.n_tokens AND d.n_distinct = f.maxy
+             |WHERE f.maxy > f.prevmax
+             |ORDER BY n_tokens, doc_id""".stripMargin)),
+
+    // k-hop BFS reachability (the frontier-expansion primitive under
+    // Pregel/GraphX and every distributed shortest-path) from the
+    // highest-degree item over x101's co-occurrence graph: per hop,
+    // frontier ⋈ edges on src (slim equi-join), dedup, anti-join the
+    // visited set — the textbook BFS round, each hop one join + one
+    // distinct, cost |frontier edges|, never corpus-quadratic. Three
+    // bounded hops with localCheckpoint between rounds (the x34 star
+    // discipline: cut lineage so hop h doesn't replay hops 1..h−1).
+    // Output is the per-hop expansion profile (count + item-id checksum,
+    // all integer-exact); the oracle unrolls the same three hops.
+    QuerySpec(
+      "x139_khop_reach",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+          .localCheckpoint()
+        val seed = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .agg(max(struct(col("deg"), (-col("src")).as("ns"))).as("m"))
+          .select((-col("m.ns")).as("v"))
+          .localCheckpoint()
+        var visited = seed
+        var frontier = seed
+        val rows = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        rows += seed.agg(lit(0L).as("hop"), count(lit(1)).as("n_new"),
+          sum(col("v")).cast("long").as("sum_items"))
+        for (h <- 1 to 3) {
+          frontier = edges.join(frontier.select(col("v").as("src")), "src")
+            .select(col("dst").as("v")).distinct()
+            .join(visited, Seq("v"), "left_anti")
+            .localCheckpoint()
+          visited = visited.unionByName(frontier).localCheckpoint()
+          rows += frontier.agg(lit(h.toLong).as("hop"),
+            count(lit(1)).as("n_new"),
+            coalesce(sum(col("v")), lit(0L)).cast("long").as("sum_items"))
+        }
+        rows.result().reduce(_ unionByName _).orderBy("hop")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |         AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst FROM pc
+             |      UNION ALL SELECT ib, ia FROM pc),
+             |seed AS (SELECT src AS v FROM (
+             |    SELECT src, COUNT(*) AS deg FROM e GROUP BY 1)
+             |  ORDER BY deg DESC, src LIMIT 1),
+             |h1 AS (SELECT DISTINCT e.dst AS v FROM e JOIN seed s ON e.src = s.v
+             |       WHERE e.dst NOT IN (SELECT v FROM seed)),
+             |h2 AS (SELECT DISTINCT e.dst AS v FROM e JOIN h1 ON e.src = h1.v
+             |       WHERE e.dst NOT IN (SELECT v FROM seed
+             |                           UNION ALL SELECT v FROM h1)),
+             |h3 AS (SELECT DISTINCT e.dst AS v FROM e JOIN h2 ON e.src = h2.v
+             |       WHERE e.dst NOT IN (SELECT v FROM seed
+             |                           UNION ALL SELECT v FROM h1
+             |                           UNION ALL SELECT v FROM h2))
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_new,
+             |    CAST(COALESCE(SUM(v), 0) AS BIGINT) AS sum_items FROM seed
+             |  UNION ALL
+             |  SELECT 1, COUNT(*), CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM h1
+             |  UNION ALL
+             |  SELECT 2, COUNT(*), CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM h2
+             |  UNION ALL
+             |  SELECT 3, COUNT(*), CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM h3)
+             |ORDER BY hop""".stripMargin))
   )
 }
