@@ -6450,6 +6450,252 @@ object ExtensionQueries {
              |  SELECT 2, COUNT(*), CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM h2
              |  UNION ALL
              |  SELECT 3, COUNT(*), CAST(COALESCE(SUM(v), 0) AS BIGINT) FROM h3)
-             |ORDER BY hop""".stripMargin))
+             |ORDER BY hop""".stripMargin)),
+
+    // k-core peeling (Seidman 1983; the distributed peel is Montresor,
+    // De Pellegrini & Miorandi 2013) toward the 3-core of the item
+    // co-occurrence graph: each round drops every node of degree < 3 and
+    // the edges touching it — the graph-cleaning step that strips
+    // tendrils before community/centrality work (x101, x114, x120).
+    // Four unrolled rounds emit the peel profile (nodes-with-an-edge,
+    // undirected edge count per round) — all integer-exact. Each round
+    // is one degree aggregate + two slim semi-joins, cost |edges|, with
+    // localCheckpoint cutting lineage between rounds (the x34 star
+    // discipline); nothing corpus-quadratic, no global windows.
+    QuerySpec(
+      "x140_kcore",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .distinct()
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        var cur = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+          .localCheckpoint()
+        val prof = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        prof += cur.agg(lit(0L).as("round"),
+          countDistinct(col("src")).as("n_nodes"),
+          (count(lit(1)) / 2).cast("long").as("n_edges"))
+        for (r <- 1 to 4) {
+          val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select(col("src").as("v"))
+            .localCheckpoint()
+          cur = cur
+            .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst").localCheckpoint()
+          prof += cur.agg(lit(r.toLong).as("round"),
+            countDistinct(col("src")).as("n_nodes"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+        }
+        prof.result().reduce(_ unionByName _).orderBy("round")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |         AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |e0 AS (SELECT ia AS src, ib AS dst FROM pc
+             |       UNION ALL SELECT ib, ia FROM pc),
+             |k1 AS (SELECT src AS v FROM e0 GROUP BY 1 HAVING COUNT(*) >= 3),
+             |e1 AS (SELECT e.src, e.dst FROM e0 e
+             |       JOIN k1 a ON e.src = a.v JOIN k1 b ON e.dst = b.v),
+             |k2 AS (SELECT src AS v FROM e1 GROUP BY 1 HAVING COUNT(*) >= 3),
+             |e2 AS (SELECT e.src, e.dst FROM e1 e
+             |       JOIN k2 a ON e.src = a.v JOIN k2 b ON e.dst = b.v),
+             |k3 AS (SELECT src AS v FROM e2 GROUP BY 1 HAVING COUNT(*) >= 3),
+             |e3 AS (SELECT e.src, e.dst FROM e2 e
+             |       JOIN k3 a ON e.src = a.v JOIN k3 b ON e.dst = b.v),
+             |k4 AS (SELECT src AS v FROM e3 GROUP BY 1 HAVING COUNT(*) >= 3),
+             |e4 AS (SELECT e.src, e.dst FROM e3 e
+             |       JOIN k4 a ON e.src = a.v JOIN k4 b ON e.dst = b.v)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS BIGINT) AS round,
+             |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             |    CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM e0
+             |  UNION ALL SELECT 1, COUNT(DISTINCT src),
+             |    CAST(COUNT(*) / 2 AS BIGINT) FROM e1
+             |  UNION ALL SELECT 2, COUNT(DISTINCT src),
+             |    CAST(COUNT(*) / 2 AS BIGINT) FROM e2
+             |  UNION ALL SELECT 3, COUNT(DISTINCT src),
+             |    CAST(COUNT(*) / 2 AS BIGINT) FROM e3
+             |  UNION ALL SELECT 4, COUNT(DISTINCT src),
+             |    CAST(COUNT(*) / 2 AS BIGINT) FROM e4)
+             |ORDER BY round""".stripMargin)),
+
+    // NDCG@10 (Järvelin & Kekäläinen 2002) of the binary-Hamming ANN
+    // shortlist against the exact-cosine ranking — the rank-aware
+    // retrieval eval that recall@k (x63/x69/x92) can't give: graded
+    // relevance 10..1 from the exact top-10, discounted by 1/log2(1+p)
+    // at the approximate rank p. The exact side attaches full vectors
+    // only to the 5-query × corpus candidate pairs (query side
+    // broadcasts); both rankings are WindowGroupLimit-bounded; each
+    // per-query DCG sums ≤10 rounded terms through the DECIMAL bridge
+    // so add order can't move the hash; IDCG replays from a 10-row
+    // range in both engines. Sim rounds to 4 dp before ranking (the
+    // x130 discipline) so cross-engine float addition order in the dot
+    // product can't flip a rank.
+    QuerySpec(
+      "x141_ndcg_eval",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val packLo =
+          """aggregate(sequence(0, 31), 0L, (acc, j) ->
+            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+            |           shiftleft(1L, j), 0L))""".stripMargin
+        val packHi =
+          """aggregate(sequence(32, 63), 0L, (acc, j) ->
+            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+            |           shiftleft(1L, j - 32), 0L))""".stripMargin
+        val codes = e.select(col("vec_id"), expr(packLo).as("lo"),
+          expr(packHi).as("hi"))
+        val q = codes.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+            col("hi").as("qhi"))
+        val wq = W.partitionBy("qid").orderBy(col("ham"), col("cid"))
+        val approx = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)")
+              .cast("long").as("ham"))
+          .withColumn("p", row_number().over(wq).cast("long"))
+          .filter(col("p") <= 10)
+        val sim =
+          """round(
+            |  aggregate(zip_with(qe, ce,
+            |      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+            |    0.0D, (acc, x) -> acc + x)
+            |  / (sqrt(aggregate(qe, 0.0D,
+            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            |   * sqrt(aggregate(ce, 0.0D,
+            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+            |  4)""".stripMargin
+        val qe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wr = W.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+        val rel = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+          .crossJoin(broadcast(qe)).filter(col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"), expr(sim).as("sim"))
+          .withColumn("xr", row_number().over(wr).cast("long"))
+          .filter(col("xr") <= 10)
+          .select(col("qid"), col("cid"), (lit(11L) - col("xr")).as("rel"))
+        val dcg = approx.join(rel, Seq("qid", "cid"), "left")
+          .na.fill(0L, Seq("rel"))
+          .groupBy("qid")
+          .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+            sum(round(col("rel").cast("double") /
+                (log(col("p") + 1.0) / log(lit(2.0))), 6)
+              .cast("decimal(18,6)")).cast("double").as("dcg"))
+        val idcg = s.range(1, 11)
+          .select(round((lit(11.0) - col("id")) /
+              (log(col("id") + 1.0) / log(lit(2.0))), 6)
+            .cast("decimal(18,6)").as("c"))
+          .agg(sum(col("c")).cast("double").as("idcg"))
+        dcg.crossJoin(broadcast(idcg))
+          .select(col("qid"), col("n_hits"), round(col("dcg"), 6).as("dcg"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg"))
+          .orderBy("qid")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END
+             |         for j in range(0, 32)]) AS BIGINT) AS lo,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END
+             |         for j in range(32, 64)]) AS BIGINT) AS hi
+             |  FROM embeddings),
+             |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |        CAST(bit_count(xor(q.lo, c.lo))
+             |           + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS ham
+             |      FROM p q JOIN p c ON c.vec_id <> q.vec_id
+             |      WHERE q.vec_id < 5),
+             |sh AS (SELECT qid, cid,
+             |        CAST(row_number() OVER (PARTITION BY qid
+             |          ORDER BY ham, cid) AS BIGINT) AS pp
+             |      FROM ap QUALIFY pp <= 10),
+             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |f AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |        q.nrm AS qn, c.nrm AS cn,
+             |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
+             |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+             |      WHERE q.vec_id < 5),
+             |d AS (SELECT qid, cid,
+             |        round(sum(qv * cv) / (any_value(qn) * any_value(cn)), 4)
+             |          AS sim
+             |      FROM f GROUP BY qid, cid),
+             |xr AS (SELECT qid, cid, 11 - CAST(row_number() OVER (
+             |          PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT)
+             |          AS rel
+             |       FROM d QUALIFY rel >= 1),
+             |dc AS (SELECT sh.qid,
+             |        SUM(CASE WHEN COALESCE(xr.rel, 0) > 0 THEN 1 ELSE 0 END)
+             |          AS n_hits,
+             |        CAST(SUM(CAST(round(CAST(COALESCE(xr.rel, 0) AS DOUBLE)
+             |            / (ln(sh.pp + 1.0) / ln(2.0)), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+             |      FROM sh LEFT JOIN xr ON xr.qid = sh.qid AND xr.cid = sh.cid
+             |      GROUP BY sh.qid),
+             |ic AS (SELECT CAST(SUM(CAST(round((11.0 - j)
+             |          / (ln(j + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6)))
+             |        AS DOUBLE) AS idcg
+             |      FROM range(1, 11) t(j))
+             |SELECT dc.qid, CAST(dc.n_hits AS BIGINT) AS n_hits,
+             |  round(dc.dcg, 6) AS dcg, round(dc.dcg / ic.idcg, 6) AS ndcg
+             |FROM dc CROSS JOIN ic ORDER BY qid""".stripMargin)),
+
+    // Bucketed co-located join (Hive bucketing as Spark data-source
+    // tables): both fact tables are written bucketed+sorted on the join
+    // key into the session catalog, so the subsequent sort-merge join
+    // consumes the tables' HashPartitioning directly — ZERO Exchange on
+    // either join side (PlansSpec asserts it). This is THE 100 TB device
+    // for a join that recurs on the same key: pay the partitioning once
+    // at write time, never again at read time — at 1000 executors the
+    // difference is a full 100 TB shuffle per query vs none. The write
+    // happens at construction into a per-invocation temp path (the x83
+    // scratch discipline); the aggregate after the join is the usual
+    // one-exchange group-by with the DECIMAL sum bridge.
+    QuerySpec(
+      "x142_bucketed_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        deleteOnExit(tmp)
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$tmp/orders_b").mode("overwrite")
+          .saveAsTable("graft_x142_orders_b")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$tmp/lineitem_b").mode("overwrite")
+          .saveAsTable("graft_x142_lineitem_b")
+        val li = s.table("graft_x142_lineitem_b").hint("merge")
+        val o = s.table("graft_x142_orders_b")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_quantity"), 6).cast("decimal(18,6)"))
+              .cast("double").as("q"))
+          .select(col("o_orderpriority"), col("n_items"),
+            round(col("q"), 6).as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+             |  round(CAST(SUM(CAST(round(l.l_quantity, 6) AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS sum_qty
+             |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -109,4 +109,25 @@ class PlansSpec extends SparkSpec {
         s"$name shows no non-empty PushedFilters in its formatted plan")
     }
   }
+
+  test("x142 bucketed join consumes table partitioning: zero Exchange under the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // AQE wraps the plan in AdaptiveSparkPlanExec, hiding the join from
+    // collect() until execution; the bucketing claim is AQE-independent,
+    // so inspect the statically-prepared plan instead.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries("x142_bucketed_join")(spark, sfDir)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val smj = plan.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.isDefined, "x142 did not plan a SortMergeJoin")
+    val shufflesUnderJoin = smj.get.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      "bucketed join sides should read pre-partitioned — found " +
+        s"${shufflesUnderJoin.size} Exchange(s) under the SortMergeJoin")
+  }
 }
