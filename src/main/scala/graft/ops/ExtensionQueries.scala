@@ -6696,6 +6696,121 @@ object ExtensionQueries {
              |  round(CAST(SUM(CAST(round(l.l_quantity, 6) AS DECIMAL(18,6)))
              |    AS DOUBLE), 6) AS sum_qty
              |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Offline change-point detection — binary segmentation's first split
+    // (Scott & Knott 1974; the AMOC case of ruptures-style segmentation)
+    // over the daily event-count series: the day boundary that maximizes
+    // the between-segment sum of squares, i.e. the single best "the
+    // level changed HERE" explanation. Complements x95's online CUSUM
+    // (which flags drift as it happens) with the retrospective "when did
+    // it shift" read. Every candidate split is scored from integer
+    // prefix sums (one bounded window over the |days|-row aggregate), so
+    // both engines derive identical doubles and the argmax — resolved by
+    // max(struct) with a (bss, earliest-day) tie-break — cannot diverge.
+    // Scale: one corpus day-count aggregate, then |days|-bounded work.
+    QuerySpec(
+      "x143_changepoint",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        val p = d.withColumn("cums", sum(col("n")).over(wc))
+          .withColumn("k", row_number().over(W.orderBy("day")).cast("long"))
+        val tot = d.agg(sum(col("n")).as("ts_"), count(lit(1)).as("nd"))
+        val cand = p.crossJoin(broadcast(tot))
+          .filter(col("k") < col("nd"))
+          .select(col("day"), col("k").as("nl"), (col("nd") - col("k")).as("nr"),
+            col("cums").as("sl"), (col("ts_") - col("cums")).as("sr"),
+            (col("ts_").cast("double") / col("nd")).as("mu"))
+          .select(col("day"), col("nl"), col("nr"),
+            (col("sl").cast("double") / col("nl")).as("ml"),
+            (col("sr").cast("double") / col("nr")).as("mr"), col("mu"))
+          .select(col("day"), col("nl"), col("nr"), col("ml"), col("mr"),
+            (col("nl") * (col("ml") - col("mu")) * (col("ml") - col("mu")) +
+              col("nr") * (col("mr") - col("mu")) * (col("mr") - col("mu")))
+              .as("bss"))
+        cand.agg(max(struct(col("bss"),
+            (-datediff(col("day"), lit("1970-01-01"))).as("nd"),
+            col("nl"), col("nr"), col("ml"), col("mr"))).as("m"))
+          .select(date_add(lit("1970-01-01"), -col("m.nd")).as("split_day"),
+            col("m.nl").as("n_days_left"), col("m.nr").as("n_days_right"),
+            round(col("m.ml"), 6).as("mean_left"),
+            round(col("m.mr"), 6).as("mean_right"),
+            round(col("m.bss"), 6).as("bss"))
+          .orderBy("split_day")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |p AS (SELECT day, n,
+             |        SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) AS cums,
+             |        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+             |      FROM d),
+             |t AS (SELECT SUM(n) AS ts_, COUNT(*) AS nd FROM d),
+             |c AS (SELECT day, k AS nl, t.nd - k AS nr, cums AS sl,
+             |        t.ts_ - cums AS sr, CAST(t.ts_ AS DOUBLE) / t.nd AS mu
+             |      FROM p CROSS JOIN t WHERE k < t.nd),
+             |b AS (SELECT day, nl, nr,
+             |        CAST(sl AS DOUBLE) / nl AS ml,
+             |        CAST(sr AS DOUBLE) / nr AS mr, mu
+             |      FROM c),
+             |sc AS (SELECT day, nl, nr, ml, mr,
+             |         nl * (ml - mu) * (ml - mu) + nr * (mr - mu) * (mr - mu)
+             |           AS bss
+             |       FROM b)
+             |SELECT day AS split_day, CAST(nl AS BIGINT) AS n_days_left,
+             |  CAST(nr AS BIGINT) AS n_days_right,
+             |  round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+             |  round(bss, 6) AS bss
+             |FROM sc ORDER BY bss DESC, day LIMIT 1""".stripMargin)),
+
+    // Benford first-significant-digit audit (Benford 1938; Nigrini's
+    // fraud-detection staple) over order totals — the data-forensics
+    // gate that flags fabricated or truncated numeric columns before
+    // they poison downstream stats. The digit comes from the INTEGER
+    // cents string (round(price·100) stringified), never floor(log10(x))
+    // — which can misbin exact powers of ten by one ulp of libm skew.
+    // Expected shares are ln(1+1/d)/ln(10); the chi² contribution per
+    // digit goes through round-6 + the DECIMAL bridge. Scale: one scan,
+    // one 9-cell aggregate — the whole audit is a map + tiny reduce.
+    QuerySpec(
+      "x144_benford",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(substring(round(col("o_totalprice") * 100, 0)
+            .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+        val n = o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = n.agg(sum(col("n_obs")).as("n_tot"))
+        n.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            (col("n_obs").cast("double") / col("n_tot")).as("obs"),
+            (log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)))
+              .as("exp_"), col("n_tot"))
+          .select(col("digit"), col("n_obs"),
+            round(col("obs"), 6).as("obs_share"),
+            round(col("exp_"), 6).as("benford_share"),
+            round(
+              (col("obs") - col("exp_")) * (col("obs") - col("exp_")) *
+                col("n_tot") / col("exp_"), 6).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH o AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+             |        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |      FROM orders),
+             |n AS (SELECT digit, COUNT(*) AS n_obs FROM o GROUP BY 1),
+             |t AS (SELECT SUM(n_obs) AS n_tot FROM n),
+             |s AS (SELECT digit, n_obs,
+             |        CAST(n_obs AS DOUBLE) / t.n_tot AS obs,
+             |        ln(1.0 + 1.0 / digit) / ln(10.0) AS exp_, t.n_tot
+             |      FROM n CROSS JOIN t)
+             |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+             |  round(obs, 6) AS obs_share,
+             |  round(exp_, 6) AS benford_share,
+             |  round((obs - exp_) * (obs - exp_) * n_tot / exp_, 6)
+             |    AS chi2_term
+             |FROM s ORDER BY digit""".stripMargin))
   )
 }
