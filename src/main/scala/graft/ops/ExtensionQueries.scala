@@ -6811,6 +6811,280 @@ object ExtensionQueries {
              |  round(exp_, 6) AS benford_share,
              |  round((obs - exp_) * (obs - exp_) * n_tot / exp_, 6)
              |    AS chi2_term
-             |FROM s ORDER BY digit""".stripMargin))
+             |FROM s ORDER BY digit""".stripMargin)),
+
+    // U-shaped (position-based) multi-touch attribution — the 40/20/40
+    // industry-standard credit split (first and last touch 0.4 each,
+    // middles share 0.2): each purchase's preceding 7 days of
+    // clicks/views by the same user form its path, and the purchase's
+    // credit is split across the path's items. Complements x80's funnel
+    // (did the path convert) with WHO gets the conversion. Shape: a
+    // user-keyed equi-join with a time-range predicate (the q37 range-
+    // join discipline — never a cross join), per-purchase position rank
+    // in a pid-partitioned window (bounded by path length), credits as
+    // exact rationals rounded to 6 dp and DECIMAL-summed so partition
+    // order can't move the hash; top-20 is a TakeOrdered, not a global
+    // sort.
+    QuerySpec(
+      "x145_attribution",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val touches = ev
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts").as("tts"),
+            col("event_id").as("tid"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("event_id").as("pid"))
+        val pairs = purch.join(touches, Seq("user_id"))
+          .filter(col("tts") < col("pts") &&
+            col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+        val wp = W.partitionBy("pid")
+        val ranked = pairs
+          .withColumn("k", row_number().over(wp.orderBy(col("tts"), col("tid")))
+            .cast("long"))
+          .withColumn("n", count(lit(1)).over(wp))
+        val credited = ranked.withColumn("credit",
+          when(col("n") === 1, 1.0)
+            .when(col("n") === 2, 0.5)
+            .when(col("k") === 1 || col("k") === col("n"), 0.4)
+            .otherwise(lit(0.2) / (col("n") - 2)))
+        credited.groupBy("item")
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(col("pid")).as("n_purchases"),
+            sum(round(col("credit"), 6).cast("decimal(18,6)"))
+              .cast("double").as("c"))
+          .select(col("item"), col("n_touches"), col("n_purchases"),
+            round(col("c"), 6).as("credit"))
+          .orderBy(col("credit").desc, col("item")).limit(20)
+      },
+      Some("""WITH t AS (SELECT user_id, ts AS tts, event_id AS tid,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item
+             |      FROM events WHERE event_type IN ('click', 'view')),
+             |p AS (SELECT user_id, ts AS pts, event_id AS pid
+             |      FROM events WHERE event_type = 'purchase'),
+             |pr AS (SELECT p.pid, t.tts, t.tid, t.item
+             |       FROM p JOIN t ON t.user_id = p.user_id
+             |         AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+             |r AS (SELECT pid, item,
+             |        CAST(row_number() OVER (PARTITION BY pid
+             |          ORDER BY tts, tid) AS BIGINT) AS k,
+             |        COUNT(*) OVER (PARTITION BY pid) AS n
+             |      FROM pr),
+             |c AS (SELECT pid, item,
+             |        CASE WHEN n = 1 THEN 1.0
+             |             WHEN n = 2 THEN 0.5
+             |             WHEN k = 1 OR k = n THEN 0.4
+             |             ELSE 0.2 / (n - 2) END AS credit
+             |      FROM r)
+             |SELECT item, COUNT(*) AS n_touches,
+             |  COUNT(DISTINCT pid) AS n_purchases,
+             |  round(CAST(SUM(CAST(round(credit, 6) AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS credit
+             |FROM c GROUP BY item
+             |ORDER BY credit DESC, item LIMIT 20""".stripMargin)),
+
+    // Seasonal-naive forecast eval with MASE (Hyndman & Koehler 2006 —
+    // the scale-free forecast-accuracy standard): hold out the last 14
+    // days, forecast each as "same weekday last week", and price the
+    // holdout MAE against the TRAINING seasonal-naive MAE (the MASE
+    // denominator). MASE < 1 ⇒ beating the naive baseline — the
+    // go/no-go gate for promoting any fancier model (x122's Holt).
+    // Everything derives from the |days|-row count aggregate: the lag
+    // is a self equi-join on day = day−7 (never a window over the
+    // corpus), errors are integer |diffs|, means are exact-integer
+    // sums ÷ counts. Scale: one corpus aggregate, then |days| work.
+    QuerySpec(
+      "x146_mase_forecast",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val cut = d.agg(date_sub(max(col("day")), 14).as("cut"))
+        val lag = d.select(col("day"), col("n")).as("a")
+          .join(d.select(expr("date_add(day, 7)").as("day"),
+            col("n").as("n_lag")).as("b"), "day")
+          .crossJoin(broadcast(cut))
+          .select(col("day"), abs(col("n") - col("n_lag")).as("ae"),
+            (col("day") > col("cut")).as("is_test"))
+        lag.agg(
+            sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+            sum(when(!col("is_test"), col("ae")).otherwise(0L)).as("sa_train"),
+            sum(when(col("is_test"), col("ae")).otherwise(0L)).as("sa_test"))
+          .select(col("n_train"), col("n_test"),
+            round(col("sa_train").cast("double") / col("n_train"), 6)
+              .as("naive_mae_train"),
+            round(col("sa_test").cast("double") / col("n_test"), 6)
+              .as("mae_test"),
+            round((col("sa_test").cast("double") / col("n_test")) /
+              (col("sa_train").cast("double") / col("n_train")), 6)
+              .as("mase"))
+          .orderBy("n_train")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |cut AS (SELECT max(day) - 14 AS cut FROM d),
+             |lag AS (SELECT a.day, abs(a.n - b.n) AS ae,
+             |          a.day > cut.cut AS is_test
+             |        FROM d a JOIN d b ON a.day = b.day + 7 CROSS JOIN cut),
+             |m AS (SELECT
+             |        SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS n_train,
+             |        SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+             |        SUM(CASE WHEN NOT is_test THEN ae ELSE 0 END) AS sa_train,
+             |        SUM(CASE WHEN is_test THEN ae ELSE 0 END) AS sa_test
+             |      FROM lag)
+             |SELECT CAST(n_train AS BIGINT) AS n_train,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  round(CAST(sa_train AS DOUBLE) / n_train, 6) AS naive_mae_train,
+             |  round(CAST(sa_test AS DOUBLE) / n_test, 6) AS mae_test,
+             |  round((CAST(sa_test AS DOUBLE) / n_test) /
+             |        (CAST(sa_train AS DOUBLE) / n_train), 6) AS mase
+             |FROM m ORDER BY n_train""".stripMargin)),
+
+    // Histogram-approximated Gini coefficient (Lorenz 1905 / Gini 1912,
+    // grouped-data trapezoid form) of per-user purchase revenue — the
+    // concentration audit behind "does 1% of users carry the corpus",
+    // the revenue twin of x81's key-skew read. The EXACT Gini needs a
+    // global sort of all users (a corpus-scale window — Rule 1's
+    // scale-killer); the at-scale estimator bins users into 100
+    // revenue-range buckets and integrates the Lorenz curve over the
+    // bucket aggregate — the standard grouped-data approximation, error
+    // O(1/B). Per-user revenue and per-bucket mass go through the
+    // DECIMAL bridge so every downstream double derives from exact
+    // sums; the trapezoid sum itself is 100 rounded terms DECIMAL-
+    // summed. Scale: one user-keyed aggregate, one 100-row reduce.
+    QuerySpec(
+      "x147_gini_revenue",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double").as("rev"))
+        val ext = u.agg(min(col("rev")).as("rmin"), max(col("rev")).as("rmax"))
+        val b = u.crossJoin(broadcast(ext))
+          .select(when(col("rmax") === col("rmin"), 0L)
+            .otherwise(least(floor((col("rev") - col("rmin")) /
+                (col("rmax") - col("rmin")) * 100).cast("long"), lit(99L)))
+            .as("bucket"), col("rev"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("rev"), 6).cast("decimal(18,6)"))
+              .cast("double").as("brev"))
+        val wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+        val p = b.withColumn("cumrev", sum(col("brev")).over(wc))
+        val tot = b.agg(sum(col("cnt")).as("nu"),
+          sum(round(col("brev"), 6).cast("decimal(18,6)"))
+            .cast("double").as("tr"))
+        val terms = p.crossJoin(broadcast(tot))
+          .select(col("nu"), col("tr"),
+            round(col("cnt") * (lit(2.0) * col("cumrev") - col("brev")), 6)
+              .cast("decimal(18,6)").as("term"))
+        terms.groupBy("nu", "tr")
+          .agg(sum(col("term")).cast("double").as("s"))
+          .select(col("nu").as("n_users"), round(col("tr"), 6).as("total_rev"),
+            round(lit(1.0) - col("s") / (col("nu") * col("tr")), 6)
+              .as("gini"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS rev
+             |      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |ext AS (SELECT MIN(rev) AS rmin, MAX(rev) AS rmax FROM u),
+             |b AS (SELECT CASE WHEN ext.rmax = ext.rmin THEN 0
+             |        ELSE LEAST(CAST(FLOOR((rev - ext.rmin) /
+             |          (ext.rmax - ext.rmin) * 100) AS BIGINT), 99) END
+             |        AS bucket, rev
+             |      FROM u CROSS JOIN ext),
+             |h AS (SELECT bucket, COUNT(*) AS cnt,
+             |        CAST(SUM(CAST(round(rev, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS brev
+             |      FROM b GROUP BY 1),
+             |p AS (SELECT bucket, cnt, brev,
+             |        SUM(brev) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) AS cumrev
+             |      FROM h),
+             |t AS (SELECT SUM(cnt) AS nu,
+             |        CAST(SUM(CAST(round(brev, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS tr FROM h),
+             |s AS (SELECT t.nu, t.tr,
+             |        CAST(SUM(CAST(round(cnt * (2.0 * cumrev - brev), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |      FROM p CROSS JOIN t GROUP BY t.nu, t.tr)
+             |SELECT CAST(nu AS BIGINT) AS n_users, round(tr, 6) AS total_rev,
+             |  round(1.0 - s / (nu * tr), 6) AS gini
+             |FROM s ORDER BY n_users""".stripMargin)),
+
+    // A/B power analysis (Cohen 1988 closed forms): the PLANNING read
+    // completing the x133 (Welch+SRM) / x125 (CUPED) / x129 (KS) /
+    // x135 (Mann-Whitney) suite — given the observed variance, the
+    // minimum detectable effect at α=0.05 / 80% power
+    // ((z_{α/2}+z_β)·√(v_a/n_a + v_b/n_b), z = 1.96 + 0.8416), and the
+    // per-arm n required to detect a 1% relative lift. Pure closed-form
+    // arithmetic on the same exact integer moments as x133 — one
+    // user-keyed aggregate and a 1-row reduce; every double derives
+    // from integer sums so cross-engine equality is exact.
+    QuerySpec(
+      "x148_ab_power",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+          .select((col("user_id") % 2).as("variant"), col("y"))
+        u.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sa"),
+            sum(when(col("variant") === 0, col("y") * col("y")).otherwise(0L))
+              .as("ssa"),
+            sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sb"),
+            sum(when(col("variant") === 1, col("y") * col("y")).otherwise(0L))
+              .as("ssb"))
+          .select(col("na"), col("nb"),
+            (col("sa").cast("double") / col("na")).as("ma"),
+            expr("CAST(ssa * na - sa * sa AS DOUBLE) / (CAST(na AS DOUBLE) * (na - 1))").as("va"),
+            expr("CAST(ssb * nb - sb * sb AS DOUBLE) / (CAST(nb AS DOUBLE) * (nb - 1))").as("vb"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            round(col("ma"), 6).as("mean_a"),
+            round(lit(2.8016) * sqrt(col("va") / col("na") +
+              col("vb") / col("nb")), 6).as("mde_abs"),
+            round(lit(2.8016) * sqrt(col("va") / col("na") +
+              col("vb") / col("nb")) / col("ma"), 6).as("mde_rel"),
+            round(lit(2.8016) * lit(2.8016) * (col("va") + col("vb")) /
+              (lit(0.01) * col("ma") * lit(0.01) * col("ma")), 6)
+              .as("n_per_arm_1pct"))
+          .orderBy("n_a")
+      },
+      Some("""WITH u AS (SELECT user_id % 2 AS variant,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |m AS (SELECT
+             |        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+             |        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+             |        SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sa,
+             |        SUM(CASE WHEN variant = 0 THEN y * y ELSE 0 END) AS ssa,
+             |        SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS sb,
+             |        SUM(CASE WHEN variant = 1 THEN y * y ELSE 0 END) AS ssb
+             |      FROM u),
+             |v AS (SELECT na, nb, CAST(sa AS DOUBLE) / na AS ma,
+             |        CAST(ssa * na - sa * sa AS DOUBLE)
+             |          / (CAST(na AS DOUBLE) * (na - 1)) AS va,
+             |        CAST(ssb * nb - sb * sb AS DOUBLE)
+             |          / (CAST(nb AS DOUBLE) * (nb - 1)) AS vb
+             |      FROM m)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  round(ma, 6) AS mean_a,
+             |  round(2.8016 * sqrt(va / na + vb / nb), 6) AS mde_abs,
+             |  round(2.8016 * sqrt(va / na + vb / nb) / ma, 6) AS mde_rel,
+             |  round(2.8016 * 2.8016 * (va + vb) /
+             |    (0.01 * ma * 0.01 * ma), 6) AS n_per_arm_1pct
+             |FROM v ORDER BY n_a""".stripMargin))
   )
 }
