@@ -52,7 +52,14 @@ object Explain {
       "x119_quantile_normalize", "x120_label_propagation",
       "x121_logreg_train", "x122_holt_trend", "x123_audio_features",
       "x124_kaplan_meier", "x125_cuped", "x126_dp_counts",
-      "x127_pca_power", "x128_negative_samples", "x129_ks_test")
+      "x127_pca_power", "x128_negative_samples", "x129_ks_test",
+      "x130_binary_hamming_ann", "x131_zonemap_prune", "x132_mv_incremental",
+      "x133_ab_welch_srm", "x134_acf_daily", "x135_mann_whitney",
+      "x136_dow_seasonality", "x137_bootstrap_ci", "x138_pareto_frontier",
+      "x139_khop_reach", "x140_kcore", "x141_ndcg_eval",
+      "x142_bucketed_join", "x143_changepoint", "x144_benford",
+      "x145_attribution", "x146_mase_forecast", "x147_gini_revenue",
+      "x148_ab_power")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -90,7 +90,17 @@ object ScaleProbe {
       // record-linkage name-group table keeps its 64 distinct names while
       // group sizes grow 10x (what the group-collapse discipline absorbs).
       val li = Tables.lineitem(spark, baseSf)
-      val oMax = li.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+      val ords = Tables.orders(spark, baseSf)
+      // shared orderkey offset across lineitem AND orders so replicated
+      // join keys still align (x142's bucketed fact-fact join)
+      val oMax = math.max(
+        li.agg(max(col("l_orderkey"))).head.getLong(0),
+        ords.agg(max(col("o_orderkey"))).head.getLong(0)) + 1L
+      ords.crossJoin(spark.range(10).toDF("rep"))
+        .select((col("o_orderkey") + col("rep") * oMax).as("o_orderkey") +:
+          ords.columns.filterNot(_ == "o_orderkey").map(col): _*)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
       li.crossJoin(spark.range(10).toDF("rep"))
         .select((col("l_orderkey") + col("rep") * oMax).as("l_orderkey") +:
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)
