@@ -7085,6 +7085,272 @@ object ExtensionQueries {
              |  round(2.8016 * sqrt(va / na + vb / nb) / ma, 6) AS mde_rel,
              |  round(2.8016 * 2.8016 * (va + vb) /
              |    (0.01 * ma * 0.01 * ma), 6) AS n_per_arm_1pct
-             |FROM v ORDER BY n_a""".stripMargin))
+             |FROM v ORDER BY n_a""".stripMargin)),
+
+    // Out-of-fold target encoding (the CatBoost/Kaggle mean-encoding
+    // discipline, Micci-Barreca 2001 smoothing): encode the categorical
+    // `item` by its purchase rate computed with the example's OWN fold
+    // HELD OUT — enc(item, fold) = (Σ_item − Σ_fold + α·prior) /
+    // (n_item − n_fold + α) — the leakage-safe form (naive target
+    // encoding leaks the label through its own row; the x88 discipline
+    // applied to features). Everything reduces to integer (item) and
+    // (item, fold) count/sum aggregates joined on slim keys; the global
+    // prior broadcasts as one row. Scale: two aggregates over one scan,
+    // |items|·5 output cells, no windows, no corpus-size joins.
+    QuerySpec(
+      "x149_target_encoding",
+      (s, dir) => {
+        val alpha = 10.0
+        val ev = Tables.events(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')")
+            .as("item"), (col("user_id") % 5).as("fold"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val byItem = ev.groupBy("item")
+          .agg(count(lit(1)).as("ni"), sum(col("y")).as("si"))
+        val byFold = ev.groupBy("item", "fold")
+          .agg(count(lit(1)).as("nf"), sum(col("y")).as("sf"))
+        val prior = ev.agg((sum(col("y")).cast("double") / count(lit(1)))
+          .as("prior"))
+        byFold.join(byItem, "item").crossJoin(broadcast(prior))
+          .select(col("item"), col("fold"), col("nf").as("n_rows"),
+            round(((col("si") - col("sf")).cast("double") +
+                lit(alpha) * col("prior")) /
+              ((col("ni") - col("nf")).cast("double") + lit(alpha)), 6)
+              .as("enc"))
+          .orderBy("item", "fold")
+      },
+      Some("""WITH ev AS (SELECT
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        user_id % 5 AS fold,
+             |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |      FROM events),
+             |bi AS (SELECT item, COUNT(*) AS ni, SUM(y) AS si
+             |       FROM ev GROUP BY 1),
+             |bf AS (SELECT item, fold, COUNT(*) AS nf, SUM(y) AS sf
+             |       FROM ev GROUP BY 1, 2),
+             |pr AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS prior FROM ev)
+             |SELECT bf.item AS item, CAST(bf.fold AS BIGINT) AS fold,
+             |  CAST(bf.nf AS BIGINT) AS n_rows,
+             |  round((CAST(bi.si - bf.sf AS DOUBLE) + 10.0 * pr.prior) /
+             |        (CAST(bi.ni - bf.nf AS DOUBLE) + 10.0), 6) AS enc
+             |FROM bf JOIN bi ON bi.item = bf.item CROSS JOIN pr
+             |ORDER BY item, fold""".stripMargin)),
+
+    // Decision-stump training (CART's single split, Breiman et al. 1984;
+    // the weak learner under every boosted tree): the click-count
+    // threshold that best separates purchasers by Gini impurity
+    // reduction. Candidate thresholds are the |distinct click-count|
+    // grid (bounded by the max per-user count, not the corpus);
+    // left/right class counts come from integer prefix sums over that
+    // aggregate (Rule-1-safe window), so the impurity gain is a
+    // deterministic double from exact integers and the argmax —
+    // max(struct) with a smallest-threshold tie-break — cannot diverge
+    // cross-engine. Complements x121 (logreg = linear) with the tree
+    // side of the classical pair. Scale: one user-keyed aggregate, then
+    // |distinct x| work.
+    QuerySpec(
+      "x150_stump_train",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val g = u.groupBy("x")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+        val wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+        val pre = g.withColumn("cn", sum(col("n")).over(wc))
+          .withColumn("cp", sum(col("p")).over(wc))
+        val tot = g.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
+        val scored = pre.crossJoin(broadcast(tot))
+          .filter(col("cn") < col("tn"))
+          .select(col("x"), col("cn"), col("cp"), col("tn"), col("tp"),
+            (col("tn") - col("cn")).as("rn"), (col("tp") - col("cp")).as("rp"))
+          .select(col("x"), col("cn"), col("rn"),
+            (col("cp").cast("double") / col("cn")).as("rl"),
+            (col("rp").cast("double") / col("rn")).as("rr"),
+            col("tn"), col("tp"))
+          .select(col("x"), col("cn"), col("rn"), col("rl"), col("rr"),
+            ((lit(1.0) - (col("tp").cast("double") / col("tn")) *
+                (col("tp").cast("double") / col("tn")) -
+              (lit(1.0) - col("tp").cast("double") / col("tn")) *
+                (lit(1.0) - col("tp").cast("double") / col("tn"))) -
+              (col("cn").cast("double") / col("tn")) *
+                (lit(1.0) - col("rl") * col("rl") -
+                  (lit(1.0) - col("rl")) * (lit(1.0) - col("rl"))) -
+              (col("rn").cast("double") / col("tn")) *
+                (lit(1.0) - col("rr") * col("rr") -
+                  (lit(1.0) - col("rr")) * (lit(1.0) - col("rr"))))
+              .as("gain"))
+        scored.agg(max(struct(col("gain"), (-col("x")).as("nx"), col("cn"),
+            col("rn"), col("rl"), col("rr"))).as("m"))
+          .select((-col("m.nx")).as("split_le"),
+            col("m.cn").as("n_left"), col("m.rn").as("n_right"),
+            round(col("m.rl"), 6).as("rate_left"),
+            round(col("m.rr"), 6).as("rate_right"),
+            round(col("m.gain"), 6).as("gini_gain"))
+          .orderBy("split_le")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |g AS (SELECT x, COUNT(*) AS n, SUM(y) AS p FROM u GROUP BY 1),
+             |pre AS (SELECT x, n, p,
+             |          SUM(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+             |            PRECEDING AND CURRENT ROW) AS cn,
+             |          SUM(p) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+             |            PRECEDING AND CURRENT ROW) AS cp
+             |        FROM g),
+             |t AS (SELECT SUM(n) AS tn, SUM(p) AS tp FROM g),
+             |sc AS (SELECT x, cn, cp, t.tn, t.tp, t.tn - cn AS rn,
+             |         t.tp - cp AS rp
+             |       FROM pre CROSS JOIN t WHERE cn < t.tn),
+             |r AS (SELECT x, cn, rn,
+             |        CAST(cp AS DOUBLE) / cn AS rl,
+             |        CAST(rp AS DOUBLE) / rn AS rr, tn, tp
+             |      FROM sc),
+             |sd AS (SELECT x, cn, rn, rl, rr,
+             |         (1.0 - (CAST(tp AS DOUBLE) / tn) * (CAST(tp AS DOUBLE) / tn)
+             |            - (1.0 - CAST(tp AS DOUBLE) / tn) * (1.0 - CAST(tp AS DOUBLE) / tn))
+             |         - (CAST(cn AS DOUBLE) / tn) *
+             |             (1.0 - rl * rl - (1.0 - rl) * (1.0 - rl))
+             |         - (CAST(rn AS DOUBLE) / tn) *
+             |             (1.0 - rr * rr - (1.0 - rr) * (1.0 - rr)) AS gain
+             |       FROM r)
+             |SELECT CAST(x AS BIGINT) AS split_le, CAST(cn AS BIGINT) AS n_left,
+             |  CAST(rn AS BIGINT) AS n_right,
+             |  round(rl, 6) AS rate_left, round(rr, 6) AS rate_right,
+             |  round(gain, 6) AS gini_gain
+             |FROM sd ORDER BY gain DESC, x LIMIT 1""".stripMargin)),
+
+    // Mutual-information feature ranking (Cover & Thomas; the filter-
+    // method feature selector): MI between each bucketed behavioral
+    // feature (clicks, views, errors per user, binned 0/1/2/3+) and the
+    // purchased label, from exact integer contingency counts — the
+    // feature-selection read before training x121's logreg or x150's
+    // stump. Each feature's MI sums ≤8 cell terms (p·ln(p/(px·py)))
+    // rounded to 6 dp through the DECIMAL bridge; contingency tables are
+    // map-side-combined aggregates over one scan (stack unpivots the
+    // per-user row into (feature, bin) pairs row-locally). Scale: one
+    // user-keyed aggregate, 3·4·2 bounded cells.
+    QuerySpec(
+      "x151_feature_mi",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("clicks"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("views"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("errors"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("y"))
+        val binned = u.select(col("y"), expr(
+          """stack(3,
+            |  'clicks', least(clicks, 3L),
+            |  'views',  least(views, 3L),
+            |  'errors', least(errors, 3L)) AS (feature, bin)
+            |""".stripMargin))
+        val cells = binned.groupBy("feature", "bin", "y")
+          .agg(count(lit(1)).as("nxy"))
+        val nx = cells.groupBy("feature", "bin").agg(sum("nxy").as("nx"))
+        val ny = cells.groupBy("feature", "y").agg(sum("nxy").as("ny"))
+        val nn = cells.groupBy("feature").agg(sum("nxy").as("nn"))
+        cells.join(nx, Seq("feature", "bin")).join(ny, Seq("feature", "y"))
+          .join(nn, "feature")
+          .select(col("feature"),
+            round((col("nxy").cast("double") / col("nn")) *
+              log((col("nxy").cast("double") * col("nn")) /
+                (col("nx").cast("double") * col("ny"))), 6)
+              .cast("decimal(18,6)").as("term"))
+          .groupBy("feature")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("term")).cast("double").as("mi"))
+          .select(col("feature"), col("n_cells"), round(col("mi"), 6).as("mi"))
+          .orderBy(col("mi").desc, col("feature"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+             |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+             |        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+             |        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |b AS (SELECT y, 'clicks' AS feature, LEAST(clicks, 3) AS bin FROM u
+             |      UNION ALL
+             |      SELECT y, 'views', LEAST(views, 3) FROM u
+             |      UNION ALL
+             |      SELECT y, 'errors', LEAST(errors, 3) FROM u),
+             |c AS (SELECT feature, bin, y, COUNT(*) AS nxy
+             |      FROM b GROUP BY 1, 2, 3),
+             |nx AS (SELECT feature, bin, SUM(nxy) AS nx FROM c GROUP BY 1, 2),
+             |ny AS (SELECT feature, y, SUM(nxy) AS ny FROM c GROUP BY 1, 2),
+             |nn AS (SELECT feature, SUM(nxy) AS nn FROM c GROUP BY 1),
+             |t AS (SELECT c.feature,
+             |        CAST(round((CAST(c.nxy AS DOUBLE) / nn.nn) *
+             |          ln((CAST(c.nxy AS DOUBLE) * nn.nn) /
+             |             (CAST(nx.nx AS DOUBLE) * ny.ny)), 6)
+             |          AS DECIMAL(18,6)) AS term
+             |      FROM c JOIN nx ON nx.feature = c.feature AND nx.bin = c.bin
+             |        JOIN ny ON ny.feature = c.feature AND ny.y = c.y
+             |        JOIN nn ON nn.feature = c.feature)
+             |SELECT feature, COUNT(*) AS n_cells,
+             |  round(CAST(SUM(term) AS DOUBLE), 6) AS mi
+             |FROM t GROUP BY feature
+             |ORDER BY mi DESC, feature""".stripMargin)),
+
+    // Join-cardinality estimation audit (Selinger et al. 1979 — the
+    // System R containment assumption every cost-based optimizer still
+    // ships): |R ⋈ S| ≈ |R|·|S| / max(ndv_R, ndv_S) vs the exact
+    // Σ_k n_R(k)·n_S(k) truth, on orders ⋈ customer. Quantifies WHY the
+    // estimator misses under skew — the diagnosis behind x81's skew
+    // audit and the AQE skew-join fallback: at 100 TB a 10× cardinality
+    // miss is the difference between a broadcast plan and an OOM. All
+    // counts/NDVs are exact integer aggregates on slim key columns; the
+    // exact truth is a key-grouped count join, never a materialized
+    // row-level join. One row out.
+    QuerySpec(
+      "x152_join_cardinality",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        val om = o.agg(count(lit(1)).as("n_o"),
+          countDistinct(col("k")).as("ndv_o"))
+        val cm = c.agg(count(lit(1)).as("n_c"),
+          countDistinct(col("k")).as("ndv_c"))
+        val actual = o.groupBy("k").agg(count(lit(1)).as("no"))
+          .join(c.groupBy("k").agg(count(lit(1)).as("nc")), "k")
+          .agg(sum(col("no") * col("nc")).as("actual"))
+        om.crossJoin(broadcast(cm)).crossJoin(broadcast(actual))
+          .select(col("n_o"), col("n_c"), col("ndv_o"), col("ndv_c"),
+            (col("n_o") * col("n_c") /
+              greatest(col("ndv_o"), col("ndv_c"))).as("est"),
+            col("actual"))
+          .select(col("n_o"), col("n_c"), col("ndv_o"), col("ndv_c"),
+            round(col("est"), 6).as("est_systemr"), col("actual"),
+            round(col("est") / col("actual"), 6).as("est_over_actual"))
+          .orderBy("n_o")
+      },
+      Some("""WITH om AS (SELECT COUNT(*) AS n_o,
+             |        COUNT(DISTINCT o_custkey) AS ndv_o FROM orders),
+             |cm AS (SELECT COUNT(*) AS n_c,
+             |        COUNT(DISTINCT c_custkey) AS ndv_c FROM customer),
+             |a AS (SELECT SUM(og.no * cg.nc) AS actual FROM
+             |        (SELECT o_custkey AS k, COUNT(*) AS no
+             |         FROM orders GROUP BY 1) og
+             |      JOIN (SELECT c_custkey AS k, COUNT(*) AS nc
+             |            FROM customer GROUP BY 1) cg ON cg.k = og.k)
+             |SELECT CAST(om.n_o AS BIGINT) AS n_o, CAST(cm.n_c AS BIGINT) AS n_c,
+             |  CAST(om.ndv_o AS BIGINT) AS ndv_o,
+             |  CAST(cm.ndv_c AS BIGINT) AS ndv_c,
+             |  round(om.n_o * cm.n_c / GREATEST(om.ndv_o, cm.ndv_c), 6)
+             |    AS est_systemr,
+             |  CAST(a.actual AS BIGINT) AS actual,
+             |  round((om.n_o * cm.n_c / GREATEST(om.ndv_o, cm.ndv_c))
+             |    / a.actual, 6) AS est_over_actual
+             |FROM om CROSS JOIN cm CROSS JOIN a ORDER BY n_o""".stripMargin))
   )
 }
