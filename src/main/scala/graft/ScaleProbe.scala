@@ -106,6 +106,12 @@ object ScaleProbe {
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+      // customer passes through UNCHANGED: orders replicate 10x with
+      // o_custkey untouched, so per-customer order counts grow 10x over a
+      // fixed dimension — the fact-deepens-over-dim shape x152's
+      // cardinality audit should see (skew grows, NDV doesn't).
+      Tables.customer(spark, baseSf).coalesce(4)
+        .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
       val pt = Tables.part(spark, baseSf)
       val pMax = pt.agg(max(col("p_partkey"))).head.getLong(0) + 1L
       pt.crossJoin(spark.range(10).toDF("rep"))
