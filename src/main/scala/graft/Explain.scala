@@ -59,7 +59,9 @@ object Explain {
       "x139_khop_reach", "x140_kcore", "x141_ndcg_eval",
       "x142_bucketed_join", "x143_changepoint", "x144_benford",
       "x145_attribution", "x146_mase_forecast", "x147_gini_revenue",
-      "x148_ab_power")
+      "x148_ab_power", "x149_target_encoding", "x150_stump_train",
+      "x151_feature_mi", "x152_join_cardinality", "x153_schema_evolution",
+      "x154_partition_pruning")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

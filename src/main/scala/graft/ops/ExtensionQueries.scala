@@ -7351,6 +7351,109 @@ object ExtensionQueries {
              |  CAST(a.actual AS BIGINT) AS actual,
              |  round((om.n_o * cm.n_c / GREATEST(om.ndv_o, cm.ndv_c))
              |    / a.actual, 6) AS est_over_actual
-             |FROM om CROSS JOIN cm CROSS JOIN a ORDER BY n_o""".stripMargin))
+             |FROM om CROSS JOIN cm CROSS JOIN a ORDER BY n_o""".stripMargin)),
+
+    // Parquet schema evolution via mergeSchema — the lake-mechanics
+    // reality every long-lived 100 TB table hits: an old snapshot
+    // written WITHOUT a column and a new snapshot WITH it must read back
+    // as one table (old rows null-filled), and downstream aggregates
+    // must stay null-correct. The op writes both snapshot vintages to a
+    // per-invocation scratch root (x83 discipline), reads them unioned
+    // with `mergeSchema=true`, and reports per-type completeness of the
+    // late-added column + its null-skipping sum — the audit that catches
+    // "the new column silently reads as all-null". The oracle replays
+    // the vintage split from the source table (value visible iff the row
+    // is in the post-cut vintage), so a hash match proves the merged
+    // read equals the logical union. The 1-row cut collect is k-sized
+    // by construction; snapshots partition on the date predicate only.
+    QuerySpec(
+      "x153_schema_evolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_schema_evo").toString
+        deleteOnExit(tmp)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            col("event_type"), col("value"))
+        val cut = ev.agg(date_sub(max(col("day")), 30)).head.getDate(0)
+        ev.filter(col("day") < lit(cut))
+          .select(col("user_id"), col("day"), col("event_type"))
+          .write.mode("overwrite").parquet(s"$tmp/snap_v1")
+        ev.filter(col("day") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$tmp/snap_v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/snap_v1", s"$tmp/snap_v2")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("value")).as("n_with_value"),
+            sum(round(col("value"), 6).cast("decimal(18,6)"))
+              .cast("double").as("v"))
+          .select(col("event_type"), col("n_rows"), col("n_with_value"),
+            round(col("n_with_value").cast("double") / col("n_rows"), 6)
+              .as("completeness"),
+            round(col("v"), 6).as("value_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |        event_type, value FROM events),
+             |cut AS (SELECT MAX(day) - 30 AS cut FROM ev),
+             |m AS (SELECT event_type,
+             |        CASE WHEN day >= cut.cut THEN value ELSE NULL END AS value
+             |      FROM ev CROSS JOIN cut)
+             |SELECT event_type, COUNT(*) AS n_rows,
+             |  COUNT(value) AS n_with_value,
+             |  round(CAST(COUNT(value) AS DOUBLE) / COUNT(*), 6)
+             |    AS completeness,
+             |  round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS value_sum
+             |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Partitioned write + static partition pruning — the other half of
+    // the x142 pay-at-write-time story and the single biggest scan
+    // saver on a date-partitioned 100 TB lake: events land partitioned
+    // by month (dynamic partition overwrite is the idempotent-ingest
+    // mode the streams already use), and a month-filtered read must
+    // prune to ONE directory — PartitionFilters, not row filters
+    // (PlansSpec asserts the scan's partitionFilters are non-empty and
+    // pushdown happens at the DIRECTORY level). The filter month is
+    // collected from the source (k-sized) and planted as a literal so
+    // pruning is static, no DPP needed. Oracle replays the same month
+    // predicate over the source table.
+    QuerySpec(
+      "x154_partition_pruning",
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_part_prune").toString
+        deleteOnExit(tmp)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+            (year(to_date(col("ts"))) * 100 + month(to_date(col("ts"))))
+              .cast("long").as("mth"))
+        ev.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("mth").parquet(tmp)
+        val mSel = ev.agg(max(col("mth"))).head.getLong(0)
+        s.read.parquet(tmp)
+          .filter(col("mth") === mSel)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(round(col("value"), 6).cast("decimal(18,6)"))
+              .cast("double").as("v"))
+          .select(col("event_type"), col("n_events"), col("n_users"),
+            round(col("v"), 6).as("value_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, value,
+             |        CAST(year(CAST(ts AS DATE)) * 100 +
+             |             month(CAST(ts AS DATE)) AS BIGINT) AS mth
+             |      FROM events),
+             |sel AS (SELECT MAX(mth) AS m FROM ev)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS value_sum
+             |FROM ev CROSS JOIN sel WHERE ev.mth = sel.m
+             |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

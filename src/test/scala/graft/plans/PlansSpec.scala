@@ -110,6 +110,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("x154 month filter prunes at the DIRECTORY level (PartitionFilters)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = SparkEntry.queries("x154_partition_pruning")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "x154 shows no FileSourceScanExec")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "x154's month predicate did not become a partition filter — the " +
+        "scan would read every month's directory at 100 TB")
+  }
+
   test("x142 bucketed join consumes table partitioning: zero Exchange under the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
