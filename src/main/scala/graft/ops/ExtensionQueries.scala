@@ -23,6 +23,84 @@ object ExtensionQueries {
     * selector all derive from this one value. */
   private val BpeNumMerges = 20
 
+  /** Shared item co-occurrence graph builders (x85 / x101 / x114 / x120 /
+    * x139 / x140): the distinct (user, day, item) context grain, the
+    * same-context pair counts with a min-support filter, and the
+    * symmetric (src, dst, w) edge list. ONE definition so the context
+    * grain and the props→item extraction can't drift between the graph
+    * ops (they were six inline copies before round 8's review). */
+  private def itemContexts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+      .distinct()
+
+  /** Same-context item pairs (ia < ib) with co-occurrence count `w`,
+    * kept when w >= minW. */
+  private def itemPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      minW: Int): org.apache.spark.sql.DataFrame = {
+    val ctx = itemContexts(s, dir)
+    ctx.as("a").join(ctx.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+  }
+
+  /** Symmetric weighted edge list (both directions of every pair). */
+  private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String,
+      minW: Int): org.apache.spark.sql.DataFrame = {
+    val pairs = itemPairs(s, dir, minW)
+    pairs.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
+      .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst"),
+        col("w")))
+  }
+
+  /** x130/x141 shared sign-bit packing: 64-dim float embedding → two
+    * 32-bit sign words in BIGINTs (lo = dims 0–31, hi = 32–63). */
+  private val PackLoExpr: String =
+    """aggregate(sequence(0, 31), 0L, (acc, j) ->
+      |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+      |           shiftleft(1L, j), 0L))""".stripMargin
+  private val PackHiExpr: String =
+    """aggregate(sequence(32, 63), 0L, (acc, j) ->
+      |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
+      |           shiftleft(1L, j - 32), 0L))""".stripMargin
+
+  /** x130/x141 shared exact cosine over (qe, ce) float arrays, rounded
+    * to 4 dp BEFORE ranking (cross-engine float-order discipline). */
+  private val CosineSim4Expr: String =
+    """round(
+      |  aggregate(zip_with(qe, ce,
+      |      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+      |    0.0D, (acc, x) -> acc + x)
+      |  / (sqrt(aggregate(qe, 0.0D,
+      |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |   * sqrt(aggregate(ce, 0.0D,
+      |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+      |  4)""".stripMargin
+
+  /** x130/x141 shared oracle CTE: the same sign-bit packing in DuckDB. */
+  private val BinPackOracleCte: String =
+    """p AS (
+             |  SELECT vec_id,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END
+             |         for j in range(0, 32)]) AS BIGINT) AS lo,
+             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
+             |         THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END
+             |         for j in range(32, 64)]) AS BIGINT) AS hi
+             |  FROM embeddings)"""
+
+  /** x130/x141 shared oracle CTEs: double-cast embeddings + L2 norms. */
+  private val EmbNormOracleCte: String =
+    """e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |n AS (SELECT vec_id, emb,
+             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e)"""
+
   /** Recursively delete `dir` at JVM exit — for per-invocation scratch
     * roots (x83) whose contents must outlive the query body (the returned
     * DataFrame lazily re-reads them) but not the process. One hook for
@@ -3309,19 +3387,13 @@ object ExtensionQueries {
     QuerySpec(
       "x85_item_pmi",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
+        val ctx = itemContexts(s, dir)
         val nCtx = ctx.select(col("user_id"), col("day")).distinct()
           .agg(count(lit(1)).as("n_ctx"))
         val ic = ctx.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 3)
+        val pairs = itemPairs(s, dir, 3)
+          .select(col("ia").as("item_a"), col("ib").as("item_b"),
+            col("w").as("n_ab"))
         pairs
           .join(ic.select(col("item").as("item_a"), col("n_i").as("n_a")),
             "item_a")
@@ -4083,18 +4155,7 @@ object ExtensionQueries {
     QuerySpec(
       "x101_item_pagerank",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3)
-        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
-          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+        val edges = itemEdges(s, dir, 3)
         val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
         val e2 = edges.join(wout, "src")
         val nodes = edges.select(col("src").as("v")).distinct()
@@ -4725,16 +4786,8 @@ object ExtensionQueries {
     QuerySpec(
       "x114_triangle_count",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
-        val und = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("a"), col("b.item").as("b"))
-          .agg(count(lit(1)).as("w")).filter(col("w") >= 3)
-          .select("a", "b")
+        val und = itemPairs(s, dir, 3)
+          .select(col("ia").as("a"), col("ib").as("b"))
         Graph.triangleStats(und).orderBy("v")
       },
       Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
@@ -5022,18 +5075,7 @@ object ExtensionQueries {
     QuerySpec(
       "x120_label_propagation",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3)
-        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"), col("w"))
-          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst"), col("w")))
+        val edges = itemEdges(s, dir, 3)
         Graph.labelPropagation(edges, rounds = 3)
           .select(col("v").as("item"), col("lab").as("community"))
           .orderBy("item")
@@ -5726,16 +5768,8 @@ object ExtensionQueries {
       "x130_binary_hamming_ann",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val packLo =
-          """aggregate(sequence(0, 31), 0L, (acc, j) ->
-            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
-            |           shiftleft(1L, j), 0L))""".stripMargin
-        val packHi =
-          """aggregate(sequence(32, 63), 0L, (acc, j) ->
-            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
-            |           shiftleft(1L, j - 32), 0L))""".stripMargin
-        val codes = e.select(col("vec_id"), expr(packLo).as("lo"),
-          expr(packHi).as("hi"))
+        val codes = e.select(col("vec_id"), expr(PackLoExpr).as("lo"),
+          expr(PackHiExpr).as("hi"))
         val q = codes.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("lo").as("qlo"),
             col("hi").as("qhi"))
@@ -5749,33 +5783,15 @@ object ExtensionQueries {
           .filter(col("hrn") <= 20).drop("hrn")
         val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val ce = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        val sim =
-          """round(
-            |  aggregate(zip_with(qe, ce,
-            |      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-            |    0.0D, (acc, x) -> acc + x)
-            |  / (sqrt(aggregate(qe, 0.0D,
-            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-            |   * sqrt(aggregate(ce, 0.0D,
-            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-            |  4)""".stripMargin
         val wr = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
         short.join(broadcast(qe), "qid").join(ce, "cid")
-          .select(col("qid"), col("cid"), col("ham"), expr(sim).as("sim"))
+          .select(col("qid"), col("cid"), col("ham"), expr(CosineSim4Expr).as("sim"))
           .withColumn("rn", row_number().over(wr).cast("long"))
           .filter(col("rn") <= 5)
           .orderBy("qid", "rn")
       },
-      Some("""WITH p AS (
-             |  SELECT vec_id,
-             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
-             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END
-             |         for j in range(0, 32)]) AS BIGINT) AS lo,
-             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
-             |         THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END
-             |         for j in range(32, 64)]) AS BIGINT) AS hi
-             |  FROM embeddings),
+      Some(s"""WITH $BinPackOracleCte,
              |h AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
              |        CAST(bit_count(xor(q.lo, c.lo))
              |           + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS ham
@@ -5784,10 +5800,7 @@ object ExtensionQueries {
              |s AS (SELECT qid, cid, ham,
              |        row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS hrn
              |      FROM h QUALIFY hrn <= 20),
-             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
-             |      FROM embeddings),
-             |n AS (SELECT vec_id, emb,
-             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |$EmbNormOracleCte,
              |f AS (SELECT s.qid, s.cid, s.ham, q.nrm AS qn, c.nrm AS cn,
              |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
              |      FROM s JOIN n q ON q.vec_id = s.qid
@@ -6263,6 +6276,7 @@ object ExtensionQueries {
           .groupBy(col("user_id"))
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("y"))
+          .localCheckpoint() // one corpus scan feeds both the fan-out and pt
         val reps = s.range(0, 201).select(col("id").as("r"))
         val w = u.crossJoin(broadcast(reps))
           .select(col("y"), col("r"),
@@ -6343,6 +6357,7 @@ object ExtensionQueries {
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .select(col("doc_id"), size(col("toks")).as("n_tokens"),
             size(array_distinct(col("toks"))).as("n_distinct"))
+          .localCheckpoint() // one tokenize pass feeds both g and the join
         val g = d.groupBy("n_tokens")
           .agg(max(col("n_distinct")).as("maxy"))
         val wv = W.orderBy("n_tokens")
@@ -6387,28 +6402,21 @@ object ExtensionQueries {
     QuerySpec(
       "x139_khop_reach",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3)
-        val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        val edges = itemEdges(s, dir, 3).select("src", "dst")
           .localCheckpoint()
+        // filter the phantom NULL row an agg-on-empty produces, so an
+        // empty graph yields an EMPTY seed (matching the oracle's
+        // LIMIT 1 over zero rows), and coalesce hop 0's sum like hops 1-3
         val seed = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .agg(max(struct(col("deg"), (-col("src")).as("ns"))).as("m"))
+          .filter(col("m.ns").isNotNull)
           .select((-col("m.ns")).as("v"))
           .localCheckpoint()
         var visited = seed
         var frontier = seed
         val rows = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         rows += seed.agg(lit(0L).as("hop"), count(lit(1)).as("n_new"),
-          sum(col("v")).cast("long").as("sum_items"))
+          coalesce(sum(col("v")), lit(0L)).cast("long").as("sum_items"))
         for (h <- 1 to 3) {
           frontier = edges.join(frontier.select(col("v").as("src")), "src")
             .select(col("dst").as("v")).distinct()
@@ -6465,18 +6473,7 @@ object ExtensionQueries {
     QuerySpec(
       "x140_kcore",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .distinct()
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-        var cur = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-          .unionByName(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        var cur = itemEdges(s, dir, 2).select("src", "dst")
           .localCheckpoint()
         val prof = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         prof += cur.agg(lit(0L).as("round"),
@@ -6547,16 +6544,8 @@ object ExtensionQueries {
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(s, dir)
-        val packLo =
-          """aggregate(sequence(0, 31), 0L, (acc, j) ->
-            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
-            |           shiftleft(1L, j), 0L))""".stripMargin
-        val packHi =
-          """aggregate(sequence(32, 63), 0L, (acc, j) ->
-            |  acc + IF(CAST(element_at(embedding, j + 1) AS DOUBLE) > 0.0D,
-            |           shiftleft(1L, j - 32), 0L))""".stripMargin
-        val codes = e.select(col("vec_id"), expr(packLo).as("lo"),
-          expr(packHi).as("hi"))
+        val codes = e.select(col("vec_id"), expr(PackLoExpr).as("lo"),
+          expr(PackHiExpr).as("hi"))
         val q = codes.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("lo").as("qlo"),
             col("hi").as("qhi"))
@@ -6567,22 +6556,12 @@ object ExtensionQueries {
               .cast("long").as("ham"))
           .withColumn("p", row_number().over(wq).cast("long"))
           .filter(col("p") <= 10)
-        val sim =
-          """round(
-            |  aggregate(zip_with(qe, ce,
-            |      (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-            |    0.0D, (acc, x) -> acc + x)
-            |  / (sqrt(aggregate(qe, 0.0D,
-            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-            |   * sqrt(aggregate(ce, 0.0D,
-            |       (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-            |  4)""".stripMargin
         val qe = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val wr = W.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
         val rel = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
           .crossJoin(broadcast(qe)).filter(col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"), expr(sim).as("sim"))
+          .select(col("qid"), col("cid"), expr(CosineSim4Expr).as("sim"))
           .withColumn("xr", row_number().over(wr).cast("long"))
           .filter(col("xr") <= 10)
           .select(col("qid"), col("cid"), (lit(11L) - col("xr")).as("rel"))
@@ -6603,15 +6582,7 @@ object ExtensionQueries {
             round(col("dcg") / col("idcg"), 6).as("ndcg"))
           .orderBy("qid")
       },
-      Some("""WITH p AS (
-             |  SELECT vec_id,
-             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
-             |         THEN (1::BIGINT << j) ELSE 0::BIGINT END
-             |         for j in range(0, 32)]) AS BIGINT) AS lo,
-             |    CAST(list_sum([CASE WHEN embedding[j + 1] > 0
-             |         THEN (1::BIGINT << (j - 32)) ELSE 0::BIGINT END
-             |         for j in range(32, 64)]) AS BIGINT) AS hi
-             |  FROM embeddings),
+      Some(s"""WITH $BinPackOracleCte,
              |ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
              |        CAST(bit_count(xor(q.lo, c.lo))
              |           + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS ham
@@ -6621,10 +6592,7 @@ object ExtensionQueries {
              |        CAST(row_number() OVER (PARTITION BY qid
              |          ORDER BY ham, cid) AS BIGINT) AS pp
              |      FROM ap QUALIFY pp <= 10),
-             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
-             |      FROM embeddings),
-             |n AS (SELECT vec_id, emb,
-             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |$EmbNormOracleCte,
              |f AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
              |        q.nrm AS qn, c.nrm AS cn,
              |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
@@ -6717,9 +6685,13 @@ object ExtensionQueries {
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
         val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        // window rides INSIDE the checkpoint (the x128 discipline: the
+        // aggregate stays below the window for the plan gate, and the one
+        // corpus scan feeds both p's prefix sums and tot's totals)
         val p = d.withColumn("cums", sum(col("n")).over(wc))
           .withColumn("k", row_number().over(W.orderBy("day")).cast("long"))
-        val tot = d.agg(sum(col("n")).as("ts_"), count(lit(1)).as("nd"))
+          .localCheckpoint()
+        val tot = p.agg(sum(col("n")).as("ts_"), count(lit(1)).as("nd"))
         val cand = p.crossJoin(broadcast(tot))
           .filter(col("k") < col("nd"))
           .select(col("day"), col("k").as("nl"), (col("nd") - col("k")).as("nr"),
@@ -6735,6 +6707,9 @@ object ExtensionQueries {
         cand.agg(max(struct(col("bss"),
             (-datediff(col("day"), lit("1970-01-01"))).as("nd"),
             col("nl"), col("nr"), col("ml"), col("mr"))).as("m"))
+          // agg-on-empty yields one all-NULL row where the oracle's
+          // LIMIT 1 yields none (single-day series) — drop it
+          .filter(col("m.nd").isNotNull)
           .select(date_add(lit("1970-01-01"), -col("m.nd")).as("split_day"),
             col("m.nl").as("n_days_left"), col("m.nr").as("n_days_right"),
             round(col("m.ml"), 6).as("mean_left"),
@@ -6966,6 +6941,7 @@ object ExtensionQueries {
           .groupBy(col("user_id"))
           .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
             .cast("double").as("rev"))
+          .localCheckpoint() // one corpus scan feeds both ext and the binning
         val ext = u.agg(min(col("rev")).as("rmin"), max(col("rev")).as("rmax"))
         val b = u.crossJoin(broadcast(ext))
           .select(when(col("rmax") === col("rmin"), 0L)
@@ -7105,12 +7081,15 @@ object ExtensionQueries {
           .select(expr("variant_get(parse_json(props), '$.k', 'int')")
             .as("item"), (col("user_id") % 5).as("fold"),
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-        val byItem = ev.groupBy("item")
-          .agg(count(lit(1)).as("ni"), sum(col("y")).as("si"))
+        // ONE corpus scan + JSON parse: byItem and prior are exact
+        // rollups of the checkpointed |items|·5-row fold aggregate
         val byFold = ev.groupBy("item", "fold")
           .agg(count(lit(1)).as("nf"), sum(col("y")).as("sf"))
-        val prior = ev.agg((sum(col("y")).cast("double") / count(lit(1)))
-          .as("prior"))
+          .localCheckpoint()
+        val byItem = byFold.groupBy("item")
+          .agg(sum(col("nf")).as("ni"), sum(col("sf")).as("si"))
+        val prior = byFold.agg((sum(col("sf")).cast("double") /
+          sum(col("nf"))).as("prior"))
         byFold.join(byItem, "item").crossJoin(broadcast(prior))
           .select(col("item"), col("fold"), col("nf").as("n_rows"),
             round(((col("si") - col("sf")).cast("double") +
@@ -7161,9 +7140,12 @@ object ExtensionQueries {
         val g = u.groupBy("x")
           .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
         val wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+        // window rides INSIDE the checkpoint (x128 discipline) so the one
+        // corpus scan feeds both the prefix sums and the totals
         val pre = g.withColumn("cn", sum(col("n")).over(wc))
           .withColumn("cp", sum(col("p")).over(wc))
-        val tot = g.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
+          .localCheckpoint()
+        val tot = pre.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
         val scored = pre.crossJoin(broadcast(tot))
           .filter(col("cn") < col("tn"))
           .select(col("x"), col("cn"), col("cp"), col("tn"), col("tp"),
@@ -7186,6 +7168,9 @@ object ExtensionQueries {
               .as("gain"))
         scored.agg(max(struct(col("gain"), (-col("x")).as("nx"), col("cn"),
             col("rn"), col("rl"), col("rr"))).as("m"))
+          // agg-on-empty parity with the oracle's LIMIT 1 (all users at
+          // one distinct click-count leaves no candidate split)
+          .filter(col("m.nx").isNotNull)
           .select((-col("m.nx")).as("split_le"),
             col("m.cn").as("n_left"), col("m.rn").as("n_right"),
             round(col("m.rl"), 6).as("rate_left"),
