@@ -6679,44 +6679,10 @@ object ExtensionQueries {
     // Scale: one corpus day-count aggregate, then |days|-bounded work.
     QuerySpec(
       "x143_changepoint",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val d = Tables.events(s, dir)
+      (s, dir) => DailySeries.changepoint(
+        Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-        // window rides INSIDE the checkpoint (the x128 discipline: the
-        // aggregate stays below the window for the plan gate, and the one
-        // corpus scan feeds both p's prefix sums and tot's totals)
-        val p = d.withColumn("cums", sum(col("n")).over(wc))
-          .withColumn("k", row_number().over(W.orderBy("day")).cast("long"))
-          .localCheckpoint()
-        val tot = p.agg(sum(col("n")).as("ts_"), count(lit(1)).as("nd"))
-        val cand = p.crossJoin(broadcast(tot))
-          .filter(col("k") < col("nd"))
-          .select(col("day"), col("k").as("nl"), (col("nd") - col("k")).as("nr"),
-            col("cums").as("sl"), (col("ts_") - col("cums")).as("sr"),
-            (col("ts_").cast("double") / col("nd")).as("mu"))
-          .select(col("day"), col("nl"), col("nr"),
-            (col("sl").cast("double") / col("nl")).as("ml"),
-            (col("sr").cast("double") / col("nr")).as("mr"), col("mu"))
-          .select(col("day"), col("nl"), col("nr"), col("ml"), col("mr"),
-            (col("nl") * (col("ml") - col("mu")) * (col("ml") - col("mu")) +
-              col("nr") * (col("mr") - col("mu")) * (col("mr") - col("mu")))
-              .as("bss"))
-        cand.agg(max(struct(col("bss"),
-            (-datediff(col("day"), lit("1970-01-01"))).as("nd"),
-            col("nl"), col("nr"), col("ml"), col("mr"))).as("m"))
-          // agg-on-empty yields one all-NULL row where the oracle's
-          // LIMIT 1 yields none (single-day series) — drop it
-          .filter(col("m.nd").isNotNull)
-          .select(date_add(lit("1970-01-01"), -col("m.nd")).as("split_day"),
-            col("m.nl").as("n_days_left"), col("m.nr").as("n_days_right"),
-            round(col("m.ml"), 6).as("mean_left"),
-            round(col("m.mr"), 6).as("mean_right"),
-            round(col("m.bss"), 6).as("bss"))
-          .orderBy("split_day")
-      },
+          .agg(count(lit(1)).as("n"))),
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
              |      FROM events GROUP BY 1),
              |p AS (SELECT day, n,
@@ -6873,33 +6839,11 @@ object ExtensionQueries {
     // sums ÷ counts. Scale: one corpus aggregate, then |days| work.
     QuerySpec(
       "x146_mase_forecast",
-      (s, dir) => {
-        val d = Tables.events(s, dir)
+      (s, dir) => DailySeries.maseForecast(
+        Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        val cut = d.agg(date_sub(max(col("day")), 14).as("cut"))
-        val lag = d.select(col("day"), col("n")).as("a")
-          .join(d.select(expr("date_add(day, 7)").as("day"),
-            col("n").as("n_lag")).as("b"), "day")
-          .crossJoin(broadcast(cut))
-          .select(col("day"), abs(col("n") - col("n_lag")).as("ae"),
-            (col("day") > col("cut")).as("is_test"))
-        lag.agg(
-            sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
-            sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
-            sum(when(!col("is_test"), col("ae")).otherwise(0L)).as("sa_train"),
-            sum(when(col("is_test"), col("ae")).otherwise(0L)).as("sa_test"))
-          .select(col("n_train"), col("n_test"),
-            round(col("sa_train").cast("double") / col("n_train"), 6)
-              .as("naive_mae_train"),
-            round(col("sa_test").cast("double") / col("n_test"), 6)
-              .as("mae_test"),
-            round((col("sa_test").cast("double") / col("n_test")) /
-              (col("sa_train").cast("double") / col("n_train")), 6)
-              .as("mase"))
-          .orderBy("n_train")
-      },
+          .localCheckpoint()),
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
              |      FROM events GROUP BY 1),
              |cut AS (SELECT max(day) - 14 AS cut FROM d),
