@@ -7383,6 +7383,92 @@ object ExtensionQueries {
              |  round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
              |    AS DOUBLE), 6) AS value_sum
              |FROM ev CROSS JOIN sel WHERE ev.mth = sel.m
-             |GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Deterministic weighted random walks (DeepWalk, Perozzi et al.
+    // 2014 / node2vec's data-generation stage): 2 walks of 3 steps from
+    // every node of the item co-occurrence graph, next hop drawn ∝ edge
+    // weight. The draw device makes this distributed AND replayable:
+    // per-node neighbor lists carry cumulative weights (src-partitioned
+    // window, bounded per node), and "sample ∝ w" becomes an INTERVAL-
+    // CONTAINMENT equi-join — target = md5₄₈(v0, r, step) mod W(cur),
+    // pick the one neighbor whose (cum−w, cum] interval contains it. No
+    // per-row loops, no broadcast folds: each step is one slim equi-join
+    // on the current frontier (|nodes|·R rows), exactly how a 100 TB
+    // walk corpus is generated. The oracle replays every hop with the
+    // same hash arithmetic.
+    QuerySpec(
+      "x155_random_walks",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val nbr = itemEdges(s, dir, 3)
+          .withColumn("cum", sum(col("w")).over(
+            W.partitionBy("src").orderBy("dst")
+              .rowsBetween(W.unboundedPreceding, 0)))
+          .localCheckpoint()
+        val wt = nbr.groupBy("src").agg(max(col("cum")).as("wtot"))
+        var cur = nbr.select(col("src").as("v0")).distinct()
+          .crossJoin(broadcast(s.range(0, 2).select(col("id").as("r"))))
+          .select(col("v0"), col("r"), col("v0").as("cur"),
+            col("v0").cast("string").as("path"))
+        for (t <- 1 to 3) {
+          cur = cur
+            .join(wt.select(col("src").as("cur"), col("wtot")), "cur")
+            .withColumn("target", pmod(conv(substring(md5(concat(
+                lit("graft-walk-42:"), col("v0").cast("string"), lit(":"),
+                col("r").cast("string"), lit(":"), lit(t).cast("string"))),
+              1, 12), 16, 10).cast("long"), col("wtot")))
+            .join(nbr.select(col("src").as("cur"), col("dst"), col("w"),
+              col("cum")), "cur")
+            .filter(col("target") >= col("cum") - col("w") &&
+              col("target") < col("cum"))
+            .select(col("v0"), col("r"), col("dst").as("cur"),
+              concat(col("path"), lit(">"), col("dst").cast("string"))
+                .as("path"))
+        }
+        cur.select(col("v0"), col("r"), col("cur").as("v_end"), col("path"))
+          .orderBy("v0", "r")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |         AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc
+             |      UNION ALL SELECT ib, ia, w FROM pc),
+             |nbr AS (SELECT src, dst, w,
+             |          SUM(w) OVER (PARTITION BY src ORDER BY dst
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |            AS cum
+             |        FROM e),
+             |wt AS (SELECT src, MAX(cum) AS wtot FROM nbr GROUP BY 1),
+             |w0 AS (SELECT DISTINCT nbr.src AS v0, t.r
+             |       FROM nbr CROSS JOIN range(0, 2) t(r)),
+             |s1 AS (SELECT w0.v0, w0.r, nb.dst AS cur
+             |       FROM w0 JOIN wt ON wt.src = w0.v0
+             |       JOIN nbr nb ON nb.src = w0.v0
+             |       WHERE CAST(('0x' || substr(md5('graft-walk-42:' ||
+             |           CAST(w0.v0 AS VARCHAR) || ':' || CAST(w0.r AS VARCHAR)
+             |           || ':1'), 1, 12)) AS BIGINT) % wt.wtot
+             |         BETWEEN nb.cum - nb.w AND nb.cum - 1),
+             |s2 AS (SELECT s1.v0, s1.r, s1.cur AS v1, nb.dst AS cur
+             |       FROM s1 JOIN wt ON wt.src = s1.cur
+             |       JOIN nbr nb ON nb.src = s1.cur
+             |       WHERE CAST(('0x' || substr(md5('graft-walk-42:' ||
+             |           CAST(s1.v0 AS VARCHAR) || ':' || CAST(s1.r AS VARCHAR)
+             |           || ':2'), 1, 12)) AS BIGINT) % wt.wtot
+             |         BETWEEN nb.cum - nb.w AND nb.cum - 1),
+             |s3 AS (SELECT s2.v0, s2.r, s2.v1, s2.cur AS v2, nb.dst AS cur
+             |       FROM s2 JOIN wt ON wt.src = s2.cur
+             |       JOIN nbr nb ON nb.src = s2.cur
+             |       WHERE CAST(('0x' || substr(md5('graft-walk-42:' ||
+             |           CAST(s2.v0 AS VARCHAR) || ':' || CAST(s2.r AS VARCHAR)
+             |           || ':3'), 1, 12)) AS BIGINT) % wt.wtot
+             |         BETWEEN nb.cum - nb.w AND nb.cum - 1)
+             |SELECT v0, CAST(r AS BIGINT) AS r, cur AS v_end,
+             |  CAST(v0 AS VARCHAR) || '>' || CAST(v1 AS VARCHAR) || '>' ||
+             |    CAST(v2 AS VARCHAR) || '>' || CAST(cur AS VARCHAR) AS path
+             |FROM s3 ORDER BY v0, r""".stripMargin))
   )
 }
