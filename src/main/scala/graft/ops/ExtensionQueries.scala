@@ -7469,6 +7469,84 @@ object ExtensionQueries {
              |SELECT v0, CAST(r AS BIGINT) AS r, cur AS v_end,
              |  CAST(v0 AS VARCHAR) || '>' || CAST(v1 AS VARCHAR) || '>' ||
              |    CAST(v2 AS VARCHAR) || '>' || CAST(cur AS VARCHAR) AS path
-             |FROM s3 ORDER BY v0, r""".stripMargin))
+             |FROM s3 ORDER BY v0, r""".stripMargin)),
+
+    // Quantile fitting by pinball-loss grid argmin (Koenker & Bassett
+    // 1978's check loss; the objective every quantile-regression and
+    // GBM-quantile fit minimizes): q10/q50/q90 of per-user purchase
+    // revenue fit by scoring a bounded 100-point candidate grid — the
+    // OPTIMIZATION view of quantiles, vs q36/x137's order-statistic
+    // view, and the device that generalizes to conditional quantiles
+    // where sorting can't. Shape is the x137 map-side fan-out: |users|
+    // slim rows × (100 candidates · 3 τ) broadcast, partial-aggregated
+    // into 300 cells; loss terms round-6 + DECIMAL bridge so add order
+    // can't move the argmin; ties resolve to the smallest candidate via
+    // min(struct). The exact percentile rides along for the fit-error
+    // read. Scale: one user-keyed aggregate, one 300-cell reduce.
+    QuerySpec(
+      "x156_pinball_quantiles",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double").as("rev"))
+          .localCheckpoint()
+        val ext = u.agg(min(col("rev")).as("rmin"), max(col("rev")).as("rmax"))
+        val grid = s.range(0, 100).select(col("id").as("i"))
+          .crossJoin(broadcast(ext))
+          .select((col("rmin") + (col("i") + 0.5) *
+            (col("rmax") - col("rmin")) / 100.0).as("c"))
+        val taus = s.range(0, 3)
+          .select((element_at(array(lit(0.1), lit(0.5), lit(0.9)),
+            col("id").cast("int") + 1)).as("tau"))
+        val loss = u.crossJoin(broadcast(grid.crossJoin(taus)))
+          .select(col("tau"), col("c"),
+            round(greatest(col("tau") * (col("rev") - col("c")),
+              (col("tau") - 1.0) * (col("rev") - col("c"))), 6)
+              .cast("decimal(18,6)").as("term"))
+          .groupBy("tau", "c")
+          .agg(sum(col("term")).cast("double").as("loss"))
+        val best = loss.groupBy("tau")
+          .agg(min(struct(col("loss"), col("c"))).as("m"))
+        val exact = u.agg(
+          expr("percentile(rev, 0.1)").as("p10"),
+          expr("percentile(rev, 0.5)").as("p50"),
+          expr("percentile(rev, 0.9)").as("p90"))
+        best.crossJoin(broadcast(exact))
+          .select(col("tau"), round(col("m.c"), 6).as("q_fit"),
+            round(col("m.loss"), 6).as("pinball_loss"),
+            round(when(col("tau") === 0.1, col("p10"))
+              .when(col("tau") === 0.5, col("p50"))
+              .otherwise(col("p90")), 6).as("q_exact"))
+          .orderBy("tau")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS rev
+             |      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |ext AS (SELECT MIN(rev) AS rmin, MAX(rev) AS rmax FROM u),
+             |grid AS (SELECT ext.rmin + (t.i + 0.5) * (ext.rmax - ext.rmin)
+             |           / 100.0 AS c
+             |         FROM range(0, 100) t(i) CROSS JOIN ext),
+             |taus AS (SELECT unnest([0.1, 0.5, 0.9]) AS tau),
+             |l AS (SELECT taus.tau, grid.c,
+             |        CAST(SUM(CAST(round(GREATEST(
+             |            taus.tau * (u.rev - grid.c),
+             |            (taus.tau - 1.0) * (u.rev - grid.c)), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS loss
+             |      FROM u CROSS JOIN grid CROSS JOIN taus
+             |      GROUP BY 1, 2),
+             |b AS (SELECT tau, c, loss,
+             |        row_number() OVER (PARTITION BY tau ORDER BY loss, c)
+             |          AS rn
+             |      FROM l),
+             |ex AS (SELECT quantile_cont(rev, 0.1) AS p10,
+             |         quantile_cont(rev, 0.5) AS p50,
+             |         quantile_cont(rev, 0.9) AS p90 FROM u)
+             |SELECT tau, round(c, 6) AS q_fit, round(loss, 6) AS pinball_loss,
+             |  round(CASE WHEN tau = 0.1 THEN ex.p10
+             |        WHEN tau = 0.5 THEN ex.p50 ELSE ex.p90 END, 6) AS q_exact
+             |FROM b CROSS JOIN ex WHERE rn = 1 ORDER BY tau""".stripMargin))
   )
 }
