@@ -7547,6 +7547,125 @@ object ExtensionQueries {
              |SELECT tau, round(c, 6) AS q_fit, round(loss, 6) AS pinball_loss,
              |  round(CASE WHEN tau = 0.1 THEN ex.p10
              |        WHEN tau = 0.5 THEN ex.p50 ELSE ex.p90 END, 6) AS q_exact
-             |FROM b CROSS JOIN ex WHERE rn = 1 ORDER BY tau""".stripMargin))
+             |FROM b CROSS JOIN ex WHERE rn = 1 ORDER BY tau""".stripMargin)),
+
+    // One-way ANOVA (Fisher 1925) across a 3-arm split of per-user
+    // purchase counts — the >2-group generalization the pairwise suite
+    // (x133 Welch, x129 KS, x135 Mann-Whitney) can't cover: SSB/SSW
+    // from exact integer group moments (n, Σy, Σy² — the x133
+    // discipline, variance via n·Σy²−(Σy)² so add order can't move
+    // anything), F = (SSB/df_b)/(SSW/df_w). One user-keyed aggregate,
+    // one 3-cell reduce, one 1-row expression — nothing corpus-wide
+    // past the first groupBy.
+    QuerySpec(
+      "x157_anova",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+          .select((col("user_id") % 3).as("arm"), col("y"))
+        val g = u.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("ssy"))
+        g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+            sum(col("sy")).as("ts"),
+            // SSB = Σ s_g²/n_g − (Σs)²/N ; SSW = Σ ssy − Σ s_g²/n_g
+            sum(col("sy").cast("double") * col("sy") / col("n")).as("sb2"),
+            sum(col("ssy")).as("tss"))
+          .select(col("k"), col("nn").as("n_users"),
+            (col("sb2") - col("ts").cast("double") * col("ts") / col("nn"))
+              .as("ssb"),
+            (col("tss").cast("double") - col("sb2")).as("ssw"),
+            (col("k") - 1).as("df_b"), (col("nn") - col("k")).as("df_w"))
+          .select(col("k"), col("n_users"), round(col("ssb"), 6).as("ssb"),
+            round(col("ssw"), 6).as("ssw"), col("df_b"), col("df_w"),
+            round((col("ssb") / col("df_b")) / (col("ssw") / col("df_w")), 6)
+              .as("f_stat"))
+          .orderBy("k")
+      },
+      Some("""WITH u AS (SELECT user_id % 3 AS arm,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY user_id),
+             |g AS (SELECT arm, COUNT(*) AS n, SUM(y) AS sy,
+             |        SUM(y * y) AS ssy
+             |      FROM u GROUP BY 1),
+             |m AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sy) AS ts,
+             |        SUM(CAST(sy AS DOUBLE) * sy / n) AS sb2,
+             |        SUM(ssy) AS tss
+             |      FROM g),
+             |v AS (SELECT k, nn,
+             |        sb2 - CAST(ts AS DOUBLE) * ts / nn AS ssb,
+             |        CAST(tss AS DOUBLE) - sb2 AS ssw,
+             |        k - 1 AS df_b, nn - k AS df_w
+             |      FROM m)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_users,
+             |  round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+             |  CAST(df_b AS BIGINT) AS df_b, CAST(df_w AS BIGINT) AS df_w,
+             |  round((ssb / df_b) / (ssw / df_w), 6) AS f_stat
+             |FROM v ORDER BY k""".stripMargin)),
+
+    // Chi-square independence test + Cramér's V (Pearson 1900 /
+    // Cramér 1946) of event_type × day-of-week — the categorical-
+    // association audit ("is traffic mix stable across the week")
+    // complementing x136's per-dow level read and x105's PSI drift:
+    // expected cells from integer margins, 35 bounded (o−e)²/e terms
+    // through the round-6 DECIMAL bridge, effect size V =
+    // √(χ²/(N·min(r−1, c−1))) so the answer is comparable across table
+    // sizes. One scan into a ≤35-cell aggregate; margins join on slim
+    // keys; dow = epoch-day mod 7 (engine-portable, the x136 device).
+    QuerySpec(
+      "x158_cramers_v",
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("datediff(to_date(ts), DATE '1970-01-01') % 7")
+              .cast("long").as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+          .localCheckpoint() // one corpus scan feeds margins and cells
+        val rm = c.groupBy("event_type").agg(sum(col("o")).as("rt"))
+        val cm = c.groupBy("dow").agg(sum(col("o")).as("ct"))
+        val nn = c.agg(sum(col("o")).as("nn"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("dow")).as("cc"))
+        c.join(rm, "event_type").join(cm, "dow").crossJoin(broadcast(nn))
+          .select(col("nn"), col("r"), col("cc"),
+            round(
+              (col("o") - col("rt").cast("double") * col("ct") / col("nn")) *
+              (col("o") - col("rt").cast("double") * col("ct") / col("nn")) /
+              (col("rt").cast("double") * col("ct") / col("nn")), 6)
+              .cast("decimal(18,6)").as("term"))
+          .groupBy("nn", "r", "cc")
+          .agg(sum(col("term")).cast("double").as("chi2"))
+          .select(col("nn").as("n_events"), col("r").as("n_types"),
+            col("cc").as("n_dows"), round(col("chi2"), 6).as("chi2"),
+            round(sqrt(col("chi2") /
+              (col("nn") * least(col("r") - 1, col("cc") - 1))), 6)
+              .as("cramers_v"))
+          .orderBy("n_events")
+      },
+      Some("""WITH c AS (SELECT event_type,
+             |        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+             |          AS BIGINT) AS dow,
+             |        COUNT(*) AS o
+             |      FROM events GROUP BY 1, 2),
+             |rm AS (SELECT event_type, SUM(o) AS rt FROM c GROUP BY 1),
+             |cm AS (SELECT dow, SUM(o) AS ct FROM c GROUP BY 1),
+             |nn AS (SELECT SUM(o) AS nn, COUNT(DISTINCT event_type) AS r,
+             |         COUNT(DISTINCT dow) AS cc FROM c),
+             |t AS (SELECT nn.nn, nn.r, nn.cc,
+             |        CAST(round(
+             |          (c.o - CAST(rm.rt AS DOUBLE) * cm.ct / nn.nn) *
+             |          (c.o - CAST(rm.rt AS DOUBLE) * cm.ct / nn.nn) /
+             |          (CAST(rm.rt AS DOUBLE) * cm.ct / nn.nn), 6)
+             |          AS DECIMAL(18,6)) AS term
+             |      FROM c JOIN rm USING (event_type) JOIN cm USING (dow)
+             |        CROSS JOIN nn),
+             |x AS (SELECT nn, r, cc, CAST(SUM(term) AS DOUBLE) AS chi2
+             |      FROM t GROUP BY 1, 2, 3)
+             |SELECT CAST(nn AS BIGINT) AS n_events, CAST(r AS BIGINT) AS n_types,
+             |  CAST(cc AS BIGINT) AS n_dows, round(chi2, 6) AS chi2,
+             |  round(sqrt(chi2 / (nn * LEAST(r - 1, cc - 1))), 6) AS cramers_v
+             |FROM x ORDER BY n_events""".stripMargin))
   )
 }
