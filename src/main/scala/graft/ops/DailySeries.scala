@@ -82,8 +82,11 @@ object DailySeries {
           .as("naive_mae_train"),
         round(col("sa_test").cast("double") / col("n_test"), 6)
           .as("mae_test"),
-        round((col("sa_test").cast("double") / col("n_test")) /
-          (col("sa_train").cast("double") / col("n_train")), 6)
+        // a perfectly seasonal training window has MAE 0: NULL, not a
+        // DIVIDE_BY_ZERO crash under ANSI mode (oracle mirrors the CASE)
+        when(col("sa_train") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sa_test").cast("double") / col("n_test")) /
+            (col("sa_train").cast("double") / col("n_train")), 6))
           .as("mase"))
       .orderBy("n_train")
   }

@@ -6860,8 +6860,10 @@ object ExtensionQueries {
              |  CAST(n_test AS BIGINT) AS n_test,
              |  round(CAST(sa_train AS DOUBLE) / n_train, 6) AS naive_mae_train,
              |  round(CAST(sa_test AS DOUBLE) / n_test, 6) AS mae_test,
-             |  round((CAST(sa_test AS DOUBLE) / n_test) /
-             |        (CAST(sa_train AS DOUBLE) / n_train), 6) AS mase
+             |  CASE WHEN sa_train = 0 THEN NULL
+             |       ELSE round((CAST(sa_test AS DOUBLE) / n_test) /
+             |            (CAST(sa_train AS DOUBLE) / n_train), 6)
+             |  END AS mase
              |FROM m ORDER BY n_train""".stripMargin)),
 
     // Histogram-approximated Gini coefficient (Lorenz 1905 / Gini 1912,
