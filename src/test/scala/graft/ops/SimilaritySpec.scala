@@ -345,4 +345,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === best)
     assert(out.length === 8) // one row per source
   }
+
+  test("bitextMarginPairsAnn equals the brute form under a covering probe") {
+    // nProbe = #cells and k >= both side sizes make the IVF-PQ candidate
+    // set the full bipartite product and every k-NN list exhaustive, so
+    // the ANN plan must reproduce the brute margins bit-for-bit
+    val emb = Tables.embeddings(spark, sfDir)
+    val src = emb.filter(col("vec_id") < 6)
+    val tgt = emb.filter(col("vec_id") >= 8 && col("vec_id") < 14)
+    val k = 6
+    val codebook = Similarity
+      .seedVectors(emb, "vec_id", "embedding", (0L to 15L))
+      .map(_.map(_.toDouble).toArray).toArray
+    val brute = Similarity
+      .bitextMarginPairs(src, tgt, "vec_id", "embedding", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val ann = Similarity
+      .bitextMarginPairsAnn(src, tgt, "vec_id", "embedding", k,
+        nProbe = 2, srcSeeds = Seq(0L, 1L), tgtSeeds = Seq(8L, 9L),
+        m = 8, codebook)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(ann === brute)
+    assert(ann.length === 6)
+  }
 }
