@@ -61,7 +61,9 @@ object Explain {
       "x145_attribution", "x146_mase_forecast", "x147_gini_revenue",
       "x148_ab_power", "x149_target_encoding", "x150_stump_train",
       "x151_feature_mi", "x152_join_cardinality", "x153_schema_evolution",
-      "x154_partition_pruning", "x155_random_walks", "x156_pinball_quantiles", "x157_anova", "x158_cramers_v")
+      "x154_partition_pruning", "x155_random_walks", "x156_pinball_quantiles",
+      "x157_anova", "x158_cramers_v", "x159_prefixspan",
+      "x160_textrank_keywords", "x161_fd_discovery")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -142,6 +142,25 @@ object ExtensionQueries {
     exitTables.add((s, name))
   }
 
+  /** x161's oracle, generated from the same column list as the query so
+    * the 20 pair rows can't drift from the Spark side. */
+  private val fdDiscoveryOracle: String = {
+    val cs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority")
+    val singles = cs.map(c => s"COUNT(DISTINCT $c) AS d_$c")
+    val pairs = for { a <- cs; b <- cs if a != b }
+      yield s"COUNT(DISTINCT ($a, $b)) AS d_${a}__$b"
+    val rows = for { a <- cs; b <- cs if a != b } yield
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  CAST(d_$a AS BIGINT) AS ndv_lhs,
+         |  CAST(d_${a}__$b AS BIGINT) AS ndv_pair,
+         |  CAST(CASE WHEN d_${a}__$b = d_$a THEN 1 ELSE 0 END AS BIGINT) AS holds,
+         |  CAST(d_${a}__$b - d_$a AS BIGINT) AS extra_classes FROM m""".stripMargin
+    s"""WITH m AS (SELECT ${(singles ++ pairs).mkString(",\n  ")} FROM orders)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY lhs, rhs""".stripMargin
+  }
+
   /** x33/x35 shared oracle prefix: word counts -> recursive-CTE BPE
     * training state (the whole segmented vocab in one row per step). */
   private val bpeTrainCte: String =
@@ -2113,8 +2132,9 @@ object ExtensionQueries {
     QuerySpec(
       "x56_orc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_orc_docs").toString
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_orc_docs").toString
+        deleteOnExit(tmp)
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").orc(tmp)
@@ -2671,8 +2691,9 @@ object ExtensionQueries {
         val codebook = Similarity
           .seedVectors(e, "vec_id", "embedding", (0L to 15L))
           .map(_.map(_.toDouble).toArray).toArray
-        val idxDir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_ivfpq_index").toString
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_index").toString
+        deleteOnExit(idxDir)
         IvfPqIndex.build(e, "vec_id", "embedding",
             seedIds = (0L to 7L), m = 8, codebook)
           .save(idxDir)
@@ -5676,13 +5697,18 @@ object ExtensionQueries {
     // inverse-CDF sampled with the x86 seeded-uniform device so every
     // draw replays in SQL. The cumulative table is integer-micros
     // (exact cumsum over the |items|-bounded aggregate, Rule-1-safe
-    // window) and rides as ONE broadcast sorted struct array resolved
-    // row-locally with a filter HOF — the x119 lookup shape; the draw is
-    // target = md5₄₈(event, r) mod W. Output aggregates the 4·|ctx|
-    // draws per item and prices them against the theoretical w/W share —
-    // the sampler's distribution check. Scale: one item-count aggregate,
-    // one broadcast, one row-local 4-way fan-out + lookup, one |items|
-    // aggregate; nothing corpus-quadratic, no corpus-global window.
+    // window); the lookup is the x155 INTERVAL-CONTAINMENT device made
+    // an EQUI-join — each item's (cum−w, cum] interval explodes to the
+    // fixed-width buckets it overlaps (≈B+|items| slim rows, B=1024)
+    // and a draw probes only its own bucket's candidates, so per-draw
+    // cost is |items|/B + 1, not O(|items|) — containment-bounded for
+    // large item vocabularies (all bucket arithmetic is integer DIV:
+    // no overflow at any W). The draw is target = md5₄₈(event, r)
+    // mod W. Output aggregates the 4·|ctx| draws per item and prices
+    // them against the theoretical w/W share — the sampler's
+    // distribution check. Scale: one item-count aggregate, one
+    // broadcast bucket table, one equi-join, one |items| aggregate;
+    // nothing corpus-quadratic, no corpus-global window.
     QuerySpec(
       "x128_negative_samples",
       (s, dir) => {
@@ -5697,33 +5723,33 @@ object ExtensionQueries {
           .orderBy("item")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         // window rides INSIDE the checkpoint (aggregate-bounded input);
-        // the |items|-row result is shared by the lookup array, the
-        // final join, and bigw — one corpus scan total
+        // the |items|-row result is shared by the bucket table and the
+        // final join — one corpus scan total
         val cum = items.withColumn("cum", sum(col("w")).over(wCum))
           .localCheckpoint()
-        val packed = cum.agg(
-          expr("transform(sort_array(collect_list(struct(item, cum))), x -> x.item)")
-            .as("its"),
-          expr("transform(sort_array(collect_list(struct(item, cum))), x -> x.cum)")
-            .as("cums"),
-          max(col("cum")).as("bigw"))
-        // the md5 target threads through the fold ACCUMULATOR — inlined
-        // free-standing into the lambda, CollapseProject would re-evaluate
-        // the md5 per array element (measured 5x the whole query's cost)
+        val bigw = cum.agg(max(col("cum")).as("bigw"))
+        // every target in [0, W) lands in exactly one (cum−w, cum]
+        // interval (w >= 1), so the equi-join below picks exactly one
+        // item per draw — identical semantics to first-cum-above-target
+        val buckets = cum.crossJoin(broadcast(bigw))
+          .withColumn("width", expr("(bigw + 1023) div 1024"))
+          .select(col("item"), col("w"), col("cum"),
+            explode(sequence(expr("(cum - w) div width"),
+              expr("(cum - 1) div width"))).as("bkt"))
         val draws = Tables.events(s, dir)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), explode(sequence(lit(0), lit(3))).as("r"))
-          .crossJoin(broadcast(packed))
+          .crossJoin(broadcast(bigw))
+          .withColumn("width", expr("(bigw + 1023) div 1024"))
           .select(pmod(conv(substring(md5(concat(lit("graft-neg-42:"),
               col("event_id").cast("string"), lit(":"),
               col("r").cast("string"))), 1, 12), 16, 10).cast("long"),
-            col("bigw")).as("target"),
-            col("its"), col("cums"))
-          .select(expr(
-            """element_at(its, aggregate(cums, named_struct('t', target, 'k', 0),
-              |  (acc, c) -> named_struct('t', acc.t,
-              |    'k', acc.k + IF(c <= acc.t, 1, 0))).k + 1)
-              |""".stripMargin).as("item"))
+            col("bigw")).as("target"), col("width"))
+          .withColumn("bkt", expr("target div width"))
+          .join(broadcast(buckets), Seq("bkt"))
+          .filter(col("target") >= col("cum") - col("w") &&
+            col("target") < col("cum"))
+          .select(col("item"))
         val nDraws = draws.groupBy("item").agg(count(lit(1)).as("n_drawn"))
         // every draw picks exactly one item, so n_tot = 4·|purchases| —
         // a slim pushdown-friendly count, not a second pass over draws
@@ -5731,7 +5757,7 @@ object ExtensionQueries {
           .filter(col("event_type") === "purchase")
           .agg((count(lit(1)) * 4).as("n_tot"))
         nDraws.join(cum, "item")
-          .crossJoin(broadcast(packed.select(col("bigw"))))
+          .crossJoin(broadcast(bigw))
           .crossJoin(broadcast(tot))
           .select(col("item"), col("n_i"), col("n_drawn"),
             round(col("w").cast("double") / col("bigw"), 6).as("w_share"),
@@ -7791,6 +7817,170 @@ object ExtensionQueries {
              |SELECT CAST(nn AS BIGINT) AS n_events, CAST(r AS BIGINT) AS n_types,
              |  CAST(cc AS BIGINT) AS n_dows, round(chi2, 6) AS chi2,
              |  round(sqrt(chi2 / (nn * LEAST(r - 1, cc - 1))), 6) AS cramers_v
-             |FROM x ORDER BY n_events""".stripMargin))
+             |FROM x ORDER BY n_events""".stripMargin)),
+
+    // Sequential-pattern mining (PrefixSpan, Pei et al. ICDE 2001) over
+    // each user's first 8 events — the early-journey patterns ("what do
+    // users DO in order") that x79/x80/x98's fixed-order transitions and
+    // funnels can't discover, because here the frequent ORDERINGS emerge
+    // from the data. Greedy earliest-match projection makes the
+    // projected database one slim (user, prefix, pos) row per frequent
+    // prefix (SeqMine scaladoc has the argument); support pruning at
+    // minsup = 50% of users bounds candidate growth level by level (at
+    // this corpus: 25 → 14 frequent 2-seqs → 70, not 125, 3-candidates).
+    // Per-user windows only, equi-joins only, relative threshold so the
+    // query is meaningful at any corpus size.
+    QuerySpec(
+      "x159_prefixspan",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val first8 = Tables.events(s, dir)
+          .withColumn("rn0", row_number().over(w))
+          .filter(col("rn0") <= 8)
+        SeqMine.prefixSpan(first8, "user_id", "event_type",
+          Seq(col("ts"), col("event_id")), minSupFrac = 0.5, maxLen = 3)
+      },
+      Some("""WITH ev0 AS (SELECT user_id AS sid, event_type AS et, ts, event_id,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn0
+             |      FROM events),
+             |ev AS (SELECT sid, et,
+             |        CAST(row_number() OVER (PARTITION BY sid ORDER BY ts, event_id) AS BIGINT) AS rn
+             |      FROM ev0 WHERE rn0 <= 8),
+             |tu AS (SELECT COUNT(DISTINCT sid) AS nu FROM ev),
+             |g1 AS (SELECT sid, et AS pat, MIN(rn) AS pos FROM ev GROUP BY 1, 2),
+             |s1 AS (SELECT pat, COUNT(*) AS support FROM g1 GROUP BY 1),
+             |f1 AS (SELECT pat, support FROM s1 CROSS JOIN tu WHERE support >= ceil(0.5 * nu)),
+             |p1 AS (SELECT g1.sid, g1.pat, g1.pos FROM g1 JOIN f1 USING (pat)),
+             |g2 AS (SELECT p1.sid, p1.pat || '>' || ev.et AS pat, MIN(ev.rn) AS pos
+             |       FROM p1 JOIN ev ON ev.sid = p1.sid AND ev.rn > p1.pos GROUP BY 1, 2),
+             |s2 AS (SELECT pat, COUNT(*) AS support FROM g2 GROUP BY 1),
+             |f2 AS (SELECT pat, support FROM s2 CROSS JOIN tu WHERE support >= ceil(0.5 * nu)),
+             |p2 AS (SELECT g2.sid, g2.pat, g2.pos FROM g2 JOIN f2 USING (pat)),
+             |g3 AS (SELECT p2.sid, p2.pat || '>' || ev.et AS pat, MIN(ev.rn) AS pos
+             |       FROM p2 JOIN ev ON ev.sid = p2.sid AND ev.rn > p2.pos GROUP BY 1, 2),
+             |s3 AS (SELECT pat, COUNT(*) AS support FROM g3 GROUP BY 1),
+             |f3 AS (SELECT pat, support FROM s3 CROSS JOIN tu WHERE support >= ceil(0.5 * nu)),
+             |u AS (SELECT pat, 1 AS level, support FROM f1
+             |      UNION ALL SELECT pat, 2, support FROM f2
+             |      UNION ALL SELECT pat, 3, support FROM f3)
+             |SELECT pat AS pattern, CAST(level AS BIGINT) AS level,
+             |  CAST(support AS BIGINT) AS support,
+             |  round(CAST(support AS DOUBLE) / nu, 6) AS support_frac
+             |FROM u CROSS JOIN tu ORDER BY level, pattern""".stripMargin)),
+
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    // unsupervised corpus-keyword read: words (length >= 4, the classic
+    // content-word heuristic in lieu of POS tags) co-occurring within a
+    // 2-token window form a weighted undirected graph; 3 damped PageRank
+    // iterations (the x101 kernel, same DECIMAL-bridged contribution
+    // sums) rank them; top-20 out. Scale shape: the window join is EQUI
+    // on (doc, position+offset) — per-doc bounded, never cross-doc — the
+    // graph collapses to |vocab pairs| counts before any iteration, and
+    // each iteration is one edge equi-join + map-side-combined aggregate
+    // over the |vocab| node set; top-20 is a TakeOrdered.
+    QuerySpec(
+      "x160_textrank_keywords",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "wd")))
+          .filter(length(col("wd")) >= 4)
+        val offs = tok.select(col("doc_id"), col("p"), col("wd"),
+          explode(array(lit(1), lit(2))).as("off"))
+        val pairs = offs.alias("a").join(tok.alias("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+            col("b.p") === col("a.p") + col("a.off") &&
+            col("a.wd") =!= col("b.wd"))
+          .select(least(col("a.wd"), col("b.wd")).as("wa"),
+            greatest(col("a.wd"), col("b.wd")).as("wb"))
+        val pc = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        val edges = pc.select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+          .union(pc.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+          .localCheckpoint() // consumed by wout, nodes, and 3 iterations
+        val wout = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+        val e2 = edges.join(wout, "src")
+        val nodes = edges.select(col("src").as("v")).distinct()
+        val nN = nodes.agg(count(lit(1)).as("n"))
+        var pr = nodes.crossJoin(broadcast(nN))
+          .select(col("v"), round(lit(1.0) / col("n"), 6).as("pr"))
+        for (_ <- 1 to 3) {
+          pr = e2.join(pr.select(col("v").as("src"), col("pr")), "src")
+            .select(col("dst").as("v"),
+              round(col("pr") * col("w") / col("wout"), 6)
+                .cast("decimal(18,6)").as("c"))
+            .groupBy("v")
+            .agg(sum(col("c")).as("csum"))
+            .crossJoin(broadcast(nN))
+            .select(col("v"),
+              round(lit(0.15) / col("n") +
+                lit(0.85) * col("csum").cast("double"), 6).as("pr"))
+        }
+        pr.select(col("v").as("word"), col("pr"))
+          .orderBy(col("pr").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS wd, generate_subscripts(toks, 1) AS p FROM t),
+             |tk AS (SELECT doc_id, wd, p FROM tok WHERE length(wd) >= 4),
+             |pp AS (SELECT least(a.wd, b.wd) AS wa, greatest(a.wd, b.wd) AS wb
+             |       FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+             |         AND (b.p - a.p) IN (1, 2) AND a.wd <> b.wd),
+             |pc AS (SELECT wa, wb, COUNT(*) AS w FROM pp GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |e AS (SELECT wa AS src, wb AS dst, w FROM pc UNION ALL SELECT wb, wa, w FROM pc),
+             |wo AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+             |e2 AS (SELECT e.src, e.dst, e.w, wo.wout FROM e JOIN wo USING (src)),
+             |nodes AS (SELECT DISTINCT src AS v FROM e),
+             |nn AS (SELECT COUNT(*) AS n FROM nodes),
+             |pr0 AS (SELECT v, round(CAST(1.0 AS DOUBLE) / nn.n, 6) AS pr FROM nodes CROSS JOIN nn),
+             |pr1 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr0 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n),
+             |pr2 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr1 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n),
+             |pr3 AS (SELECT e2.dst AS v,
+             |          round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+             |            CAST(SUM(CAST(round(p.pr * e2.w / e2.wout, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS pr
+             |        FROM e2 JOIN pr2 p ON p.v = e2.src CROSS JOIN nn GROUP BY e2.dst, nn.n)
+             |SELECT v AS word, pr FROM pr3 ORDER BY pr DESC, word LIMIT 20""".stripMargin)),
+
+    // Functional-dependency discovery (the TANE family's level-1 check,
+    // Huhtala et al. 1999 — the schema-profiling gate that finds "A
+    // determines B" before a pipeline trusts a denormalization or picks
+    // a partition key): over 5 orders columns, FD A→B holds iff
+    // ndv(A) = ndv(A,B). ALL 25 distinct counts (5 singles + 20 pairs)
+    // ride ONE aggregate over ONE scan (multi-distinct plans as Expand —
+    // the x102 device: grouped row replication of slim pairs, no
+    // per-pair rescan), then the 1-row result unpivots via stack into
+    // the 20-row report with the violation magnitude (extra equivalence
+    // classes) per non-FD. Columns here are non-null so Spark's
+    // COUNT(DISTINCT a, b) and DuckDB's COUNT(DISTINCT (a, b)) agree.
+    QuerySpec(
+      "x161_fd_discovery",
+      (s, dir) => {
+        val cs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderdate", "o_orderpriority")
+        val o = Tables.orders(s, dir)
+        val aggs = cs.map(c => countDistinct(col(c)).as(s"d_$c")) ++
+          (for { a <- cs; b <- cs if a != b }
+            yield countDistinct(col(a), col(b)).as(s"d_${a}__$b"))
+        val m = o.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = (for { a <- cs; b <- cs if a != b }
+          yield s"'$a', '$b', d_$a, d_${a}__$b").mkString(", ")
+        val nPairs = cs.size * (cs.size - 1)
+        m.select(expr(
+            s"stack($nPairs, $stackArgs) AS (lhs, rhs, ndv_lhs, ndv_pair)"))
+          .select(col("lhs"), col("rhs"), col("ndv_lhs"), col("ndv_pair"),
+            (col("ndv_pair") === col("ndv_lhs")).cast("long").as("holds"),
+            (col("ndv_pair") - col("ndv_lhs")).as("extra_classes"))
+          .orderBy("lhs", "rhs")
+      },
+      Some(fdDiscoveryOracle))
   )
 }

@@ -116,30 +116,19 @@ object Quantized {
     best
   }
 
-  /** Lloyd k-means over quantized embeddings, `iters` assignment rounds,
-    * seeded by the rows with `id % seedMod == 0` in id order (the same
-    * corpus-rows-as-seeds device as Similarity.ivfTopKSeeded — k scales
-    * with the corpus and the oracle recomputes the seed set).
-    *
-    * Per round: centroids (k·dim Longs — the ONLY driver-side state)
-    * broadcast into a compiled argmin kernel; the update is one
-    * element-wise Long-array aggregation with map-side combine (no explode,
-    * no row blow-up). Empty clusters keep their previous centroid. Returns
-    * the flat (cluster, pos, sum_q, n) of the FINAL assignment — all
-    * integers, so the result is hash-stable under any partitioning.
-    */
-  def lloydKmeans(df: DataFrame, idCol: String, embCol: String,
-      seedMod: Long, scale: Double = 1e4, iters: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** Lloyd k-means over quantized embeddings with caller-supplied seed
+    * centroids (already quantized, in centroid-index order) — the
+    * explicit-seeds entry point for tests and for callers that manage
+    * their own (bounded) seed selection. Returns the flat
+    * (cluster, pos, sum_q, n) of the FINAL assignment — all integers, so
+    * the result is hash-stable under any partitioning. */
+  private[graft] def lloydKmeansSeeded(df: DataFrame, idCol: String,
+      embCol: String, seeds: Array[Array[Long]], scale: Double = 1e4,
+      iters: Int = 2): DataFrame = {
+    require(seeds.nonEmpty, "lloydKmeansSeeded: no seeds")
     val q = df.select(col(idCol).cast("long").as("id"),
         quantizeUdf(scale)(col(embCol)).as("q"))
-    val qds = q.as[(Long, Seq[Long])]
-
-    val seeds = qds.filter(_._1 % seedMod == 0L).collect().sortBy(_._1)
-      .map { case (_, v) => (v.toArray, 1L) }
-    require(seeds.nonEmpty, "lloydKmeans: no seed rows")
-    lloydRounds(q, seeds, iters)
+    lloydRounds(q, seeds.map((_, 1L)), iters)
   }
 
   /** Fixed-k Lloyd k-means: seeds = the `k` rows with the SMALLEST salted

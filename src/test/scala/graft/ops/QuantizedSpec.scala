@@ -41,9 +41,16 @@ class QuantizedSpec extends SparkSpec {
     assert(p1(0) === expected)
   }
 
-  test("lloydKmeans: two tight blobs separate, sums/n are exact integers") {
-    val out = Quantized.lloydKmeans(vecs, "vec_id", "embedding",
-        seedMod = 2L, scale = 1e4, iters = 2) // seeds: ids 0, 2, 4
+  // quantized vectors of ids 0, 2, 4 at scale 1e4 — the seed set the old
+  // id-mod rule produced, now passed explicitly
+  private def seeds024: Array[Array[Long]] = vecs
+    .filter(col("vec_id").isin(0L, 2L, 4L)).orderBy("vec_id")
+    .select(Quantized.quantizeUdf(1e4)(col("embedding")))
+    .as[Seq[Long]].collect().map(_.toArray)
+
+  test("lloydKmeansSeeded: two tight blobs separate, sums/n are exact integers") {
+    val out = Quantized.lloydKmeansSeeded(vecs, "vec_id", "embedding",
+        seeds024, scale = 1e4, iters = 2)
       .orderBy("cluster", "pos")
       .as[(Int, Long, Long, Long)].collect()
     // 3 clusters x 3 dims
@@ -96,9 +103,11 @@ class QuantizedSpec extends SparkSpec {
   }
 
   test("kmeans result is partition-invariant (integer sums are order-free)") {
-    val a = Quantized.lloydKmeans(vecs, "vec_id", "embedding", 2L, 1e4, 2)
+    val a = Quantized.lloydKmeansSeeded(vecs, "vec_id", "embedding",
+        seeds024, 1e4, 2)
       .orderBy("cluster", "pos").collect().toSeq
-    val b = Quantized.lloydKmeans(vecs.repartition(4), "vec_id", "embedding", 2L, 1e4, 2)
+    val b = Quantized.lloydKmeansSeeded(vecs.repartition(4), "vec_id",
+        "embedding", seeds024, 1e4, 2)
       .orderBy("cluster", "pos").collect().toSeq
     assert(a === b)
   }
