@@ -141,4 +141,48 @@ class PlansSpec extends SparkSpec {
       "bucketed join sides should read pre-partitioned — found " +
         s"${shufflesUnderJoin.size} Exchange(s) under the SortMergeJoin")
   }
+
+  test("x128 draw lookup is an equi HASH join, never a nested-loop interval scan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = SparkEntry.queries("x128_negative_samples")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // the bucketed interval-containment device must surface as a HASH
+    // equi-join on the bucket key; a BroadcastNestedLoopJoin here would
+    // mean the range predicate fell out of the join keys and every draw
+    // scans all |items| intervals again (the O(|items|) shape the round-9
+    // rewrite removed). The two bounded 1-row broadcasts (bigw, n_tot)
+    // are nested-loop by nature, so the assert targets joins whose
+    // STREAMED side is the draw fan-out (non-1-row build).
+    // the div bucket arithmetic projects below the join, so the key
+    // surfaces as a plain `bkt` attribute on both sides
+    def isBkt(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      keys.exists(_.toString.startsWith("bkt#"))
+    val bucketJoins = plan.collect {
+      case j: BroadcastHashJoinExec if isBkt(j.leftKeys ++ j.rightKeys) => j
+      case j: ShuffledHashJoinExec if isBkt(j.leftKeys ++ j.rightKeys) => j
+      case j: SortMergeJoinExec if isBkt(j.leftKeys ++ j.rightKeys) => j
+    }
+    assert(bucketJoins.nonEmpty,
+      "x128 plans no hash equi-join keyed on the bucket attribute")
+    val intervalBnl = plan.collect {
+      case j: BroadcastNestedLoopJoinExec
+          if j.condition.exists(_.toString.contains("cum#")) => j
+    }
+    assert(intervalBnl.isEmpty,
+      "x128's interval containment planned as a conditioned nested-loop " +
+        "join over the cum table — the bucket key is not acting as an " +
+        "equi key and every draw rescans all |items| intervals")
+  }
+
+  test("x161 computes all 25 distinct counts in ONE scan (Expand, single orders read)") {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
+    val plan = SparkEntry.queries("x161_fd_discovery")(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case e: ExpandExec => e }.nonEmpty,
+      "x161 shows no Expand — multi-distinct fell back to per-pair plans")
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"x161 reads its input ${scans.size} times — the 25 distinct counts " +
+        "must share one scan (at 100 TB each extra scan is a full table read)")
+  }
 }
