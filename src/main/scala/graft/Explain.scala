@@ -63,7 +63,9 @@ object Explain {
       "x151_feature_mi", "x152_join_cardinality", "x153_schema_evolution",
       "x154_partition_pruning", "x155_random_walks", "x156_pinball_quantiles",
       "x157_anova", "x158_cramers_v", "x159_prefixspan",
-      "x160_textrank_keywords", "x161_fd_discovery")
+      "x160_textrank_keywords", "x161_fd_discovery", "x162_assoc_rules",
+      "x163_rolling_wau", "x164_merge_upsert", "x165_calibration_ece",
+      "x166_spearman_rank")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -7981,6 +7981,337 @@ object ExtensionQueries {
             (col("ndv_pair") - col("ndv_lhs")).as("extra_classes"))
           .orderBy("lhs", "rhs")
       },
-      Some(fdDiscoveryOracle))
+      Some(fdDiscoveryOracle)),
+
+    // Association rules (Agrawal & Srikant, VLDB 1994 — Apriori's rule
+    // stage): baskets = per-(user, day) distinct item sets; frequent
+    // pairs (support >= 3 baskets) expand to both rule directions scored
+    // by confidence = sup(A∪B)/sup(A) and lift =
+    // sup(A∪B)·N/(sup(A)·sup(B)) — the co-purchase signal x85's PMI
+    // reads log-scaled, here in the units merchandising actually uses.
+    // The numerator products run in DOUBLE (the x152 lesson: sup·sup
+    // overflows int64 at real basket cardinalities). Shape: one basket
+    // self-join bounded per (user, day), two slim item-keyed joins, a
+    // 1-row basket-count broadcast, TakeOrdered top-20 — nothing
+    // corpus-quadratic.
+    QuerySpec(
+      "x162_assoc_rules",
+      (s, dir) => {
+        val ctx = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .filter(col("item").isNotNull).distinct()
+        val nB = ctx.select("user_id", "day").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val supI = ctx.groupBy("item").agg(count(lit(1)).as("sup"))
+        val pairs = ctx.as("a").join(ctx.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+          .agg(count(lit(1)).as("sup_ab"))
+          .filter(col("sup_ab") >= 3)
+        val rules = pairs
+          .select(col("ia").as("ante"), col("ib").as("cons"), col("sup_ab"))
+          .union(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
+            col("sup_ab")))
+        rules
+          .join(supI.select(col("item").as("ante"), col("sup").as("sup_a")),
+            "ante")
+          .join(supI.select(col("item").as("cons"), col("sup").as("sup_c")),
+            "cons")
+          .crossJoin(broadcast(nB))
+          .select(col("ante"), col("cons"), col("sup_ab"),
+            round(col("sup_ab").cast("double") / col("sup_a"), 6)
+              .as("confidence"),
+            round(col("sup_ab").cast("double") * col("n_baskets") /
+              (col("sup_a").cast("double") * col("sup_c")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("ante"), col("cons")).limit(20)
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item
+             |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |nb AS (SELECT COUNT(*) AS n_baskets FROM
+             |        (SELECT DISTINCT user_id, day FROM ctx)),
+             |si AS (SELECT item, COUNT(*) AS sup FROM ctx GROUP BY 1),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS sup_ab
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |         AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |r AS (SELECT ia AS ante, ib AS cons, sup_ab FROM pc
+             |      UNION ALL SELECT ib, ia, sup_ab FROM pc)
+             |SELECT r.ante, r.cons, CAST(r.sup_ab AS BIGINT) AS sup_ab,
+             |  round(CAST(r.sup_ab AS DOUBLE) / sa.sup, 6) AS confidence,
+             |  round(CAST(r.sup_ab AS DOUBLE) * nb.n_baskets /
+             |    (CAST(sa.sup AS DOUBLE) * sc.sup), 6) AS lift
+             |FROM r JOIN si sa ON sa.item = r.ante
+             |  JOIN si sc ON sc.item = r.cons CROSS JOIN nb
+             |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin)),
+
+    // Rolling 7-day active users + DAU/WAU stickiness — the standard
+    // growth-accounting read. The naive form is a per-day COUNT(DISTINCT
+    // user) over a sliding range — a corpus-rescan per day; the
+    // at-scale form inverts it: each (user, active-day) row contributes
+    // to the ≤7 trailing windows that contain it (a slim ×7 fan-out),
+    // one (user, window-day) dedup, one count per window-day — two
+    // shuffles of slim pairs total, no window function, no per-day
+    // rescans. Emitted only for days that exist in the data; stickiness
+    // = DAU/WAU rounded 6 (integer inputs ⇒ cross-engine exact).
+    QuerySpec(
+      "x163_rolling_wau",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .localCheckpoint() // consumed three times (contrib, days, dau)
+        val contrib = ud
+          .select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(col("user_id"), expr("date_add(day, off)").as("wday"))
+          .distinct()
+        val days = ud.select(col("day").as("wday")).distinct()
+        val wau = contrib.join(days, "wday")
+          .groupBy("wday").agg(count(lit(1)).as("wau"))
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        dau.join(wau, col("day") === col("wday"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |      FROM events),
+             |days AS (SELECT DISTINCT day FROM ud),
+             |c AS (SELECT DISTINCT user_id,
+             |        day + CAST(off AS INTEGER) AS wday
+             |      FROM ud CROSS JOIN range(0, 7) t(off)),
+             |w AS (SELECT c.wday, COUNT(*) AS wau FROM c
+             |      JOIN days d ON d.day = c.wday GROUP BY 1),
+             |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+             |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+             |  CAST(w.wau AS BIGINT) AS wau,
+             |  round(CAST(dau.dau AS DOUBLE) / w.wau, 6) AS stickiness
+             |FROM dau JOIN w ON w.wday = dau.day ORDER BY dau.day""".stripMargin)),
+
+    // CDC MERGE apply (the upsert half of the lake-mechanics suite:
+    // x117 DETECTS a delta, x132 maintains a VIEW through one — this
+    // applies a full insert/update/delete delta to a base snapshot, the
+    // Iceberg/Delta `MERGE INTO` semantics). Base = orders with
+    // orderkey % 10 ∉ {0}; delta: I = the held-out %10=0 rows,
+    // U = %10=5 rows repriced to 'MERGED-URGENT', D = %10=7 keys. Apply
+    // is ONE full-outer join on the key (left/semi/anti each miss an
+    // action class — the x117 argument) + row-local CASE resolution; at
+    // 100 TB the join rides the snapshot's bucketing (x142) so merge
+    // cost is the delta shuffle, and output proves the result
+    // set-algebraically: per-priority row counts + orderkey checksums.
+    QuerySpec(
+      "x164_merge_upsert",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.filter(col("o_orderkey") % 10 =!= 0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val delta = o.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), lit("I").as("op"))
+          .union(o.filter(col("o_orderkey") % 10 === 5)
+            .select(col("o_orderkey"), lit("MERGED-URGENT").as("o_orderpriority"),
+              lit("U").as("op")))
+          .union(o.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey"), lit(null).cast("string").as("o_orderpriority"),
+              lit("D").as("op")))
+        val merged = base.as("b").join(delta.as("d"),
+            col("b.o_orderkey") === col("d.o_orderkey"), "full_outer")
+          // D drops the row; U rewrites it; I lands where base had none;
+          // base rows without a delta pass through
+          .filter(coalesce(col("d.op"), lit("-")) =!= "D")
+          .select(
+            coalesce(col("b.o_orderkey"), col("d.o_orderkey")).as("o_orderkey"),
+            when(coalesce(col("d.op"), lit("-")) === "U",
+                col("d.o_orderpriority"))
+              .otherwise(coalesce(col("b.o_orderpriority"),
+                col("d.o_orderpriority"))).as("o_orderpriority"))
+        merged.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_checksum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority FROM orders
+             |      WHERE o_orderkey % 10 <> 0),
+             |delta AS (SELECT o_orderkey, o_orderpriority, 'I' AS op
+             |          FROM orders WHERE o_orderkey % 10 = 0
+             |      UNION ALL SELECT o_orderkey, 'MERGED-URGENT', 'U'
+             |          FROM orders WHERE o_orderkey % 10 = 5
+             |      UNION ALL SELECT o_orderkey, NULL, 'D'
+             |          FROM orders WHERE o_orderkey % 10 = 7),
+             |m AS (SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS k,
+             |        CASE WHEN COALESCE(d.op, '-') = 'U' THEN d.o_orderpriority
+             |             ELSE COALESCE(b.o_orderpriority, d.o_orderpriority)
+             |        END AS pri
+             |      FROM base b FULL OUTER JOIN delta d
+             |        ON d.o_orderkey = b.o_orderkey
+             |      WHERE COALESCE(d.op, '-') <> 'D')
+             |SELECT pri AS o_orderpriority, COUNT(*) AS n_rows,
+             |  CAST(SUM(k) AS BIGINT) AS key_checksum
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Calibration audit with ECE (Guo et al., ICML 2017 — the "is the
+    // score a probability" gate before thresholding any quality model):
+    // x50's hashed-linear margin turns into an exact-rational pseudo-
+    // probability via percent_rank with a total (margin, doc_id)
+    // tie-break — no transcendental sigmoid for engines to diverge on —
+    // decile-binned; per bin the observed label rate (n_chars >= 300)
+    // vs mean score, and ECE = Σ (n_b/N)·|acc_b − conf_b| with every
+    // mean DECIMAL-bridged. The GLOBAL rank never rides a corpus-wide
+    // window (Rule 1): rank = cum-count of smaller margins (a window
+    // over the |distinct margins| AGGREGATE) + row_number within the
+    // doc's own margin group (bounded per group) — exactly the global
+    // (margin, doc_id) row_number, assembled from Rule-1-safe parts.
+    QuerySpec(
+      "x165_calibration_ece",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("n_chars") >= 300).cast("long").as("y"),
+            QualityModel.scoreUdf(4096L)(TextFunctions.tokens(col("text")))
+              .getField("margin").as("margin"))
+          .localCheckpoint() // consumed by the grid, the rank, and nn
+        val nn = scored.agg(count(lit(1)).as("n"))
+        val grid = scored.groupBy("margin").agg(count(lit(1)).as("c"))
+        val wg = W.orderBy("margin")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val cum = grid.withColumn("below",
+          coalesce(sum(col("c")).over(wg), lit(0L)))
+        val wm = W.partitionBy("margin").orderBy("doc_id")
+        val p = scored
+          .withColumn("rm", row_number().over(wm).cast("long"))
+          .join(cum.select(col("margin"), col("below")), "margin")
+          .crossJoin(broadcast(nn))
+          .select(col("doc_id"), col("y"),
+            ((col("below") + col("rm") - 1).cast("double") /
+              (col("n") - 1)).as("p"))
+          .withColumn("bin", least(floor(col("p") * 10), lit(9L)))
+        val bins = p.groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+            sum(round(col("p"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sp"))
+          .select(col("bin"), col("n_docs"),
+            round(col("n_pos").cast("double") / col("n_docs"), 6).as("acc"),
+            round(col("sp") / col("n_docs"), 6).as("conf"))
+        val ece = bins
+          .agg(sum(col("n_docs")).as("nn"),
+            sum(round(abs(col("acc") - col("conf")) * col("n_docs"), 6)
+              .cast("decimal(18,6)")).cast("double").as("wgap"))
+          .select(lit(-1L).as("bin"), col("nn").as("n_docs"),
+            lit(null).cast("double").as("acc"),
+            round(col("wgap") / col("nn"), 6).as("conf"))
+        bins.select(col("bin"), col("n_docs"), col("acc"), col("conf"))
+          .union(ece).orderBy("bin")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  unnest(list_concat(toks, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS feat FROM t),
+             |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       [CAST(ord(c) AS BIGINT) for c in string_split(feat, '')]),
+             |       (acc, x) -> (acc*31 + x) % 2147483647) % 4096 AS b FROM f),
+             |mg AS (SELECT doc_id,
+             |        CAST(SUM((b * 2654435761) % 1048576 - 524288) AS BIGINT) AS margin
+             |      FROM h GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |        CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             |        COALESCE(mg.margin, 0) AS margin
+             |      FROM documents d LEFT JOIN mg ON mg.doc_id = d.doc_id),
+             |nn AS (SELECT COUNT(*) AS n FROM sc),
+             |p AS (SELECT doc_id, y,
+             |        CAST(row_number() OVER (ORDER BY margin, doc_id) - 1
+             |          AS DOUBLE) / (nn.n - 1) AS p
+             |      FROM sc CROSS JOIN nn),
+             |b AS (SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+             |        y, p FROM p),
+             |bins AS (SELECT bin, COUNT(*) AS n_docs,
+             |        round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS acc,
+             |        round(CAST(SUM(CAST(round(p, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) / COUNT(*), 6) AS conf
+             |      FROM b GROUP BY 1),
+             |ece AS (SELECT CAST(-1 AS BIGINT) AS bin,
+             |        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |        NULL AS acc,
+             |        round(CAST(SUM(CAST(round(abs(acc - conf) * n_docs, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) / SUM(n_docs), 6) AS conf
+             |      FROM bins)
+             |SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, acc, conf FROM bins
+             |UNION ALL SELECT bin, n_docs, acc, conf FROM ece
+             |ORDER BY bin""".stripMargin)),
+
+    // Spearman rank correlation (Spearman 1904) between document length
+    // (n_chars) and whitespace token count — the monotone-association
+    // read that x151's MI bins coarsen away and Pearson distorts under
+    // heavy tails. Tied values take MIDRANKS (the tie-corrected form):
+    // midrank(v) = cum-count-below(v) + (count(v)+1)/2, computed per
+    // VARIABLE from its |distinct values| aggregate (Rule-1-safe window
+    // over the grid, never the corpus) and joined back — the x165 rank
+    // device. ρ = Pearson over the midranks: integer moments (2·rank
+    // carried as an integer so tie-halves stay exact), one fixed-order
+    // 1-row expression at the end. One scan, two slim grid joins.
+    // Magnitude budget: Σ(2r)² ≤ 4n³ stays under 2^63 for n ≲ 1.3M
+    // rows — beyond that the moment sums switch to DECIMAL(38) (DuckDB
+    // already promotes to HUGEINT); exact at every harness SF.
+    QuerySpec(
+      "x166_spearman_rank",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long").as("a"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("b"))
+          .localCheckpoint() // consumed by both grids and the join-back
+        def midranks(v: String) = {
+          val wg = W.orderBy(v).rowsBetween(W.unboundedPreceding, -1)
+          d.groupBy(v).agg(count(lit(1)).as("c"))
+            .withColumn("below", coalesce(sum(col("c")).over(wg), lit(0L)))
+            // midrank = below + (c+1)/2 — exact halves, so carry 2·rank
+            // as an integer to keep every downstream moment rational
+            .select(col(v), (lit(2) * col("below") + col("c") + 1)
+              .as(s"r2_$v"))
+        }
+        val ranked = d.join(midranks("a"), "a").join(midranks("b"), "b")
+        val m = ranked.agg(count(lit(1)).as("n"),
+            sum(col("r2_a")).as("sa"), sum(col("r2_b")).as("sb"),
+            sum(col("r2_a") * col("r2_a")).as("saa"),
+            sum(col("r2_b") * col("r2_b")).as("sbb"),
+            sum(col("r2_a") * col("r2_b")).as("sab"))
+        // Pearson over 2·ranks (scale cancels): ρ = (n·Σxy − ΣxΣy) /
+        // √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²) — integer moments, one
+        // fixed-order double expression
+        m.select(col("n"),
+            round((col("n").cast("double") * col("sab") -
+                col("sa").cast("double") * col("sb")) /
+              (sqrt(col("n").cast("double") * col("saa") -
+                  col("sa").cast("double") * col("sa")) *
+                sqrt(col("n").cast("double") * col("sbb") -
+                  col("sb").cast("double") * col("sb"))), 6).as("spearman"))
+          .orderBy("n")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+             |        CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |          x -> x <> '')) AS BIGINT) AS b
+             |      FROM documents),
+             |ga AS (SELECT a, COUNT(*) AS c FROM d GROUP BY 1),
+             |ra AS (SELECT a, 2 * COALESCE(SUM(c) OVER (ORDER BY a
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          + c + 1 AS r2_a
+             |       FROM ga),
+             |gb AS (SELECT b, COUNT(*) AS c FROM d GROUP BY 1),
+             |rb AS (SELECT b, 2 * COALESCE(SUM(c) OVER (ORDER BY b
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          + c + 1 AS r2_b
+             |       FROM gb),
+             |r AS (SELECT d.doc_id, ra.r2_a, rb.r2_b
+             |      FROM d JOIN ra ON ra.a = d.a JOIN rb ON rb.b = d.b),
+             |m AS (SELECT COUNT(*) AS n, SUM(r2_a) AS sa, SUM(r2_b) AS sb,
+             |        SUM(r2_a * r2_a) AS saa, SUM(r2_b * r2_b) AS sbb,
+             |        SUM(r2_a * r2_b) AS sab
+             |      FROM r)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb) /
+             |    (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
+             |     sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
+             |    AS spearman
+             |FROM m ORDER BY n""".stripMargin))
   )
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming active-user state — the stream-side twin of the x163 rolling
+  * WAU/stickiness query, so growth accounting runs ON the ingest instead
+  * of a nightly batch. State is per-batch DISTINCT (user_id, day) pairs —
+  * a set-union monoid, IDEMPOTENT after the report's dedup (re-delivery
+  * of any event, in any batch, cannot change the active-day set — the
+  * same stronger-than-count guarantee as [[SeqMineStream]]). Batch
+  * partials land in batch_id partitions with dynamic overwrite (the
+  * [[VolumeStream]] discipline). The report recomputes x163's exact
+  * output contract from the |users|·|days|-bounded state; the event
+  * stream itself is never rescanned. WauStreamSpec proves stream ==
+  * one-shot == registry x163.
+  */
+object WauStream {
+
+  /** One micro-batch's contribution: distinct (user, day). */
+  def accumulateBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit =
+    batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+
+  /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
+    * stream carrying (user_id, ts). */
+  def wauOnIngest(stream: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        accumulateBatch(b, stateDir, id)
+      }
+      .start()
+
+  /** Rolling-WAU report off the accumulated state — the EXACT x163
+    * output contract (day, dau, wau, stickiness). */
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    val ud = spark.read.parquet(stateDir)
+      .select(col("user_id"), col("day")).distinct()
+    val contrib = ud
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(col("user_id"), expr("date_add(day, off)").as("wday"))
+      .distinct()
+    val days = ud.select(col("day").as("wday")).distinct()
+    val wau = contrib.join(days, "wday")
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+}
