@@ -8312,6 +8312,96 @@ object ExtensionQueries {
              |    (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) *
              |     sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)
              |    AS spearman
-             |FROM m ORDER BY n""".stripMargin))
+             |FROM m ORDER BY n""".stripMargin)),
+
+    // The WHOLE LLM pre-training curation pipeline composed end-to-end —
+    // what a user of this library actually runs before a training job:
+    // quality gate (x7's score) → exact dedup → MinHash near-dup drop
+    // (x22's core) → benchmark-contamination filter (x21's 8-gram
+    // equi-join device, bench = the doc_id % 97 slice of the RAW corpus)
+    // → reproducible shard manifest (x86's seeded-md5 keying). Each
+    // stage is independently oracle-green; THIS query proves the
+    // COMPOSITION — stage interfaces, filter interplay, survivor
+    // accounting — via the manifest's per-shard counts, token totals,
+    // and key fingerprints (hash-strong: any doc wrongly kept or
+    // dropped moves a fingerprint). Scale shape inherits each stage's:
+    // digest groupBy, banded candidates, one gram equi-join, pure
+    // projection sharding — no stage adds a corpus-global window or
+    // pairwise scan.
+    QuerySpec(
+      "x167_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clean = docs.filter(
+          TextFunctions.qualityScore(col("text"), STOPWORDS) >= 0.9999)
+        val deduped = Dedup.dedupCorpus(clean, "doc_id", "text",
+          threshold = 0.8)
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        val contaminated = Dedup.contamination(deduped, bench,
+            "doc_id", "text", n = 8)
+          .select(col("doc_id"))
+        val kept = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        val keyed = kept.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          conv(substring(md5(concat(lit("graft-shuffle-42:"),
+            col("doc_id").cast("string"))), 1, 12), 16, 10)
+            .cast("long").as("skey"))
+        keyed.groupBy((col("skey") % 8).as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens_total"),
+            sum(col("skey")).as("key_fingerprint"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, text, toks FROM t
+             |  WHERE len(toks) BETWEEN 5 AND 100000
+             |    AND round(CAST(list_sum([length(x) for x in toks]) AS DOUBLE)/len(toks), 4)
+             |        BETWEEN 2.0 AND 12.0
+             |    AND len(list_filter(toks, x -> x IN ('a', 'the'))) > 0),
+             |ex AS (SELECT MIN(doc_id) AS keep_id FROM q GROUP BY sha256(text)),
+             |ae AS (SELECT q.* FROM q JOIN ex ON q.doc_id = ex.keep_id),
+             |sh AS (
+             |  SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS shs
+             |  FROM ae),
+             |pairs AS (
+             |  SELECT b.doc_id AS doc_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.shs) > 0 AND len(b.shs) > 0
+             |    AND round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+             |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))), 4) >= 0.8),
+             |dd AS (SELECT ae.* FROM ae
+             |       LEFT JOIN (SELECT DISTINCT doc_b FROM pairs) p
+             |         ON p.doc_b = ae.doc_id
+             |       WHERE p.doc_b IS NULL),
+             |gset AS (
+             |  SELECT doc_id,
+             |    list_distinct([list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        [CAST(ord(c) AS BIGINT)
+             |         for c in string_split(array_to_string(toks[i:i+7], ' '), '')]),
+             |      (acc, x) -> (acc*31 + x) % 2147483647)
+             |      for i in range(1, len(toks) - 6)]) AS grams
+             |  FROM t WHERE len(toks) >= 8),
+             |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM gset WHERE doc_id % 97 = 0),
+             |cg AS (SELECT g.doc_id, unnest(g.grams) AS gram
+             |       FROM gset g JOIN dd ON dd.doc_id = g.doc_id
+             |       WHERE g.doc_id % 97 <> 0),
+             |cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+             |kept AS (SELECT dd.doc_id, dd.toks FROM dd
+             |         LEFT JOIN cont ON cont.doc_id = dd.doc_id
+             |         WHERE cont.doc_id IS NULL),
+             |keyed AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |    CAST(('0x' || substr(md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey
+             |  FROM kept)
+             |SELECT skey % 8 AS shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+             |  CAST(SUM(skey) AS BIGINT) AS key_fingerprint
+             |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin))
   )
 }

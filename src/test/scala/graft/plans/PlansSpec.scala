@@ -174,6 +174,30 @@ class PlansSpec extends SparkSpec {
         "equi key and every draw rescans all |items| intervals")
   }
 
+  test("x163 rolling WAU plans NO window function (fan-out, not sliding rescan)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("x163_rolling_wau")(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "x163 should invert the sliding COUNT DISTINCT into a x7 " +
+        "contribution fan-out — a WindowExec means a per-day rescan shape")
+  }
+
+  test("x164 MERGE applies through one equi full-outer join, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = SparkEntry.queries("x164_merge_upsert")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val fullOuter = plan.collect {
+      case j: SortMergeJoinExec
+          if j.joinType.toString.toLowerCase.contains("outer") => j
+      case j: ShuffledHashJoinExec
+          if j.joinType.toString.toLowerCase.contains("outer") => j
+    }
+    assert(fullOuter.nonEmpty, "x164 plans no equi full-outer join")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "x164's merge join degenerated to a nested loop")
+  }
+
   test("x161 computes all 25 distinct counts in ONE scan (Expand, single orders read)") {
     import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
     val plan = SparkEntry.queries("x161_fd_discovery")(spark, sfDir)
