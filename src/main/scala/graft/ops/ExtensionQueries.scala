@@ -8402,6 +8402,70 @@ object ExtensionQueries {
              |SELECT skey % 8 AS shard, COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
              |  CAST(SUM(skey) AS BIGINT) AS key_fingerprint
-             |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM keyed GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ROC-AUC by the rank-sum identity (AUC = U/(n⁺·n⁻), Mann-Whitney's
+    // equivalence — Hanley & McNeil 1982): the threshold-free ranking
+    // quality of x50's margin against the n_chars >= 300 label,
+    // completing the classifier-eval trio (x73 calibrates thresholds,
+    // x165 calibrates probabilities, this scores the RANKING). Midranks
+    // handle ties exactly (2·rank carried as integers — the x166
+    // device, grid-window Rule-1-safe), so AUC = (Σ2r⁺ − n⁺(n⁺+1)) /
+    // (2·n⁺·n⁻) is a ratio of exact integers: one division, round 6,
+    // bit-identical on any engine. Denominator in DOUBLE (x152 lesson);
+    // Σ2r ≤ 2n² stays under 2^63 for n < 2.1e9 rows, exact at every
+    // harness SF. One scan, one |distinct margins| grid, one 1-row out.
+    QuerySpec(
+      "x168_roc_auc",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), (col("n_chars") >= 300).cast("long").as("y"),
+            QualityModel.scoreUdf(4096L)(TextFunctions.tokens(col("text")))
+              .getField("margin").as("margin"))
+          .localCheckpoint() // consumed by the grid and the join-back
+        val wg = W.orderBy("margin").rowsBetween(W.unboundedPreceding, -1)
+        val cum = d.groupBy("margin").agg(count(lit(1)).as("c"))
+          .withColumn("below", coalesce(sum(col("c")).over(wg), lit(0L)))
+          .select(col("margin"),
+            (lit(2) * col("below") + col("c") + 1).as("r2"))
+        d.join(cum, "margin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+            sum(when(col("y") === 1, col("r2")).otherwise(0L)).as("s2p"))
+          .select(col("n"), col("np").as("n_pos"),
+            (col("n") - col("np")).as("n_neg"),
+            round((col("s2p").cast("double") -
+                col("np").cast("double") * (col("np") + 1)) /
+              (lit(2.0) * col("np").cast("double") * (col("n") - col("np"))),
+              6).as("auc"))
+          .orderBy("n")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |  unnest(list_concat(toks, [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) AS feat FROM t),
+             |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       [CAST(ord(c) AS BIGINT) for c in string_split(feat, '')]),
+             |       (acc, x) -> (acc*31 + x) % 2147483647) % 4096 AS b FROM f),
+             |mg AS (SELECT doc_id,
+             |        CAST(SUM((b * 2654435761) % 1048576 - 524288) AS BIGINT) AS margin
+             |      FROM h GROUP BY 1),
+             |sc AS (SELECT d.doc_id,
+             |        CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+             |        COALESCE(mg.margin, 0) AS margin
+             |      FROM documents d LEFT JOIN mg ON mg.doc_id = d.doc_id),
+             |g AS (SELECT margin, COUNT(*) AS c FROM sc GROUP BY 1),
+             |r AS (SELECT margin, 2 * COALESCE(SUM(c) OVER (ORDER BY margin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          + c + 1 AS r2
+             |      FROM g),
+             |m AS (SELECT COUNT(*) AS n, SUM(sc.y) AS np,
+             |        SUM(CASE WHEN sc.y = 1 THEN r.r2 ELSE 0 END) AS s2p
+             |      FROM sc JOIN r ON r.margin = sc.margin)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+             |  CAST(n - np AS BIGINT) AS n_neg,
+             |  round((CAST(s2p AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1)) /
+             |    (2.0 * CAST(np AS DOUBLE) * (n - np)), 6) AS auc
+             |FROM m ORDER BY n""".stripMargin))
   )
 }
