@@ -142,6 +142,36 @@ object ExtensionQueries {
     exitTables.add((s, name))
   }
 
+  /** Exact count-below over a (value, count) grid WITHOUT any
+    * corpus-scale single-partition window — the at-scale global-rank
+    * device shared by x165/x166/x168: the naive `cum over the grid`
+    * is Rule-1-exempt (aggregate input) but the margin grid's
+    * cardinality FOLLOWS the corpus, so that window is still a
+    * single-task sort at 100 TB. Two levels fix it exactly: fixed
+    * B=1024 coarse buckets from a 1-row min/max broadcast (integer-DIV
+    * width, no overflow), cum over the ≤B+1-row bucket aggregate (a
+    * genuinely bounded partition-less window), and a within-bucket cum
+    * (per-bucket partitions — ordinary distributed windows). Returns
+    * (value, c, below) with below = #rows whose value is strictly
+    * smaller — identical to the one-window form, so oracles stay on
+    * the simple global formulation. */
+  private def countBelow(grid: org.apache.spark.sql.DataFrame,
+      v: String): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val mm = grid.agg(min(col(v)).as("mn"), max(col(v)).as("mx"))
+    val g2 = grid.crossJoin(broadcast(mm))
+      .withColumn("bkt", expr(s"($v - mn) div (((mx - mn) div 1024) + 1)"))
+    val wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    val bAgg = g2.groupBy("bkt").agg(sum(col("c")).as("bc"))
+      .withColumn("bbelow", coalesce(sum(col("bc")).over(wb), lit(0L)))
+      .select(col("bkt"), col("bbelow"))
+    val wi = W.partitionBy("bkt").orderBy(v)
+      .rowsBetween(W.unboundedPreceding, -1)
+    g2.withColumn("ibelow", coalesce(sum(col("c")).over(wi), lit(0L)))
+      .join(bAgg, "bkt")
+      .select(col(v), col("c"), (col("bbelow") + col("ibelow")).as("below"))
+  }
+
   /** x161's oracle, generated from the same column list as the query so
     * the 20 pair rows can't drift from the Spark side. */
   private val fdDiscoveryOracle: String = {
@@ -8173,10 +8203,7 @@ object ExtensionQueries {
           .localCheckpoint() // consumed by the grid, the rank, and nn
         val nn = scored.agg(count(lit(1)).as("n"))
         val grid = scored.groupBy("margin").agg(count(lit(1)).as("c"))
-        val wg = W.orderBy("margin")
-          .rowsBetween(W.unboundedPreceding, -1)
-        val cum = grid.withColumn("below",
-          coalesce(sum(col("c")).over(wg), lit(0L)))
+        val cum = countBelow(grid, "margin")
         val wm = W.partitionBy("margin").orderBy("doc_id")
         val p = scored
           .withColumn("rm", row_number().over(wm).cast("long"))
@@ -8255,20 +8282,18 @@ object ExtensionQueries {
     QuerySpec(
       "x166_spearman_rank",
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val d = Tables.documents(s, dir)
           .select(col("doc_id"), col("n_chars").cast("long").as("a"),
             size(TextFunctions.tokens(col("text"))).cast("long").as("b"))
           .localCheckpoint() // consumed by both grids and the join-back
-        def midranks(v: String) = {
-          val wg = W.orderBy(v).rowsBetween(W.unboundedPreceding, -1)
-          d.groupBy(v).agg(count(lit(1)).as("c"))
-            .withColumn("below", coalesce(sum(col("c")).over(wg), lit(0L)))
-            // midrank = below + (c+1)/2 — exact halves, so carry 2·rank
-            // as an integer to keep every downstream moment rational
+        def midranks(v: String) =
+          // midrank = below + (c+1)/2 — exact halves, so carry 2·rank
+          // as an integer to keep every downstream moment rational;
+          // `below` via the bucketed countBelow device (no grid-scale
+          // single-partition window)
+          countBelow(d.groupBy(v).agg(count(lit(1)).as("c")), v)
             .select(col(v), (lit(2) * col("below") + col("c") + 1)
               .as(s"r2_$v"))
-        }
         val ranked = d.join(midranks("a"), "a").join(midranks("b"), "b")
         val m = ranked.agg(count(lit(1)).as("n"),
             sum(col("r2_a")).as("sa"), sum(col("r2_b")).as("sb"),
@@ -8418,15 +8443,13 @@ object ExtensionQueries {
     QuerySpec(
       "x168_roc_auc",
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
         val d = Tables.documents(s, dir)
           .select(col("doc_id"), (col("n_chars") >= 300).cast("long").as("y"),
             QualityModel.scoreUdf(4096L)(TextFunctions.tokens(col("text")))
               .getField("margin").as("margin"))
           .localCheckpoint() // consumed by the grid and the join-back
-        val wg = W.orderBy("margin").rowsBetween(W.unboundedPreceding, -1)
-        val cum = d.groupBy("margin").agg(count(lit(1)).as("c"))
-          .withColumn("below", coalesce(sum(col("c")).over(wg), lit(0L)))
+        val cum = countBelow(
+            d.groupBy("margin").agg(count(lit(1)).as("c")), "margin")
           .select(col("margin"),
             (lit(2) * col("below") + col("c") + 1).as("r2"))
         d.join(cum, "margin")
