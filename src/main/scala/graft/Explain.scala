@@ -65,7 +65,8 @@ object Explain {
       "x157_anova", "x158_cramers_v", "x159_prefixspan",
       "x160_textrank_keywords", "x161_fd_discovery", "x162_assoc_rules",
       "x163_rolling_wau", "x164_merge_upsert", "x165_calibration_ece",
-      "x166_spearman_rank", "x167_curation_pipeline", "x168_roc_auc")
+      "x166_spearman_rank", "x167_curation_pipeline", "x168_roc_auc",
+      "x169_hll_rolling_wau")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

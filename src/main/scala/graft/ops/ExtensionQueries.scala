@@ -8489,6 +8489,96 @@ object ExtensionQueries {
              |  CAST(n - np AS BIGINT) AS n_neg,
              |  round((CAST(s2p AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1)) /
              |    (2.0 * CAST(np AS DOUBLE) * (n - np)), 6) AS auc
-             |FROM m ORDER BY n""".stripMargin))
+             |FROM m ORDER BY n""".stripMargin)),
+
+    // HLL-merged rolling WAU — the SKETCH form of x163 for the corpus
+    // size where even slim (user, window-day) pairs hurt: per-day m=64
+    // HLL registers (the x46 device — j/rank from integer ops both
+    // engines replay bit-for-bit, `bin()`/printf('%b') for the exact
+    // leading-bit position) roll up by ELEMENTWISE MAX over the 7-day
+    // window via the x163 contribution fan-out — so weekly state is
+    // |days|·64 register rows, independent of user count; a year of
+    // rolling windows over 1e10 users merges 365·64 bytes-ish of state
+    // instead of re-deduping users per window. Exact WAU rides along as
+    // ground truth (est within HLL's ~13% RSE at m=64) — the column
+    // you'd drop at 100 TB.
+    QuerySpec(
+      "x169_hll_rolling_wau",
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"),
+            pmod(col("user_id"), lit(2147483647L)).as("h"))
+          .select(col("day"), (col("h") % 64).as("j"),
+            expr("h div 64").as("hd"))
+          .select(col("day"), col("j"),
+            when(col("hd") === 0, lit(26L))
+              .otherwise(lit(26L) - length(bin(col("hd")))).as("rnk"))
+        val dreg = ud.groupBy("day", "j").agg(max(col("rnk")).as("reg"))
+          .localCheckpoint() // |days|·64 rows; consumed by fan-out + days
+        val days = dreg.select(col("day").as("wday")).distinct()
+        val wreg = dreg
+          .select(col("day"), col("j"), col("reg"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(expr("date_add(day, off)").as("wday"), col("j"), col("reg"))
+          .groupBy("wday", "j").agg(max(col("reg")).as("reg"))
+          .join(days, "wday")
+        val stats = wreg.groupBy("wday")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - reg AS INT))"))
+              .as("sp"),
+            count(lit(1)).as("nr"))
+          .select(col("wday"),
+            (col("sp") + (lit(64L) - col("nr")) * 67108864L).as("sum_pow"),
+            (lit(64L) - col("nr")).as("n_zero_regs"))
+        val raw = lit(0.709) * 64 * 64 * 67108864.0 / col("sum_pow")
+        val est = stats.select(col("wday"), col("sum_pow"), col("n_zero_regs"),
+          round(when(raw <= 2.5 * 64 && col("n_zero_regs") > 0,
+              lit(64.0) * log(lit(64.0) / col("n_zero_regs")))
+            .otherwise(raw), 4).as("wau_est"))
+        // exact ground truth — the x163 fan-out core
+        val exact = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .select(col("user_id"), expr("date_add(day, off)").as("wday"))
+          .distinct()
+          .join(days, "wday")
+          .groupBy("wday").agg(count(lit(1)).as("wau_exact"))
+        est.join(exact, "wday")
+          .select(col("wday").as("day"), col("wau_exact"), col("sum_pow"),
+            col("n_zero_regs"), col("wau_est"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+             |        user_id % 2147483647 AS h FROM events),
+             |r AS (SELECT day, h % 64 AS j,
+             |        CASE WHEN h // 64 = 0 THEN 26
+             |             ELSE 26 - length(printf('%b', h // 64)) END AS rnk
+             |      FROM ev),
+             |dreg AS (SELECT day, j, MAX(rnk) AS reg FROM r GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day AS wday FROM dreg),
+             |wreg AS (SELECT dreg.day + CAST(off AS INTEGER) AS wday, j,
+             |           MAX(reg) AS reg
+             |         FROM dreg CROSS JOIN range(0, 7) t(off)
+             |         GROUP BY 1, 2),
+             |wrk AS (SELECT wreg.* FROM wreg JOIN days USING (wday)),
+             |st AS (SELECT wday,
+             |        CAST(SUM(CAST(1 AS BIGINT) << (26 - reg))
+             |             + (64 - COUNT(*)) * 67108864 AS BIGINT) AS sum_pow,
+             |        CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+             |      FROM wrk GROUP BY 1),
+             |e AS (SELECT wday, sum_pow, n_zero_regs,
+             |        CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864 / sum_pow AS raw
+             |      FROM st),
+             |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |c AS (SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS wday
+             |      FROM ud CROSS JOIN range(0, 7) t(off)),
+             |w AS (SELECT c.wday, COUNT(*) AS wau_exact FROM c
+             |      JOIN days d ON d.wday = c.wday GROUP BY 1)
+             |SELECT e.wday AS day, CAST(w.wau_exact AS BIGINT) AS wau_exact,
+             |  e.sum_pow, e.n_zero_regs,
+             |  round(CASE WHEN e.raw <= 2.5 * 64 AND e.n_zero_regs > 0
+             |             THEN 64 * ln(64.0 / e.n_zero_regs) ELSE e.raw END, 4)
+             |    AS wau_est
+             |FROM e JOIN w ON w.wday = e.wday ORDER BY day""".stripMargin))
   )
 }
