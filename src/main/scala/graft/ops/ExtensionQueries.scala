@@ -8579,6 +8579,72 @@ object ExtensionQueries {
              |  round(CASE WHEN e.raw <= 2.5 * 64 AND e.n_zero_regs > 0
              |             THEN 64 * ln(64.0 / e.n_zero_regs) ELSE e.raw END, 4)
              |    AS wau_est
-             |FROM e JOIN w ON w.wday = e.wday ORDER BY day""".stripMargin))
+             |FROM e JOIN w ON w.wday = e.wday ORDER BY day""".stripMargin)),
+
+    // Hash-min connected components (the canonical Pregel/BSP
+    // label-propagation-to-fixpoint primitive — Kang et al.'s HCC in
+    // PEGASUS, ICDM 2009): every node repeatedly adopts the MINIMUM id
+    // in its closed neighborhood; 3 unrolled rounds over the item
+    // co-occurrence graph plus a convergence probe (did round 3 change
+    // anything). Distinct from x120 (LPA picks the most FREQUENT label
+    // — community structure) and x31/x34 (star-contraction on dup
+    // PAIRS): this is the generic reachability partition. Per round:
+    // one |edges| equi-join + one min-aggregate, map-side combined,
+    // lineage checkpointed — the x34/x139 iteration discipline. Output
+    // = per-component size histogram + convergence flag, all integers.
+    QuerySpec(
+      "x170_hashmin_cc",
+      (s, dir) => {
+        val edges = itemEdges(s, dir, 3).localCheckpoint()
+        val nodes = edges.select(col("src").as("v")).distinct()
+        var lab = nodes.select(col("v"), col("v").as("lab"))
+        var prev: org.apache.spark.sql.DataFrame = null
+        (1 to 3).foreach { _ =>
+          prev = lab
+          lab = edges.join(lab.select(col("v").as("src"), col("lab")), "src")
+            .select(col("dst").as("v"), col("lab"))
+            .union(lab) // closed neighborhood: keep own label too
+            .groupBy("v").agg(min(col("lab")).as("lab"))
+            .localCheckpoint()
+        }
+        val changed = lab.as("a")
+          .join(prev.as("b"), col("a.v") === col("b.v"))
+          .filter(col("a.lab") =!= col("b.lab"))
+          .agg(count(lit(1)).as("n_changed_round3"))
+        lab.groupBy("lab").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_components"),
+            min(col("lab")).cast("long").as("min_root"))
+          .crossJoin(broadcast(changed))
+          .select(col("size"), col("n_components"), col("min_root"),
+            col("n_changed_round3"))
+          .orderBy("size")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |         AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst FROM pc
+             |      UNION ALL SELECT ib, ia FROM pc),
+             |n AS (SELECT DISTINCT src AS v FROM e),
+             |l0 AS (SELECT v, v AS lab FROM n),
+             |l1 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT e.dst AS v, l.lab FROM e JOIN l0 l ON l.v = e.src
+             |        UNION ALL SELECT v, lab FROM l0) GROUP BY 1),
+             |l2 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT e.dst AS v, l.lab FROM e JOIN l1 l ON l.v = e.src
+             |        UNION ALL SELECT v, lab FROM l1) GROUP BY 1),
+             |l3 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT e.dst AS v, l.lab FROM e JOIN l2 l ON l.v = e.src
+             |        UNION ALL SELECT v, lab FROM l2) GROUP BY 1),
+             |ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed_round3
+             |       FROM l3 JOIN l2 ON l2.v = l3.v AND l2.lab <> l3.lab),
+             |cs AS (SELECT lab, COUNT(*) AS size FROM l3 GROUP BY 1)
+             |SELECT CAST(size AS BIGINT) AS size,
+             |  CAST(COUNT(*) AS BIGINT) AS n_components,
+             |  CAST(MIN(lab) AS BIGINT) AS min_root, ch.n_changed_round3
+             |FROM cs CROSS JOIN ch GROUP BY size, ch.n_changed_round3
+             |ORDER BY size""".stripMargin))
   )
 }
