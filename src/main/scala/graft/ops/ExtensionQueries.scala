@@ -39,15 +39,20 @@ object ExtensionQueries {
   /** Same-context item pairs (ia < ib) with co-occurrence count `w`,
     * kept when w >= minW. */
   private def itemPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-      minW: Int): org.apache.spark.sql.DataFrame = {
-    val ctx = itemContexts(s, dir)
+      minW: Int): org.apache.spark.sql.DataFrame =
+    itemPairsFrom(itemContexts(s, dir), minW)
+
+  /** [[itemPairs]] over a caller-supplied (possibly checkpointed) context
+    * frame — so callers that also consume the contexts directly (x162)
+    * share ONE materialization instead of re-deriving the grain. */
+  private def itemPairsFrom(ctx: org.apache.spark.sql.DataFrame,
+      minW: Int): org.apache.spark.sql.DataFrame =
     ctx.as("a").join(ctx.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.day") === col("b.day") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
-  }
 
   /** Symmetric weighted edge list (both directions of every pair). */
   private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -8027,19 +8032,19 @@ object ExtensionQueries {
     QuerySpec(
       "x162_assoc_rules",
       (s, dir) => {
-        val ctx = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
-            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
-          .filter(col("item").isNotNull).distinct()
+        // the shared context grain (itemContexts), checkpointed once for
+        // its four consumers (n_baskets, per-item support, both sides of
+        // the pair self-join); NULL items (props without '$.k') carry no
+        // basket membership and are excluded up front (x145 discipline —
+        // a NULL can never satisfy a.item < b.item anyway, so the pair
+        // table is identical to itemPairs')
+        val ctx = itemContexts(s, dir).filter(col("item").isNotNull)
+          .localCheckpoint()
         val nB = ctx.select("user_id", "day").distinct()
           .agg(count(lit(1)).as("n_baskets"))
         val supI = ctx.groupBy("item").agg(count(lit(1)).as("sup"))
-        val pairs = ctx.as("a").join(ctx.as("b"),
-            col("a.user_id") === col("b.user_id") &&
-              col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-          .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-          .agg(count(lit(1)).as("sup_ab"))
-          .filter(col("sup_ab") >= 3)
+        val pairs = itemPairsFrom(ctx, minW = 3)
+          .withColumnRenamed("w", "sup_ab")
         val rules = pairs
           .select(col("ia").as("ante"), col("ib").as("cons"), col("sup_ab"))
           .union(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
@@ -8088,24 +8093,10 @@ object ExtensionQueries {
     // = DAU/WAU rounded 6 (integer inputs ⇒ cross-engine exact).
     QuerySpec(
       "x163_rolling_wau",
-      (s, dir) => {
-        val ud = Tables.events(s, dir)
+      (s, dir) => Wau.rollingReport(
+        Tables.events(s, dir)
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-          .localCheckpoint() // consumed three times (contrib, days, dau)
-        val contrib = ud
-          .select(col("user_id"), col("day"),
-            explode(sequence(lit(0), lit(6))).as("off"))
-          .select(col("user_id"), expr("date_add(day, off)").as("wday"))
-          .distinct()
-        val days = ud.select(col("day").as("wday")).distinct()
-        val wau = contrib.join(days, "wday")
-          .groupBy("wday").agg(count(lit(1)).as("wau"))
-        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-        dau.join(wau, col("day") === col("wday"))
-          .select(col("day"), col("dau"), col("wau"),
-            round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
-          .orderBy("day")
-      },
+          .localCheckpoint() /* consumed three times (contrib, days, dau) */),
       Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
              |      FROM events),
              |days AS (SELECT DISTINCT day FROM ud),
@@ -8534,15 +8525,12 @@ object ExtensionQueries {
           round(when(raw <= 2.5 * 64 && col("n_zero_regs") > 0,
               lit(64.0) * log(lit(64.0) / col("n_zero_regs")))
             .otherwise(raw), 4).as("wau_est"))
-        // exact ground truth — the x163 fan-out core
-        val exact = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-          .select(col("user_id"), col("day"),
-            explode(sequence(lit(0), lit(6))).as("off"))
-          .select(col("user_id"), expr("date_add(day, off)").as("wday"))
-          .distinct()
-          .join(days, "wday")
-          .groupBy("wday").agg(count(lit(1)).as("wau_exact"))
+        // exact ground truth — the shared x163 fan-out (ops/Wau); its
+        // emitted-day set equals `days` (both derive from event days)
+        val exact = Wau.windowActive(
+            Tables.events(s, dir)
+              .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+          .withColumnRenamed("wau", "wau_exact")
         est.join(exact, "wday")
           .select(col("wday").as("day"), col("wau_exact"), col("sum_pow"),
             col("n_zero_regs"), col("wau_est"))

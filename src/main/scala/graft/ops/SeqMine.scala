@@ -42,6 +42,18 @@ object SeqMine {
       .withColumn("__rn", row_number().over(w).cast("long"))
       .select(col(seqCol).as("__sid"), col(itemCol).as("__et"), col("__rn"))
       .localCheckpoint()
+    // '>' is the pattern separator and "" the level-0 sentinel: an item
+    // containing '>' would make two different same-level paths collide on
+    // one pattern string, and an empty item would alias the root. The
+    // checkpoint above is already an action, so one bounded aggregate
+    // validates the whole alphabet up front instead of corrupting output.
+    val bad = ev.agg(
+        sum(when(col("__et").isNull || col("__et") === "" ||
+          col("__et").contains(">"), 1L).otherwise(0L)).as("n"))
+      .head().getLong(0)
+    require(bad == 0L,
+      s"prefixSpan: $bad item value(s) are NULL/empty or contain the " +
+        "pattern separator '>' — escape or filter them first")
     val nu = ev.agg(countDistinct(col("__sid")).as("__nu"))
 
     // level-0 prefix: every sequence with the empty pattern at position 0

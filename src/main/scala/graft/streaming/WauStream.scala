@@ -39,22 +39,10 @@ object WauStream {
       .start()
 
   /** Rolling-WAU report off the accumulated state — the EXACT x163
-    * output contract (day, dau, wau, stickiness). */
-  def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val ud = spark.read.parquet(stateDir)
-      .select(col("user_id"), col("day")).distinct()
-    val contrib = ud
-      .select(col("user_id"), col("day"),
-        explode(sequence(lit(0), lit(6))).as("off"))
-      .select(col("user_id"), expr("date_add(day, off)").as("wday"))
-      .distinct()
-    val days = ud.select(col("day").as("wday")).distinct()
-    val wau = contrib.join(days, "wday")
-      .groupBy("wday").agg(count(lit(1)).as("wau"))
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    dau.join(wau, col("day") === col("wday"))
-      .select(col("day"), col("dau"), col("wau"),
-        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
-      .orderBy("day")
-  }
+    * output contract (day, dau, wau, stickiness), via the single shared
+    * definition in [[graft.ops.Wau]]. */
+  def report(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.Wau.rollingReport(
+      spark.read.parquet(stateDir)
+        .select(col("user_id"), col("day")).distinct())
 }

@@ -86,20 +86,26 @@ class QuantizedSpec extends SparkSpec {
         "embedding", 2, "spec-salt:", 1e4, 2)
       .orderBy("cluster", "pos").as[(Int, Long, Long, Long)].collect()
     assert(out.toSeq === b.toSeq)
-    // centroid index = salted-md5 rank: replay the seed pick in SQL and
-    // check cluster 0 contains its own seed row
-    val seedId = vecs
+    // centroid index = salted-md5 rank — pin it exactly: with k = n every
+    // row is its own seed, each point's nearest centroid is itself
+    // (distance 0), so cluster i MUST be precisely the row at hash-rank i
+    // and its sums that row's own quantized vector with n = 1
+    val rankOrder = vecs
       .withColumn("h", md5(concat(lit("spec-salt:"), col("vec_id").cast("string"))))
-      .orderBy(col("h"), col("vec_id")).limit(1)
-      .select("vec_id").as[Long].head()
-    val seedQ = vecs.filter(col("vec_id") === seedId)
-      .select(Quantized.quantizeUdf(1e4)(col("embedding"))).as[Seq[Long]].head()
-    // the seed's own vector distance to centroid 0 is minimal at iter 1,
-    // so its quantized values must contribute to cluster 0's sums: each
-    // per-pos sum of cluster 0 bounded below/above by seed participation
-    val c0 = out.filter(_._1 == 0).sortBy(_._2).map(_._3)
-    assert(c0.nonEmpty)
-    assert(seedQ.length === c0.length)
+      .orderBy(col("h"), col("vec_id"))
+      .select(col("vec_id"), Quantized.quantizeUdf(1e4)(col("embedding")))
+      .as[(Long, Seq[Long])].collect()
+    val self = Quantized.lloydKmeansFixedK(vecs, "vec_id", "embedding",
+        k = 5, salt = "spec-salt:", scale = 1e4, iters = 1)
+      .orderBy("cluster", "pos")
+      .as[(Int, Long, Long, Long)].collect()
+    rankOrder.zipWithIndex.foreach { case ((_, q), rank) =>
+      val rows = self.filter(_._1 == rank).sortBy(_._2)
+      assert(rows.map(_._4).forall(_ == 1L),
+        s"cluster $rank should hold exactly its own seed row")
+      assert(rows.map(_._3).toSeq === q,
+        s"cluster $rank sums must equal the hash-rank-$rank row's vector")
+    }
   }
 
   test("kmeans result is partition-invariant (integer sums are order-free)") {
