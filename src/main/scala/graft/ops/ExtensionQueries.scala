@@ -8038,29 +8038,10 @@ object ExtensionQueries {
         // basket membership and are excluded up front (x145 discipline —
         // a NULL can never satisfy a.item < b.item anyway, so the pair
         // table is identical to itemPairs')
-        val ctx = itemContexts(s, dir).filter(col("item").isNotNull)
-          .localCheckpoint()
-        val nB = ctx.select("user_id", "day").distinct()
-          .agg(count(lit(1)).as("n_baskets"))
-        val supI = ctx.groupBy("item").agg(count(lit(1)).as("sup"))
-        val pairs = itemPairsFrom(ctx, minW = 3)
-          .withColumnRenamed("w", "sup_ab")
-        val rules = pairs
-          .select(col("ia").as("ante"), col("ib").as("cons"), col("sup_ab"))
-          .union(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
-            col("sup_ab")))
-        rules
-          .join(supI.select(col("item").as("ante"), col("sup").as("sup_a")),
-            "ante")
-          .join(supI.select(col("item").as("cons"), col("sup").as("sup_c")),
-            "cons")
-          .crossJoin(broadcast(nB))
-          .select(col("ante"), col("cons"), col("sup_ab"),
-            round(col("sup_ab").cast("double") / col("sup_a"), 6)
-              .as("confidence"),
-            round(col("sup_ab").cast("double") * col("n_baskets") /
-              (col("sup_a").cast("double") * col("sup_c")), 6).as("lift"))
-          .orderBy(col("lift").desc, col("ante"), col("cons")).limit(20)
+        AssocRules.rules(
+          itemContexts(s, dir).filter(col("item").isNotNull)
+            .localCheckpoint(),
+          minSup = 3)
       },
       Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
              |        CAST(json_extract_string(props, '$.k') AS INT) AS item
