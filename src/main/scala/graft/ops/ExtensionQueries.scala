@@ -8614,6 +8614,83 @@ object ExtensionQueries {
              |  CAST(COUNT(*) AS BIGINT) AS n_components,
              |  CAST(MIN(lab) AS BIGINT) AS min_root, ch.n_changed_round3
              |FROM cs CROSS JOIN ch GROUP BY size, ch.n_changed_round3
-             |ORDER BY size""".stripMargin))
+             |ORDER BY size""".stripMargin)),
+
+    // Inter-arrival burstiness (Goh & Barabási, EPL 2008): per user, the
+    // event-gap statistic B = (σ−μ)/(σ+μ) — −1 metronome-periodic (bot
+    // cadence), 0 Poisson, →1 human-bursty — the behavioral-forensics
+    // read that complements x82's integrity audit and x81's key skew
+    // with WHO, not just how much. Gaps are exact integer SECONDS
+    // (micros div 1e6 — squared micro-gaps would overflow int64 on
+    // multi-day gaps) from a per-user lag window (bounded per user);
+    // μ/σ from the
+    // n·Σx²−(Σx)² integer-moment identity so B is one fixed-order
+    // double expression, bit-identical per engine, and the 0.1-wide
+    // histogram bins on that identical double (floor can't diverge).
+    // Output is the bounded |bins| distribution + the two-sided count
+    // of excluded thin users — nothing per-user leaves the aggregate.
+    QuerySpec(
+      "x171_burstiness",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+          .withColumn("gap", col("sec") - lag(col("sec"), 1).over(W))
+          .filter(col("gap").isNotNull)
+        val mom = gaps.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+            sum(col("gap") * col("gap")).as("sgg"))
+        // need >= 2 gaps for a variance; exclusions counted, not dropped
+        // silently
+        val thin = mom.filter(col("n") < 2)
+          .agg(count(lit(1)).as("n_thin")).select(
+            lit(null).cast("long").as("bin"),
+            col("n_thin").as("n_users"),
+            lit(null).cast("double").as("mean_b"))
+        val b = mom.filter(col("n") >= 2)
+          .select(col("user_id"),
+            ((sqrt((col("n").cast("double") * col("sgg") -
+                col("sg").cast("double") * col("sg")) /
+                (col("n").cast("double") * col("n"))) -
+              col("sg").cast("double") / col("n")) /
+             (sqrt((col("n").cast("double") * col("sgg") -
+                col("sg").cast("double") * col("sg")) /
+                (col("n").cast("double") * col("n"))) +
+              col("sg").cast("double") / col("n"))).as("bness"))
+        b.groupBy(floor(col("bness") * 10).as("bin"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(round(col("bness"), 6).cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)), 6).as("mean_b"))
+          .union(thin)
+          .orderBy(col("bin").asc_nulls_last)
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |        epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |      FROM events),
+             |m AS (SELECT user_id, COUNT(*) AS n, SUM(gap) AS sg,
+             |        SUM(gap * gap) AS sgg
+             |      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+             |b AS (SELECT user_id,
+             |        (sqrt((CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
+             |           / (CAST(n AS DOUBLE) * n)) - CAST(sg AS DOUBLE) / n) /
+             |        (sqrt((CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
+             |           / (CAST(n AS DOUBLE) * n)) + CAST(sg AS DOUBLE) / n)
+             |          AS bness
+             |      FROM m WHERE n >= 2),
+             |h AS (SELECT CAST(floor(bness * 10) AS BIGINT) AS bin,
+             |        COUNT(*) AS n_users,
+             |        round(CAST(SUM(CAST(round(bness, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) / COUNT(*), 6) AS mean_b
+             |      FROM b GROUP BY 1),
+             |t AS (SELECT CAST(NULL AS BIGINT) AS bin,
+             |        CAST(COUNT(*) AS BIGINT) AS n_users,
+             |        CAST(NULL AS DOUBLE) AS mean_b
+             |      FROM m WHERE n < 2)
+             |SELECT bin, CAST(n_users AS BIGINT) AS n_users, mean_b FROM h
+             |UNION ALL SELECT bin, n_users, mean_b FROM t
+             |ORDER BY bin NULLS LAST""".stripMargin))
   )
 }
