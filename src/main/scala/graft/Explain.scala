@@ -66,7 +66,8 @@ object Explain {
       "x160_textrank_keywords", "x161_fd_discovery", "x162_assoc_rules",
       "x163_rolling_wau", "x164_merge_upsert", "x165_calibration_ece",
       "x166_spearman_rank", "x167_curation_pipeline", "x168_roc_auc",
-      "x169_hll_rolling_wau", "x170_hashmin_cc", "x171_burstiness")
+      "x169_hll_rolling_wau", "x170_hashmin_cc", "x171_burstiness",
+      "x172_eb_shrinkage")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -8691,6 +8691,82 @@ object ExtensionQueries {
              |      FROM m WHERE n < 2)
              |SELECT bin, CAST(n_users AS BIGINT) AS n_users, mean_b FROM h
              |UNION ALL SELECT bin, n_users, mean_b FROM t
-             |ORDER BY bin NULLS LAST""".stripMargin))
+             |ORDER BY bin NULLS LAST""".stripMargin)),
+
+    // Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments —
+    // Robbins 1956 / the Efron-Morris device): per-item purchase rates
+    // k/n are noisy exactly where n is small, and ranking on the raw
+    // rate promotes flukes; shrinking toward the corpus prior
+    // Beta(α, β) — α+β = m(1−m)/v − 1 from the moments of the observed
+    // rate distribution — is the standard fix before any rate-ranked
+    // decision (which items to boost, which sources to trust). All
+    // moments ride the DECIMAL bridge over 6-dp rates, α/β/shrunk are
+    // fixed-order double expressions; degenerate priors (v = 0 or a
+    // non-positive α+β) fall back to the raw rate with a flag rather
+    // than NaN. One item aggregate, one 1-row moment broadcast,
+    // row-local shrinkage over |items| rows.
+    QuerySpec(
+      "x172_eb_shrinkage",
+      (s, dir) => {
+        val it = Tables.events(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')")
+            .as("item"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .filter(col("item").isNotNull)
+          .groupBy("item")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+          .withColumn("rate",
+            round(col("k").cast("double") / col("n"), 6))
+          .localCheckpoint() // consumed by the moment row + the shrinkage
+        val mom = it.agg(count(lit(1)).as("ni"),
+            sum(col("rate").cast("decimal(18,6)")).cast("double").as("sr"),
+            sum(round(col("rate") * col("rate"), 6).cast("decimal(18,6)"))
+              .cast("double").as("srr"))
+          .select(
+            (col("sr") / col("ni")).as("m"),
+            (col("srr") / col("ni") -
+              (col("sr") / col("ni")) * (col("sr") / col("ni"))).as("v"))
+          .select(col("m"), col("v"),
+            when(col("v") > 0,
+              col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
+              .otherwise(lit(null).cast("double")).as("ab"))
+        it.crossJoin(broadcast(mom))
+          .select(col("item"), col("n"), col("k"), col("rate"),
+            round(col("m"), 6).as("prior_mean"),
+            when(col("ab").isNotNull && col("ab") > 0,
+                round((col("k") + col("m") * col("ab")) /
+                  (col("n") + col("ab")), 6))
+              .otherwise(col("rate")).as("shrunk_rate"),
+            (col("ab").isNotNull && col("ab") > 0).cast("long")
+              .as("prior_ok"))
+          .orderBy("item")
+      },
+      Some("""WITH it AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        COUNT(*) AS n,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+             |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |      GROUP BY 1),
+             |r AS (SELECT item, n, k,
+             |        round(CAST(k AS DOUBLE) / n, 6) AS rate FROM it),
+             |mo AS (SELECT COUNT(*) AS ni,
+             |        CAST(SUM(CAST(rate AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+             |        CAST(SUM(CAST(round(rate * rate, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS srr
+             |      FROM r),
+             |p AS (SELECT sr / ni AS m,
+             |        srr / ni - (sr / ni) * (sr / ni) AS v
+             |      FROM mo),
+             |q AS (SELECT m, v,
+             |        CASE WHEN v > 0 THEN m * (1.0 - m) / v - 1.0
+             |             ELSE NULL END AS ab
+             |      FROM p)
+             |SELECT r.item, CAST(r.n AS BIGINT) AS n, CAST(r.k AS BIGINT) AS k,
+             |  r.rate, round(q.m, 6) AS prior_mean,
+             |  CASE WHEN q.ab IS NOT NULL AND q.ab > 0
+             |       THEN round((r.k + q.m * q.ab) / (r.n + q.ab), 6)
+             |       ELSE r.rate END AS shrunk_rate,
+             |  CAST(CASE WHEN q.ab IS NOT NULL AND q.ab > 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS prior_ok
+             |FROM r CROSS JOIN q ORDER BY r.item""".stripMargin))
   )
 }
