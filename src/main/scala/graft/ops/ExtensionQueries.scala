@@ -8767,6 +8767,130 @@ object ExtensionQueries {
              |       ELSE r.rate END AS shrunk_rate,
              |  CAST(CASE WHEN q.ab IS NOT NULL AND q.ab > 0 THEN 1 ELSE 0 END
              |    AS BIGINT) AS prior_ok
-             |FROM r CROSS JOIN q ORDER BY r.item""".stripMargin))
+             |FROM r CROSS JOIN q ORDER BY r.item""".stripMargin)),
+
+    // Good-Turing frequency-of-frequencies (Good 1953; Gale & Sampson's
+    // simple GT): the vocabulary histogram "how many words occur r
+    // times" plus the unseen-mass estimate P₀ = N₁/N — the quantity
+    // behind smoothing decisions, OOV-rate forecasts, and "is the
+    // corpus big enough" reads (complements x90's coverage curve and
+    // x77's novelty curve with the CLASSIC estimator). Per r: n_types,
+    // the adjusted Good-Turing count r* = (r+1)·N_{r+1}/N_r where the
+    // next bucket exists (integer inputs, one division, round 6). Two
+    // bounded aggregates — token counts then count-of-counts (the
+    // freq-of-freq table is tiny: max r buckets) — and a 1-row total.
+    QuerySpec(
+      "x173_good_turing",
+      (s, dir) => {
+        val wc = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("r"))
+        val fof = wc.groupBy("r").agg(count(lit(1)).as("n_types"))
+          .localCheckpoint() // consumed by the self-join and the total
+        val tot = fof.agg(sum(col("r") * col("n_types")).as("nn"),
+          sum(when(col("r") === 1, col("n_types")).otherwise(0L)).as("n1"))
+        val nxt = fof.select((col("r") - 1).as("r"),
+          col("n_types").as("n_types_next"))
+        fof.join(nxt, Seq("r"), "left_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_types"),
+            when(col("n_types_next").isNotNull,
+              round((col("r") + 1).cast("double") * col("n_types_next") /
+                col("n_types"), 6))
+              .otherwise(lit(null).cast("double")).as("r_star"),
+            round(col("n1").cast("double") / col("nn"), 6).as("p_unseen"))
+          .orderBy("r")
+      },
+      Some("""WITH t AS (SELECT unnest(list_filter(
+             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+             |        AS w
+             |      FROM documents),
+             |wc AS (SELECT w, COUNT(*) AS r FROM t GROUP BY 1),
+             |fof AS (SELECT r, COUNT(*) AS n_types FROM wc GROUP BY 1),
+             |tot AS (SELECT SUM(r * n_types) AS nn,
+             |         SUM(CASE WHEN r = 1 THEN n_types ELSE 0 END) AS n1
+             |       FROM fof)
+             |SELECT CAST(f.r AS BIGINT) AS r,
+             |  CAST(f.n_types AS BIGINT) AS n_types,
+             |  CASE WHEN nx.n_types IS NOT NULL
+             |       THEN round((f.r + 1) * CAST(nx.n_types AS DOUBLE) /
+             |            f.n_types, 6)
+             |       ELSE NULL END AS r_star,
+             |  round(CAST(tot.n1 AS DOUBLE) / tot.nn, 6) AS p_unseen
+             |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1
+             |CROSS JOIN tot ORDER BY r""".stripMargin)),
+
+    // Zipf rank-frequency fit (Zipf 1949; the log-log least-squares
+    // diagnostic): slope ≈ −1 is the natural-language signature — a
+    // corpus whose token distribution fits much flatter (scraped
+    // boilerplate) or steeper (template spam) fails the sanity gate
+    // before training. Word ranks come from the `countBelow` bucket
+    // device over NEGATED counts (descending rank without a vocab-scale
+    // single-partition window) + a within-count-group window (bounded
+    // per distinct count); the OLS slope/intercept over (ln rank,
+    // ln freq) sums 6-dp-rounded terms through the DECIMAL bridge (the
+    // x85 ln discipline), so both engines reduce identical decimals.
+    // Scale: one token shuffle, one |vocab| rank join, one 1-row fit.
+    QuerySpec(
+      "x174_zipf_fit",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wc = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("r"))
+          .withColumn("nr", -col("r"))
+          .localCheckpoint() // consumed by the grid and the rank join
+        val cb = countBelow(wc.groupBy("nr").agg(count(lit(1)).as("c")), "nr")
+        val wi = W.partitionBy("nr").orderBy("w")
+        val ranked = wc
+          .withColumn("ri", row_number().over(wi).cast("long"))
+          .join(cb.select(col("nr"), col("below")), "nr")
+          .select(col("w"), col("r"), (col("below") + col("ri")).as("rank"))
+        val terms = ranked.select(
+          round(log(col("rank").cast("double")), 6).as("x"),
+          round(log(col("r").cast("double")), 6).as("y"))
+        val m = terms.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum(round(col("x") * col("y"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxy"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxx"))
+        m.select(col("n").as("n_types"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("zipf_slope"),
+            round((col("sy") - ((col("n") * col("sxy") -
+                col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n"), 6).as("intercept"))
+          .orderBy("n_types")
+      },
+      Some("""WITH t AS (SELECT unnest(list_filter(
+             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+             |        AS w
+             |      FROM documents),
+             |wc AS (SELECT w, COUNT(*) AS r FROM t GROUP BY 1),
+             |rk AS (SELECT w, r,
+             |        CAST(row_number() OVER (ORDER BY r DESC, w) AS BIGINT)
+             |          AS rank
+             |      FROM wc),
+             |tm AS (SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+             |        round(ln(CAST(r AS DOUBLE)), 6) AS y
+             |      FROM rk),
+             |m AS (SELECT COUNT(*) AS n,
+             |        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sxy,
+             |        CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sxx
+             |      FROM tm)
+             |SELECT CAST(n AS BIGINT) AS n_types,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             |    AS zipf_slope,
+             |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             |    / n, 6) AS intercept
+             |FROM m ORDER BY n_types""".stripMargin))
   )
 }
