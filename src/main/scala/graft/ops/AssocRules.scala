@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   * int64 at real basket cardinalities — the x152 lesson). */
 object AssocRules {
 
+  /** Same-basket item pairs (ia < ib) with co-occurrence count `w`,
+    * kept when w >= minW — THE single pair builder: the graph ops'
+    * `itemPairs`/`itemEdges` (via ExtensionQueries.itemPairsFrom) and
+    * the rule miner below both delegate here, so same-basket pair
+    * semantics cannot fork between the graph and rules paths. */
+  def basketPairs(ctx: DataFrame, minW: Int): DataFrame =
+    ctx.as("a").join(ctx.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
+
   /** Rules over a distinct (user_id, day, item) context frame with
     * non-null items — pass a localCheckpoint'd frame: it is consumed
     * four times (basket count, item supports, both self-join sides).
@@ -23,12 +36,7 @@ object AssocRules {
     val nB = ctx.select("user_id", "day").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val supI = ctx.groupBy("item").agg(count(lit(1)).as("sup"))
-    val pairs = ctx.as("a").join(ctx.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("sup_ab"))
-      .filter(col("sup_ab") >= minSup)
+    val pairs = basketPairs(ctx, minSup).withColumnRenamed("w", "sup_ab")
     val both = pairs
       .select(col("ia").as("ante"), col("ib").as("cons"), col("sup_ab"))
       .union(pairs.select(col("ib").as("ante"), col("ia").as("cons"),

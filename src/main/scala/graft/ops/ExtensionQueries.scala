@@ -43,16 +43,12 @@ object ExtensionQueries {
     itemPairsFrom(itemContexts(s, dir), minW)
 
   /** [[itemPairs]] over a caller-supplied (possibly checkpointed) context
-    * frame — so callers that also consume the contexts directly (x162)
-    * share ONE materialization instead of re-deriving the grain. */
+    * frame — delegates to [[AssocRules.basketPairs]], the ONE pair
+    * builder, so same-basket semantics cannot fork between the graph
+    * ops and the rule miner. */
   private def itemPairsFrom(ctx: org.apache.spark.sql.DataFrame,
       minW: Int): org.apache.spark.sql.DataFrame =
-    ctx.as("a").join(ctx.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.day") === col("b.day") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= minW)
+    AssocRules.basketPairs(ctx, minW)
 
   /** Symmetric weighted edge list (both directions of every pair). */
   private def itemEdges(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -8627,8 +8623,11 @@ object ExtensionQueries {
     // n·Σx²−(Σx)² integer-moment identity so B is one fixed-order
     // double expression, bit-identical per engine, and the 0.1-wide
     // histogram bins on that identical double (floor can't diverge).
-    // Output is the bounded |bins| distribution + the two-sided count
-    // of excluded thin users — nothing per-user leaves the aggregate.
+    // Output is the bounded |bins| distribution + a NULL-bin row
+    // counting EVERY user without a B (single-event users — who never
+    // produce a lag row — and all-same-second users whose μ = σ = 0
+    // would make B = 0/0) against the full event user set — nothing
+    // per-user leaves the aggregate, nothing excluded silently.
     QuerySpec(
       "x171_burstiness",
       (s, dir) => {
@@ -8642,14 +8641,12 @@ object ExtensionQueries {
         val mom = gaps.groupBy("user_id")
           .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
             sum(col("gap") * col("gap")).as("sgg"))
-        // need >= 2 gaps for a variance; exclusions counted, not dropped
-        // silently
-        val thin = mom.filter(col("n") < 2)
-          .agg(count(lit(1)).as("n_thin")).select(
-            lit(null).cast("long").as("bin"),
-            col("n_thin").as("n_users"),
-            lit(null).cast("double").as("mean_b"))
-        val b = mom.filter(col("n") >= 2)
+        // B needs >= 2 gaps AND a nonzero gap sum (sg = 0 means every
+        // event landed in one wall-clock second: μ = σ = 0 and B is
+        // 0/0). Excluded users are counted against the FULL event user
+        // set — incl. single-event users who never produce a lag row —
+        // so the NULL-bin row truly is "everyone without a B".
+        val b = mom.filter(col("n") >= 2 && col("sg") > 0)
           .select(col("user_id"),
             ((sqrt((col("n").cast("double") * col("sgg") -
                 col("sg").cast("double") * col("sg")) /
@@ -8659,11 +8656,18 @@ object ExtensionQueries {
                 col("sg").cast("double") * col("sg")) /
                 (col("n").cast("double") * col("n"))) +
               col("sg").cast("double") / col("n"))).as("bness"))
+        val allUsers = Tables.events(s, dir).select("user_id").distinct()
+          .agg(count(lit(1)).as("n_all"))
+        val excluded = b.agg(count(lit(1)).as("n_b"))
+          .crossJoin(broadcast(allUsers))
+          .select(lit(null).cast("long").as("bin"),
+            (col("n_all") - col("n_b")).as("n_users"),
+            lit(null).cast("double").as("mean_b"))
         b.groupBy(floor(col("bness") * 10).as("bin"))
           .agg(count(lit(1)).as("n_users"),
             round(sum(round(col("bness"), 6).cast("decimal(18,6)"))
               .cast("double") / count(lit(1)), 6).as("mean_b"))
-          .union(thin)
+          .union(excluded)
           .orderBy(col("bin").asc_nulls_last)
       },
       Some("""WITH g AS (SELECT user_id,
@@ -8679,16 +8683,16 @@ object ExtensionQueries {
              |        (sqrt((CAST(n AS DOUBLE) * sgg - CAST(sg AS DOUBLE) * sg)
              |           / (CAST(n AS DOUBLE) * n)) + CAST(sg AS DOUBLE) / n)
              |          AS bness
-             |      FROM m WHERE n >= 2),
+             |      FROM m WHERE n >= 2 AND sg > 0),
              |h AS (SELECT CAST(floor(bness * 10) AS BIGINT) AS bin,
              |        COUNT(*) AS n_users,
              |        round(CAST(SUM(CAST(round(bness, 6) AS DECIMAL(18,6)))
              |          AS DOUBLE) / COUNT(*), 6) AS mean_b
              |      FROM b GROUP BY 1),
              |t AS (SELECT CAST(NULL AS BIGINT) AS bin,
-             |        CAST(COUNT(*) AS BIGINT) AS n_users,
-             |        CAST(NULL AS DOUBLE) AS mean_b
-             |      FROM m WHERE n < 2)
+             |        CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+             |          - (SELECT COUNT(*) FROM b) AS BIGINT) AS n_users,
+             |        CAST(NULL AS DOUBLE) AS mean_b)
              |SELECT bin, CAST(n_users AS BIGINT) AS n_users, mean_b FROM h
              |UNION ALL SELECT bin, n_users, mean_b FROM t
              |ORDER BY bin NULLS LAST""".stripMargin)),
