@@ -67,7 +67,8 @@ object Explain {
       "x163_rolling_wau", "x164_merge_upsert", "x165_calibration_ece",
       "x166_spearman_rank", "x167_curation_pipeline", "x168_roc_auc",
       "x169_hll_rolling_wau", "x170_hashmin_cc", "x171_burstiness",
-      "x172_eb_shrinkage", "x173_good_turing", "x174_zipf_fit")
+      "x172_eb_shrinkage", "x173_good_turing", "x174_zipf_fit",
+      "x175_decayed_popularity")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -8895,6 +8895,67 @@ object ExtensionQueries {
              |    AS zipf_slope,
              |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
              |    / n, 6) AS intercept
-             |FROM m ORDER BY n_types""".stripMargin))
+             |FROM m ORDER BY n_types""".stripMargin)),
+
+    // Exponential-decay popularity (half-life scoring — the trending /
+    // feed-ranking primitive; e.g. Reddit/HN-style hotness is this
+    // device): per item, Σ 2^(−age/7d) over its interaction events —
+    // yesterday's click outranks last month's hundred. The at-scale
+    // trick: group to (item, age_days) COUNTS first (bounded
+    // |items|·|days| cells), then ONE decay term per cell —
+    // cnt·pow(0.5, age/7) rounded 6 and DECIMAL-summed (the x128 pow
+    // precedent), never a per-event transcendental. Output contrasts
+    // the decayed rank with the raw-count rank (rank shifts are the
+    // point of the metric); top-10 by score, TakeOrdered.
+    QuerySpec(
+      "x175_decayed_popularity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')")
+            .as("item"), to_date(col("ts")).as("day"))
+          .filter(col("item").isNotNull)
+        val mx = ev.agg(max(col("day")).as("mxd"))
+        val cells = ev.groupBy("item", "day")
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(mx))
+          .select(col("item"), col("cnt"),
+            datediff(col("mxd"), col("day")).as("age"))
+        val scored = cells.groupBy("item")
+          .agg(sum(col("cnt")).as("n_events"),
+            sum(round(col("cnt") *
+                pow(lit(0.5), col("age").cast("double") / 7.0), 6)
+              .cast("decimal(18,6)")).cast("double").as("sc"))
+        val wRaw = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_events").desc, col("item"))
+        val wDec = org.apache.spark.sql.expressions.Window
+          .orderBy(col("sc").desc, col("item"))
+        scored
+          .withColumn("raw_rank", row_number().over(wRaw).cast("long"))
+          .withColumn("hot_rank", row_number().over(wDec).cast("long"))
+          .filter(col("hot_rank") <= 10)
+          .select(col("hot_rank"), col("item"), col("n_events"),
+            round(col("sc"), 6).as("decayed_score"), col("raw_rank"))
+          .orderBy("hot_rank")
+      },
+      Some("""WITH ev AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        CAST(ts AS DATE) AS day
+             |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |mx AS (SELECT MAX(day) AS mxd FROM ev),
+             |cells AS (SELECT item, COUNT(*) AS cnt,
+             |        date_diff('day', day, mx.mxd) AS age
+             |      FROM ev CROSS JOIN mx GROUP BY item, day, mx.mxd),
+             |sc AS (SELECT item, SUM(cnt) AS n_events,
+             |        CAST(SUM(CAST(round(cnt * pow(0.5, CAST(age AS DOUBLE) / 7.0), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sc
+             |      FROM cells GROUP BY 1),
+             |r AS (SELECT item, n_events, sc,
+             |        CAST(row_number() OVER (ORDER BY n_events DESC, item)
+             |          AS BIGINT) AS raw_rank,
+             |        CAST(row_number() OVER (ORDER BY sc DESC, item)
+             |          AS BIGINT) AS hot_rank
+             |      FROM sc)
+             |SELECT hot_rank, item, CAST(n_events AS BIGINT) AS n_events,
+             |  round(sc, 6) AS decayed_score, raw_rank
+             |FROM r WHERE hot_rank <= 10 ORDER BY hot_rank""".stripMargin))
   )
 }

@@ -47,6 +47,41 @@ class SeqMineSpec extends SparkSpec {
     assert(out.forall(_._2 == 1L))
   }
 
+  test("prefixSpan respects Apriori anti-monotonicity on real data") {
+    // support(P') <= support(prefix(P')) for every emitted pattern — the
+    // invariant the pruning relies on; checked over the harness events
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val first8 = graft.Tables.events(spark, sfDir)
+      .withColumn("rn0", row_number().over(W))
+      .filter(col("rn0") <= 8)
+    val out = SeqMine.prefixSpan(first8, "user_id", "event_type",
+        Seq(col("ts"), col("event_id")), minSupFrac = 0.25, maxLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.foreach { case (pat, sup) =>
+      val parts = pat.split(">")
+      if (parts.length > 1) {
+        val prefix = parts.init.mkString(">")
+        assert(out.contains(prefix),
+          s"pattern $pat emitted but its prefix $prefix was pruned")
+        assert(out(prefix) >= sup,
+          s"anti-monotonicity violated: sup($prefix)=${out(prefix)} < sup($pat)=$sup")
+      }
+    }
+  }
+
+  test("prefixSpan rejects items that would corrupt the pattern encoding") {
+    val badSep = Seq((1L, 1L, "a>b"), (1L, 2L, "c")).toDF("sid", "pos", "et")
+    intercept[IllegalArgumentException] {
+      SeqMine.prefixSpan(badSep, "sid", "et", Seq(col("pos")), 0.5, 2)
+    }
+    val badEmpty = Seq((1L, 1L, ""), (1L, 2L, "c")).toDF("sid", "pos", "et")
+    intercept[IllegalArgumentException] {
+      SeqMine.prefixSpan(badEmpty, "sid", "et", Seq(col("pos")), 0.5, 2)
+    }
+  }
+
   test("prefixSpan level-3 growth only from surviving level-2 prefixes") {
     val out = mine(0.25, 3) // minsup = 1: everything frequent
     val byPat = out.map(t => t._1 -> t._3).toMap
