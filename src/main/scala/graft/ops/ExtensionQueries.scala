@@ -8956,6 +8956,92 @@ object ExtensionQueries {
              |      FROM sc)
              |SELECT hot_rank, item, CAST(n_events AS BIGINT) AS n_events,
              |  round(sc, 6) AS decayed_score, raw_rank
-             |FROM r WHERE hot_rank <= 10 ORDER BY hot_rank""".stripMargin))
+             |FROM r WHERE hot_rank <= 10 ORDER BY hot_rank""".stripMargin)),
+
+    // KNN-Shapley data valuation (Jia et al., PVLDB 12(11), 2019,
+    // Theorem 1): the exact Shapley value of each training point for a
+    // K-NN classifier, in closed form — sort train points by similarity
+    // to a probe, then s(α_N) = 1[y_N=y]/N and
+    // s(α_i) = s(α_{i+1}) + (1[y_i=y] − 1[y_{i+1}=y])/K · min(K,i)/i —
+    // i.e. a SUFFIX SUM over the ranking of row-local terms, which is
+    // exactly a window aggregate. This is the data-valuation primitive a
+    // curation pipeline uses to price individual examples (which rows
+    // help / hurt a probe set) without training anything. At 100 TB:
+    // the probe set is BOUNDED (8 rows, seeded-hash pick — the x49/x52
+    // device), so similarity is 8·n map-side dot products against a
+    // broadcast probe frame (the corpus never shuffles for it); the only
+    // shuffle is the per-probe ranking, a partition-by-qid sort whose
+    // 100 TB form is the two-level bucketed global-rank device x165/x168
+    // already use (bucket by sim band, countBelow per band, rank within).
+    // Terms are rounded-6 and DECIMAL-summed in the window frame so the
+    // suffix accumulation is exact and engine-order-proof (DuckDB's
+    // segment-tree window sum vs Spark's running sum would otherwise
+    // differ in float add order). Output: top-5 most valuable train
+    // points per probe.
+    QuerySpec(
+      "x176_knn_shapley",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val probes = e
+          .withColumn("h", md5(concat(lit("shap"), col("vec_id").cast("string"))))
+          .orderBy("h", "vec_id").limit(8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+            col("label").as("qlab"))
+        val train = e.join(
+          broadcast(probes.select(col("qid").as("vec_id"))), Seq("vec_id"), "left_anti")
+        val shap = Valuation.knnShapley(train, probes, "vec_id", "embedding",
+          "label", k = 5)
+        val wVal = Window.partitionBy("qid").orderBy(col("shap").desc, col("tid"))
+        shap
+          .withColumn("vrank", row_number().over(wVal).cast("long"))
+          .filter(col("vrank") <= 5)
+          .select(col("qid"), col("vrank"), col("tid"), col("tlab"),
+            col("sim"), col("shap"))
+          .orderBy("qid", "vrank")
+      },
+      Some("""WITH pr AS (SELECT vec_id,
+             |        md5(concat('shap', CAST(vec_id AS VARCHAR))) AS h
+             |      FROM embeddings),
+             |t AS (SELECT vec_id FROM pr ORDER BY h, vec_id LIMIT 8),
+             |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb,
+             |        label FROM embeddings),
+             |n AS (SELECT vec_id, emb, label,
+             |        sqrt(list_sum([x * x for x in emb])) AS nrm FROM e),
+             |f AS (SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS tid,
+             |        c.label AS tlab, q.nrm AS qn, c.nrm AS cn,
+             |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
+             |      FROM n q CROSS JOIN n c
+             |      WHERE q.vec_id IN (SELECT vec_id FROM t)
+             |        AND c.vec_id NOT IN (SELECT vec_id FROM t)),
+             |d AS (SELECT qid, any_value(qlab) AS qlab, tid,
+             |        any_value(tlab) AS tlab,
+             |        round(sum(qv * cv) / (any_value(qn) * any_value(cn)), 4) AS sim
+             |      FROM f GROUP BY qid, tid),
+             |r AS (SELECT qid, qlab, tid, tlab, sim,
+             |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, tid) AS rk,
+             |        COUNT(*) OVER (PARTITION BY qid) AS nn,
+             |        CASE WHEN tlab = qlab THEN 1.0 ELSE 0.0 END AS m
+             |      FROM d),
+             |g AS (SELECT *,
+             |        CASE WHEN rk < nn THEN
+             |          (m - lead(m) OVER (PARTITION BY qid ORDER BY rk)) / 5.0
+             |            * least(5, rk) / rk
+             |        ELSE 0.0 END AS term,
+             |        MAX(CASE WHEN rk = nn THEN
+             |          CASE WHEN nn > 5 THEN m / nn
+             |               ELSE m * least(5, nn) / (5.0 * nn) END
+             |        END) OVER (PARTITION BY qid) AS base
+             |      FROM r),
+             |sv AS (SELECT qid, tid, tlab, sim,
+             |        round(base + CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6)))
+             |          OVER (PARTITION BY qid ORDER BY rk DESC
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS DOUBLE), 6) AS shap
+             |      FROM g)
+             |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY shap DESC, tid) AS BIGINT) AS vrank,
+             |  tid, tlab, sim, shap
+             |FROM sv QUALIFY vrank <= 5 ORDER BY qid, vrank""".stripMargin))
   )
 }
