@@ -9042,6 +9042,82 @@ object ExtensionQueries {
              |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
              |    ORDER BY shap DESC, tid) AS BIGINT) AS vrank,
              |  tid, tlab, sim, shap
-             |FROM sv QUALIFY vrank <= 5 ORDER BY qid, vrank""".stripMargin))
+             |FROM sv QUALIFY vrank <= 5 ORDER BY qid, vrank""".stripMargin)),
+
+    // Mann-Kendall trend test + Sen's slope (Mann 1945; Kendall 1975;
+    // Sen, JASA 1968) over monthly revenue — the NONPARAMETRIC trend
+    // read complementing the parametric suite (x122 Holt level/trend,
+    // x143 changepoint, x146 MASE): S = Σ_{i<j} sign(x_j − x_i) with the
+    // tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18,
+    // the continuity-corrected z, and Sen's slope = median of pairwise
+    // slopes — robust to outlier months and needing no distributional
+    // assumption. At-scale shape: the corpus collapses to CALENDAR-BOUNDED
+    // month cells first (80 here; any horizon is thousands at most), so the
+    // pairwise stage is |months|² over a broadcast frame — never data-sized.
+    // Month revenue goes through the round-6 DECIMAL bridge, so every
+    // pairwise sign/slope is computed on bit-identical doubles per engine;
+    // Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    // same sorted-linear-interpolation definition.
+    QuerySpec(
+      "x177_mann_kendall",
+      (s, dir) => {
+        val mo = Tables.orders(s, dir)
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("mi"))
+          .agg(sum(round(col("o_totalprice"), 6).cast("decimal(18,6)"))
+            .cast("double").as("rev"))
+          .localCheckpoint() // one scan feeds pairs (both sides), ties, n
+        val pairs = mo.as("a").join(mo.as("b"), col("a.mi") < col("b.mi"))
+          .select(signum(col("b.rev") - col("a.rev")).cast("int").as("sg"),
+            ((col("b.rev") - col("a.rev")) /
+              (col("b.mi") - col("a.mi")).cast("double")).as("slope"))
+        val sAgg = pairs.agg(sum(col("sg")).cast("long").as("s_stat"),
+          expr("percentile(slope, 0.5)").as("sen"))
+        val ties = mo.groupBy("rev").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"),
+            sum(col("t")).cast("long").as("n"))
+        sAgg.crossJoin(broadcast(ties))
+          .withColumn("var_s",
+            (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
+              .cast("double") / 18.0)
+          .withColumn("zz",
+            when(col("s_stat") > 0,
+              (col("s_stat").cast("double") - 1.0) / sqrt(col("var_s")))
+              .when(col("s_stat") < 0,
+                (col("s_stat").cast("double") + 1.0) / sqrt(col("var_s")))
+              .otherwise(lit(0.0)))
+          .select(col("n").as("n_months"), col("s_stat"),
+            round(col("var_s"), 6).as("var_s"), round(col("zz"), 6).as("z"),
+            when(col("zz") > 1.959964, "increasing")
+              .when(col("zz") < -1.959964, "decreasing")
+              .otherwise("no trend").as("trend"),
+            round(col("sen"), 6).as("sen_slope"))
+          .orderBy("n_months")
+      },
+      Some("""WITH mo AS (SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS mi,
+             |        CAST(SUM(CAST(round(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             |      FROM orders GROUP BY 1),
+             |p AS (SELECT CAST(sign(b.rev - a.rev) AS INT) AS sg,
+             |        (b.rev - a.rev) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+             |      FROM mo a JOIN mo b ON a.mi < b.mi),
+             |sa AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat,
+             |        quantile_cont(slope, 0.5) AS sen FROM p),
+             |ti AS (SELECT SUM(t*(t-1)*(t*2+5)) AS tie_term,
+             |        CAST(SUM(t) AS BIGINT) AS n
+             |      FROM (SELECT COUNT(*) AS t FROM mo GROUP BY rev)),
+             |v AS (SELECT sa.s_stat, sa.sen, ti.tie_term, ti.n,
+             |        CAST(n*(n-1)*(n*2+5) - tie_term AS DOUBLE)/18.0 AS var_s
+             |      FROM sa CROSS JOIN ti),
+             |z AS (SELECT *,
+             |        CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE)-1.0)/sqrt(var_s)
+             |             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE)+1.0)/sqrt(var_s)
+             |             ELSE 0.0 END AS zz FROM v)
+             |SELECT n AS n_months, s_stat, round(var_s, 6) AS var_s,
+             |  round(zz, 6) AS z,
+             |  CASE WHEN zz > 1.959964 THEN 'increasing'
+             |       WHEN zz < -1.959964 THEN 'decreasing'
+             |       ELSE 'no trend' END AS trend,
+             |  round(sen, 6) AS sen_slope
+             |FROM z ORDER BY n_months""".stripMargin))
   )
 }
