@@ -9118,6 +9118,97 @@ object ExtensionQueries {
              |       WHEN zz < -1.959964 THEN 'decreasing'
              |       ELSE 'no trend' END AS trend,
              |  round(sen, 6) AS sen_slope
-             |FROM z ORDER BY n_months""".stripMargin))
+             |FROM z ORDER BY n_months""".stripMargin)),
+
+    // RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    // Keyword Extraction from Individual Documents", Text Mining 2010) —
+    // the degree/frequency device, a DIFFERENT extraction principle from
+    // x160's TextRank (co-occurrence random walk): candidate phrases are
+    // maximal runs of content words between delimiter tokens, word score =
+    // deg(w)/freq(w) where deg counts phrase-length mass per occurrence,
+    // phrase score = Σ member word scores. Delimiters are short words
+    // (length < 4, the x160 convention) PLUS the paper's own §1.2.2
+    // refinement — a FREQUENCY-GENERATED stoplist (the top-10 corpus
+    // words), computed from the data, not hand-curated; candidates are
+    // capped at 4 words (the standard RAKE candidate-length cap), which
+    // keeps phrase keys bounded at any corpus size. Shapes:
+    // gaps-and-islands (p − row_number) per doc builds phrases with
+    // PER-DOC windows only; the stoplist is a 10-row broadcast; word
+    // stats are plain groupBys; nothing pairwise anywhere (vs TextRank's
+    // window-pair edges). Word scores are exact-rational doubles
+    // (int/int); per-phrase sums ride the round-6 DECIMAL bridge so
+    // phrase scores are engine-identical.
+    QuerySpec(
+      "x178_rake_keywords",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "wd")))
+          .filter(length(col("wd")) >= 4)
+          .localCheckpoint() // one tokenize feeds the stoplist and islands
+        val stop = tok.groupBy("wd").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("wd")).limit(10)
+          .select(col("wd"))
+        val ph = tok
+          .join(broadcast(stop), Seq("wd"), "left_anti")
+          .withColumn("grp",
+            col("p") - row_number().over(W.partitionBy("doc_id").orderBy("p")))
+          .localCheckpoint() // feeds members, lengths, freq
+        val phLen = ph.groupBy("doc_id", "grp")
+          .agg(count(lit(1)).as("ph_len"),
+            concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("p"), col("wd")))),
+                x => x.getField("wd"))).as("phrase"))
+          .filter(col("ph_len") <= 4)
+        // Word stats over CANDIDATE members only (the paper scores words
+        // within the candidate keyword set, not the whole corpus).
+        val members = ph.join(phLen.select("doc_id", "grp", "ph_len"),
+          Seq("doc_id", "grp"))
+        val score = members.groupBy("wd")
+          .agg(count(lit(1)).as("freq"), sum(col("ph_len")).as("deg"))
+          .select(col("wd"),
+            (col("deg").cast("double") / col("freq").cast("double")).as("ws"))
+        val phScore = members.join(broadcast(score), "wd")
+          .groupBy("doc_id", "grp")
+          .agg(sum(round(col("ws"), 6).cast("decimal(18,6)"))
+            .cast("double").as("psc"))
+        phLen.join(phScore, Seq("doc_id", "grp"))
+          .groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), max(col("psc")).as("sc"),
+            max(col("ph_len")).as("n_words"))
+          .select(col("phrase"), col("n_words"), col("n_occ"),
+            round(col("sc"), 6).as("score"))
+          .orderBy(col("score").desc, col("phrase")).limit(10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |      FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS wd,
+             |        generate_subscripts(toks, 1) AS p FROM t),
+             |cw AS (SELECT doc_id, wd, p FROM tok WHERE length(wd) >= 4),
+             |stop AS (SELECT wd FROM (
+             |        SELECT wd, COUNT(*) AS cnt FROM cw GROUP BY 1)
+             |      ORDER BY cnt DESC, wd LIMIT 10),
+             |tk AS (SELECT doc_id, wd, p,
+             |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+             |      FROM cw WHERE wd NOT IN (SELECT wd FROM stop)),
+             |pl AS (SELECT doc_id, grp, COUNT(*) AS ph_len,
+             |        string_agg(wd, ' ' ORDER BY p) AS phrase
+             |      FROM tk GROUP BY 1, 2
+             |      HAVING COUNT(*) <= 4),
+             |mem AS (SELECT tk.doc_id, tk.grp, tk.wd, pl.ph_len
+             |      FROM tk JOIN pl USING (doc_id, grp)),
+             |sc AS (SELECT wd,
+             |        CAST(SUM(ph_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ws
+             |      FROM mem GROUP BY 1),
+             |ps AS (SELECT mem.doc_id, mem.grp,
+             |        CAST(SUM(CAST(round(sc.ws, 6) AS DECIMAL(18,6))) AS DOUBLE) AS psc
+             |      FROM mem JOIN sc USING (wd) GROUP BY 1, 2)
+             |SELECT pl.phrase, MAX(pl.ph_len) AS n_words, COUNT(*) AS n_occ,
+             |  round(MAX(ps.psc), 6) AS score
+             |FROM pl JOIN ps USING (doc_id, grp)
+             |GROUP BY pl.phrase
+             |ORDER BY score DESC, phrase LIMIT 10""".stripMargin))
   )
 }
