@@ -9209,6 +9209,68 @@ object ExtensionQueries {
              |  round(MAX(ps.psc), 6) AS score
              |FROM pl JOIN ps USING (doc_id, grp)
              |GROUP BY pl.phrase
-             |ORDER BY score DESC, phrase LIMIT 10""".stripMargin))
+             |ORDER BY score DESC, phrase LIMIT 10""".stripMargin)),
+
+    // Robust outlier audit via the modified z-score (Iglewicz & Hoaglin,
+    // "How to Detect and Handle Outliers", ASQC 1993): per group,
+    // Mz = 0.6745·(x − median)/MAD with the |Mz| > 3.5 flag — the robust
+    // counterpart to x81's mean/stddev skew audit (median/MAD have a 50%
+    // breakdown point, so the outliers themselves can't mask the
+    // detector, the failure mode of sigma-based rules). Two grouped
+    // EXACT medians (value, then |value − med|); Spark's exact
+    // `percentile` and DuckDB's `quantile_cont` share the sorted-linear-
+    // interpolation definition, and every derived double follows the
+    // identical op sequence per engine, so counts and extremes need no
+    // tolerance. MAD = 0 groups yield NULL Mz (no flags, max_mz NULL) —
+    // guarded, never NaN. At 100 TB the exact per-group median is the
+    // honest cost (grouped sort); the documented swap is
+    // approx_percentile/t-digest at a stated error budget — the flag
+    // threshold is 3.5σ-equivalent, far coarser than sketch error.
+    QuerySpec(
+      "x179_mad_outliers",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val st = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+        val dev = ev.join(broadcast(st), "event_type")
+          .withColumn("ad", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("mz",
+            when(col("mad") > 0,
+              (col("value") - col("med")) * 0.6745 / col("mad")))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"), max(col("med")).as("medv"),
+            max(col("mad")).as("madv"),
+            sum(when(abs(col("mz")) > 3.5, 1L).otherwise(0L)).as("n_out"),
+            max(abs(col("mz"))).as("mx"))
+          .select(col("event_type"), col("n"),
+            round(col("medv"), 6).as("med"), round(col("madv"), 6).as("mad"),
+            col("n_out"),
+            round(col("n_out").cast("double") / col("n").cast("double"), 6)
+              .as("out_frac"),
+            round(col("mx"), 6).as("max_mz"))
+          .orderBy("event_type")
+      },
+      Some("""WITH st AS (SELECT event_type, quantile_cont(value, 0.5) AS med,
+             |        COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, e.value, st.med, st.n,
+             |        abs(e.value - st.med) AS ad
+             |      FROM events e JOIN st USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |      FROM dev GROUP BY 1),
+             |mz AS (SELECT dev.event_type, dev.n, dev.med, md.mad,
+             |        CASE WHEN md.mad > 0
+             |          THEN (dev.value - dev.med) * 0.6745 / md.mad END AS mz
+             |      FROM dev JOIN md USING (event_type))
+             |SELECT event_type, MAX(n) AS n, round(MAX(med), 6) AS med,
+             |  round(MAX(mad), 6) AS mad,
+             |  CAST(SUM(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             |  round(CAST(SUM(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(MAX(n) AS DOUBLE), 6) AS out_frac,
+             |  round(MAX(abs(mz)), 6) AS max_mz
+             |FROM mz GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
