@@ -9271,6 +9271,105 @@ object ExtensionQueries {
              |  round(CAST(SUM(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS DOUBLE)
              |    / CAST(MAX(n) AS DOUBLE), 6) AS out_frac,
              |  round(MAX(abs(mz)), 6) AS max_mz
-             |FROM mz GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM mz GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HITS hubs & authorities (Kleinberg, JACM 46(5), 1999) on the
+    // user→item BIPARTITE interaction graph — the mutual-reinforcement
+    // read the item-projection ops can't give: x101's PageRank scores
+    // items against items and never says anything about users, while
+    // HITS scores both sides of the bipartite structure at once (a good
+    // hub is a user who touches authoritative items; a good authority is
+    // an item touched by good hubs). Three alternating power-iteration
+    // rounds, L1-normalized per update (the paper's normalization up to
+    // choice of norm); every product term rides the x101/x160 round-6 →
+    // DECIMAL device and the normalizer is an exact decimal sum, so all
+    // three rounds replay bit-identically in SQL. Scale shape: each
+    // round is one |edges| equi-join + map-side-combined sum per side —
+    // the x170 BSP discipline; the weight matrix is built once
+    // (user,item,count — slim keys) and checkpointed.
+    QuerySpec(
+      "x180_hits",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ed = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .filter(col("item").isNotNull)
+          .groupBy("user_id", "item").agg(count(lit(1)).as("w"))
+          .localCheckpoint() // the weight matrix feeds all six half-rounds
+        var hub = ed.select(col("user_id")).distinct()
+          .withColumn("h", lit(1.0))
+        var auth = ed.select(col("item")).distinct().withColumn("a", lit(0.0))
+        for (_ <- 1 to 3) {
+          val araw = ed.join(hub, "user_id")
+            .select(col("item"),
+              round(col("h") * col("w"), 6).cast("decimal(18,6)").as("c"))
+            .groupBy("item").agg(sum(col("c")).cast("double").as("a"))
+          val atot = araw
+            .agg(sum(col("a").cast("decimal(18,6)")).cast("double").as("t"))
+          auth = araw.crossJoin(broadcast(atot))
+            .select(col("item"), round(col("a") / col("t"), 6).as("a"))
+          val hraw = ed.join(auth, "item")
+            .select(col("user_id"),
+              round(col("a") * col("w"), 6).cast("decimal(18,6)").as("c"))
+            .groupBy("user_id").agg(sum(col("c")).cast("double").as("h"))
+          val htot = hraw
+            .agg(sum(col("h").cast("decimal(18,6)")).cast("double").as("t"))
+          hub = hraw.crossJoin(broadcast(htot))
+            .select(col("user_id"), round(col("h") / col("t"), 6).as("h"))
+        }
+        auth.select(lit("authority").as("role"),
+            col("item").cast("long").as("id"), col("a").as("score"))
+          .unionByName(hub.select(lit("hub").as("role"),
+            col("user_id").cast("long").as("id"), col("h").as("score")))
+          .withColumn("rn", row_number()
+            .over(W.partitionBy("role").orderBy(col("score").desc, col("id")))
+            .cast("long"))
+          .filter(col("rn") <= 10)
+          .select(col("role"), col("rn"), col("id"), col("score"))
+          .orderBy("role", "rn")
+      },
+      Some("""WITH ed AS (SELECT user_id,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        COUNT(*) AS w
+             |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |      GROUP BY 1, 2),
+             |h0 AS (SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS h FROM ed),
+             |a1r AS (SELECT ed.item,
+             |        CAST(SUM(CAST(round(h0.h * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS a
+             |      FROM ed JOIN h0 USING (user_id) GROUP BY 1),
+             |a1t AS (SELECT CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) AS t FROM a1r),
+             |a1 AS (SELECT item, round(a / a1t.t, 6) AS a FROM a1r CROSS JOIN a1t),
+             |h1r AS (SELECT ed.user_id,
+             |        CAST(SUM(CAST(round(a1.a * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+             |      FROM ed JOIN a1 USING (item) GROUP BY 1),
+             |h1t AS (SELECT CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS t FROM h1r),
+             |h1 AS (SELECT user_id, round(h / h1t.t, 6) AS h FROM h1r CROSS JOIN h1t),
+             |a2r AS (SELECT ed.item,
+             |        CAST(SUM(CAST(round(h1.h * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS a
+             |      FROM ed JOIN h1 USING (user_id) GROUP BY 1),
+             |a2t AS (SELECT CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) AS t FROM a2r),
+             |a2 AS (SELECT item, round(a / a2t.t, 6) AS a FROM a2r CROSS JOIN a2t),
+             |h2r AS (SELECT ed.user_id,
+             |        CAST(SUM(CAST(round(a2.a * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+             |      FROM ed JOIN a2 USING (item) GROUP BY 1),
+             |h2t AS (SELECT CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS t FROM h2r),
+             |h2 AS (SELECT user_id, round(h / h2t.t, 6) AS h FROM h2r CROSS JOIN h2t),
+             |a3r AS (SELECT ed.item,
+             |        CAST(SUM(CAST(round(h2.h * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS a
+             |      FROM ed JOIN h2 USING (user_id) GROUP BY 1),
+             |a3t AS (SELECT CAST(SUM(CAST(a AS DECIMAL(18,6))) AS DOUBLE) AS t FROM a3r),
+             |a3 AS (SELECT item, round(a / a3t.t, 6) AS a FROM a3r CROSS JOIN a3t),
+             |h3r AS (SELECT ed.user_id,
+             |        CAST(SUM(CAST(round(a3.a * ed.w, 6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+             |      FROM ed JOIN a3 USING (item) GROUP BY 1),
+             |h3t AS (SELECT CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS t FROM h3r),
+             |h3 AS (SELECT user_id, round(h / h3t.t, 6) AS h FROM h3r CROSS JOIN h3t),
+             |u AS (SELECT 'authority' AS role, CAST(item AS BIGINT) AS id, a AS score FROM a3
+             |      UNION ALL
+             |      SELECT 'hub' AS role, CAST(user_id AS BIGINT) AS id, h AS score FROM h3)
+             |SELECT role, CAST(row_number() OVER (PARTITION BY role
+             |    ORDER BY score DESC, id) AS BIGINT) AS rn, id, score
+             |FROM u QUALIFY rn <= 10 ORDER BY role, rn""".stripMargin))
   )
 }
