@@ -9370,6 +9370,107 @@ object ExtensionQueries {
              |      SELECT 'hub' AS role, CAST(user_id AS BIGINT) AS id, h AS score FROM h3)
              |SELECT role, CAST(row_number() OVER (PARTITION BY role
              |    ORDER BY score DESC, id) AS BIGINT) AS rn, id, score
-             |FROM u QUALIFY rn <= 10 ORDER BY role, rn""".stripMargin))
+             |FROM u QUALIFY rn <= 10 ORDER BY role, rn""".stripMargin)),
+
+    // Consistent-hashing rebalance audit (Karger et al., STOC 1997): what
+    // fraction of keys MOVES when the shard count scales 8 → 9, under
+    // mod-N hashing vs a 64-vnode hash ring — the shard-mechanics
+    // decision behind every resize of a partitioned store (mod moves
+    // ≈ 1 − 1/9 ≈ 89% of keys; the ring moves ≈ 1/9 ≈ 11%, exactly the
+    // keys the new shard's vnodes capture). Both schemes are pure
+    // md5-derived functions (the x86 48-bit key device), so the whole
+    // audit replays in SQL. Shapes: the ring is materialized as SORTED
+    // INTERVALS — (lag(pt), pt] per vnode + the wrap interval — built
+    // from a 576-row generated frame routed through a bounded groupBy
+    // (PlansSpec rule-1: aggregate below the global lag window), then
+    // ownership is the x155 interval-containment join of keys against
+    // the BROADCAST interval table: one map-side pass over the keys,
+    // nothing data-sized shuffles, works unchanged at 10^11 keys.
+    QuerySpec(
+      "x181_consistent_hashing",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val M = 281474976710656L // 2^48, the x86 12-hex-digit key space
+        val vn = s.range(0, 576).toDF("vid")
+          .select(expr("vid div 64").as("shard"), (col("vid") % 64).as("v"))
+          .withColumn("pt",
+            conv(substring(md5(concat(lit("vnode:"), col("shard").cast("string"),
+              lit(":"), col("v").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("pt"))
+        def intervals(ring: org.apache.spark.sql.DataFrame) = {
+          // groupBy is semantically the identity on (shard, v) — it exists
+          // so the global lag window below sits over an aggregate of
+          // BOUNDED cardinality (576 vnodes), never corpus-sized.
+          val base = ring.groupBy("shard", "v").agg(max(col("pt")).as("pt"))
+          val iv = base
+            .withColumn("lo", lag(col("pt"), 1, -1L).over(W.orderBy("pt")))
+            .select(col("lo"), col("pt").as("hi"), col("shard"))
+          val wrap = base.agg(max(col("pt")).as("lo"))
+            .crossJoin(base.orderBy(col("pt")).limit(1).select(col("shard")))
+            .select(col("lo"), lit(M).as("hi"), col("shard"))
+          iv.unionByName(wrap)
+        }
+        val ivA = intervals(vn.filter(col("shard") < 8))
+        val ivB = intervals(vn)
+        val keys = Tables.customer(s, dir)
+          .select(col("c_custkey").as("key"),
+            conv(substring(md5(concat(lit("ring:"),
+              col("c_custkey").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("kpos"))
+        val ringAsg = keys
+          .join(broadcast(ivA), col("kpos") > col("lo") && col("kpos") <= col("hi"))
+          .select(col("key"), col("kpos"), col("shard").as("sa"))
+          .join(broadcast(ivB).withColumnRenamed("shard", "sb"),
+            col("kpos") > col("lo") && col("kpos") <= col("hi"))
+          .select(lit("ring").as("strategy"), col("key"), col("sa"), col("sb"))
+        val modAsg = keys.select(lit("mod").as("strategy"), col("key"),
+          (col("kpos") % 8).as("sa"), (col("kpos") % 9).as("sb"))
+        ringAsg.unionByName(modAsg)
+          .groupBy("strategy")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_moved"))
+          .join(ringAsg.unionByName(modAsg)
+            .groupBy("strategy", "sb").agg(count(lit(1)).as("c"))
+            .groupBy("strategy").agg(max(col("c")).as("max_shard")), "strategy")
+          .select(col("strategy"), col("n_keys"), col("n_moved"),
+            round(col("n_moved").cast("double") / col("n_keys").cast("double"), 6)
+              .as("moved_frac"),
+            round(col("max_shard").cast("double") * 9.0 /
+              col("n_keys").cast("double"), 6).as("max_shard_load"))
+          .orderBy("strategy")
+      },
+      Some("""WITH vn AS (SELECT i // 64 AS shard, i % 64 AS v,
+             |        CAST(('0x' || substr(md5('vnode:' || CAST(i // 64 AS VARCHAR)
+             |          || ':' || CAST(i % 64 AS VARCHAR)), 1, 12)) AS BIGINT) AS pt
+             |      FROM generate_series(0, 575) t(i)),
+             |vnA AS (SELECT * FROM vn WHERE shard < 8),
+             |iA AS (SELECT lag(pt, 1, -1) OVER (ORDER BY pt) AS lo, pt AS hi, shard FROM vnA
+             |       UNION ALL
+             |       SELECT (SELECT MAX(pt) FROM vnA), CAST(281474976710656 AS BIGINT),
+             |         (SELECT shard FROM vnA ORDER BY pt LIMIT 1)),
+             |iB AS (SELECT lag(pt, 1, -1) OVER (ORDER BY pt) AS lo, pt AS hi, shard FROM vn
+             |       UNION ALL
+             |       SELECT (SELECT MAX(pt) FROM vn), CAST(281474976710656 AS BIGINT),
+             |         (SELECT shard FROM vn ORDER BY pt LIMIT 1)),
+             |k AS (SELECT c_custkey AS key,
+             |        CAST(('0x' || substr(md5('ring:' || CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT) AS kpos
+             |      FROM customer),
+             |ring AS (SELECT 'ring' AS strategy, k.key, a.shard AS sa, b.shard AS sb
+             |      FROM k
+             |      JOIN iA a ON k.kpos > a.lo AND k.kpos <= a.hi
+             |      JOIN iB b ON k.kpos > b.lo AND k.kpos <= b.hi),
+             |md AS (SELECT 'mod' AS strategy, key, kpos % 8 AS sa, kpos % 9 AS sb FROM k),
+             |u AS (SELECT * FROM ring UNION ALL SELECT * FROM md),
+             |agg AS (SELECT strategy, COUNT(*) AS n_keys,
+             |        CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+             |      FROM u GROUP BY 1),
+             |bal AS (SELECT strategy, MAX(c) AS max_shard FROM (
+             |        SELECT strategy, sb, COUNT(*) AS c FROM u GROUP BY 1, 2)
+             |      GROUP BY 1)
+             |SELECT agg.strategy, agg.n_keys, agg.n_moved,
+             |  round(CAST(agg.n_moved AS DOUBLE) / CAST(agg.n_keys AS DOUBLE), 6) AS moved_frac,
+             |  round(CAST(bal.max_shard AS DOUBLE) * 9.0
+             |    / CAST(agg.n_keys AS DOUBLE), 6) AS max_shard_load
+             |FROM agg JOIN bal USING (strategy) ORDER BY strategy""".stripMargin))
   )
 }
