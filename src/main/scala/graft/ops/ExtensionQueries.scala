@@ -9471,6 +9471,104 @@ object ExtensionQueries {
              |  round(CAST(agg.n_moved AS DOUBLE) / CAST(agg.n_keys AS DOUBLE), 6) AS moved_frac,
              |  round(CAST(bal.max_shard AS DOUBLE) * 9.0
              |    / CAST(agg.n_keys AS DOUBLE), 6) AS max_shard_load
-             |FROM agg JOIN bal USING (strategy) ORDER BY strategy""".stripMargin))
+             |FROM agg JOIN bal USING (strategy) ORDER BY strategy""".stripMargin)),
+
+    // Inverse-propensity-weighted treatment effect (Horvitz & Thompson,
+    // JASA 1952; Rosenbaum & Rubin, Biometrika 1983) with STRATIFIED
+    // propensity — the observational-causal counterpart to the
+    // randomized-experiment suite (x125 CUPED / x133 Welch / x148
+    // power): here "treatment" (user logs >= 2 high-value purchases)
+    // is NOT randomized — more-active users are mechanically more
+    // likely to be treated AND to click more, so the naive treated-vs-
+    // control click gap is confounded by activity. Propensity e(s) is
+    // estimated within activity-quintile strata (quintile cuts from one
+    // bounded exact-percentile aggregate, bucketing row-local — no
+    // corpus-wide window), and the Hajek-stabilized IPW estimate
+    // Σ(Ty/e)/Σ(T/e) − Σ((1−T)y/(1−e))/Σ((1−T)/(1−e)) reweights each
+    // stratum to the full population. Positivity violations (strata
+    // with e ∈ {0,1}) are EXCLUDED and counted, never divided by.
+    // All weighted sums ride the round-6 DECIMAL bridge; e(s) is an
+    // exact integer ratio, so weights are bit-identical per engine.
+    QuerySpec(
+      "x182_ipw_ate",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("t"))
+          .localCheckpoint() // one scan feeds quantiles, naive, and IPW
+        val qs = u.agg(expr("percentile(act, array(0.2, 0.4, 0.6, 0.8))").as("q"))
+        val ub = u.crossJoin(broadcast(qs))
+          .select(col("user_id"), col("y"), col("t"),
+            ((col("act") > element_at(col("q"), 1)).cast("int") +
+             (col("act") > element_at(col("q"), 2)).cast("int") +
+             (col("act") > element_at(col("q"), 3)).cast("int") +
+             (col("act") > element_at(col("q"), 4)).cast("int")).as("stratum"))
+        val es = ub.groupBy("stratum")
+          .agg(sum(col("t")).as("nt"), count(lit(1)).as("ns"))
+          .select(col("stratum"),
+            (col("nt").cast("double") / col("ns").cast("double")).as("e"))
+        val w = ub.join(broadcast(es), "stratum")
+        val naive = ub.agg(
+          count(lit(1)).as("n_users"), sum(col("t")).as("n_treated"),
+          (sum(col("t") * col("y")).cast("double") /
+            sum(col("t")).cast("double") -
+           sum((lit(1L) - col("t")) * col("y")).cast("double") /
+            sum(lit(1L) - col("t")).cast("double")).as("naive_diff"))
+        val ipw = w.filter(col("e") > 0 && col("e") < 1)
+          .agg(count(lit(1)).as("n_used"),
+            sum(round(col("t").cast("double") * col("y") / col("e"), 6)
+              .cast("decimal(18,6)")).cast("double").as("wy1"),
+            sum(round(col("t").cast("double") / col("e"), 6)
+              .cast("decimal(18,6)")).cast("double").as("w1"),
+            sum(round((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("e")), 6)
+              .cast("decimal(18,6)")).cast("double").as("wy0"),
+            sum(round((lit(1.0) - col("t")) / (lit(1.0) - col("e")), 6)
+              .cast("decimal(18,6)")).cast("double").as("w0"))
+        naive.crossJoin(broadcast(ipw))
+          .select(col("n_users"), (col("n_users") - col("n_used")).as("n_excluded"),
+            col("n_treated"), round(col("naive_diff"), 6).as("naive_diff"),
+            round(col("wy1") / col("w1") - col("wy0") / col("w0"), 6)
+              .as("ipw_ate"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS t
+             |      FROM events GROUP BY 1),
+             |qs AS (SELECT quantile_cont(act, [0.2, 0.4, 0.6, 0.8]) AS q FROM u),
+             |ub AS (SELECT user_id, y, t,
+             |        (CASE WHEN act > q[1] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[2] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[3] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[4] THEN 1 ELSE 0 END) AS stratum
+             |      FROM u CROSS JOIN qs),
+             |es AS (SELECT stratum,
+             |        CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS e
+             |      FROM ub GROUP BY 1),
+             |naive AS (SELECT COUNT(*) AS n_users,
+             |        CAST(SUM(t) AS BIGINT) AS n_treated,
+             |        CAST(SUM(t * y) AS DOUBLE) / CAST(SUM(t) AS DOUBLE) -
+             |        CAST(SUM((1 - t) * y) AS DOUBLE) / CAST(SUM(1 - t) AS DOUBLE)
+             |          AS naive_diff
+             |      FROM ub),
+             |ipw AS (SELECT COUNT(*) AS n_used,
+             |        CAST(SUM(CAST(round(CAST(t AS DOUBLE) * y / e, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS wy1,
+             |        CAST(SUM(CAST(round(CAST(t AS DOUBLE) / e, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS w1,
+             |        CAST(SUM(CAST(round((1.0 - t) * y / (1.0 - e), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS wy0,
+             |        CAST(SUM(CAST(round((1.0 - t) / (1.0 - e), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS w0
+             |      FROM ub JOIN es USING (stratum) WHERE e > 0 AND e < 1)
+             |SELECT naive.n_users, naive.n_users - ipw.n_used AS n_excluded,
+             |  naive.n_treated, round(naive.naive_diff, 6) AS naive_diff,
+             |  round(ipw.wy1 / ipw.w1 - ipw.wy0 / ipw.w0, 6) AS ipw_ate
+             |FROM naive CROSS JOIN ipw ORDER BY n_users""".stripMargin))
   )
 }
