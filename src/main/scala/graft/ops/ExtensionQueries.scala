@@ -9569,6 +9569,87 @@ object ExtensionQueries {
              |SELECT naive.n_users, naive.n_users - ipw.n_used AS n_excluded,
              |  naive.n_treated, round(naive.naive_diff, 6) AS naive_diff,
              |  round(ipw.wy1 / ipw.w1 - ipw.wy0 / ipw.w0, 6) AS ipw_ate
-             |FROM naive CROSS JOIN ipw ORDER BY n_users""".stripMargin))
+             |FROM naive CROSS JOIN ipw ORDER BY n_users""".stripMargin)),
+
+    // Degree-mixing audit: Newman's degree assortativity (PRL 89, 2002,
+    // eq. 4 — Pearson correlation of end-degrees over the directed edge
+    // list) + Feld's friendship paradox (AJS 96, 1991 — "your friends
+    // have more friends than you": mean neighbor degree Σd²/Σd ≥ mean
+    // degree, with the per-node paradox fraction). The graph-STRUCTURE
+    // health read the traversal ops (x101/x114/x120/x139/x140/x170)
+    // don't give: disassortative mixing + a high paradox ratio = hub-
+    // dominated graph (sampling by edge ≠ sampling by node — the bias
+    // that silently skews any neighbor-based sampler). All moments are
+    // exact integer sums over the degree-joined edge list (two slim
+    // equi-joins on the checkpointed x101 item graph); the final ratios
+    // follow one shared double op sequence per engine — no tolerance.
+    QuerySpec(
+      "x183_degree_mixing",
+      (s, dir) => {
+        val e = itemEdges(s, dir, 3).select("src", "dst").localCheckpoint()
+        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+        val ed = e
+          .join(deg.select(col("src"), col("d").as("dj")), "src")
+          .join(deg.select(col("src").as("dst"), col("d").as("dk")), "dst")
+        val mom = ed.agg(count(lit(1)).as("m"),
+          sum(col("dj") * col("dk")).as("sjk"),
+          sum(col("dj") + col("dk")).as("sj"),
+          sum(col("dj") * col("dj") + col("dk") * col("dk")).as("sjj"),
+          sum(col("dk")).as("sdk"))
+        val nd = deg.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"))
+        val pf = ed.groupBy("src")
+          .agg(max(col("dj")).as("d"),
+            (sum(col("dk")).cast("double") / count(lit(1)).cast("double"))
+              .as("nbr"))
+          .agg(sum(when(col("d").cast("double") < col("nbr"), 1L)
+            .otherwise(0L)).as("n_below"))
+        mom.crossJoin(broadcast(nd)).crossJoin(broadcast(pf))
+          .select(col("n").as("n_nodes"), expr("m div 2").as("n_edges"),
+            round(col("sd").cast("double") / col("n").cast("double"), 6)
+              .as("mean_deg"),
+            round((col("sjk").cast("double") / col("m") -
+              (col("sj").cast("double") / (col("m") * 2)) *
+                (col("sj").cast("double") / (col("m") * 2))) /
+              (col("sjj").cast("double") / (col("m") * 2) -
+                (col("sj").cast("double") / (col("m") * 2)) *
+                  (col("sj").cast("double") / (col("m") * 2))), 6)
+              .as("assortativity"),
+            round((col("sdk").cast("double") / col("m")) /
+              (col("sd").cast("double") / col("n").cast("double")), 6)
+              .as("paradox_ratio"),
+            round(col("n_below").cast("double") / col("n").cast("double"), 6)
+              .as("frac_paradox"))
+          .orderBy("n_nodes")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst FROM pc UNION ALL SELECT ib, ia FROM pc),
+             |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+             |ed AS (SELECT e.src, e.dst, j.d AS dj, k.d AS dk
+             |      FROM e JOIN deg j ON j.src = e.src JOIN deg k ON k.src = e.dst),
+             |mom AS (SELECT COUNT(*) AS m, SUM(dj * dk) AS sjk,
+             |        SUM(dj + dk) AS sj, SUM(dj * dj + dk * dk) AS sjj,
+             |        SUM(dk) AS sdk FROM ed),
+             |nd AS (SELECT COUNT(*) AS n, SUM(d) AS sd FROM deg),
+             |pf AS (SELECT CAST(SUM(CASE WHEN CAST(d AS DOUBLE) < nbr
+             |          THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+             |      FROM (SELECT src, MAX(dj) AS d,
+             |              CAST(SUM(dk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nbr
+             |            FROM ed GROUP BY 1))
+             |SELECT nd.n AS n_nodes, mom.m // 2 AS n_edges,
+             |  round(CAST(nd.sd AS DOUBLE) / CAST(nd.n AS DOUBLE), 6) AS mean_deg,
+             |  round((CAST(mom.sjk AS DOUBLE) / mom.m -
+             |    (CAST(mom.sj AS DOUBLE) / (mom.m * 2)) *
+             |      (CAST(mom.sj AS DOUBLE) / (mom.m * 2))) /
+             |    (CAST(mom.sjj AS DOUBLE) / (mom.m * 2) -
+             |      (CAST(mom.sj AS DOUBLE) / (mom.m * 2)) *
+             |        (CAST(mom.sj AS DOUBLE) / (mom.m * 2))), 6) AS assortativity,
+             |  round((CAST(mom.sdk AS DOUBLE) / mom.m) /
+             |    (CAST(nd.sd AS DOUBLE) / CAST(nd.n AS DOUBLE)), 6) AS paradox_ratio,
+             |  round(CAST(pf.n_below AS DOUBLE) / CAST(nd.n AS DOUBLE), 6) AS frac_paradox
+             |FROM mom CROSS JOIN nd CROSS JOIN pf ORDER BY n_nodes""".stripMargin))
   )
 }
