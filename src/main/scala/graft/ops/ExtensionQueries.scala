@@ -9650,6 +9650,95 @@ object ExtensionQueries {
              |  round((CAST(mom.sdk AS DOUBLE) / mom.m) /
              |    (CAST(nd.sd AS DOUBLE) / CAST(nd.n AS DOUBLE)), 6) AS paradox_ratio,
              |  round(CAST(pf.n_below AS DOUBLE) / CAST(nd.n AS DOUBLE), 6) AS frac_paradox
-             |FROM mom CROSS JOIN nd CROSS JOIN pf ORDER BY n_nodes""".stripMargin))
+             |FROM mom CROSS JOIN nd CROSS JOIN pf ORDER BY n_nodes""".stripMargin)),
+
+    // Geometric median of the embedding corpus via Weiszfeld iterations
+    // (Weiszfeld 1937; Beck & Sabach, "Weiszfeld's method: old and new
+    // results", JOTA 2015) — the ROBUST centroid: the arithmetic mean
+    // (x12) moves arbitrarily far under a single adversarial vector,
+    // while the geometric median has a 50% breakdown point — the
+    // aggregation a poisoning-resistant pipeline wants (robust federated
+    // averaging is exactly this device). Three iterations of
+    // c ← Σ wᵢvᵢ / Σ wᵢ with wᵢ = 1/max(‖vᵢ − c‖, ε), seeded at the
+    // mean. Shapes: the centroid lives as a 64-row (dim, value) frame;
+    // distances come from ONE broadcast-join + per-vector group sum
+    // (rounded 4, the x5 group-sum stability precedent), weighted sums
+    // ride the round-6 DECIMAL bridge per dim — every stage is a slim
+    // equi-join or map-side-combined aggregate, linear in the corpus,
+    // and replays verbatim in SQL. Output contrasts mean vs median per
+    // dim (the shift IS the robustness signal).
+    QuerySpec(
+      "x184_geometric_median",
+      (s, dir) => {
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+          .localCheckpoint() // one explode feeds the seed and all rounds
+        val n = ex.agg(countDistinct(col("vec_id")).as("n"))
+        val mean = ex.groupBy("dim")
+          .agg(sum(round(col("v"), 6).cast("decimal(18,6)")).cast("double")
+            .as("sv"))
+          .crossJoin(broadcast(n))
+          .select(col("dim"), round(col("sv") / col("n"), 6).as("c"))
+        var cen = mean
+        for (_ <- 1 to 3) {
+          val d = ex.join(broadcast(cen), "dim")
+            .groupBy("vec_id")
+            .agg(round(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 4)
+              .as("dist"))
+          val w = d.select(col("vec_id"),
+            round(lit(1.0) / greatest(col("dist"), lit(1e-6)), 6).as("w"))
+          val sw = w.agg(sum(col("w").cast("decimal(18,6)")).cast("double")
+            .as("swv"))
+          cen = ex.join(broadcast(w), "vec_id")
+            .groupBy("dim")
+            .agg(sum(round(col("w") * col("v"), 6).cast("decimal(18,6)"))
+              .cast("double").as("num"))
+            .crossJoin(broadcast(sw))
+            .select(col("dim"), round(col("num") / col("swv"), 6).as("c"))
+        }
+        mean.select(col("dim"), col("c").as("mean_c"))
+          .join(cen.select(col("dim"), col("c").as("geomed_c")), "dim")
+          .select(col("dim").cast("long").as("dim"), col("mean_c"),
+            col("geomed_c"),
+            round(col("geomed_c") - col("mean_c"), 6).as("shift"))
+          .orderBy("dim")
+      },
+      Some("""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             |        CAST(unnest(embedding) AS DOUBLE) AS v
+             |      FROM embeddings),
+             |n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM ex),
+             |mean AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / n.n, 6) AS c
+             |      FROM ex CROSS JOIN n GROUP BY dim, n.n),
+             |d1 AS (SELECT vec_id, round(sqrt(SUM((v - c) * (v - c))), 4) AS dist
+             |      FROM ex JOIN mean USING (dim) GROUP BY 1),
+             |w1 AS (SELECT vec_id, round(1.0 / greatest(dist, 0.000001), 6) AS w FROM d1),
+             |sw1 AS (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS swv FROM w1),
+             |c1 AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(w * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / sw1.swv, 6) AS c
+             |      FROM ex JOIN w1 USING (vec_id) CROSS JOIN sw1 GROUP BY dim, sw1.swv),
+             |d2 AS (SELECT vec_id, round(sqrt(SUM((v - c) * (v - c))), 4) AS dist
+             |      FROM ex JOIN c1 USING (dim) GROUP BY 1),
+             |w2 AS (SELECT vec_id, round(1.0 / greatest(dist, 0.000001), 6) AS w FROM d2),
+             |sw2 AS (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS swv FROM w2),
+             |c2 AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(w * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / sw2.swv, 6) AS c
+             |      FROM ex JOIN w2 USING (vec_id) CROSS JOIN sw2 GROUP BY dim, sw2.swv),
+             |d3 AS (SELECT vec_id, round(sqrt(SUM((v - c) * (v - c))), 4) AS dist
+             |      FROM ex JOIN c2 USING (dim) GROUP BY 1),
+             |w3 AS (SELECT vec_id, round(1.0 / greatest(dist, 0.000001), 6) AS w FROM d3),
+             |sw3 AS (SELECT CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS swv FROM w3),
+             |c3 AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(w * v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / sw3.swv, 6) AS c
+             |      FROM ex JOIN w3 USING (vec_id) CROSS JOIN sw3 GROUP BY dim, sw3.swv)
+             |SELECT CAST(mean.dim AS BIGINT) AS dim, mean.c AS mean_c,
+             |  c3.c AS geomed_c, round(c3.c - mean.c, 6) AS shift
+             |FROM mean JOIN c3 USING (dim) ORDER BY dim""".stripMargin))
   )
 }

@@ -30,7 +30,8 @@ class SparkEntrySpec extends SparkSpec {
         val isCte =
           s"""(?i)\\b$t\\s*(\\([^)]*\\))?\\s+as\\s*\\(""".r
             .findFirstIn(sql).isDefined
-        assert(tables.contains(t) || isCte || t == "unnest" || t == "range",
+        assert(tables.contains(t) || isCte || t == "unnest" || t == "range" ||
+            t == "generate_series",
           s"$name references unknown relation '$t'")
       }
     }
