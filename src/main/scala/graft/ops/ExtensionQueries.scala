@@ -9739,6 +9739,81 @@ object ExtensionQueries {
              |      FROM ex JOIN w3 USING (vec_id) CROSS JOIN sw3 GROUP BY dim, sw3.swv)
              |SELECT CAST(mean.dim AS BIGINT) AS dim, mean.c AS mean_c,
              |  c3.c AS geomed_c, round(c3.c - mean.c, 6) AS shift
-             |FROM mean JOIN c3 USING (dim) ORDER BY dim""".stripMargin))
+             |FROM mean JOIN c3 USING (dim) ORDER BY dim""".stripMargin)),
+
+    // McNemar's test (Psychometrika 12, 1947) with continuity correction,
+    // on two deterministic quality gates applied to the SAME documents —
+    // the PAIRED comparison x133/x158 can't do: when both gates see
+    // identical items, only the DISCORDANT cells carry information
+    // (χ² = (|b−c|−1)²/(b+c)), so "does switching gate A for gate B
+    // change the acceptance rate" is answered without the between-sample
+    // variance a two-proportion test would wrongly add. Gates: A =
+    // char-length ≥ 300, B = token-count ≥ 56 (the corpus medians) —
+    // correlated rules whose marginal rates the test compares; Cohen's
+    // kappa rides along as the agreement companion (the x111 device on
+    // a rule pair). One corpus scan → four exact integer cells → one
+    // row-local double expression per engine; nothing else moves.
+    QuerySpec(
+      "x185_mcnemar",
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(
+            when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+            when(size(TextFunctions.tokens(col("text"))) >= 56, 1L)
+              .otherwise(0L).as("b"))
+        val cells = g.agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+        cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            when(col("n10") + col("n01") > 0,
+              round((abs(col("n10") - col("n01")).cast("double") - 1.0) *
+                (abs(col("n10") - col("n01")).cast("double") - 1.0) /
+                (col("n10") + col("n01")).cast("double"), 6)).as("chi2"),
+            round(((col("n11") + col("n00")).cast("double") / col("n") -
+              (((col("n11") + col("n10")).cast("double") / col("n")) *
+                ((col("n11") + col("n01")).cast("double") / col("n")) +
+               ((col("n01") + col("n00")).cast("double") / col("n")) *
+                ((col("n10") + col("n00")).cast("double") / col("n")))) /
+              (lit(1.0) - (((col("n11") + col("n10")).cast("double") / col("n")) *
+                ((col("n11") + col("n01")).cast("double") / col("n")) +
+               ((col("n01") + col("n00")).cast("double") / col("n")) *
+                ((col("n10") + col("n00")).cast("double") / col("n")))), 6)
+              .as("kappa"))
+          .withColumn("verdict",
+            when(col("chi2").isNull, "undefined")
+              .when(col("chi2") > 3.841459, "marginals differ")
+              .otherwise("no evidence"))
+          .orderBy("n")
+      },
+      Some("""WITH g AS (SELECT
+             |        CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             |        CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |            x -> x <> '')) >= 56 THEN 1 ELSE 0 END AS b
+             |      FROM documents),
+             |c AS (SELECT COUNT(*) AS n,
+             |        CAST(SUM(a * b) AS BIGINT) AS n11,
+             |        CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             |        CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             |        CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+             |      FROM g),
+             |r AS (SELECT n, n11, n10, n01, n00,
+             |        CASE WHEN n10 + n01 > 0 THEN
+             |          round((CAST(abs(n10 - n01) AS DOUBLE) - 1.0) *
+             |            (CAST(abs(n10 - n01) AS DOUBLE) - 1.0) /
+             |            CAST(n10 + n01 AS DOUBLE), 6) END AS chi2,
+             |        round((CAST(n11 + n00 AS DOUBLE) / n -
+             |          ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n) +
+             |           (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))) /
+             |          (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n) +
+             |           (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))), 6)
+             |          AS kappa
+             |      FROM c)
+             |SELECT n, n11, n10, n01, n00, chi2, kappa,
+             |  CASE WHEN chi2 IS NULL THEN 'undefined'
+             |       WHEN chi2 > 3.841459 THEN 'marginals differ'
+             |       ELSE 'no evidence' END AS verdict
+             |FROM r ORDER BY n""".stripMargin))
   )
 }
