@@ -8910,32 +8910,12 @@ object ExtensionQueries {
     QuerySpec(
       "x175_decayed_popularity",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
+        val cells = Tables.events(s, dir)
           .select(expr("variant_get(parse_json(props), '$.k', 'int')")
             .as("item"), to_date(col("ts")).as("day"))
           .filter(col("item").isNotNull)
-        val mx = ev.agg(max(col("day")).as("mxd"))
-        val cells = ev.groupBy("item", "day")
-          .agg(count(lit(1)).as("cnt"))
-          .crossJoin(broadcast(mx))
-          .select(col("item"), col("cnt"),
-            datediff(col("mxd"), col("day")).as("age"))
-        val scored = cells.groupBy("item")
-          .agg(sum(col("cnt")).as("n_events"),
-            sum(round(col("cnt") *
-                pow(lit(0.5), col("age").cast("double") / 7.0), 6)
-              .cast("decimal(18,6)")).cast("double").as("sc"))
-        val wRaw = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_events").desc, col("item"))
-        val wDec = org.apache.spark.sql.expressions.Window
-          .orderBy(col("sc").desc, col("item"))
-        scored
-          .withColumn("raw_rank", row_number().over(wRaw).cast("long"))
-          .withColumn("hot_rank", row_number().over(wDec).cast("long"))
-          .filter(col("hot_rank") <= 10)
-          .select(col("hot_rank"), col("item"), col("n_events"),
-            round(col("sc"), 6).as("decayed_score"), col("raw_rank"))
-          .orderBy("hot_rank")
+          .groupBy("item", "day").agg(count(lit(1)).as("cnt"))
+        Decay.decayedPopularity(cells, halfLifeDays = 7.0, topK = 10)
       },
       Some("""WITH ev AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
              |        CAST(ts AS DATE) AS day
