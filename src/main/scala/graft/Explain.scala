@@ -68,7 +68,12 @@ object Explain {
       "x166_spearman_rank", "x167_curation_pipeline", "x168_roc_auc",
       "x169_hll_rolling_wau", "x170_hashmin_cc", "x171_burstiness",
       "x172_eb_shrinkage", "x173_good_turing", "x174_zipf_fit",
-      "x175_decayed_popularity")
+      "x175_decayed_popularity", "x176_knn_shapley", "x177_mann_kendall",
+      "x178_rake_keywords", "x179_mad_outliers", "x180_hits",
+      "x181_consistent_hashing", "x182_ipw_ate", "x183_degree_mixing",
+      "x184_geometric_median", "x185_mcnemar", "x186_hill_tail",
+      "x187_lsh_planner", "x188_average_precision", "x189_hurst",
+      "x190_feature_hashing", "x191_energy_distance")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

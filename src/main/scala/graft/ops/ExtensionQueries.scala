@@ -9794,6 +9794,531 @@ object ExtensionQueries {
              |  CASE WHEN chi2 IS NULL THEN 'undefined'
              |       WHEN chi2 > 3.841459 THEN 'marginals differ'
              |       ELSE 'no evidence' END AS verdict
-             |FROM r ORDER BY n""".stripMargin))
+             |FROM r ORDER BY n""".stripMargin)),
+
+    // Hill tail-index estimator (Hill, Annals of Statistics 3, 1975):
+    // α̂ = 1/H with H = (1/k)·Σ_{i≤k} [ln x_(i) − ln x_(k+1)] over the
+    // top-k order statistics of per-user revenue — the standard
+    // heavy-tail exponent read. x147's Gini says HOW concentrated
+    // revenue is; the Hill α says WHAT LAW the tail follows (α ≤ 2 ⇒
+    // infinite variance: sample means are unstable and mean-based
+    // anomaly rules are invalid — the check before trusting any
+    // per-mean metric on spend data). Only the top k+1 = 65 rows ever
+    // leave the aggregate (TakeOrdered; the rank window sits over a
+    // LIMIT, PlansSpec rule-1's bounded escape); revenue rides the
+    // DECIMAL bridge and the ln terms ride the x85 round-6 ln
+    // discipline, so H replays bit-identically.
+    QuerySpec(
+      "x186_hill_tail",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double").as("rev"))
+          .filter(col("rev") > 0)
+        val top = u.orderBy(col("rev").desc, col("user_id")).limit(65)
+          .withColumn("rn",
+            row_number().over(W.orderBy(col("rev").desc, col("user_id"))))
+        val thr = top.filter(col("rn") === 65)
+          .select(col("rev").as("x_k1"))
+        top.filter(col("rn") <= 64).crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("k"),
+            max(col("x_k1")).as("x_k1"),
+            (sum(round(log(col("rev")) - log(col("x_k1")), 6)
+              .cast("decimal(18,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("h"))
+          .select(col("k"), round(col("x_k1"), 6).as("x_k1"),
+            round(col("h"), 6).as("hill_h"),
+            round(lit(1.0) / col("h"), 6).as("alpha"),
+            round(col("h") / sqrt(col("k").cast("double")), 6).as("se_h"))
+          .orderBy("k")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             |      FROM events WHERE event_type = 'purchase'
+             |      GROUP BY 1 HAVING CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) > 0),
+             |top AS (SELECT rev, user_id,
+             |        row_number() OVER (ORDER BY rev DESC, user_id) AS rn
+             |      FROM (SELECT * FROM u ORDER BY rev DESC, user_id LIMIT 65)),
+             |thr AS (SELECT rev AS x_k1 FROM top WHERE rn = 65)
+             |SELECT COUNT(*) AS k, round(MAX(thr.x_k1), 6) AS x_k1,
+             |  round(CAST(SUM(CAST(round(ln(rev) - ln(thr.x_k1), 6)
+             |      AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS hill_h,
+             |  round(1.0 / (CAST(SUM(CAST(round(ln(rev) - ln(thr.x_k1), 6)
+             |      AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+             |    AS alpha,
+             |  round((CAST(SUM(CAST(round(ln(rev) - ln(thr.x_k1), 6)
+             |      AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             |    / sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS se_h
+             |FROM top CROSS JOIN thr WHERE rn <= 64 ORDER BY k""".stripMargin)),
+
+    // MinHash-LSH parameter planner — the banding S-curve algebra
+    // (Leskovec, Rajaraman & Ullman, "Mining of Massive Datasets" §3.4,
+    // public; the same device x2's bands/rows choice hardcodes): for
+    // each (bands b, rows r) split of 64 minhashes, a pair with Jaccard
+    // s collides with probability 1 − (1 − s^r)^b. Rather than quote
+    // the textbook curve abstractly, the planner prices each config
+    // against THIS corpus: the exact pairwise-Jaccard histogram (0.05
+    // bins, x4's shingle grain) weights the curve, yielding expected
+    // true-candidate and false-candidate counts per config plus the
+    // s50 threshold (1/b)^(1/r) — the table you read before picking
+    // (b, r) for a dedup run. Scale shape: the similarity histogram is
+    // the expensive input, so it is estimated from a BOUNDED 100-doc
+    // seeded-hash sample (the x49 device — 4,950 pairs at ANY corpus
+    // size; the planner needs the density shape, not every pair); the
+    // planner itself is a histogram × 5-config grid — bounded
+    // arithmetic on exact integer masses, engine-identical doubles.
+    QuerySpec(
+      "x187_lsh_planner",
+      (s, dir) => {
+        val sample = Tables.documents(s, dir)
+          .withColumn("h",
+            md5(concat(lit("lshplan:"), col("doc_id").cast("string"))))
+          .orderBy("h", "doc_id").limit(100)
+        val sh = sample
+          .select(col("doc_id"), Dedup.wordShingleStrings(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .localCheckpoint() // both join sides read one shingle pass
+        val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) -
+              size(array_intersect(col("a.sh"), col("b.sh")))).cast("double"))
+            .as("j"))
+          .filter(col("j") > 0)
+        val hist = pairs
+          .groupBy(floor(col("j") / 0.05).cast("int").as("bin"))
+          .agg(count(lit(1)).as("mass"))
+          .select((col("bin").cast("double") * 0.05 + 0.025).as("s"),
+            col("mass"))
+        val grid = s.range(0, 5).toDF("gi")
+          .select(element_at(array(lit(4), lit(8), lit(16), lit(32), lit(64)),
+            col("gi").cast("int") + 1).as("bands"))
+          .select(col("bands"), (lit(64) / col("bands")).cast("int").as("rows"))
+        hist.crossJoin(broadcast(grid))
+          .select(col("bands"), col("rows"), col("s"), col("mass"),
+            (lit(1.0) - pow(lit(1.0) - pow(col("s"), col("rows").cast("double")),
+              col("bands").cast("double"))).as("p"))
+          .groupBy("bands", "rows")
+          .agg(
+            sum(when(col("s") >= 0.8,
+              round(col("mass") * col("p"), 6).cast("decimal(18,6)")))
+              .cast("double").as("e_true"),
+            sum(when(col("s") < 0.8,
+              round(col("mass") * col("p"), 6).cast("decimal(18,6)")))
+              .cast("double").as("e_false"),
+            sum(when(col("s") >= 0.8, col("mass"))).as("n_true_pairs"))
+          .select(col("bands").cast("long").as("bands"),
+            col("rows").cast("long").as("rows"),
+            round(pow(lit(1.0) / col("bands").cast("double"),
+              lit(1.0) / col("rows").cast("double")), 6).as("s50"),
+            coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+            round(coalesce(col("e_true"), lit(0.0)), 6).as("e_true_cand"),
+            round(coalesce(col("e_false"), lit(0.0)), 6).as("e_false_cand"))
+          .orderBy("bands")
+      },
+      Some("""WITH smp AS (SELECT doc_id, text FROM (
+             |    SELECT doc_id, text,
+             |      md5(concat('lshplan:', CAST(doc_id AS VARCHAR))) AS h
+             |    FROM documents) ORDER BY h, doc_id LIMIT 100),
+             |t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM smp),
+             |sh AS (SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (SELECT
+             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+             |hist AS (SELECT CAST(floor(j / 0.05) AS INT) AS bin, COUNT(*) AS mass
+             |  FROM p WHERE j > 0 GROUP BY 1),
+             |h2 AS (SELECT CAST(bin AS DOUBLE) * 0.05 + 0.025 AS s, mass FROM hist),
+             |grid AS (SELECT bands, CAST(64 / bands AS INT) AS rows FROM
+             |  (SELECT unnest([4, 8, 16, 32, 64]) AS bands)),
+             |sc AS (SELECT bands, rows, s, mass,
+             |    1.0 - pow(1.0 - pow(s, CAST(rows AS DOUBLE)), CAST(bands AS DOUBLE)) AS p
+             |  FROM h2 CROSS JOIN grid)
+             |SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+             |  round(pow(1.0 / CAST(bands AS DOUBLE), 1.0 / CAST(rows AS DOUBLE)), 6) AS s50,
+             |  coalesce(CAST(SUM(CASE WHEN s >= 0.8 THEN mass END) AS BIGINT), 0) AS n_true_pairs,
+             |  round(coalesce(CAST(SUM(CASE WHEN s >= 0.8
+             |    THEN CAST(round(mass * p, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 0.0), 6) AS e_true_cand,
+             |  round(coalesce(CAST(SUM(CASE WHEN s < 0.8
+             |    THEN CAST(round(mass * p, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 0.0), 6) AS e_false_cand
+             |FROM sc GROUP BY bands, rows ORDER BY bands""".stripMargin)),
+
+    // Average precision + best-F1 operating point for a retrieval
+    // scorer (the step-integrated AP = Σ ΔRecall·Precision over score
+    // thresholds — the threshold formulation sklearn's
+    // average_precision_score computes; Manning/Raghavan/Schütze, IR
+    // §8.4): scores are cosine-to-the-label-0-centroid (the x12/x184
+    // centroid device), positives are label 0 — the "did my embedding
+    // scorer put the right class on top" eval complementing x168's
+    // ROC-AUC (AP weights the TOP of the ranking, which is what
+    // retrieval cares about; AUC weights all pairs equally). Scale
+    // discipline: NO corpus-sized ranking window anywhere — scores are
+    // rounded-4, so the cumulative thresholds live on the bounded
+    // distinct-score grid (≤ 20k rows by construction, an aggregate
+    // below the window = PlansSpec rule-1 escape); the per-vector score
+    // is one broadcast join + group sum (the x184 pattern). The best-F1
+    // sweep rides the same grid: every threshold's F1 from the same
+    // cumulative table, argmax tie-broken by higher threshold.
+    QuerySpec(
+      "x188_average_precision",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("v").cast("double").as("v"))
+          .localCheckpoint() // one explode feeds centroid and scores
+        val cen = ex.filter(col("label") === 0).groupBy("dim")
+          .agg(sum(round(col("v"), 6).cast("decimal(18,6)")).cast("double")
+            .as("sv"), count(lit(1)).as("nc"))
+          .select(col("dim"), round(col("sv") / col("nc"), 6).as("c"))
+        val cnorm = cen.agg(round(sqrt(sum(col("c") * col("c"))), 4).as("cn"))
+        val sc = ex.join(broadcast(cen), "dim")
+          .groupBy("vec_id")
+          .agg(round(sum(col("v") * col("c")), 4).as("dot"),
+            round(sqrt(sum(col("v") * col("v"))), 4).as("nv"),
+            max(col("label")).as("label"))
+        val scored = sc.crossJoin(broadcast(cnorm))
+          .select(col("vec_id"),
+            when(col("label") === 0, 1L).otherwise(0L).as("pos"),
+            round(col("dot") / (col("nv") * col("cn")), 4).as("s"))
+        val g = scored.groupBy("s")
+          .agg(count(lit(1)).as("n_g"), sum(col("pos")).as("pos_g"))
+        val tot = g.agg(sum(col("n_g")).as("n"), sum(col("pos_g")).as("n_pos"))
+        val wcum = W.orderBy(col("s").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val cum = g
+          .withColumn("tp", sum(col("pos_g")).over(wcum))
+          .withColumn("cnt", sum(col("n_g")).over(wcum))
+          .crossJoin(broadcast(tot))
+          .withColumn("f1",
+            round(lit(2.0) * col("tp") / (col("cnt") + col("n_pos")), 6))
+          .localCheckpoint() // grid reused for AP, best-F1, and argmax
+        val ap = cum.agg(
+          sum(round(col("pos_g").cast("double") / col("n_pos") *
+            col("tp").cast("double") / col("cnt"), 6).cast("decimal(18,6)"))
+            .cast("double").as("ap"),
+          max(col("f1")).as("best_f1"),
+          max(col("n")).as("n"), max(col("n_pos")).as("n_pos"))
+        val thr = cum.join(broadcast(ap.select(col("best_f1"))),
+            col("f1") === col("best_f1"))
+          .agg(max(col("s")).as("best_thr"))
+        ap.crossJoin(broadcast(thr))
+          .select(col("n"), col("n_pos"), round(col("ap"), 6).as("ap"),
+            col("best_f1"), col("best_thr"))
+          .orderBy("n")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label,
+             |        generate_subscripts(embedding, 1) - 1 AS dim,
+             |        CAST(unnest(embedding) AS DOUBLE) AS v
+             |      FROM embeddings),
+             |cen AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / COUNT(*), 6) AS c
+             |      FROM ex WHERE label = 0 GROUP BY 1),
+             |cnorm AS (SELECT round(sqrt(SUM(c * c)), 4) AS cn FROM cen),
+             |sc AS (SELECT vec_id, round(SUM(v * c), 4) AS dot,
+             |        round(sqrt(SUM(v * v)), 4) AS nv, MAX(label) AS label
+             |      FROM ex JOIN cen USING (dim) GROUP BY 1),
+             |scored AS (SELECT vec_id,
+             |        CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+             |        round(dot / (nv * cn), 4) AS s
+             |      FROM sc CROSS JOIN cnorm),
+             |g AS (SELECT s, COUNT(*) AS n_g, CAST(SUM(pos) AS BIGINT) AS pos_g
+             |      FROM scored GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             |        CAST(SUM(pos_g) AS BIGINT) AS n_pos FROM g),
+             |cum AS (SELECT s, n_g, pos_g, tot.n, tot.n_pos,
+             |        SUM(pos_g) OVER (ORDER BY s DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             |        SUM(n_g) OVER (ORDER BY s DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+             |      FROM g CROSS JOIN tot),
+             |cf AS (SELECT *, round(2.0 * tp / (cnt + n_pos), 6) AS f1 FROM cum),
+             |ap AS (SELECT MAX(n) AS n, MAX(n_pos) AS n_pos,
+             |        CAST(SUM(CAST(round(CAST(pos_g AS DOUBLE) / n_pos *
+             |          CAST(tp AS DOUBLE) / cnt, 6) AS DECIMAL(18,6))) AS DOUBLE) AS ap,
+             |        MAX(f1) AS best_f1
+             |      FROM cf),
+             |thr AS (SELECT MAX(cf.s) AS best_thr FROM cf JOIN ap ON cf.f1 = ap.best_f1)
+             |SELECT ap.n, ap.n_pos, round(ap.ap, 6) AS ap, ap.best_f1, thr.best_thr
+             |FROM ap CROSS JOIN thr ORDER BY n""".stripMargin)),
+
+    // Hurst exponent via rescaled-range analysis (Hurst, Trans. ASCE
+    // 116, 1951; Mandelbrot & Wallis, Water Resources Research 5, 1969):
+    // for block sizes m ∈ {8,16,32} over the daily event-count series,
+    // R/S per block (range of DECIMAL-bridged cumulative deviations ÷
+    // population std from the x171 integer-moment identity), averaged
+    // per m, then H = slope of ln(R/S) on ln(m) (the 3-point OLS — the
+    // x174 log-log device). H ≈ 0.5 = memoryless traffic; H → 1 =
+    // long-range dependence (load bursts cluster across WEEKS — buffer
+    // sizing and anomaly baselines must widen); H < 0.5 =
+    // anti-persistent. Complements x134's short-lag ACF and x171's
+    // within-user burstiness with the LONG-MEMORY read. Shapes: the
+    // corpus collapses to calendar-bounded day cells first; day index =
+    // row_number over that aggregate (rule-1 escape); within-block
+    // windows partition by (m, block) — ≤ 32 rows each; everything
+    // downstream is bounded-grid arithmetic.
+    QuerySpec(
+      "x189_hurst",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("t", row_number().over(W.orderBy("day")))
+          .localCheckpoint() // one day table feeds all three block sizes
+        val ms = s.range(0, 3).toDF("gi")
+          .select(element_at(array(lit(8), lit(16), lit(32)),
+            col("gi").cast("int") + 1).as("m"))
+        val blk = daily.crossJoin(broadcast(ms))
+          .select(col("m"), expr("(t - 1) div m").as("b"),
+            expr("(t - 1) % m").as("i"), col("n"))
+        val full = blk.groupBy("m", "b")
+          .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"),
+            sum(col("n") * col("n")).as("snn"))
+          .filter(col("cnt") === col("m"))
+          .select(col("m"), col("b"),
+            (col("sn").cast("double") / col("m").cast("double")).as("mu"),
+            sqrt(col("snn").cast("double") / col("m").cast("double") -
+              (col("sn").cast("double") / col("m").cast("double")) *
+                (col("sn").cast("double") / col("m").cast("double")))
+              .as("sd"))
+        val wz = W.partitionBy("m", "b").orderBy("i")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val rs = blk.join(full, Seq("m", "b"))
+          .withColumn("z",
+            sum(round(col("n").cast("double") - col("mu"), 6)
+              .cast("decimal(18,6)")).over(wz).cast("double"))
+          .groupBy("m", "b")
+          .agg(((max(col("z")) - min(col("z"))) / max(col("sd"))).as("rs_b"),
+            max(col("sd")).as("sd"))
+          .filter(col("sd") > 0)
+        val avg = rs.groupBy("m")
+          .agg(count(lit(1)).as("n_blocks"),
+            round(sum(round(col("rs_b"), 6).cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)).cast("double"), 6).as("avg_rs"))
+          .select(col("m"), col("n_blocks"), col("avg_rs"),
+            round(log(col("m").cast("double")), 6).as("lx"),
+            round(log(col("avg_rs")), 6).as("ly"))
+        val fit = avg.agg(count(lit(1)).as("k"),
+          sum(col("lx").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("ly").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum(round(col("lx") * col("lx"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxx"),
+          sum(round(col("lx") * col("ly"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxy"))
+          .select(round((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("hurst"))
+        avg.crossJoin(broadcast(fit))
+          .select(col("m").cast("long").as("m"), col("n_blocks"),
+            col("avg_rs"), col("hurst"))
+          .orderBy("m")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |dt AS (SELECT day, n, row_number() OVER (ORDER BY day) AS t FROM daily),
+             |ms AS (SELECT unnest([8, 16, 32]) AS m),
+             |blk AS (SELECT m, (t - 1) // m AS b, (t - 1) % m AS i, n
+             |      FROM dt CROSS JOIN ms),
+             |fb AS (SELECT m, b,
+             |        CAST(SUM(n) AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+             |        sqrt(CAST(SUM(n * n) AS DOUBLE) / CAST(m AS DOUBLE) -
+             |          (CAST(SUM(n) AS DOUBLE) / CAST(m AS DOUBLE)) *
+             |            (CAST(SUM(n) AS DOUBLE) / CAST(m AS DOUBLE))) AS sd
+             |      FROM blk GROUP BY 1, 2 HAVING COUNT(*) = MAX(m)),
+             |z AS (SELECT blk.m, blk.b, fb.sd,
+             |        CAST(SUM(CAST(round(CAST(blk.n AS DOUBLE) - fb.mu, 6)
+             |          AS DECIMAL(18,6))) OVER (PARTITION BY blk.m, blk.b ORDER BY blk.i
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS z
+             |      FROM blk JOIN fb USING (m, b)),
+             |rs AS (SELECT m, b, (MAX(z) - MIN(z)) / MAX(sd) AS rs_b
+             |      FROM z GROUP BY 1, 2 HAVING MAX(sd) > 0),
+             |av AS (SELECT m, COUNT(*) AS n_blocks,
+             |        round(CAST(SUM(CAST(round(rs_b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |          / CAST(COUNT(*) AS DOUBLE), 6) AS avg_rs
+             |      FROM rs GROUP BY 1),
+             |lg AS (SELECT m, n_blocks, avg_rs,
+             |        round(ln(CAST(m AS DOUBLE)), 6) AS lx,
+             |        round(ln(avg_rs), 6) AS ly FROM av),
+             |fit AS (SELECT round((COUNT(*) * CAST(SUM(CAST(round(lx * ly, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) -
+             |        CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) *
+             |          CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE)) /
+             |        (COUNT(*) * CAST(SUM(CAST(round(lx * lx, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) -
+             |        CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) *
+             |          CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE)), 6) AS hurst
+             |      FROM lg)
+             |SELECT CAST(lg.m AS BIGINT) AS m, lg.n_blocks, lg.avg_rs, fit.hurst
+             |FROM lg CROSS JOIN fit ORDER BY m""".stripMargin)),
+
+    // Feature-hashing collision audit (Weinberger et al., "Feature
+    // Hashing for Large Scale Multitask Learning", ICML 2009 — the
+    // hashing trick x41's DSIR features already use at a fixed 64
+    // buckets): for bucket widths 2^b, b ∈ {4,6,8}, how much of the
+    // vocabulary — and how much of the token MASS — lands in buckets
+    // shared with another word. The capacity-planning table you read
+    // before fixing a hashed-feature width: unweighted collision rate
+    // falls like the birthday bound, but the MASS-weighted rate is what
+    // distorts a learner, and a Zipfian head keeps it high long after
+    // the unweighted rate looks fine. Buckets are the x86 md5 device
+    // (mod 2^b), so the whole audit replays in SQL; everything is exact
+    // integer masses over a |vocab| × 3 grid — corpus-sized work is
+    // ONE word-frequency aggregate.
+    QuerySpec(
+      "x190_feature_hashing",
+      (s, dir) => {
+        val wf = Tables.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("wd"))
+          .groupBy("wd").agg(count(lit(1)).as("freq"))
+          .withColumn("hk",
+            conv(substring(md5(concat(lit("fh:"), col("wd"))), 1, 12), 16, 10)
+              .cast("long"))
+          .localCheckpoint() // one token pass feeds all three widths
+        val grid = s.range(0, 3).toDF("gi")
+          .select(element_at(array(lit(4), lit(6), lit(8)),
+            col("gi").cast("int") + 1).as("b"))
+          .select(col("b"), pow(lit(2.0), col("b").cast("double"))
+            .cast("long").as("nb"))
+        val bk = wf.crossJoin(broadcast(grid))
+          .select(col("b"), col("nb"), (col("hk") % col("nb")).as("bkt"),
+            col("wd"), col("freq"))
+        val loads = bk.groupBy("b", "nb", "bkt")
+          .agg(count(lit(1)).as("nw"), sum(col("freq")).as("mass"))
+        loads.groupBy("b", "nb")
+          .agg(sum(col("nw")).as("n_words"),
+            count(lit(1)).as("n_used"),
+            sum(when(col("nw") >= 2, col("nw")).otherwise(0L))
+              .as("n_colliding"),
+            sum(col("mass")).as("total_mass"),
+            sum(when(col("nw") >= 2, col("mass")).otherwise(0L))
+              .as("colliding_mass"))
+          .select(col("b").cast("long").as("b"), col("nb"), col("n_words"),
+            col("n_used"), col("n_colliding"),
+            round(col("n_colliding").cast("double") /
+              col("n_words").cast("double"), 6).as("word_collision_rate"),
+            round(col("colliding_mass").cast("double") /
+              col("total_mass").cast("double"), 6).as("mass_collision_rate"))
+          .orderBy("b")
+      },
+      Some("""WITH tok AS (SELECT unnest(list_filter(
+             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS wd
+             |      FROM documents),
+             |wf AS (SELECT wd, COUNT(*) AS freq,
+             |        CAST(('0x' || substr(md5('fh:' || wd), 1, 12)) AS BIGINT) AS hk
+             |      FROM tok GROUP BY 1),
+             |grid AS (SELECT b, CAST(pow(2.0, CAST(b AS DOUBLE)) AS BIGINT) AS nb
+             |      FROM (SELECT unnest([4, 6, 8]) AS b)),
+             |bk AS (SELECT b, nb, hk % nb AS bkt, wd, freq
+             |      FROM wf CROSS JOIN grid),
+             |loads AS (SELECT b, nb, bkt, COUNT(*) AS nw, SUM(freq) AS mass
+             |      FROM bk GROUP BY 1, 2, 3)
+             |SELECT CAST(b AS BIGINT) AS b, nb,
+             |  CAST(SUM(nw) AS BIGINT) AS n_words,
+             |  COUNT(*) AS n_used,
+             |  CAST(SUM(CASE WHEN nw >= 2 THEN nw ELSE 0 END) AS BIGINT) AS n_colliding,
+             |  round(CAST(SUM(CASE WHEN nw >= 2 THEN nw ELSE 0 END) AS DOUBLE) /
+             |    CAST(SUM(nw) AS DOUBLE), 6) AS word_collision_rate,
+             |  round(CAST(SUM(CASE WHEN nw >= 2 THEN mass ELSE 0 END) AS DOUBLE) /
+             |    CAST(SUM(mass) AS DOUBLE), 6) AS mass_collision_rate
+             |FROM loads GROUP BY b, nb ORDER BY b""".stripMargin)),
+
+    // Two-sample energy distance between embedding distributions
+    // (Székely & Rizzo, "Testing for equal distributions in high
+    // dimension", InterStat 2004): E = 2·E‖X−Y‖ − E‖X−X′‖ − E‖Y−Y′‖,
+    // ≥ 0 with equality iff the distributions match — the
+    // WHOLE-DISTRIBUTION drift read x87's mean-shift drift can't give
+    // (two clouds with equal means but different spreads/shapes have
+    // E > 0 and mean-shift 0), and it works directly in 64-dim where
+    // the 1-d KS test (x129) doesn't apply. U-statistic means over
+    // i<j pairs. Scale shape: both groups are SEEDED-HASH SAMPLES of
+    // ≤ 80 vectors (the x49/x187 device) — pair counts are bounded by
+    // construction at any corpus size, the honest estimator shape for
+    // a pairwise statistic (the x187 sampled-histogram argument).
+    // Distances are rounded-4 (the x5 group-sum stability precedent);
+    // the three means ride the DECIMAL bridge.
+    QuerySpec(
+      "x191_energy_distance",
+      (s, dir) => {
+        def samp(lbl: Int) = Tables.embeddings(s, dir)
+          .filter(col("label") === lbl)
+          .withColumn("h", md5(concat(lit("energy:"),
+            col("vec_id").cast("string"))))
+          .orderBy("h", "vec_id").limit(80)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val dcol = round(sqrt(aggregate(
+          zip_with(col("a.emb"), col("b.emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, t) => acc + t)), 4)
+        def meanD(pairs: org.apache.spark.sql.DataFrame, name: String) =
+          pairs.agg(count(lit(1)).as("n_" + name),
+            (sum(dcol.cast("decimal(18,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("e_" + name))
+        val xs = samp(0).localCheckpoint()
+        val ys = samp(1).localCheckpoint()
+        val exy = meanD(xs.as("a").crossJoin(broadcast(ys.as("b"))), "xy")
+        val exx = meanD(xs.as("a").join(broadcast(xs.as("b")),
+          col("a.id") < col("b.id")), "xx")
+        val eyy = meanD(ys.as("a").join(broadcast(ys.as("b")),
+          col("a.id") < col("b.id")), "yy")
+        exy.crossJoin(broadcast(exx)).crossJoin(broadcast(eyy))
+          .select(col("n_xy"), round(col("e_xy"), 6).as("e_xy"),
+            round(col("e_xx"), 6).as("e_xx"),
+            round(col("e_yy"), 6).as("e_yy"),
+            round(lit(2.0) * col("e_xy") - col("e_xx") - col("e_yy"), 6)
+              .as("energy_dist"))
+          .orderBy("n_xy")
+      },
+      Some("""WITH sx AS (SELECT vec_id AS id, embedding AS emb FROM (
+             |        SELECT vec_id, embedding,
+             |          md5(concat('energy:', CAST(vec_id AS VARCHAR))) AS h
+             |        FROM embeddings WHERE label = 0)
+             |      ORDER BY h, id LIMIT 80),
+             |sy AS (SELECT vec_id AS id, embedding AS emb FROM (
+             |        SELECT vec_id, embedding,
+             |          md5(concat('energy:', CAST(vec_id AS VARCHAR))) AS h
+             |        FROM embeddings WHERE label = 1)
+             |      ORDER BY h, id LIMIT 80),
+             |fxy AS (SELECT a.id AS ia, b.id AS ib,
+             |        CAST(unnest(a.emb) AS DOUBLE) AS av,
+             |        CAST(unnest(b.emb) AS DOUBLE) AS bv
+             |      FROM sx a CROSS JOIN sy b),
+             |dxy AS (SELECT round(sqrt(SUM((av - bv) * (av - bv))), 4) AS d
+             |      FROM fxy GROUP BY ia, ib),
+             |fxx AS (SELECT a.id AS ia, b.id AS ib,
+             |        CAST(unnest(a.emb) AS DOUBLE) AS av,
+             |        CAST(unnest(b.emb) AS DOUBLE) AS bv
+             |      FROM sx a JOIN sx b ON a.id < b.id),
+             |dxx AS (SELECT round(sqrt(SUM((av - bv) * (av - bv))), 4) AS d
+             |      FROM fxx GROUP BY ia, ib),
+             |fyy AS (SELECT a.id AS ia, b.id AS ib,
+             |        CAST(unnest(a.emb) AS DOUBLE) AS av,
+             |        CAST(unnest(b.emb) AS DOUBLE) AS bv
+             |      FROM sy a JOIN sy b ON a.id < b.id),
+             |dyy AS (SELECT round(sqrt(SUM((av - bv) * (av - bv))), 4) AS d
+             |      FROM fyy GROUP BY ia, ib),
+             |mxy AS (SELECT COUNT(*) AS n_xy,
+             |        CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+             |          / CAST(COUNT(*) AS DOUBLE) AS e_xy FROM dxy),
+             |mxx AS (SELECT CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+             |          / CAST(COUNT(*) AS DOUBLE) AS e_xx FROM dxx),
+             |myy AS (SELECT CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+             |          / CAST(COUNT(*) AS DOUBLE) AS e_yy FROM dyy)
+             |SELECT n_xy, round(e_xy, 6) AS e_xy, round(e_xx, 6) AS e_xx,
+             |  round(e_yy, 6) AS e_yy,
+             |  round(2.0 * e_xy - e_xx - e_yy, 6) AS energy_dist
+             |FROM mxy CROSS JOIN mxx CROSS JOIN myy ORDER BY n_xy""".stripMargin))
   )
 }
