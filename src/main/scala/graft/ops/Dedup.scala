@@ -169,14 +169,30 @@ object Dedup {
   // --------------------------------------------------------------- minhash
 
   /** Adds `shingle_hashes` (distinct 32-bit shingle hashes) and `sig`
-    * (minhash signature, array of k longs). Row-local, no shuffle. */
+    * (minhash signature, array of k longs). Row-local, no shuffle.
+    *
+    * Slot hash is the SplitMix64 finalizer over (a_i, b_i + x) — NOT the
+    * affine (a·x+b) mod P family: with a < 2^29 and 32-bit x, a·x < 2^61
+    * ≈ P, so the affine map wraps at most once and is near-MONOTONE in x
+    * — every slot shares almost the same element order, which breaks
+    * min-wise independence (Broder et al., STOC 1998: minhash needs the
+    * family to randomize which element attains the min). Observed
+    * failure mode before the fix: a near-dup pair at string-jaccard 0.90
+    * agreed on only 21/64 signature slots (expected ≈ 57) because one
+    * B-only shingle with a small 32-bit hash hijacked the argmin of
+    * nearly every slot — 0 of 16 bands collided and the pair was missed
+    * despite the 1−(1−j⁴)¹⁶ ≈ 1−4e-8 nominal recall. The mix64
+    * finalizer fully scrambles per-slot order, restoring the Bernoulli-
+    * per-slot agreement the banding analysis assumes (DedupSpec pins
+    * both the statistical property and the regression pair class). */
   def withMinhash(df: DataFrame, textCol: String, k: Int = 64): DataFrame = {
     // Signature kernel: one tight pass over the pre-hashed shingle array
     // computing all k mins. Higher-order-function formulations (k array_min
     // lambdas, or transform-over-params) do not enter whole-stage codegen and
     // measured 5-60x slower at sf0.1; a compiled row-local kernel is the same
     // call we make for the image kernels (SURVEY 2.7). Empty shingle set =>
-    // sentinel P per slot; such docs are excluded from near-dup search.
+    // sentinel Long.MaxValue per slot; such docs are excluded from
+    // near-dup search.
     val family = hashFamily(k).toArray
     val sigUdf = udf { hashes: Seq[Long] =>
       val out = new Array[Long](family.length)
@@ -186,10 +202,10 @@ object Dedup {
         var m = Long.MaxValue
         val it = hashes.iterator
         while (it.hasNext) {
-          val h = (a * it.next() + b) % P
+          val h = mix64(a, b + it.next())
           if (h < m) m = h
         }
-        out(i) = if (m == Long.MaxValue) P else m
+        out(i) = m
         i += 1
       }
       out

@@ -10319,6 +10319,83 @@ object ExtensionQueries {
              |SELECT n_xy, round(e_xy, 6) AS e_xy, round(e_xx, 6) AS e_xx,
              |  round(e_yy, 6) AS e_yy,
              |  round(2.0 * e_xy - e_xx - e_yy, 6) AS energy_dist
-             |FROM mxy CROSS JOIN mxx CROSS JOIN myy ORDER BY n_xy""".stripMargin))
+             |FROM mxy CROSS JOIN mxx CROSS JOIN myy ORDER BY n_xy""".stripMargin)),
+
+    // Planted-duplicate recall eval of the MinHash-LSH dedup pipeline —
+    // the END-TO-END harness that turns x2's device into a measured
+    // guarantee: every 10th document gets a deterministically-derived
+    // near-dup twin (three appended sentinel tokens ⇒ known Jaccard
+    // n/(n+3) ≥ 0.9 at this corpus's lengths — the x117 derived-corpus
+    // precedent), the REAL x2 pipeline (signatures → banding → exact-
+    // jaccard verify) runs over base ∪ twins, and the output is recall
+    // on the planted pairs plus the organic-pair count. Oracle
+    // exactness rides x2's own argument: the verify stage thresholds
+    // exact Jaccard, and banding recall at j ≥ 0.9 with (16 bands × 4
+    // rows) is 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 4e-8, so the emitted pair set
+    // equals DuckDB's brute-force sweep over the same derived corpus.
+    // Eval cost = the pipeline's own cost (banded candidates, never
+    // all-pairs); the brute sweep exists ONLY oracle-side.
+    QuerySpec(
+      "x192_dedup_recall_eval",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+        val off = base.agg(max(col("doc_id")).as("mx"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .crossJoin(broadcast(off))
+          .select((col("doc_id") + col("mx") + 1).as("doc_id"),
+            concat(col("text"), lit(" zz9 zz8 zz7")).as("text"))
+        val corpus = base.unionByName(twins).localCheckpoint()
+        val found = Dedup.minhashNearDups(corpus, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.8)
+        val planted = base.filter(col("doc_id") % 10 === 0)
+          .crossJoin(broadcast(off))
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + col("mx") + 1).as("doc_b"))
+        val hit = found.join(broadcast(planted.select(col("doc_a"),
+          col("doc_b"), lit(1L).as("is_planted"))), Seq("doc_a", "doc_b"),
+          "left")
+        val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+        hit.agg(count(lit(1)).as("n_found_pairs"),
+            sum(coalesce(col("is_planted"), lit(0L))).as("n_found_planted"))
+          .crossJoin(broadcast(nPlanted))
+          .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_docs"))))
+          .select(col("n_docs"), col("n_planted"), col("n_found_planted"),
+            round(col("n_found_planted").cast("double") /
+              col("n_planted").cast("double"), 6).as("recall"),
+            (col("n_found_pairs") - col("n_found_planted"))
+              .as("n_organic_pairs"))
+          .orderBy("n_docs")
+      },
+      Some("""WITH off AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |      UNION ALL
+             |      SELECT d.doc_id + off.mx + 1, d.text || ' zz9 zz8 zz7'
+             |      FROM documents d CROSS JOIN off WHERE d.doc_id % 10 = 0),
+             |t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM corpus),
+             |sh AS (SELECT doc_id,
+             |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                   for i in range(1, len(toks)-1)]) AS sh
+             |  FROM t),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na, len(b.sh) AS nb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+             |found AS (SELECT doc_a, doc_b FROM p
+             |  WHERE round(CAST(i AS DOUBLE)/(na+nb-i), 4) >= 0.8),
+             |planted AS (SELECT d.doc_id AS doc_a, d.doc_id + off.mx + 1 AS doc_b
+             |      FROM documents d CROSS JOIN off WHERE d.doc_id % 10 = 0),
+             |agg AS (SELECT
+             |    (SELECT COUNT(*) FROM corpus) AS n_docs,
+             |    (SELECT COUNT(*) FROM planted) AS n_planted,
+             |    (SELECT COUNT(*) FROM found JOIN planted USING (doc_a, doc_b))
+             |      AS n_found_planted,
+             |    (SELECT COUNT(*) FROM found) AS n_found_pairs)
+             |SELECT n_docs, n_planted, CAST(n_found_planted AS BIGINT) AS n_found_planted,
+             |  round(CAST(n_found_planted AS DOUBLE) / CAST(n_planted AS DOUBLE), 6)
+             |    AS recall,
+             |  CAST(n_found_pairs - n_found_planted AS BIGINT) AS n_organic_pairs
+             |FROM agg ORDER BY n_docs""".stripMargin))
   )
 }

@@ -377,4 +377,31 @@ class DedupSpec extends SparkSpec {
         s"expected only localCheckpoint actions (1 setup + 1 per round), got: $during")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("min-wise independence: appended-token twins always surface " +
+      "(the affine-family order-correlation regression)") {
+    import spark.implicits._
+    // The pre-fix affine (a·x+b) mod P family was near-monotone in x
+    // (a < 2^29, x 32-bit ⇒ at most one wrap), so every slot shared the
+    // same element order and ONE small-hash twin-only shingle could
+    // hijack the argmin of all 64 slots: planted pairs at j ≈ 0.90 had
+    // 0/16 band collisions. Post-fix (mix64 slot hash) each slot's
+    // agreement is ~Bernoulli(j), so ALL appended-token twins at
+    // j ≥ 0.85 must be found — across 40 docs this covers a spread of
+    // boundary-shingle hash values including the hijacking class.
+    val base = (0 until 40).map { i =>
+      val toks = (0 until 40).map(t => s"w${(i * 7 + t * 3) % 97}x$t")
+      (i.toLong, toks.mkString(" "))
+    }
+    val twins = base.map { case (id, text) =>
+      (id + 1000L, text + " zz9 zz8 zz7")
+    }
+    val corpus = (base ++ twins).toDF("doc_id", "text")
+    val found = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missing = base.map(_._1).filterNot(id => found.contains((id, id + 1000L)))
+    assert(missing.isEmpty,
+      s"planted twins missed by banding (min-wise independence broken): $missing")
+  }
 }
