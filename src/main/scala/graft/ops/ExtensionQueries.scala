@@ -10396,6 +10396,73 @@ object ExtensionQueries {
              |  round(CAST(n_found_planted AS DOUBLE) / CAST(n_planted AS DOUBLE), 6)
              |    AS recall,
              |  CAST(n_found_pairs - n_found_planted AS BIGINT) AS n_organic_pairs
-             |FROM agg ORDER BY n_docs""".stripMargin))
+             |FROM agg ORDER BY n_docs""".stripMargin)),
+
+    // Shuffle-mixing audit — the runs-test read (Wald & Wolfowitz, AoMS
+    // 11, 1940, generalized to k categories) applied to the x86 shard
+    // order: a training shard whose SOURCE sequence has too few runs
+    // feeds the learner long same-source stretches (the data-ordering
+    // bug class behind loss spikes), too many runs means anti-
+    // correlated interleaving. Per shard: observed category boundaries
+    // in hash order vs the exact permutation expectation
+    // E[boundaries] = (n−1)·(1 − Σ nᵢ(nᵢ−1)/(n(n−1))); the ratio ≈ 1
+    // certifies the shuffle. Everything is exact integer counts (lag
+    // windows PARTITIONED by shard — the distributed-window shape; the
+    // source histogram is a per-shard aggregate); the only corpus-sized
+    // work is the one hash-order sort the shuffle itself needs.
+    QuerySpec(
+      "x193_shuffle_mixing",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            conv(substring(md5(concat(lit("graft-shuffle-42:"),
+              col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("skey"))
+          .withColumn("shard", col("skey") % 8)
+        val wl = W.partitionBy("shard").orderBy("skey")
+        val bounds = keyed
+          .withColumn("prev", lag(col("source"), 1).over(wl))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("prev").isNotNull && col("prev") =!= col("source"),
+              1L).otherwise(0L)).as("obs_bounds"))
+        val cats = keyed.groupBy("shard", "source")
+          .agg(count(lit(1)).as("ni"))
+          .groupBy("shard")
+          .agg(sum(col("ni") * (col("ni") - 1)).as("same_pairs"))
+        bounds.join(cats, "shard")
+          .select(col("shard"), col("n"), col("obs_bounds"),
+            round((col("n") - 1).cast("double") *
+              (lit(1.0) - col("same_pairs").cast("double") /
+                (col("n") * (col("n") - 1)).cast("double")), 6)
+              .as("exp_bounds"))
+          .withColumn("mix_ratio",
+            round(col("obs_bounds").cast("double") / col("exp_bounds"), 6))
+          .orderBy("shard")
+      },
+      Some("""WITH keyed AS (SELECT doc_id, source,
+             |        CAST(('0x' || substr(md5('graft-shuffle-42:' ||
+             |          CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey
+             |      FROM documents),
+             |sh AS (SELECT doc_id, source, skey, skey % 8 AS shard FROM keyed),
+             |b AS (SELECT shard, COUNT(*) AS n,
+             |        CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> source
+             |            THEN 1 ELSE 0 END) AS BIGINT) AS obs_bounds
+             |      FROM (SELECT shard, source,
+             |              lag(source) OVER (PARTITION BY shard ORDER BY skey) AS prev
+             |            FROM sh)
+             |      GROUP BY 1),
+             |c AS (SELECT shard, SUM(ni * (ni - 1)) AS same_pairs FROM (
+             |        SELECT shard, source, COUNT(*) AS ni FROM sh GROUP BY 1, 2)
+             |      GROUP BY 1),
+             |r AS (SELECT b.shard, b.n, b.obs_bounds,
+             |        round(CAST(b.n - 1 AS DOUBLE) *
+             |          (1.0 - CAST(c.same_pairs AS DOUBLE) /
+             |            CAST(b.n * (b.n - 1) AS DOUBLE)), 6) AS exp_bounds
+             |      FROM b JOIN c USING (shard))
+             |SELECT shard, n, obs_bounds, exp_bounds,
+             |  round(CAST(obs_bounds AS DOUBLE) / exp_bounds, 6) AS mix_ratio
+             |FROM r ORDER BY shard""".stripMargin))
   )
 }
