@@ -10463,6 +10463,79 @@ object ExtensionQueries {
              |      FROM b JOIN c USING (shard))
              |SELECT shard, n, obs_bounds, exp_bounds,
              |  round(CAST(obs_bounds AS DOUBLE) / exp_bounds, 6) AS mix_ratio
-             |FROM r ORDER BY shard""".stripMargin))
+             |FROM r ORDER BY shard""".stripMargin)),
+
+    // Cross-correlation function between two daily series (Box & Jenkins,
+    // "Time Series Analysis", ch. 11 — the prewhitening-free sample CCF):
+    // r_xy(ℓ) = Σ(x_t − x̄)(y_{t+ℓ} − ȳ) / (n·s_x·s_y) for lags −7..7,
+    // here purchase volume vs click volume — the LEAD/LAG read x134's
+    // single-series ACF can't give (a peak at ℓ > 0 means clicks lead
+    // purchases by ℓ days: the conversion-latency signal; at ℓ < 0 the
+    // causality arrow is suspect). Day cells are calendar-bounded, the
+    // lag join is day-arithmetic against the same |days|-row table, and
+    // means/stds come from the x171 integer-moment identity — every
+    // r_xy is one shared double op sequence per engine. Denominator
+    // uses the FULL-series moments at every lag (the Box-Jenkins
+    // convention), so |r| is comparable across lags.
+    QuerySpec(
+      "x194_ccf",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"))
+          .localCheckpoint() // both join sides + moments read one table
+        val mom = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            (col("sx").cast("double") / col("n")).as("mx"),
+            sqrt(col("sxx").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) *
+                (col("sx").cast("double") / col("n"))).as("sdx"),
+            (col("sy").cast("double") / col("n")).as("my"),
+            sqrt(col("syy").cast("double") / col("n") -
+              (col("sy").cast("double") / col("n")) *
+                (col("sy").cast("double") / col("n"))).as("sdy"))
+        val lags = s.range(-7, 8).toDF("lag")
+        val pairs = daily.select(col("day"), col("x"))
+          .crossJoin(broadcast(lags))
+          .join(daily.select(col("day").as("d2"), col("y")),
+            expr("date_add(day, CAST(lag AS INT)) = d2"))
+        pairs.crossJoin(broadcast(mom))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_overlap"),
+            (sum(round((col("x") - col("mx")) * (col("y") - col("my")), 6)
+              .cast("decimal(18,6)")).cast("double") /
+              (max(col("n")).cast("double") * max(col("sdx")) * max(col("sdy"))))
+              .as("r"))
+          .select(col("lag"), col("n_overlap"), round(col("r"), 6).as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS y
+             |      FROM events GROUP BY 1),
+             |mom AS (SELECT COUNT(*) AS n,
+             |        CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+             |        sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*) -
+             |          (CAST(SUM(x) AS DOUBLE) / COUNT(*)) *
+             |            (CAST(SUM(x) AS DOUBLE) / COUNT(*))) AS sdx,
+             |        CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my,
+             |        sqrt(CAST(SUM(y * y) AS DOUBLE) / COUNT(*) -
+             |          (CAST(SUM(y) AS DOUBLE) / COUNT(*)) *
+             |            (CAST(SUM(y) AS DOUBLE) / COUNT(*))) AS sdy
+             |      FROM daily),
+             |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+             |p AS (SELECT l.lag, a.x, b.y
+             |      FROM daily a CROSS JOIN lags l
+             |      JOIN daily b ON a.day + CAST(l.lag AS INT) = b.day)
+             |SELECT lag, COUNT(*) AS n_overlap,
+             |  round(CAST(SUM(CAST(round((x - mom.mx) * (y - mom.my), 6)
+             |      AS DECIMAL(18,6))) AS DOUBLE) /
+             |    (CAST(MAX(mom.n) AS DOUBLE) * MAX(mom.sdx) * MAX(mom.sdy)), 6) AS r
+             |FROM p CROSS JOIN mom GROUP BY lag ORDER BY lag""".stripMargin))
   )
 }
