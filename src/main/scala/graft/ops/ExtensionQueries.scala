@@ -10536,6 +10536,101 @@ object ExtensionQueries {
              |  round(CAST(SUM(CAST(round((x - mom.mx) * (y - mom.my), 6)
              |      AS DECIMAL(18,6))) AS DOUBLE) /
              |    (CAST(MAX(mom.n) AS DOUBLE) * MAX(mom.sdx) * MAX(mom.sdy)), 6) AS r
-             |FROM p CROSS JOIN mom GROUP BY lag ORDER BY lag""".stripMargin))
+             |FROM p CROSS JOIN mom GROUP BY lag ORDER BY lag""".stripMargin)),
+
+    // Benjamini-Hochberg FDR control (JRSS-B 57, 1995) over the metric
+    // family "weekend vs weekday mean value, per event type" — the
+    // multiple-comparisons discipline the single-test ops (x133 Welch,
+    // x129 KS, x135 MW) leave to the reader: testing 5 metrics at
+    // α = 0.05 each inflates the family false-positive rate to ~23%,
+    // and BH is the standard step-up fix (reject all p ≤ the largest
+    // p_(i) ≤ (i/m)·q). p-values come from Welch z via the
+    // Abramowitz & Stegun 26.2.17 polynomial Φ approximation (|ε| <
+    // 7.5e-8 — far below the 6-dp rounding) — a PUBLIC closed form
+    // both engines evaluate with the identical op sequence, which is
+    // what makes p-values oracle-checkable at all. Group moments ride
+    // the DECIMAL bridge; the step-up scan is a window over the 5-row
+    // p table.
+    QuerySpec(
+      "x195_bh_fdr",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val g = Tables.events(s, dir)
+          .select(col("event_type"),
+            (dayofweek(col("ts")).isin(1, 7)).cast("int").as("we"),
+            col("value"))
+          .groupBy("event_type", "we")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sv"),
+            sum(round(col("value") * col("value"), 6).cast("decimal(18,6)"))
+              .cast("double").as("svv"))
+          .select(col("event_type"), col("we"), col("n"),
+            (col("sv") / col("n")).as("mu"),
+            ((col("svv") / col("n") - (col("sv") / col("n")) *
+              (col("sv") / col("n"))) / col("n")).as("vn"))
+        val z = g.filter(col("we") === 1)
+          .select(col("event_type"), col("n").as("n_we"),
+            col("mu").as("mu_we"), col("vn").as("vn_we"))
+          .join(g.filter(col("we") === 0)
+            .select(col("event_type"), col("n").as("n_wd"),
+              col("mu").as("mu_wd"), col("vn").as("vn_wd")), "event_type")
+          .select(col("event_type"), col("n_we"), col("n_wd"),
+            ((col("mu_we") - col("mu_wd")) /
+              sqrt(col("vn_we") + col("vn_wd"))).as("zz"))
+        // Φ(x) for x >= 0 via A&S 26.2.17; p = 2·(1 − Φ(|z|))
+        val ax = abs(col("zz"))
+        val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+        val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+          t * (lit(1.781477937) + t * (lit(-1.821255978) +
+            t * lit(1.330274429)))))
+        val phi = exp(ax * ax / lit(-2.0)) * lit(0.3989422804014327)
+        val pv = z.withColumn("p", round(lit(2.0) * phi * poly, 6))
+        val wRank = W.orderBy(col("p"), col("event_type"))
+        val wMax = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        pv.withColumn("rk", row_number().over(wRank))
+          .withColumn("m", count(lit(1)).over(wMax))
+          .withColumn("bh_thresh",
+            round(col("rk").cast("double") / col("m") * 0.1, 6))
+          .withColumn("k_max",
+            max(when(col("p") <= col("bh_thresh"), col("rk"))).over(wMax))
+          .select(col("event_type"), col("n_we"), col("n_wd"),
+            round(col("zz"), 6).as("z"), col("p"),
+            col("rk").cast("long").as("bh_rank"), col("bh_thresh"),
+            when(col("rk") <= coalesce(col("k_max"), lit(0)), "rejected")
+              .otherwise("kept").as("h0"))
+          .orderBy("bh_rank")
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |        CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+             |        COUNT(*) AS n,
+             |        CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             |        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS svv
+             |      FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, we, n, sv / n AS mu,
+             |        (svv / n - (sv / n) * (sv / n)) / n AS vn FROM g),
+             |z AS (SELECT a.event_type, a.n AS n_we, b.n AS n_wd,
+             |        (a.mu - b.mu) / sqrt(a.vn + b.vn) AS zz
+             |      FROM m a JOIN m b ON a.event_type = b.event_type
+             |        AND a.we = 1 AND b.we = 0),
+             |pv AS (SELECT event_type, n_we, n_wd, zz,
+             |        round(2.0 * (exp(abs(zz) * abs(zz) / -2.0) * 0.3989422804014327) *
+             |          ((1.0 / (1.0 + 0.2316419 * abs(zz))) * (0.319381530 +
+             |           (1.0 / (1.0 + 0.2316419 * abs(zz))) * (-0.356563782 +
+             |           (1.0 / (1.0 + 0.2316419 * abs(zz))) * (1.781477937 +
+             |           (1.0 / (1.0 + 0.2316419 * abs(zz))) * (-1.821255978 +
+             |           (1.0 / (1.0 + 0.2316419 * abs(zz))) * 1.330274429))))), 6) AS p
+             |      FROM z),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY p, event_type) AS rk,
+             |        COUNT(*) OVER () AS m FROM pv),
+             |bh AS (SELECT *, round(CAST(rk AS DOUBLE) / m * 0.1, 6) AS bh_thresh
+             |      FROM rk),
+             |km AS (SELECT *, MAX(CASE WHEN p <= bh_thresh THEN rk END)
+             |        OVER () AS k_max FROM bh)
+             |SELECT event_type, n_we, n_wd, round(zz, 6) AS z, p,
+             |  CAST(rk AS BIGINT) AS bh_rank, bh_thresh,
+             |  CASE WHEN rk <= coalesce(k_max, 0) THEN 'rejected'
+             |       ELSE 'kept' END AS h0
+             |FROM km ORDER BY bh_rank""".stripMargin))
   )
 }
