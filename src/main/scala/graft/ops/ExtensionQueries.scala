@@ -10631,6 +10631,128 @@ object ExtensionQueries {
              |  CAST(rk AS BIGINT) AS bh_rank, bh_thresh,
              |  CASE WHEN rk <= coalesce(k_max, 0) THEN 'rejected'
              |       ELSE 'kept' END AS h0
-             |FROM km ORDER BY bh_rank""".stripMargin))
+             |FROM km ORDER BY bh_rank""".stripMargin)),
+
+    // Cochran-Mantel-Haenszel stratified association (Mantel & Haenszel,
+    // JNCI 22, 1959; Cochran, Biometrics 10, 1954): the 2×2-per-stratum
+    // test + pooled odds ratio — the CLASSIC epidemiology counterpart
+    // to x182's IPW (same confounder-stratification idea, but testing
+    // ASSOCIATION with a continuity-corrected χ² and pooling effect
+    // size as the MH odds ratio, which is valid even when per-stratum
+    // cells are small — the reason MH survives where per-stratum χ²
+    // breaks). Exposure = the x182 treatment (≥2 high-value
+    // purchases), outcome = user ever logs a high-value (>150) error, strata =
+    // activity quintiles. The crude OR rides along: crude ≠ MH is the
+    // Simpson's-reversal signal. Every cell is an exact integer; the
+    // χ² and ORs are rational sums over 5 strata (DECIMAL-bridged) —
+    // engine-identical.
+    QuerySpec(
+      "x196_cmh",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("e"),
+            max(when(col("event_type") === "error" && col("value") > 150.0,
+              1L).otherwise(0L)).as("o"))
+          .localCheckpoint()
+        val qs = u.agg(expr("percentile(act, array(0.2, 0.4, 0.6, 0.8))").as("q"))
+        val ub = u.crossJoin(broadcast(qs))
+          .select(col("e"), col("o"),
+            ((col("act") > element_at(col("q"), 1)).cast("int") +
+             (col("act") > element_at(col("q"), 2)).cast("int") +
+             (col("act") > element_at(col("q"), 3)).cast("int") +
+             (col("act") > element_at(col("q"), 4)).cast("int")).as("st"))
+        val cells = ub.groupBy("st")
+          .agg(sum(col("e") * col("o")).as("a"),
+            sum(col("e") * (lit(1L) - col("o"))).as("b"),
+            sum((lit(1L) - col("e")) * col("o")).as("c"),
+            sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).as("d"))
+          .select(col("st"), col("a"), col("b"), col("c"), col("d"),
+            (col("a") + col("b") + col("c") + col("d")).as("nk"))
+          .filter(col("nk") > 1)
+        val agg = cells.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("sa"),
+          sum(round((col("a") + col("b")).cast("double") *
+            (col("a") + col("c")).cast("double") / col("nk"), 6)
+            .cast("decimal(18,6)")).cast("double").as("se"),
+          sum(round((col("a") + col("b")).cast("double") *
+            (col("c") + col("d")).cast("double") *
+            (col("a") + col("c")).cast("double") *
+            (col("b") + col("d")).cast("double") /
+            (col("nk").cast("double") * col("nk").cast("double") *
+              (col("nk") - 1).cast("double")), 6)
+            .cast("decimal(18,6)")).cast("double").as("sv"),
+          sum(round(col("a").cast("double") * col("d") / col("nk"), 6)
+            .cast("decimal(18,6)")).cast("double").as("sad"),
+          sum(round(col("b").cast("double") * col("c") / col("nk"), 6)
+            .cast("decimal(18,6)")).cast("double").as("sbc"))
+        val crude = ub.agg(
+          (sum(col("e") * col("o")).cast("double") *
+            sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).cast("double") /
+            (sum(col("e") * (lit(1L) - col("o"))).cast("double") *
+              sum((lit(1L) - col("e")) * col("o")).cast("double")))
+            .as("or_crude"))
+        agg.crossJoin(broadcast(crude))
+          .select(col("n_strata"),
+            round((abs(col("sa").cast("double") - col("se")) - 0.5) *
+              (abs(col("sa").cast("double") - col("se")) - 0.5) /
+              col("sv"), 6).as("cmh_chi2"),
+            round(col("sad") / col("sbc"), 6).as("or_mh"),
+            round(col("or_crude"), 6).as("or_crude"),
+            when((abs(col("sa").cast("double") - col("se")) - 0.5) *
+              (abs(col("sa").cast("double") - col("se")) - 0.5) /
+              col("sv") > 3.841459, "associated")
+              .otherwise("no evidence").as("verdict"))
+          .orderBy("n_strata")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS e,
+             |        MAX(CASE WHEN event_type = 'error' AND value > 150.0
+             |            THEN 1 ELSE 0 END) AS o
+             |      FROM events GROUP BY 1),
+             |qs AS (SELECT quantile_cont(act, [0.2, 0.4, 0.6, 0.8]) AS q FROM u),
+             |ub AS (SELECT e, o,
+             |        (CASE WHEN act > q[1] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[2] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[3] THEN 1 ELSE 0 END +
+             |         CASE WHEN act > q[4] THEN 1 ELSE 0 END) AS st
+             |      FROM u CROSS JOIN qs),
+             |cells AS (SELECT st,
+             |        CAST(SUM(e * o) AS BIGINT) AS a,
+             |        CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+             |        CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+             |        CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+             |      FROM ub GROUP BY 1),
+             |ck AS (SELECT *, a + b + c + d AS nk FROM cells WHERE a + b + c + d > 1),
+             |agg AS (SELECT COUNT(*) AS n_strata, CAST(SUM(a) AS BIGINT) AS sa,
+             |        CAST(SUM(CAST(round(CAST(a + b AS DOUBLE) *
+             |          CAST(a + c AS DOUBLE) / nk, 6) AS DECIMAL(18,6))) AS DOUBLE) AS se,
+             |        CAST(SUM(CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+             |          CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) /
+             |          (CAST(nk AS DOUBLE) * CAST(nk AS DOUBLE) *
+             |            CAST(nk - 1 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             |        CAST(SUM(CAST(round(CAST(a AS DOUBLE) * d / nk, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sad,
+             |        CAST(SUM(CAST(round(CAST(b AS DOUBLE) * c / nk, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sbc
+             |      FROM ck),
+             |crude AS (SELECT CAST(SUM(e * o) AS DOUBLE) *
+             |        CAST(SUM((1 - e) * (1 - o)) AS DOUBLE) /
+             |        (CAST(SUM(e * (1 - o)) AS DOUBLE) *
+             |          CAST(SUM((1 - e) * o) AS DOUBLE)) AS or_crude
+             |      FROM ub)
+             |SELECT n_strata,
+             |  round((abs(CAST(sa AS DOUBLE) - se) - 0.5) *
+             |    (abs(CAST(sa AS DOUBLE) - se) - 0.5) / sv, 6) AS cmh_chi2,
+             |  round(sad / sbc, 6) AS or_mh,
+             |  round(or_crude, 6) AS or_crude,
+             |  CASE WHEN (abs(CAST(sa AS DOUBLE) - se) - 0.5) *
+             |    (abs(CAST(sa AS DOUBLE) - se) - 0.5) / sv > 3.841459
+             |    THEN 'associated' ELSE 'no evidence' END AS verdict
+             |FROM agg CROSS JOIN crude ORDER BY n_strata""".stripMargin))
   )
 }
