@@ -10753,6 +10753,64 @@ object ExtensionQueries {
              |  CASE WHEN (abs(CAST(sa AS DOUBLE) - se) - 0.5) *
              |    (abs(CAST(sa AS DOUBLE) - se) - 0.5) / sv > 3.841459
              |    THEN 'associated' ELSE 'no evidence' END AS verdict
-             |FROM agg CROSS JOIN crude ORDER BY n_strata""".stripMargin))
+             |FROM agg CROSS JOIN crude ORDER BY n_strata""".stripMargin)),
+
+    // Wald's sequential probability ratio test (Wald, AoMS 16, 1945) as
+    // a daily A/B monitor — the SEQUENTIAL counterpart to the
+    // fixed-horizon suite (x133/x148): each purchase is a Bernoulli
+    // "came from arm B" trial (variant = user_id % 2, the x125
+    // convention); H₀: θ = 0.5 vs H₁: θ = 0.6 (a 20% uplift), so the
+    // cumulative log-likelihood ratio is a·ln(0.8) + b·ln(1.2),
+    // monitored against Wald's boundaries ±ln((1−β)/α) at α = β = 0.05
+    // — the test a dashboard evaluates EVERY day without the peeking
+    // penalty fixed-horizon tests incur. Day cells are
+    // calendar-bounded; the ln constants are rounded-6 and each day's
+    // contribution is count·constant DECIMAL-summed in a cumulative
+    // window over the day aggregate — the whole trajectory replays
+    // bit-identically.
+    QuerySpec(
+      "x197_sprt",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val lnA = round(log(lit(0.8)), 6).cast("decimal(18,6)")
+        val lnB = round(log(lit(1.2)), 6).cast("decimal(18,6)")
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("a"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("b"))
+        val wc = W.orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        daily
+          .withColumn("cum_a", sum(col("a")).over(wc))
+          .withColumn("cum_b", sum(col("b")).over(wc))
+          .withColumn("llr",
+            (sum(col("a") * lnA + col("b") * lnB).over(wc))
+              .cast("double"))
+          .select(col("day"), col("cum_a"), col("cum_b"),
+            round(col("llr"), 6).as("llr"),
+            when(col("llr") >= 2.944439, "reject H0 (B wins)")
+              .when(col("llr") <= -2.944439, "accept H0")
+              .otherwise("continue").as("decision"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             |        SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+             |        SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |c AS (SELECT day,
+             |        SUM(a) OVER w AS cum_a, SUM(b) OVER w AS cum_b,
+             |        CAST(SUM(a * CAST(round(ln(0.8), 6) AS DECIMAL(18,6)) +
+             |          b * CAST(round(ln(1.2), 6) AS DECIMAL(18,6))) OVER w
+             |          AS DOUBLE) AS llr
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT day, CAST(cum_a AS BIGINT) AS cum_a,
+             |  CAST(cum_b AS BIGINT) AS cum_b, round(llr, 6) AS llr,
+             |  CASE WHEN llr >= 2.944439 THEN 'reject H0 (B wins)'
+             |       WHEN llr <= -2.944439 THEN 'accept H0'
+             |       ELSE 'continue' END AS decision
+             |FROM c ORDER BY day""".stripMargin))
   )
 }
