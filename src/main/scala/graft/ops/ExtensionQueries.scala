@@ -10811,6 +10811,96 @@ object ExtensionQueries {
              |  CASE WHEN llr >= 2.944439 THEN 'reject H0 (B wins)'
              |       WHEN llr <= -2.944439 THEN 'accept H0'
              |       ELSE 'continue' END AS decision
-             |FROM c ORDER BY day""".stripMargin))
+             |FROM c ORDER BY day""".stripMargin)),
+
+    // l-diversity + t-closeness audit (Machanavajjhala et al., TKDD 1,
+    // 2007; Li, Li & Venkatasubramanian, ICDE 2007) — the two
+    // sensitive-attribute reads x103's k-anonymity lacks: a class can
+    // be k-anonymous yet reveal everyone's sensitive value if all k
+    // rows share it (l = 1, the homogeneity attack), and diverse-but-
+    // skewed classes still leak via distribution distance (t-closeness
+    // = total-variation from the GLOBAL sensitive distribution; the
+    // absent-item mass is 1 − the class's covered global mass, so no
+    // class × full-vocab fan-out is needed). Quasi-identifiers =
+    // (event_type, day-of-week, value decile); sensitive = the item.
+    // Classes and items are both bounded vocabularies, so everything
+    // past the one corpus aggregate is bounded-grid arithmetic;
+    // per-class sums ride the DECIMAL bridge.
+    QuerySpec(
+      "x198_l_diversity",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            dayofweek(col("ts")).as("dw"),
+            least(floor(col("value") / 10.0).cast("int"), lit(9)).as("vb"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
+          .filter(col("item").isNotNull)
+          .localCheckpoint() // one scan feeds cells and the global dist
+        val n = ev.agg(count(lit(1)).as("n"))
+        val gi = ev.groupBy("item").agg(count(lit(1)).as("ci"))
+          .crossJoin(broadcast(n))
+          .select(col("item"),
+            (col("ci").cast("double") / col("n").cast("double")).as("pi"))
+        val cells = ev.groupBy("event_type", "dw", "vb", "item")
+          .agg(count(lit(1)).as("cc"))
+        val cls = cells.groupBy("event_type", "dw", "vb")
+          .agg(sum(col("cc")).as("nc"), count(lit(1)).as("l"))
+        val tvd = cells.join(cls, Seq("event_type", "dw", "vb"))
+          .join(broadcast(gi), "item")
+          .select(col("event_type"), col("dw"), col("vb"), col("nc"), col("l"),
+            round(abs(col("cc").cast("double") / col("nc").cast("double") -
+              col("pi")), 6).cast("decimal(18,6)").as("ad"),
+            round(col("pi"), 6).cast("decimal(18,6)").as("cov"))
+          .groupBy("event_type", "dw", "vb")
+          .agg(max(col("nc")).as("nc"), max(col("l")).as("l"),
+            round((sum(col("ad")).cast("double") +
+              (lit(1.0) - sum(col("cov")).cast("double"))) / 2.0, 6)
+              .as("tvd"))
+        tvd.agg(count(lit(1)).as("n_classes"),
+            sum(col("nc")).as("n_records"),
+            min(col("l")).as("min_l"),
+            sum(when(col("l") < 3, col("nc")).otherwise(0L))
+              .as("rec_l_lt_3"),
+            round(max(col("tvd")), 6).as("max_tvd"),
+            sum(when(col("tvd") > 0.3, col("nc")).otherwise(0L))
+              .as("rec_tvd_gt_03"))
+          .select(col("n_classes"), col("n_records"), col("min_l"),
+            round(col("rec_l_lt_3").cast("double") /
+              col("n_records").cast("double"), 6).as("share_l_lt_3"),
+            col("max_tvd"),
+            round(col("rec_tvd_gt_03").cast("double") /
+              col("n_records").cast("double"), 6).as("share_tvd_gt_03"))
+          .orderBy("n_classes")
+      },
+      Some("""WITH ev AS (SELECT event_type, dayofweek(ts) AS dw,
+             |        least(CAST(floor(value / 10.0) AS INT), 9) AS vb,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item
+             |      FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |n AS (SELECT COUNT(*) AS n FROM ev),
+             |gi AS (SELECT item, CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE) AS pi
+             |      FROM ev CROSS JOIN n GROUP BY item, n.n),
+             |cells AS (SELECT event_type, dw, vb, item, COUNT(*) AS cc
+             |      FROM ev GROUP BY 1, 2, 3, 4),
+             |cls AS (SELECT event_type, dw, vb, SUM(cc) AS nc, COUNT(*) AS l
+             |      FROM cells GROUP BY 1, 2, 3),
+             |tv AS (SELECT c.event_type, c.dw, c.vb, MAX(cl.nc) AS nc,
+             |        MAX(cl.l) AS l,
+             |        round((CAST(SUM(CAST(round(abs(CAST(c.cc AS DOUBLE) /
+             |            CAST(cl.nc AS DOUBLE) - gi.pi), 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) +
+             |          (1.0 - CAST(SUM(CAST(round(gi.pi, 6) AS DECIMAL(18,6)))
+             |            AS DOUBLE))) / 2.0, 6) AS tvd
+             |      FROM cells c
+             |      JOIN cls cl USING (event_type, dw, vb)
+             |      JOIN gi USING (item)
+             |      GROUP BY 1, 2, 3)
+             |SELECT COUNT(*) AS n_classes, CAST(SUM(nc) AS BIGINT) AS n_records,
+             |  CAST(MIN(l) AS BIGINT) AS min_l,
+             |  round(CAST(SUM(CASE WHEN l < 3 THEN nc ELSE 0 END) AS DOUBLE) /
+             |    CAST(SUM(nc) AS DOUBLE), 6) AS share_l_lt_3,
+             |  round(MAX(tvd), 6) AS max_tvd,
+             |  round(CAST(SUM(CASE WHEN tvd > 0.3 THEN nc ELSE 0 END) AS DOUBLE) /
+             |    CAST(SUM(nc) AS DOUBLE), 6) AS share_tvd_gt_03
+             |FROM tv ORDER BY n_classes""".stripMargin))
   )
 }
