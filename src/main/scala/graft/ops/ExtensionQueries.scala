@@ -10901,6 +10901,75 @@ object ExtensionQueries {
              |  round(MAX(tvd), 6) AS max_tvd,
              |  round(CAST(SUM(CASE WHEN tvd > 0.3 THEN nc ELSE 0 END) AS DOUBLE) /
              |    CAST(SUM(nc) AS DOUBLE), 6) AS share_tvd_gt_03
-             |FROM tv ORDER BY n_classes""".stripMargin))
+             |FROM tv ORDER BY n_classes""".stripMargin)),
+
+    // Community conductance (Shi & Malik's normalized-cut objective,
+    // PAMI 2000; the community-QUALITY read Leskovec et al.'s NCP plots
+    // made standard): for each x120 LPA community S,
+    // φ(S) = cut(S) / min(vol(S), vol(V∖S)) — LOW φ = a real community
+    // (few escaping edges for its mass), φ → 1 = a label that doesn't
+    // bound anything. This is the missing audit BEHIND the detection
+    // ops: x120/x170 emit labels, nothing previously said whether the
+    // labels mean anything. All weighted degrees/cuts are exact
+    // integer sums over the directed edge list joined to the label
+    // table twice (slim equi-joins, the x183 shape); conductance is
+    // one rational division per community.
+    QuerySpec(
+      "x199_conductance",
+      (s, dir) => {
+        val edges = itemEdges(s, dir, 3).localCheckpoint()
+        val lab = Graph.labelPropagation(edges, rounds = 3)
+        val ed = edges
+          .join(lab.select(col("v").as("src"), col("lab").as("ls")), "src")
+          .join(lab.select(col("v").as("dst"), col("lab").as("ld")), "dst")
+        val vol = ed.groupBy("ls").agg(sum(col("w")).as("vol"),
+          sum(when(col("ls") =!= col("ld"), col("w")).otherwise(0L))
+            .as("cut"))
+        val tot = vol.agg(sum(col("vol")).as("volT"))
+        val nn = lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+        vol.join(nn, col("ls") === col("lab"))
+          .crossJoin(broadcast(tot))
+          .filter(col("n_nodes") >= 2)
+          .select(col("ls").as("community"), col("n_nodes"), col("vol"),
+            col("cut"),
+            when(least(col("vol"), col("volT") - col("vol")) > 0,
+              round(col("cut").cast("double") /
+                least(col("vol"), col("volT") - col("vol")).cast("double"), 6))
+              .as("conductance"))
+          .orderBy("community")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc UNION ALL SELECT ib, ia, w FROM pc),
+             |lab0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+             |s1 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab0 l ON l.v = e.src GROUP BY 1, 2),
+             |lab1 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s1)
+             |  WHERE rn = 1),
+             |s2 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab1 l ON l.v = e.src GROUP BY 1, 2),
+             |lab2 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s2)
+             |  WHERE rn = 1),
+             |s3 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab2 l ON l.v = e.src GROUP BY 1, 2),
+             |lab3 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s3)
+             |  WHERE rn = 1),
+             |ed AS (SELECT e.src, e.dst, e.w, a.lab AS ls, b.lab AS ld
+             |      FROM e JOIN lab3 a ON a.v = e.src JOIN lab3 b ON b.v = e.dst),
+             |vol AS (SELECT ls, SUM(w) AS vol,
+             |        SUM(CASE WHEN ls <> ld THEN w ELSE 0 END) AS cut
+             |      FROM ed GROUP BY 1),
+             |tot AS (SELECT SUM(vol) AS volT FROM vol),
+             |nn AS (SELECT lab, COUNT(*) AS n_nodes FROM lab3 GROUP BY 1)
+             |SELECT vol.ls AS community, nn.n_nodes,
+             |  CAST(vol.vol AS BIGINT) AS vol, CAST(vol.cut AS BIGINT) AS cut,
+             |  CASE WHEN least(vol.vol, tot.volT - vol.vol) > 0 THEN
+             |    round(CAST(vol.cut AS DOUBLE) /
+             |      CAST(least(vol.vol, tot.volT - vol.vol) AS DOUBLE), 6) END AS conductance
+             |FROM vol JOIN nn ON nn.lab = vol.ls CROSS JOIN tot
+             |WHERE nn.n_nodes >= 2 ORDER BY community""".stripMargin))
   )
 }
