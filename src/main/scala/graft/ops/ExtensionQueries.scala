@@ -10970,6 +10970,135 @@ object ExtensionQueries {
              |    round(CAST(vol.cut AS DOUBLE) /
              |      CAST(least(vol.vol, tot.volT - vol.vol) AS DOUBLE), 6) END AS conductance
              |FROM vol JOIN nn ON nn.lab = vol.ls CROSS JOIN tot
-             |WHERE nn.n_nodes >= 2 ORDER BY community""".stripMargin))
+             |WHERE nn.n_nodes >= 2 ORDER BY community""".stripMargin)),
+
+    // Greedy facility-location selection (Nemhauser, Wolsey & Fisher,
+    // Math. Prog. 14, 1978: the greedy (1 − 1/e) guarantee for monotone
+    // submodular maximization) — the data-SUBSET-selection primitive
+    // complementing x113's k-center (max-min distance) with the
+    // max-COVERAGE objective F(S) = Σ_probe max_{c∈S} sim(p, c): pick
+    // k = 4 representatives whose combined similarity coverage of a
+    // probe set is maximal, the device behind representative-subset /
+    // coreset curation. Shapes: candidates (32) and probes (128) are
+    // seeded-hash picks, so the sim matrix is a BOUNDED 4,096-pair
+    // broadcast cross — at any corpus size; each greedy round is one
+    // bounded groupBy + a 1-ROW collect (driver state = k ids, the
+    // x52-fixed bounded-collect discipline). Sims rounded-4 (x5
+    // precedent), marginal gains DECIMAL-summed; already-selected
+    // candidates are excluded from later rounds on both engines.
+    QuerySpec(
+      "x200_facility_location",
+      (s, dir) => {
+        def pick(tag: String, nn: Int) = Tables.embeddings(s, dir)
+          .withColumn("h", md5(concat(lit(tag), col("vec_id").cast("string"))))
+          .orderBy("h", "vec_id").limit(nn)
+        val cands = pick("fac:c:", 32)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val probes = pick("fac:p:", 128)
+          .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+        val sims = probes.crossJoin(broadcast(cands))
+          .select(col("pid"), col("cid"),
+            Similarity.cosine(col("pemb"), col("cemb")).as("sim"))
+          .localCheckpoint() // the 4,096-pair matrix feeds all 4 rounds
+        var best = sims.select(col("pid")).distinct()
+          .withColumn("b", lit(0.0))
+        var selected = List.empty[Long]
+        val rows = (1 to 4).map { r =>
+          val gains = sims
+            .filter(!col("cid").isin(selected: _*))
+            .join(best, "pid")
+            .groupBy("cid")
+            .agg(sum(round(greatest(col("sim") - col("b"), lit(0.0)), 6)
+              .cast("decimal(18,6)")).cast("double").as("g"))
+          // bounded driver state: ONE row per round (k = 4 total)
+          val top = gains.orderBy(col("g").desc, col("cid")).limit(1)
+            .collect()(0)
+          val cid = top.getLong(0)
+          selected = selected :+ cid
+          best = best.join(
+              sims.filter(col("cid") === cid).select(col("pid"), col("sim")),
+              "pid")
+            .select(col("pid"), greatest(col("b"), col("sim")).as("b"))
+            .localCheckpoint()
+          val obj = best
+            .agg(sum(round(col("b"), 6).cast("decimal(18,6)")).cast("double"))
+            .head().getDouble(0)
+          (r.toLong, cid, top.getDouble(1), obj)
+        }
+        import s.implicits._
+        rows.toDF("round", "cand_id", "gain", "objective")
+          .select(col("round"), col("cand_id"),
+            round(col("gain"), 6).as("gain"),
+            round(col("objective"), 6).as("objective"))
+          .orderBy("round")
+      },
+      Some("""WITH ec AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |nc AS (SELECT vec_id, emb, sqrt(list_sum([x * x for x in emb])) AS nrm FROM ec),
+             |cands AS (SELECT vec_id AS cid, emb, nrm FROM (
+             |      SELECT vec_id, emb, nrm,
+             |        md5(concat('fac:c:', CAST(vec_id AS VARCHAR))) AS h
+             |      FROM nc) ORDER BY h, cid LIMIT 32),
+             |probes AS (SELECT vec_id AS pid, emb, nrm FROM (
+             |      SELECT vec_id, emb, nrm,
+             |        md5(concat('fac:p:', CAST(vec_id AS VARCHAR))) AS h
+             |      FROM nc) ORDER BY h, pid LIMIT 128),
+             |f AS (SELECT p.pid, c.cid, p.nrm AS pn, c.nrm AS cn,
+             |        unnest(p.emb) AS pv, unnest(c.emb) AS cv
+             |      FROM probes p CROSS JOIN cands c),
+             |sims AS (SELECT pid, cid,
+             |        round(sum(pv * cv) / (any_value(pn) * any_value(cn)), 4) AS sim
+             |      FROM f GROUP BY pid, cid),
+             |g1 AS (SELECT cid, CAST(SUM(CAST(round(greatest(sim - 0.0, 0.0), 6)
+             |        AS DECIMAL(18,6))) AS DOUBLE) AS g
+             |      FROM sims GROUP BY 1),
+             |c1 AS (SELECT cid, g FROM g1 ORDER BY g DESC, cid LIMIT 1),
+             |b1 AS (SELECT s.pid, greatest(MAX(CASE WHEN s.cid = c1.cid
+             |          THEN s.sim END), 0.0) AS b
+             |      FROM sims s CROSS JOIN c1 GROUP BY 1),
+             |o1 AS (SELECT CAST(SUM(CAST(round(b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS obj FROM b1),
+             |g2 AS (SELECT s.cid, CAST(SUM(CAST(round(greatest(s.sim - b1.b, 0.0), 6)
+             |        AS DECIMAL(18,6))) AS DOUBLE) AS g
+             |      FROM sims s JOIN b1 USING (pid) CROSS JOIN c1
+             |      WHERE s.cid <> c1.cid GROUP BY 1),
+             |c2 AS (SELECT cid, g FROM g2 ORDER BY g DESC, cid LIMIT 1),
+             |b2 AS (SELECT b1.pid, greatest(b1.b, coalesce(MAX(CASE WHEN s.cid = c2.cid
+             |          THEN s.sim END), -1.0)) AS b
+             |      FROM b1 JOIN sims s USING (pid) CROSS JOIN c2 GROUP BY b1.pid, b1.b),
+             |o2 AS (SELECT CAST(SUM(CAST(round(b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS obj FROM b2),
+             |g3 AS (SELECT s.cid, CAST(SUM(CAST(round(greatest(s.sim - b2.b, 0.0), 6)
+             |        AS DECIMAL(18,6))) AS DOUBLE) AS g
+             |      FROM sims s JOIN b2 USING (pid) CROSS JOIN c1 CROSS JOIN c2
+             |      WHERE s.cid <> c1.cid AND s.cid <> c2.cid GROUP BY 1),
+             |c3 AS (SELECT cid, g FROM g3 ORDER BY g DESC, cid LIMIT 1),
+             |b3 AS (SELECT b2.pid, greatest(b2.b, coalesce(MAX(CASE WHEN s.cid = c3.cid
+             |          THEN s.sim END), -1.0)) AS b
+             |      FROM b2 JOIN sims s USING (pid) CROSS JOIN c3 GROUP BY b2.pid, b2.b),
+             |o3 AS (SELECT CAST(SUM(CAST(round(b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS obj FROM b3),
+             |g4 AS (SELECT s.cid, CAST(SUM(CAST(round(greatest(s.sim - b3.b, 0.0), 6)
+             |        AS DECIMAL(18,6))) AS DOUBLE) AS g
+             |      FROM sims s JOIN b3 USING (pid)
+             |      CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3
+             |      WHERE s.cid <> c1.cid AND s.cid <> c2.cid AND s.cid <> c3.cid
+             |      GROUP BY 1),
+             |c4 AS (SELECT cid, g FROM g4 ORDER BY g DESC, cid LIMIT 1),
+             |b4 AS (SELECT b3.pid, greatest(b3.b, coalesce(MAX(CASE WHEN s.cid = c4.cid
+             |          THEN s.sim END), -1.0)) AS b
+             |      FROM b3 JOIN sims s USING (pid) CROSS JOIN c4 GROUP BY b3.pid, b3.b),
+             |o4 AS (SELECT CAST(SUM(CAST(round(b, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS obj FROM b4)
+             |SELECT CAST(1 AS BIGINT) AS round, c1.cid AS cand_id,
+             |  round(c1.g, 6) AS gain, round(o1.obj, 6) AS objective
+             |FROM c1 CROSS JOIN o1
+             |UNION ALL SELECT 2, c2.cid, round(c2.g, 6), round(o2.obj, 6)
+             |FROM c2 CROSS JOIN o2
+             |UNION ALL SELECT 3, c3.cid, round(c3.g, 6), round(o3.obj, 6)
+             |FROM c3 CROSS JOIN o3
+             |UNION ALL SELECT 4, c4.cid, round(c4.g, 6), round(o4.obj, 6)
+             |FROM c4 CROSS JOIN o4
+             |ORDER BY round""".stripMargin))
   )
 }
