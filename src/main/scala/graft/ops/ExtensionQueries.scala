@@ -11099,6 +11099,845 @@ object ExtensionQueries {
              |FROM c3 CROSS JOIN o3
              |UNION ALL SELECT 4, c4.cid, round(c4.g, 6), round(o4.obj, 6)
              |FROM c4 CROSS JOIN o4
-             |ORDER BY round""".stripMargin))
+             |ORDER BY round""".stripMargin)),
+
+    // All-pairs set-similarity self-join with PREFIX FILTERING
+    // (Chaudhuri, Ganti & Kaushik, ICDE 2006 "A Primitive Operator for
+    // Similarity Joins"; Bayardo, Ma & Srikant, WWW 2007; Xiao et al.,
+    // WWW 2008 PPJoin) — the EXACT counterpart to the approximate LSH
+    // dedup (x2): for Jaccard ≥ t over word-trigram shingle sets, any
+    // qualifying pair must share a token in each side's (|d|−⌈t·|d|⌉+1)-
+    // token prefix when tokens are ordered rarest-first, so candidate
+    // generation is an equi-join on PREFIX tokens only — never all
+    // pairs — and rare-first ordering makes prefix postings lists the
+    // SHORTEST ones. The length filter t·max(|a|,|b|) ≤ min(|a|,|b|)
+    // prunes further before verification. Rarity order is (df ASC,
+    // token ASC) computed per-doc via a window — no global rank/sort
+    // anywhere, so the plan is shuffle-bounded by the prefix-posting
+    // join at any scale. Verification is exact: candidates re-join the
+    // full shingle sets for the true intersection. Jaccard is a single
+    // integer-ratio division rounded to 4 — engine-identical.
+    QuerySpec(
+      "x201_allpairs_prefix",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val t = 0.6
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws)-3), " +
+              "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("t"))
+          .distinct()
+          .localCheckpoint() // feeds df, sizes, prefixes, and verification
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val df = sh.groupBy("t").agg(count(lit(1)).as("df"))
+        val pref = sh.join(df, "t").join(sz, "doc_id")
+          .select(col("doc_id"), col("t"), col("sz"),
+            row_number().over(
+              W.partitionBy("doc_id").orderBy("df", "t")).as("pos"))
+          .filter(col("pos") <=
+            col("sz") - ceil(col("sz") * t).cast("long") + 1)
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.sz"), col("b.sz")) >=
+                greatest(col("a.sz"), col("b.sz")) * t)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("sa"), col("b.sz").as("sb"))
+          .distinct()
+        cand
+          .join(sh.as("t1"), col("doc_a") === col("t1.doc_id"))
+          .join(sh.as("t2"),
+            col("doc_b") === col("t2.doc_id") && col("t1.t") === col("t2.t"))
+          .groupBy("doc_a", "doc_b", "sa", "sb")
+          .agg(count(lit(1)).as("ic"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ic").cast("double") /
+              (col("sa") + col("sb") - col("ic")), 4).as("jaccard"))
+          .filter(col("jaccard") >= t)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS t
+             |      FROM w, unnest(range(1, len(ws) - 1)) AS r(i)
+             |      WHERE len(ws) >= 3),
+             |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+             |dfq AS (SELECT t, COUNT(*) AS df FROM sh GROUP BY 1),
+             |ord AS (SELECT s.doc_id, s.t, z.sz,
+             |        row_number() OVER (PARTITION BY s.doc_id
+             |          ORDER BY d.df, s.t) AS pos
+             |      FROM sh s JOIN dfq d ON s.t = d.t
+             |        JOIN sz z ON s.doc_id = z.doc_id),
+             |pref AS (SELECT * FROM ord
+             |      WHERE pos <= sz - CAST(ceil(sz * 0.6) AS BIGINT) + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |        a.sz AS sa, b.sz AS sb
+             |      FROM pref a JOIN pref b
+             |        ON a.t = b.t AND a.doc_id < b.doc_id
+             |      WHERE least(a.sz, b.sz) >= greatest(a.sz, b.sz) * 0.6),
+             |inter AS (SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS ic
+             |      FROM cand c JOIN sh t1 ON t1.doc_id = c.doc_a
+             |        JOIN sh t2 ON t2.doc_id = c.doc_b AND t2.t = t1.t
+             |      GROUP BY 1, 2, 3, 4)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(ic AS DOUBLE) / (sa + sb - ic), 4) AS jaccard
+             |FROM inter
+             |WHERE round(CAST(ic AS DOUBLE) / (sa + sb - ic), 4) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Log-rank test (Mantel, Cancer Chemother Rep 50, 1966; Peto & Peto,
+    // JRSS-A 135, 1972): does time-to-first-error differ between the two
+    // experiment arms (user_id parity, the x125 convention)? The
+    // censoring-correct counterpart to comparing the x124 Kaplan-Meier
+    // curves by eye: at each distinct event time the observed arm-B
+    // deaths are compared to the hypergeometric expectation d·n1/n given
+    // the at-risk sets, and O−E sums to a 1-df χ². At-risk counts come
+    // from a reverse-cumulative window over the |distinct t|×2 grid —
+    // the x124 aggregate-bounded device, never a per-subject rescan —
+    // and the E/V terms are rounded-6 DECIMAL-summed, so the statistic
+    // replays bit-identically. One shuffle to the per-user span, one to
+    // the (t, arm) grid; everything after is aggregate-sized.
+    QuerySpec(
+      "x202_logrank",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val span = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("f"),
+            min(when(col("event_type") === "error", to_date(col("ts"))))
+              .as("e"))
+        val gmax = span.agg(max(greatest(col("f"), col("e"))).as("gmax"))
+        val subj = span.crossJoin(broadcast(gmax))
+          .select((col("user_id") % 2).cast("long").as("g"),
+            when(col("e").isNotNull, datediff(col("e"), col("f")))
+              .otherwise(datediff(col("gmax"), col("f")))
+              .cast("long").as("t"),
+            col("e").isNotNull.cast("long").as("obs"))
+        val perTG = subj.groupBy("t", "g")
+          .agg(sum(col("obs")).as("d"), sum(lit(1L) - col("obs")).as("c"))
+        val totals = subj.groupBy("g").agg(count(lit(1)).as("ng"))
+        val grid = perTG.select("t").distinct()
+          .crossJoin(broadcast(subj.select("g").distinct()))
+          .join(perTG, Seq("t", "g"), "left")
+          .na.fill(0L, Seq("d", "c"))
+        val wcum = W.partitionBy("g").orderBy("t")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val ar = grid.join(broadcast(totals), "g")
+          .withColumn("nr", col("ng") -
+            coalesce(sum(col("d") + col("c")).over(wcum), lit(0L)))
+        val byTime = ar.groupBy("t")
+          .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
+            sum(col("d")).as("dt"),
+            sum(when(col("g") === 1, col("nr")).otherwise(0L)).as("n1"),
+            sum(col("nr")).as("nt"))
+          .filter(col("dt") > 0 && col("nt") > 1)
+        val arms = totals.groupBy()
+          .agg(sum(when(col("g") === 0, col("ng")).otherwise(0L)).as("n_a"),
+            sum(when(col("g") === 1, col("ng")).otherwise(0L)).as("n_b"))
+        byTime.agg(
+            sum(col("d1")).as("o1"),
+            sum(round(col("dt").cast("double") * col("n1") / col("nt"), 6)
+              .cast("decimal(18,6)")).cast("double").as("e1"),
+            sum(round(col("dt").cast("double") *
+              (col("n1").cast("double") / col("nt")) *
+              (lit(1.0) - col("n1").cast("double") / col("nt")) *
+              (col("nt") - col("dt")).cast("double") / (col("nt") - 1), 6)
+              .cast("decimal(18,6)")).cast("double").as("v"))
+          .crossJoin(broadcast(arms))
+          .select(col("n_a"), col("n_b"), col("o1"),
+            round(col("e1"), 6).as("e1"), round(col("v"), 6).as("v"),
+            round((col("o1").cast("double") - col("e1")) *
+              (col("o1").cast("double") - col("e1")) / col("v"), 6)
+              .as("chi2"),
+            when((col("o1").cast("double") - col("e1")) *
+              (col("o1").cast("double") - col("e1")) / col("v") > 3.841459,
+              "curves differ").otherwise("no evidence").as("verdict"))
+      },
+      Some("""WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |        MIN(CASE WHEN event_type = 'error'
+             |                 THEN CAST(ts AS DATE) END) AS e
+             |      FROM events GROUP BY 1),
+             |gm AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
+             |subj AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+             |        CAST(CASE WHEN e IS NOT NULL THEN datediff('day', f, e)
+             |             ELSE datediff('day', f, gm.gmax) END AS BIGINT) AS t,
+             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |      FROM span CROSS JOIN gm),
+             |ptg AS (SELECT t, g, SUM(obs) AS d, SUM(1 - obs) AS c
+             |      FROM subj GROUP BY 1, 2),
+             |tot AS (SELECT g, COUNT(*) AS ng FROM subj GROUP BY 1),
+             |grid AS (SELECT ts.t, gs.g, COALESCE(p.d, 0) AS d,
+             |        COALESCE(p.c, 0) AS c
+             |      FROM (SELECT DISTINCT t FROM ptg) ts
+             |      CROSS JOIN (SELECT DISTINCT g FROM subj) gs
+             |      LEFT JOIN ptg p ON p.t = ts.t AND p.g = gs.g),
+             |ar AS (SELECT grid.t, grid.g, grid.d,
+             |        tot.ng - COALESCE(SUM(grid.d + grid.c)
+             |          OVER (PARTITION BY grid.g ORDER BY grid.t
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS nr
+             |      FROM grid JOIN tot ON tot.g = grid.g),
+             |bt AS (SELECT t,
+             |        SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+             |        SUM(d) AS dt,
+             |        SUM(CASE WHEN g = 1 THEN nr ELSE 0 END) AS n1,
+             |        SUM(nr) AS nt
+             |      FROM ar GROUP BY 1),
+             |ft AS (SELECT * FROM bt WHERE dt > 0 AND nt > 1),
+             |agg AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             |        CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 / nt, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS e1,
+             |        CAST(SUM(CAST(round(CAST(dt AS DOUBLE) *
+             |          (CAST(n1 AS DOUBLE) / nt) *
+             |          (1.0 - CAST(n1 AS DOUBLE) / nt) *
+             |          CAST(nt - dt AS DOUBLE) / (nt - 1), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS v
+             |      FROM ft),
+             |arms AS (SELECT
+             |        CAST(SUM(CASE WHEN g = 0 THEN ng ELSE 0 END) AS BIGINT) AS n_a,
+             |        CAST(SUM(CASE WHEN g = 1 THEN ng ELSE 0 END) AS BIGINT) AS n_b
+             |      FROM tot)
+             |SELECT n_a, n_b, o1, round(e1, 6) AS e1, round(v, 6) AS v,
+             |  round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v,
+             |    6) AS chi2,
+             |  CASE WHEN (CAST(o1 AS DOUBLE) - e1) *
+             |    (CAST(o1 AS DOUBLE) - e1) / v > 3.841459
+             |    THEN 'curves differ' ELSE 'no evidence' END AS verdict
+             |FROM agg CROSS JOIN arms""".stripMargin)),
+
+    // Isotonic regression via the MAX-MIN saddle formula (Ayer et al.,
+    // AoMS 26, 1955; Barlow & Brunk, JASA 67, 1972): the monotone
+    // recalibration x165's ECE only DIAGNOSES. Predictor = event value
+    // in 20 equal-width bins, outcome = is-purchase; the isotonic fit at
+    // bin i is max_{j≤i} min_{k≥i} mean(y[j..k]) — identical to the PAVA
+    // pool but expressible as pure joins over the CUMULATIVE bin
+    // moments, no sequential pooling loop. Every block mean is a ratio
+    // of BIGINT differences (purchases/events over a bin run), so each
+    // candidate value is one IEEE divide and the min/max lattice is
+    // engine-exact. Scale shape: one data-scan groupBy to 20 bin rows;
+    // the j×k×i lattice (≤B³=8000 rows) lives entirely on
+    // aggregate-bounded broadcast frames.
+    QuerySpec(
+      "x203_isotonic",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val mx = Tables.events(s, dir).agg(max(col("value")).as("mx"))
+        val bins = Tables.events(s, dir).crossJoin(broadcast(mx))
+          .select(least(floor(col("value") / col("mx") * 20), lit(19L))
+            .as("bin"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("w"), sum(col("y")).as("p"))
+        val wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        val cum = bins
+          .select(col("bin"), col("w"), col("p"),
+            sum(col("w")).over(wc).as("cw"), sum(col("p")).over(wc).as("cp"))
+          .localCheckpoint() // 20 rows feed the j/k/i lattice three ways
+        val pairs = cum.as("j").crossJoin(broadcast(cum.as("k")))
+          .filter(col("j.bin") <= col("k.bin"))
+          .select(col("j.bin").as("jb"), col("k.bin").as("kb"),
+            ((col("k.cp") - col("j.cp") + col("j.p")).cast("double") /
+              (col("k.cw") - col("j.cw") + col("j.w"))).as("a"))
+        cum.select(col("bin"), col("w"), col("p"))
+          .crossJoin(broadcast(pairs))
+          .filter(col("jb") <= col("bin") && col("kb") >= col("bin"))
+          .groupBy("bin", "w", "p", "jb")
+          .agg(min(col("a")).as("ma"))
+          .groupBy("bin", "w", "p")
+          .agg(max(col("ma")).as("fit"))
+          .select(col("bin"), col("w").as("n_events"),
+            round(col("p").cast("double") / col("w"), 6).as("raw_rate"),
+            round(col("fit"), 6).as("iso_rate"))
+          .orderBy("bin")
+      },
+      Some("""WITH mx AS (SELECT MAX(value) AS mx FROM events),
+             |b AS (SELECT least(CAST(floor(value / mx.mx * 20) AS BIGINT),
+             |          19) AS bin,
+             |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |      FROM events CROSS JOIN mx),
+             |bins AS (SELECT bin, COUNT(*) AS w, SUM(y) AS p
+             |      FROM b GROUP BY 1),
+             |cum AS (SELECT bin, w, p,
+             |        SUM(w) OVER (ORDER BY bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |        SUM(p) OVER (ORDER BY bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+             |      FROM bins),
+             |pairs AS (SELECT j.bin AS jb, k.bin AS kb,
+             |        CAST(k.cp - j.cp + j.p AS DOUBLE) /
+             |          (k.cw - j.cw + j.w) AS a
+             |      FROM cum j JOIN cum k ON j.bin <= k.bin),
+             |mm AS (SELECT c.bin, c.w, c.p, pr.jb, MIN(pr.a) AS ma
+             |      FROM cum c JOIN pairs pr
+             |        ON pr.jb <= c.bin AND pr.kb >= c.bin
+             |      GROUP BY 1, 2, 3, 4),
+             |fit AS (SELECT bin, w, p, MAX(ma) AS fit FROM mm
+             |      GROUP BY 1, 2, 3)
+             |SELECT bin, CAST(w AS BIGINT) AS n_events,
+             |  round(CAST(p AS DOUBLE) / w, 6) AS raw_rate,
+             |  round(fit, 6) AS iso_rate
+             |FROM fit ORDER BY bin""".stripMargin)),
+
+    // Kruskal-Wallis H (Kruskal & Wallis, JASA 47, 1952): the k-sample
+    // rank ANOVA — x135's Mann-Whitney generalized past two groups and
+    // x157's ANOVA freed of the normality assumption. Do the five event
+    // types draw `value` from one distribution? Ranks are average-ranks
+    // over value-cents (an exact monotone recode of the 2-dp values);
+    // per-group rank sums use the two-level bucketed countBelow device
+    // (x165/x166/x168) so no global sort exists at any scale. Every
+    // per-row rank is an exact multiple of 0.5 far below 2^52, so the
+    // rank-sum aggregation is EXACT in any order (no ulp, no bridge);
+    // only the 5-row Σ R_g²/n_g reduction — magnitudes up to ~1e15 at
+    // scale — rides a DECIMAL(38,6) bridge. Tie correction from the
+    // Σ(t³−t) BIGINT moment.
+    QuerySpec(
+      "x204_kruskal_wallis",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("vk"))
+        val grid = ev.groupBy("vk").agg(count(lit(1)).as("c"))
+        val cb = countBelow(grid, "vk")
+        val rg = ev.groupBy("event_type", "vk").agg(count(lit(1)).as("cg"))
+          .join(cb, "vk")
+          .groupBy("event_type")
+          .agg(sum(col("cg")).as("ng"),
+            sum(col("cg").cast("double") *
+              (col("below") + (col("c") + lit(1L)) / lit(2.0))).as("rg"))
+        val nn = ev.agg(count(lit(1)).as("n"))
+        val ties = grid.agg(
+          sum(col("c") * col("c") * col("c") - col("c")).as("tt"))
+        rg.groupBy()
+          .agg(count(lit(1)).as("n_groups"),
+            sum(round(col("rg") * col("rg") / col("ng"), 6)
+              .cast("decimal(38,6)")).cast("double").as("srr"))
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+          .select(col("n"), col("n_groups"),
+            round(lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+              col("srr") - lit(3.0) * (col("n") + 1), 6).as("h"),
+            round((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+              col("srr") - lit(3.0) * (col("n") + 1)) /
+              (lit(1.0) - col("tt").cast("double") /
+                (col("n").cast("double") * col("n") * col("n") - col("n"))),
+              6).as("h_corrected"),
+            when((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+              col("srr") - lit(3.0) * (col("n") + 1)) /
+              (lit(1.0) - col("tt").cast("double") /
+                (col("n").cast("double") * col("n") * col("n") - col("n")))
+              > 9.487729, "distributions differ")
+              .otherwise("no evidence").as("verdict"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS vk FROM events),
+             |grid AS (SELECT vk, COUNT(*) AS c FROM ev GROUP BY 1),
+             |cb AS (SELECT vk, c, COALESCE(SUM(c) OVER (ORDER BY vk
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS below FROM grid),
+             |gv AS (SELECT event_type, vk, COUNT(*) AS cg
+             |      FROM ev GROUP BY 1, 2),
+             |rg AS (SELECT event_type, SUM(cg) AS ng,
+             |        SUM(CAST(cg AS DOUBLE) * (below + (c + 1) / 2.0)) AS rg
+             |      FROM gv JOIN cb USING (vk) GROUP BY 1),
+             |nn AS (SELECT COUNT(*) AS n FROM ev),
+             |ties AS (SELECT SUM(c * c * c - c) AS tt FROM grid),
+             |hh AS (SELECT COUNT(*) AS n_groups,
+             |        CAST(SUM(CAST(round(rg * rg / ng, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS srr FROM rg)
+             |SELECT n, n_groups,
+             |  round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srr
+             |    - 3.0 * (n + 1), 6) AS h,
+             |  round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srr
+             |    - 3.0 * (n + 1)) /
+             |    (1.0 - CAST(tt AS DOUBLE) /
+             |      (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_corrected,
+             |  CASE WHEN (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * srr
+             |    - 3.0 * (n + 1)) /
+             |    (1.0 - CAST(tt AS DOUBLE) /
+             |      (CAST(n AS DOUBLE) * n * n - n)) > 9.487729
+             |    THEN 'distributions differ' ELSE 'no evidence' END AS verdict
+             |FROM hh CROSS JOIN nn CROSS JOIN ties""".stripMargin)),
+
+    // KMV / k-minimum-values distinct sketch (Bar-Yossef et al., RANDOM
+    // 2002; Beyer et al., SIGMOD 2007): estimate distinct users per
+    // event type from only the k=128 SMALLEST 48-bit key hashes —
+    // D̂ = (k−1)/U_(k) with U_(k) the k-th order statistic of the
+    // hash-uniformized keys. The order-statistics cousin of the HLL the
+    // suite already has (x46/x169): unlike HLL its sketch is a plain
+    // sorted id set, so it also answers set EXPRESSIONS (the Beyer
+    // result) — and the k-th-smallest-per-group plan is a rank-window
+    // Spark executes as WindowGroupLimit: per-partition top-k then a
+    // k-row merge, never a per-group full sort. 48-bit prefixes divide
+    // 2^48 exactly (both constants exact in double), one divide per
+    // group — engine-identical. Exact distinct rides along; the
+    // estimate falls back to exact when a group holds < k keys (the
+    // sf0.001 warm path).
+    QuerySpec(
+      "x205_kmv_distinct",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val k = 128
+        val h = Tables.events(s, dir)
+          .select(col("event_type"),
+            conv(substring(md5(concat(lit("kmv:"),
+              col("user_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .distinct()
+        val kth = h
+          .withColumn("rn",
+            row_number().over(W.partitionBy("event_type").orderBy("h")))
+          .filter(col("rn") <= k).filter(col("rn") === k)
+          .select(col("event_type"), col("h").as("hk"))
+        val ex = Tables.events(s, dir).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        ex.join(kth, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_exact"),
+            coalesce(col("hk"), lit(-1L)).as("kth_hash"),
+            when(col("hk").isNotNull,
+              round(lit(35747322042253312.0) / col("hk"), 2))
+              .otherwise(col("n_exact").cast("double")).as("est"),
+            round((when(col("hk").isNotNull,
+              round(lit(35747322042253312.0) / col("hk"), 2))
+              .otherwise(col("n_exact").cast("double")) -
+              col("n_exact").cast("double")) / col("n_exact"), 6)
+              .as("rel_err"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |        CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+             |          1, 12)) AS BIGINT) AS h
+             |      FROM events),
+             |rk AS (SELECT event_type, h,
+             |        row_number() OVER (PARTITION BY event_type ORDER BY h)
+             |          AS rn FROM h),
+             |kth AS (SELECT event_type, h AS hk FROM rk WHERE rn = 128),
+             |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+             |      FROM events GROUP BY 1),
+             |j AS (SELECT ex.event_type, ex.n_exact, kth.hk
+             |      FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type),
+             |e AS (SELECT event_type, n_exact,
+             |        COALESCE(hk, -1) AS kth_hash,
+             |        CASE WHEN hk IS NOT NULL
+             |             THEN round(35747322042253312.0 / hk, 2)
+             |             ELSE CAST(n_exact AS DOUBLE) END AS est
+             |      FROM j)
+             |SELECT event_type, n_exact, kth_hash, est,
+             |  round((est - CAST(n_exact AS DOUBLE)) / n_exact, 6) AS rel_err
+             |FROM e ORDER BY event_type""".stripMargin)),
+
+    // Link prediction by local neighborhood scores (Liben-Nowell &
+    // Kleinberg, CIKM 2003): for item pairs NOT yet co-occurring, rank
+    // the missing edges by common-neighbor count, neighborhood Jaccard,
+    // and Adamic-Adar Σ 1/ln(deg z) — AA's rare-neighbor weighting is
+    // the classic refinement over raw CN. Same x114 co-occurrence graph
+    // (same-basket pairs, weight ≥ 3). Scale shape: candidates come
+    // only from WEDGES (adjacency self-join a–z–b) with the existing
+    // edge anti-joined out — never from the item×item square; per-z AA
+    // weights are rounded-6 DECIMALs keyed by the z-degree table, so
+    // the per-pair sum is order-exact; top-20 is a global
+    // TakeOrderedAndProject. Deterministic tie-break (aa, a, b).
+    QuerySpec(
+      "x206_link_prediction",
+      (s, dir) => {
+        val und = itemPairs(s, dir, 3)
+          .select(col("ia").as("ea"), col("ib").as("eb"))
+          .localCheckpoint() // feeds adjacency, anti-join, and degrees
+        val adj = und.select(col("ea").as("u"), col("eb").as("v"))
+          .unionByName(und.select(col("eb").as("u"), col("ea").as("v")))
+        val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        val wz = deg.select(col("u").as("z"),
+          round(lit(1.0) / log(col("deg").cast("double")), 6)
+            .cast("decimal(18,6)").as("wz"))
+        val wedges = adj.as("e1").join(adj.as("e2"),
+            col("e1.v") === col("e2.u") && col("e1.u") < col("e2.v"))
+          .select(col("e1.u").as("a"), col("e2.v").as("b"),
+            col("e1.v").as("z"))
+        val open = wedges.join(und,
+          col("a") === col("ea") && col("b") === col("eb"), "left_anti")
+        open.join(wz, "z")
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("cn"),
+            sum(col("wz")).cast("double").as("aa"))
+          .join(deg.as("da"), col("a") === col("da.u"))
+          .join(deg.as("db"), col("b") === col("db.u"))
+          .select(col("a"), col("b"), col("cn"),
+            round(col("cn").cast("double") /
+              (col("da.deg") + col("db.deg") - col("cn")), 4).as("jaccard"),
+            round(col("aa"), 6).as("aa"))
+          .orderBy(col("aa").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |und AS (SELECT a.item AS ea, b.item AS eb
+             |        FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |          AND a.day = b.day AND a.item < b.item
+             |        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |adj AS (SELECT ea AS u, eb AS v FROM und
+             |        UNION ALL SELECT eb, ea FROM und),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY 1),
+             |wz AS (SELECT u AS z,
+             |        CAST(round(1.0 / ln(deg), 6) AS DECIMAL(18,6)) AS wz
+             |      FROM deg),
+             |wed AS (SELECT e1.u AS a, e2.v AS b, e1.v AS z
+             |      FROM adj e1 JOIN adj e2
+             |        ON e1.v = e2.u AND e1.u < e2.v),
+             |open AS (SELECT w.a, w.b, w.z FROM wed w
+             |      LEFT JOIN und ON und.ea = w.a AND und.eb = w.b
+             |      WHERE und.ea IS NULL),
+             |sc AS (SELECT a, b, COUNT(*) AS cn, CAST(SUM(wz) AS DOUBLE) AS aa
+             |      FROM open JOIN wz USING (z) GROUP BY 1, 2)
+             |SELECT sc.a, sc.b, cn,
+             |  round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 4) AS jaccard,
+             |  round(aa, 6) AS aa
+             |FROM sc JOIN deg da ON sc.a = da.u JOIN deg db ON sc.b = db.u
+             |ORDER BY aa DESC, sc.a, sc.b LIMIT 20""".stripMargin)),
+
+    // Brier score with the Murphy decomposition (Brier, Mon Wea Rev 78,
+    // 1950; Murphy, J Appl Meteor 12, 1973): BS = REL − RES + UNC — the
+    // score x165's ECE only gestures at, split into calibration error
+    // (reliability), discrimination (resolution), and irreducible base-
+    // rate variance. Honest eval protocol: forecasts are per-value-bin
+    // purchase rates fit on the EVEN-user half, scored on the ODD-user
+    // half (constant forecast per bin, which is exactly the regime where
+    // Murphy's identity is exact). Bin forecasts round to 6 dp, every
+    // per-bin term is rounded-6 DECIMAL-summed over the 20-bin frame,
+    // and BS itself is computed from the closed form n₁(1−f)² + n₀f² —
+    // integer-weighted rationals throughout, engine-identical. One
+    // data-scan per half; everything downstream is 20 rows.
+    QuerySpec(
+      "x207_brier_decomposition",
+      (s, dir) => {
+        val mx = Tables.events(s, dir).agg(max(col("value")).as("mx"))
+        val binned = Tables.events(s, dir).crossJoin(broadcast(mx))
+          .select((col("user_id") % 2 === 0).as("is_train"),
+            least(floor(col("value") / col("mx") * 20), lit(19L)).as("bin"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+        val f = binned.filter(col("is_train"))
+          .groupBy("bin")
+          .agg(round(sum(col("y")).cast("double") / count(lit(1)), 6)
+            .as("fk"))
+        val t = binned.filter(!col("is_train"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("nk"), sum(col("y")).as("pk"))
+        val base = binned.filter(!col("is_train"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).as("pos"))
+        t.join(f, "bin")
+          .crossJoin(broadcast(base))
+          .groupBy("n", "pos")
+          .agg(
+            sum(round(col("pk").cast("double") * (lit(1.0) - col("fk")) *
+              (lit(1.0) - col("fk")) +
+              (col("nk") - col("pk")).cast("double") * col("fk") * col("fk"),
+              6).cast("decimal(18,6)")).cast("double").as("sbs"),
+            sum(round(col("nk").cast("double") *
+              (col("fk") - col("pk").cast("double") / col("nk")) *
+              (col("fk") - col("pk").cast("double") / col("nk")), 6)
+              .cast("decimal(18,6)")).cast("double").as("srel"),
+            sum(round(col("nk").cast("double") *
+              (col("pk").cast("double") / col("nk") -
+                col("pos").cast("double") / col("n")) *
+              (col("pk").cast("double") / col("nk") -
+                col("pos").cast("double") / col("n")), 6)
+              .cast("decimal(18,6)")).cast("double").as("sres"))
+          .select(col("n").as("n_test"),
+            round(col("pos").cast("double") / col("n"), 6).as("base_rate"),
+            round(col("sbs") / col("n"), 6).as("brier"),
+            round(col("srel") / col("n"), 6).as("reliability"),
+            round(col("sres") / col("n"), 6).as("resolution"),
+            round(col("pos").cast("double") / col("n") *
+              (lit(1.0) - col("pos").cast("double") / col("n")), 6)
+              .as("uncertainty"))
+      },
+      Some("""WITH mx AS (SELECT MAX(value) AS mx FROM events),
+             |b AS (SELECT user_id % 2 = 0 AS is_train,
+             |        least(CAST(floor(value / mx.mx * 20) AS BIGINT), 19)
+             |          AS bin,
+             |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |      FROM events CROSS JOIN mx),
+             |f AS (SELECT bin,
+             |        round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS fk
+             |      FROM b WHERE is_train GROUP BY 1),
+             |t AS (SELECT bin, COUNT(*) AS nk, SUM(y) AS pk
+             |      FROM b WHERE NOT is_train GROUP BY 1),
+             |base AS (SELECT COUNT(*) AS n, SUM(y) AS pos
+             |      FROM b WHERE NOT is_train),
+             |agg AS (SELECT n, pos,
+             |        CAST(SUM(CAST(round(CAST(pk AS DOUBLE) * (1.0 - fk) *
+             |          (1.0 - fk) + CAST(nk - pk AS DOUBLE) * fk * fk, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sbs,
+             |        CAST(SUM(CAST(round(CAST(nk AS DOUBLE) *
+             |          (fk - CAST(pk AS DOUBLE) / nk) *
+             |          (fk - CAST(pk AS DOUBLE) / nk), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS srel,
+             |        CAST(SUM(CAST(round(CAST(nk AS DOUBLE) *
+             |          (CAST(pk AS DOUBLE) / nk - CAST(pos AS DOUBLE) / n) *
+             |          (CAST(pk AS DOUBLE) / nk - CAST(pos AS DOUBLE) / n), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS sres
+             |      FROM t JOIN f USING (bin) CROSS JOIN base
+             |      GROUP BY 1, 2)
+             |SELECT CAST(n AS BIGINT) AS n_test,
+             |  round(CAST(pos AS DOUBLE) / n, 6) AS base_rate,
+             |  round(sbs / n, 6) AS brier,
+             |  round(srel / n, 6) AS reliability,
+             |  round(sres / n, 6) AS resolution,
+             |  round(CAST(pos AS DOUBLE) / n *
+             |    (1.0 - CAST(pos AS DOUBLE) / n), 6) AS uncertainty
+             |FROM agg ORDER BY n_test""".stripMargin)),
+
+    // RFM segmentation (Hughes, "Strategic Database Marketing" 1994;
+    // Fader, Hardie & Lee, J Interactive Marketing 19, 2005): score
+    // every purchasing user 1–5 on Recency / Frequency / Monetary by
+    // quintile, then map score triples to the marketing segments a
+    // curation pipeline samples by. Quintile boundaries come from ONE
+    // broadcast percentile row over integer inputs (days, counts,
+    // cents — the x196 device, so Spark `percentile` and DuckDB
+    // `quantile_cont` interpolate identically); each user's scores are
+    // then row-local threshold counts — no ntile, no global sort, two
+    // shuffles total (user aggregate + segment aggregate) at any scale.
+    // Recency scores INVERTED (recent = 5). Monetary sums exact cents.
+    QuerySpec(
+      "x208_rfm_segments",
+      (s, dir) => {
+        val gmx = Tables.events(s, dir)
+          .agg(max(to_date(col("ts"))).as("gmax"))
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .crossJoin(broadcast(gmx))
+          .groupBy("user_id")
+          .agg(min(datediff(col("gmax"), to_date(col("ts"))))
+            .cast("long").as("rec"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+          .localCheckpoint() // feeds the percentile row and the scoring
+        val qs = u.agg(
+          expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("qr"),
+          expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("qf"),
+          expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").as("qm"))
+        def score(c: org.apache.spark.sql.Column,
+            q: org.apache.spark.sql.Column) =
+          lit(1L) + (c > element_at(q, 1)).cast("long") +
+            (c > element_at(q, 2)).cast("long") +
+            (c > element_at(q, 3)).cast("long") +
+            (c > element_at(q, 4)).cast("long")
+        val scored = u.crossJoin(broadcast(qs))
+          .select(col("cents"),
+            (lit(6L) - score(col("rec"), col("qr"))).as("r"),
+            score(col("freq"), col("qf")).as("f"),
+            score(col("cents"), col("qm")).as("m"))
+          .withColumn("segment",
+            when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4,
+              "champion")
+              .when(col("f") >= 4, "loyal")
+              .when(col("m") >= 4, "big spender")
+              .when(col("r") <= 2 && col("f") >= 3, "at risk")
+              .when(col("r") <= 2, "hibernating")
+              .otherwise("regular"))
+        scored.groupBy("segment")
+          .agg(count(lit(1)).as("n_users"),
+            round(avg(col("r")), 6).as("avg_r"),
+            round(avg(col("f")), 6).as("avg_f"),
+            round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0,
+              2).as("avg_spend"))
+          .orderBy("segment")
+      },
+      Some("""WITH gmx AS (SELECT MAX(CAST(ts AS DATE)) AS gmax FROM events),
+             |u AS (SELECT user_id,
+             |        CAST(MIN(datediff('day', CAST(ts AS DATE), gmx.gmax))
+             |          AS BIGINT) AS rec,
+             |        COUNT(*) AS freq,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+             |      FROM events CROSS JOIN gmx
+             |      WHERE event_type = 'purchase' GROUP BY 1, gmx.gmax),
+             |qs AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS qr,
+             |        quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+             |        quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+             |      FROM u),
+             |sc AS (SELECT cents,
+             |        6 - (1 + CASE WHEN rec > qr[1] THEN 1 ELSE 0 END
+             |          + CASE WHEN rec > qr[2] THEN 1 ELSE 0 END
+             |          + CASE WHEN rec > qr[3] THEN 1 ELSE 0 END
+             |          + CASE WHEN rec > qr[4] THEN 1 ELSE 0 END) AS r,
+             |        1 + CASE WHEN freq > qf[1] THEN 1 ELSE 0 END
+             |          + CASE WHEN freq > qf[2] THEN 1 ELSE 0 END
+             |          + CASE WHEN freq > qf[3] THEN 1 ELSE 0 END
+             |          + CASE WHEN freq > qf[4] THEN 1 ELSE 0 END AS f,
+             |        1 + CASE WHEN cents > qm[1] THEN 1 ELSE 0 END
+             |          + CASE WHEN cents > qm[2] THEN 1 ELSE 0 END
+             |          + CASE WHEN cents > qm[3] THEN 1 ELSE 0 END
+             |          + CASE WHEN cents > qm[4] THEN 1 ELSE 0 END AS m
+             |      FROM u CROSS JOIN qs),
+             |seg AS (SELECT cents, r, f, m,
+             |        CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+             |             WHEN f >= 4 THEN 'loyal'
+             |             WHEN m >= 4 THEN 'big spender'
+             |             WHEN r <= 2 AND f >= 3 THEN 'at risk'
+             |             WHEN r <= 2 THEN 'hibernating'
+             |             ELSE 'regular' END AS segment
+             |      FROM sc)
+             |SELECT segment, COUNT(*) AS n_users,
+             |  round(avg(r), 6) AS avg_r, round(avg(f), 6) AS avg_f,
+             |  round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 2)
+             |    AS avg_spend
+             |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Brown-Forsythe variance-homogeneity test (Brown & Forsythe, JASA
+    // 69, 1974 — Levene's test on MEDIAN-centered deviations): do the
+    // five event types have equal `value` SPREAD? The assumption
+    // x157's ANOVA silently makes, tested robustly (median centering
+    // keeps the test honest under the skewed distributions x179
+    // documents). Per-group medians interpolate over integer cents (the
+    // x196 percentile↔quantile_cont correspondence), deviations are
+    // scored in dollars with per-row rounded-6 DECIMAL bridges on Σz
+    // and Σz², and the 5-row between/within reduction bridges again —
+    // the F statistic replays exactly. Scale shape: one percentile
+    // aggregate, one broadcast join, one moment aggregate; no windows.
+    QuerySpec(
+      "x209_brown_forsythe",
+      (s, dir) => {
+        val med = Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg((expr(
+            "percentile(CAST(round(value * 100) AS BIGINT), 0.5)") /
+            100.0).as("m"))
+        val z = Tables.events(s, dir)
+          .join(broadcast(med), "event_type")
+          .select(col("event_type"), abs(col("value") - col("m")).as("z"))
+        val g = z.groupBy("event_type")
+          .agg(count(lit(1)).as("ng"),
+            sum(round(col("z"), 6).cast("decimal(18,6)")).cast("double")
+              .as("sz"),
+            sum(round(col("z") * col("z"), 6).cast("decimal(18,6)"))
+              .cast("double").as("szz"))
+        val tot = g.agg(sum(col("ng")).as("n"),
+          sum(round(col("sz"), 6).cast("decimal(18,6)")).cast("double")
+            .as("szall"),
+          count(lit(1)).as("k"))
+        g.crossJoin(broadcast(tot))
+          .groupBy("n", "k")
+          .agg(
+            sum(round(col("ng").cast("double") *
+              (col("sz") / col("ng") - col("szall") / col("n")) *
+              (col("sz") / col("ng") - col("szall") / col("n")), 6)
+              .cast("decimal(18,6)")).cast("double").as("ssb"),
+            sum(round(col("szz") -
+              col("ng").cast("double") * (col("sz") / col("ng")) *
+              (col("sz") / col("ng")), 6)
+              .cast("decimal(18,6)")).cast("double").as("ssw"))
+          .select(col("k"), col("n"),
+            (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+            round((col("ssb") / (col("k") - 1)) /
+              (col("ssw") / (col("n") - col("k"))), 6).as("f_stat"),
+            when((col("ssb") / (col("k") - 1)) /
+              (col("ssw") / (col("n") - col("k"))) > 2.371932,
+              "spreads differ").otherwise("no evidence").as("verdict"))
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |        quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+             |          / 100.0 AS m
+             |      FROM events GROUP BY 1),
+             |z AS (SELECT e.event_type, abs(e.value - med.m) AS z
+             |      FROM events e JOIN med ON e.event_type = med.event_type),
+             |g AS (SELECT event_type, COUNT(*) AS ng,
+             |        CAST(SUM(CAST(round(z, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sz,
+             |        CAST(SUM(CAST(round(z * z, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS szz
+             |      FROM z GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             |        CAST(SUM(CAST(round(sz, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS szall,
+             |        COUNT(*) AS k FROM g),
+             |agg AS (SELECT n, k,
+             |        CAST(SUM(CAST(round(CAST(ng AS DOUBLE) *
+             |          (sz / ng - szall / n) * (sz / ng - szall / n), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS ssb,
+             |        CAST(SUM(CAST(round(szz - CAST(ng AS DOUBLE) *
+             |          (sz / ng) * (sz / ng), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS ssw
+             |      FROM g CROSS JOIN tot GROUP BY 1, 2)
+             |SELECT k, n, k - 1 AS df1, n - k AS df2,
+             |  round((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat,
+             |  CASE WHEN (ssb / (k - 1)) / (ssw / (n - k)) > 2.371932
+             |    THEN 'spreads differ' ELSE 'no evidence' END AS verdict
+             |FROM agg ORDER BY k""".stripMargin)),
+
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    // Croft, SIGIR 1998; Zhai & Lafferty, SIGIR 2001, μ=300): the
+    // language-model ranking alternative to x106's BM25 over the same
+    // postings. log P(q|d) decomposes (the Zhai trick) into a SPARSE
+    // matched-term part Σ qtf·ln(1 + c(w,d)/(μ·p(w|C))) served by the
+    // inverted-index join, plus a per-candidate length part
+    // |q|·ln(μ/(|d|+μ)) — so no dense query×corpus scan exists at any
+    // scale; candidates are docs sharing a query term, exactly x106's
+    // plan shape. p(w|C) is an exact BIGINT ratio; each ln term rounds
+    // to 6 dp and DECIMAL-sums (add-order-proof); the final top-10 is
+    // a qid-partitioned rank with WindowGroupLimit pushdown.
+    QuerySpec(
+      "x210_qlm_retrieval",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tf = Bm25.termFreqs(Tables.documents(s, dir))
+          .localCheckpoint() // postings feed cf, dl, queries, candidates
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val cstats = tf.agg(sum("tf").as("ctot"))
+        val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+        val q = tf.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"), col("term"),
+            col("tf").as("qtf"))
+        val qlen = q.groupBy("qid").agg(sum("qtf").as("qlen"))
+        val matched = tf.join(broadcast(q.join(cf, "term")
+            .crossJoin(cstats)
+            .select(col("qid"), col("term"), col("qtf"),
+              (col("cf").cast("double") / col("ctot")).as("pc"))), Seq("term"))
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("doc_id").as("cid"),
+            round(col("qtf") * log(lit(1.0) +
+              col("tf").cast("double") / (lit(300.0) * col("pc"))), 6)
+              .as("contrib"))
+          .groupBy("qid", "cid")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("contrib").cast("decimal(18,6)")).cast("double")
+              .as("match_part"))
+        val sc = matched
+          .join(dl.select(col("doc_id").as("cid"), col("dl")), "cid")
+          .join(broadcast(qlen), "qid")
+          .select(col("qid"), col("cid"), col("n_terms"),
+            round(col("match_part") +
+              round(col("qlen") * log(lit(300.0) /
+                (col("dl") + lit(300.0))), 6), 6).as("score"))
+        sc.withColumn("rn", row_number().over(
+            W.partitionBy("qid").orderBy(col("score").desc, col("cid")))
+            .cast("long"))
+          .filter(col("rn") <= 10)
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+             |cs AS (SELECT SUM(tf) AS ctot FROM tf),
+             |cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+             |q AS (SELECT tf.doc_id AS qid, tf.term, tf.tf AS qtf,
+             |        CAST(cf.cf AS DOUBLE) / cs.ctot AS pc
+             |      FROM tf JOIN cf USING (term) CROSS JOIN cs
+             |      WHERE tf.doc_id < 3),
+             |ql AS (SELECT qid, SUM(qtf) AS qlen FROM q GROUP BY 1),
+             |m AS (SELECT q.qid, tf.doc_id AS cid,
+             |        CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |        CAST(SUM(CAST(round(q.qtf * ln(1.0 +
+             |          CAST(tf.tf AS DOUBLE) / (300.0 * q.pc)), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS match_part
+             |      FROM tf JOIN q ON tf.term = q.term
+             |        AND tf.doc_id <> q.qid
+             |      GROUP BY 1, 2),
+             |sc AS (SELECT m.qid, m.cid, m.n_terms,
+             |        round(m.match_part + round(ql.qlen *
+             |          ln(300.0 / (dl.dl + 300.0)), 6), 6) AS score
+             |      FROM m JOIN dl ON dl.doc_id = m.cid
+             |        JOIN ql ON ql.qid = m.qid)
+             |SELECT qid, cid, n_terms, score,
+             |  CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, cid) AS BIGINT) AS rn
+             |FROM sc QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
   )
 }
