@@ -173,6 +173,56 @@ object ExtensionQueries {
       .select(col(v), col("c"), (col("bbelow") + col("ibelow")).as("below"))
   }
 
+  /** Shared x202/x211 survival machinery: the per-distinct-time risk grid
+    * over the two user-parity arms. Returns (byTime, arms): byTime has one
+    * row per informative event time t (dt > 0, nt > 1) with d1 = arm-B
+    * deaths, dt = total deaths, n1 = arm-B at-risk, nt = total at-risk;
+    * arms is the single row (n_a, n_b). Time-to-event = days from a user's
+    * first event to the first 'error' (observed) or to the global max date
+    * (censored). At-risk counts come from a reverse-cumulative window over
+    * the |distinct t| x 2 grid — aggregate-bounded, never a per-subject
+    * rescan — so everything past the two data-scan shuffles (user span,
+    * (t, arm) cells) is calendar-sized. ONE definition so the log-rank
+    * test and the Cox fit can't drift on the risk-set convention. */
+  private def armRiskGrid(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val span = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("f"),
+        min(when(col("event_type") === "error", to_date(col("ts"))))
+          .as("e"))
+    val gmax = span.agg(max(greatest(col("f"), col("e"))).as("gmax"))
+    val subj = span.crossJoin(broadcast(gmax))
+      .select((col("user_id") % 2).cast("long").as("g"),
+        when(col("e").isNotNull, datediff(col("e"), col("f")))
+          .otherwise(datediff(col("gmax"), col("f")))
+          .cast("long").as("t"),
+        col("e").isNotNull.cast("long").as("obs"))
+    val perTG = subj.groupBy("t", "g")
+      .agg(sum(col("obs")).as("d"), sum(lit(1L) - col("obs")).as("c"))
+    val totals = subj.groupBy("g").agg(count(lit(1)).as("ng"))
+    val grid = perTG.select("t").distinct()
+      .crossJoin(broadcast(subj.select("g").distinct()))
+      .join(perTG, Seq("t", "g"), "left")
+      .na.fill(0L, Seq("d", "c"))
+    val wcum = W.partitionBy("g").orderBy("t")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val ar = grid.join(broadcast(totals), "g")
+      .withColumn("nr", col("ng") -
+        coalesce(sum(col("d") + col("c")).over(wcum), lit(0L)))
+    val byTime = ar.groupBy("t")
+      .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(col("d")).as("dt"),
+        sum(when(col("g") === 1, col("nr")).otherwise(0L)).as("n1"),
+        sum(col("nr")).as("nt"))
+      .filter(col("dt") > 0 && col("nt") > 1)
+    val arms = totals.groupBy()
+      .agg(sum(when(col("g") === 0, col("ng")).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 1, col("ng")).otherwise(0L)).as("n_b"))
+    (byTime, arms)
+  }
+
   /** x161's oracle, generated from the same column list as the query so
     * the 20 pair rows can't drift from the Spark side. */
   private val fdDiscoveryOracle: String = {
@@ -11200,40 +11250,7 @@ object ExtensionQueries {
     QuerySpec(
       "x202_logrank",
       (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val span = Tables.events(s, dir)
-          .groupBy(col("user_id"))
-          .agg(min(to_date(col("ts"))).as("f"),
-            min(when(col("event_type") === "error", to_date(col("ts"))))
-              .as("e"))
-        val gmax = span.agg(max(greatest(col("f"), col("e"))).as("gmax"))
-        val subj = span.crossJoin(broadcast(gmax))
-          .select((col("user_id") % 2).cast("long").as("g"),
-            when(col("e").isNotNull, datediff(col("e"), col("f")))
-              .otherwise(datediff(col("gmax"), col("f")))
-              .cast("long").as("t"),
-            col("e").isNotNull.cast("long").as("obs"))
-        val perTG = subj.groupBy("t", "g")
-          .agg(sum(col("obs")).as("d"), sum(lit(1L) - col("obs")).as("c"))
-        val totals = subj.groupBy("g").agg(count(lit(1)).as("ng"))
-        val grid = perTG.select("t").distinct()
-          .crossJoin(broadcast(subj.select("g").distinct()))
-          .join(perTG, Seq("t", "g"), "left")
-          .na.fill(0L, Seq("d", "c"))
-        val wcum = W.partitionBy("g").orderBy("t")
-          .rowsBetween(W.unboundedPreceding, -1)
-        val ar = grid.join(broadcast(totals), "g")
-          .withColumn("nr", col("ng") -
-            coalesce(sum(col("d") + col("c")).over(wcum), lit(0L)))
-        val byTime = ar.groupBy("t")
-          .agg(sum(when(col("g") === 1, col("d")).otherwise(0L)).as("d1"),
-            sum(col("d")).as("dt"),
-            sum(when(col("g") === 1, col("nr")).otherwise(0L)).as("n1"),
-            sum(col("nr")).as("nt"))
-          .filter(col("dt") > 0 && col("nt") > 1)
-        val arms = totals.groupBy()
-          .agg(sum(when(col("g") === 0, col("ng")).otherwise(0L)).as("n_a"),
-            sum(when(col("g") === 1, col("ng")).otherwise(0L)).as("n_b"))
+        val (byTime, arms) = armRiskGrid(s, dir)
         byTime.agg(
             sum(col("d1")).as("o1"),
             sum(round(col("dt").cast("double") * col("n1") / col("nt"), 6)
@@ -11938,6 +11955,136 @@ object ExtensionQueries {
              |SELECT qid, cid, n_terms, score,
              |  CAST(row_number() OVER (PARTITION BY qid
              |    ORDER BY score DESC, cid) AS BIGINT) AS rn
-             |FROM sc QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin))
+             |FROM sc QUALIFY rn <= 10 ORDER BY qid, rn""".stripMargin)),
+
+    // Cox proportional-hazards fit, single binary covariate (Cox, JRSS-B
+    // 34, 1972; Breslow tie handling, Biometrics 30, 1974): the EFFECT
+    // SIZE the x202 log-rank test only detects — by how much does arm B
+    // multiply the instantaneous error hazard? Shares armRiskGrid with
+    // x202 (same risk-set convention, provably: the score test at beta=0
+    // computed here IS the log-rank numerator). The Newton solve runs in
+    // HAZARD-RATIO space r = e^beta — the partial-likelihood score is
+    // rational in r for a binary covariate, so NO transcendental appears
+    // inside any aggregate (exp/ln differ by ulps across engines; ln
+    // appears exactly once, on the final 6-dp-rounded scalar, the x206
+    // precedent). Two Newton steps from r=1 with r rounded to 6 dp
+    // between steps (each step's aggregate is DECIMAL-bridged per time
+    // row), then the Fisher information at the final iterate prices
+    // SE(beta). Scale shape: the grid is calendar-bounded and
+    // localCheckpointed once; each Newton step is a broadcast of one
+    // scalar row plus an aggregate over that bounded grid.
+    QuerySpec(
+      "x211_cox_ph",
+      (s, dir) => {
+        val (byTime0, arms) = armRiskGrid(s, dir)
+        val byTime = byTime0.localCheckpoint() // calendar-bounded; feeds 3 Newton/info passes
+        val n0c = (col("nt") - col("n1")).cast("double")
+        val s0 = byTime.agg(
+          sum(round(col("d1").cast("double") -
+            col("dt").cast("double") * col("n1") / col("nt"), 6)
+            .cast("decimal(18,6)")).cast("double").as("u0"),
+          sum(round(col("dt").cast("double") * col("n1") * n0c /
+            (col("nt").cast("double") * col("nt")), 6)
+            .cast("decimal(18,6)")).cast("double").as("i0"),
+          sum(col("dt")).as("d_total"))
+        val r1 = s0.select(col("u0"), col("i0"), col("d_total"),
+          round(lit(1.0) + col("u0") / col("i0"), 6).as("r1"))
+        val den1 = col("n1") * col("r1") + (col("nt") - col("n1"))
+        val s1 = byTime.crossJoin(broadcast(r1))
+          .groupBy("u0", "i0", "d_total", "r1")
+          .agg(
+            sum(round(col("d1").cast("double") -
+              col("dt").cast("double") * col("n1") * col("r1") / den1, 6)
+              .cast("decimal(18,6)")).cast("double").as("u1"),
+            sum(round(col("dt").cast("double") * col("n1") * n0c /
+              (den1 * den1), 6)
+              .cast("decimal(18,6)")).cast("double").as("up1"))
+        val r2 = s1.select(col("u0"), col("i0"), col("d_total"),
+          round(col("r1") + col("u1") / col("up1"), 6).as("hr"))
+        val den2 = col("n1") * col("hr") + (col("nt") - col("n1"))
+        byTime.crossJoin(broadcast(r2))
+          .groupBy("u0", "i0", "d_total", "hr")
+          .agg(
+            sum(round(col("dt").cast("double") * col("n1") * col("hr") *
+              n0c / (den2 * den2), 6)
+              .cast("decimal(18,6)")).cast("double").as("ib"))
+          .crossJoin(broadcast(arms))
+          .select(col("n_a"), col("n_b"), col("d_total"), col("hr"),
+            round(log(col("hr")), 6).as("beta"),
+            round(lit(1.0) / sqrt(col("ib")), 6).as("se_beta"),
+            round(col("u0") / sqrt(col("i0")), 6).as("score_z"),
+            when(abs(col("u0") / sqrt(col("i0"))) > 1.959964,
+              "arm affects hazard").otherwise("no evidence").as("verdict"))
+      },
+      Some("""WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |        MIN(CASE WHEN event_type = 'error'
+             |                 THEN CAST(ts AS DATE) END) AS e
+             |      FROM events GROUP BY 1),
+             |gm AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
+             |subj AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+             |        CAST(CASE WHEN e IS NOT NULL THEN datediff('day', f, e)
+             |             ELSE datediff('day', f, gm.gmax) END AS BIGINT) AS t,
+             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |      FROM span CROSS JOIN gm),
+             |ptg AS (SELECT t, g, SUM(obs) AS d, SUM(1 - obs) AS c
+             |      FROM subj GROUP BY 1, 2),
+             |tot AS (SELECT g, COUNT(*) AS ng FROM subj GROUP BY 1),
+             |grid AS (SELECT ts.t, gs.g, COALESCE(p.d, 0) AS d,
+             |        COALESCE(p.c, 0) AS c
+             |      FROM (SELECT DISTINCT t FROM ptg) ts
+             |      CROSS JOIN (SELECT DISTINCT g FROM subj) gs
+             |      LEFT JOIN ptg p ON p.t = ts.t AND p.g = gs.g),
+             |ar AS (SELECT grid.t, grid.g, grid.d,
+             |        tot.ng - COALESCE(SUM(grid.d + grid.c)
+             |          OVER (PARTITION BY grid.g ORDER BY grid.t
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS nr
+             |      FROM grid JOIN tot ON tot.g = grid.g),
+             |bt AS (SELECT t,
+             |        SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+             |        SUM(d) AS dt,
+             |        SUM(CASE WHEN g = 1 THEN nr ELSE 0 END) AS n1,
+             |        SUM(nr) AS nt
+             |      FROM ar GROUP BY 1),
+             |ft AS (SELECT * FROM bt WHERE dt > 0 AND nt > 1),
+             |s0 AS (SELECT
+             |        CAST(SUM(CAST(round(CAST(d1 AS DOUBLE) -
+             |          CAST(dt AS DOUBLE) * n1 / nt, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS u0,
+             |        CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 *
+             |          CAST(nt - n1 AS DOUBLE) /
+             |          (CAST(nt AS DOUBLE) * nt), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS i0,
+             |        CAST(SUM(dt) AS BIGINT) AS d_total FROM ft),
+             |r1 AS (SELECT u0, i0, d_total,
+             |        round(1.0 + u0 / i0, 6) AS r1 FROM s0),
+             |s1 AS (SELECT u0, i0, d_total, r1,
+             |        CAST(SUM(CAST(round(CAST(d1 AS DOUBLE) -
+             |          CAST(dt AS DOUBLE) * n1 * r1 /
+             |          (n1 * r1 + (nt - n1)), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS u1,
+             |        CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 *
+             |          CAST(nt - n1 AS DOUBLE) /
+             |          ((n1 * r1 + (nt - n1)) * (n1 * r1 + (nt - n1))), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS up1
+             |      FROM ft CROSS JOIN r1 GROUP BY 1, 2, 3, 4),
+             |r2 AS (SELECT u0, i0, d_total,
+             |        round(r1 + u1 / up1, 6) AS hr FROM s1),
+             |s2 AS (SELECT u0, i0, d_total, hr,
+             |        CAST(SUM(CAST(round(CAST(dt AS DOUBLE) * n1 * hr *
+             |          CAST(nt - n1 AS DOUBLE) /
+             |          ((n1 * hr + (nt - n1)) * (n1 * hr + (nt - n1))), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS ib
+             |      FROM ft CROSS JOIN r2 GROUP BY 1, 2, 3, 4),
+             |arms AS (SELECT
+             |        CAST(SUM(CASE WHEN g = 0 THEN ng ELSE 0 END) AS BIGINT) AS n_a,
+             |        CAST(SUM(CASE WHEN g = 1 THEN ng ELSE 0 END) AS BIGINT) AS n_b
+             |      FROM tot)
+             |SELECT n_a, n_b, d_total, hr, round(ln(hr), 6) AS beta,
+             |  round(1.0 / sqrt(ib), 6) AS se_beta,
+             |  round(u0 / sqrt(i0), 6) AS score_z,
+             |  CASE WHEN abs(u0 / sqrt(i0)) > 1.959964
+             |    THEN 'arm affects hazard' ELSE 'no evidence' END AS verdict
+             |FROM s2 CROSS JOIN arms ORDER BY hr""".stripMargin))
   )
 }
