@@ -12085,6 +12085,140 @@ object ExtensionQueries {
              |  round(u0 / sqrt(i0), 6) AS score_z,
              |  CASE WHEN abs(u0 / sqrt(i0)) > 1.959964
              |    THEN 'arm affects hazard' ELSE 'no evidence' END AS verdict
-             |FROM s2 CROSS JOIN arms ORDER BY hr""".stripMargin))
+             |FROM s2 CROSS JOIN arms ORDER BY hr""".stripMargin)),
+
+    // Bradley-Terry strengths via Hunter's MM algorithm (Bradley & Terry,
+    // Biometrika 39, 1952; Hunter, AoS 32, 2004): the pairwise-preference
+    // → latent-strength fit behind reward-model data curation and
+    // match-rating systems. Comparisons come from the x114 basket grain:
+    // within each (user, day), of two co-occurring items the one with the
+    // larger summed spend "wins" (ties dropped). Three unrolled MM steps
+    // p_i ← (W_i+1) / (Σ_j n_ij/(p_i+p_j) + 2/(p_i+1)) from uniform p=1 —
+    // the +1-win/+1-loss ghost opponent at fixed strength 1 is the
+    // standard prior (cf. Davidson 1970; Caron & Doucet 2012) keeping
+    // every strength strictly positive, so no 0/0 appears for winless
+    // items. Each denominator is a rounded-6 DECIMAL sum over the item's
+    // edge list and each step sum-normalizes, so the trajectory replays
+    // bit-identically. Scale shape: the decided-pair grid is item-vocab
+    // bounded and localCheckpointed once; every MM step is two slim
+    // equi-joins + one aggregate on it — corpus size enters only through
+    // the one basket self-join that x114/x162 already price.
+    QuerySpec(
+      "x212_bradley_terry",
+      (s, dir) => {
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("item"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .filter(col("item").isNotNull)
+          .groupBy("user_id", "day", "item")
+          .agg(sum(col("cents")).as("cents"))
+        val comp = iv.as("a").join(iv.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") &&
+              col("a.item") < col("b.item") &&
+              col("a.cents") =!= col("b.cents"))
+          .select(
+            when(col("a.cents") > col("b.cents"), col("a.item"))
+              .otherwise(col("b.item")).as("wi"),
+            when(col("a.cents") > col("b.cents"), col("b.item"))
+              .otherwise(col("a.item")).as("li"))
+        val wdir = comp.groupBy("wi", "li").agg(count(lit(1)).as("nw"))
+          .localCheckpoint() // item-vocab-bounded grid feeds edges, wins, and 3 MM steps
+        val e = wdir.select(col("wi").as("i"), col("li").as("j"), col("nw"))
+          .unionByName(wdir.select(col("li").as("i"), col("wi").as("j"),
+            col("nw")))
+          .groupBy("i", "j").agg(sum(col("nw")).as("n"))
+        val items = e.select("i").distinct()
+        val wins = items
+          .join(wdir.groupBy(col("wi").as("i")).agg(sum("nw").as("w")),
+            Seq("i"), "left").na.fill(0L, Seq("w"))
+        val loss = items
+          .join(wdir.groupBy(col("li").as("i")).agg(sum("nw").as("l")),
+            Seq("i"), "left").na.fill(0L, Seq("l"))
+        def step(p: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val pj = p.select(col("i").as("j"), col("p").as("pj"))
+          val den = e.join(p, "i").join(pj, "j")
+            .groupBy("i")
+            .agg(sum(round(col("n").cast("double") /
+              (col("p") + col("pj")), 6)
+              .cast("decimal(18,6)")).cast("double").as("den"))
+          val raw = wins.join(den, "i").join(p, "i")
+            .select(col("i"),
+              round((col("w") + lit(1.0)) /
+                (col("den") + round(lit(2.0) / (col("p") + lit(1.0)), 6)),
+                6).as("raw"))
+          val tot = raw.agg(sum(col("raw").cast("decimal(18,6)"))
+            .cast("double").as("sraw"))
+          raw.crossJoin(broadcast(tot))
+            .select(col("i"), round(col("raw") / col("sraw"), 6).as("p"))
+        }
+        val p3 = step(step(step(items.withColumn("p", lit(1.0)))))
+        p3.join(wins, "i").join(loss, "i")
+          .select(col("i").as("item"), col("w").as("wins"),
+            col("l").as("losses"), col("p").as("strength"))
+          .orderBy(col("strength").desc, col("item"))
+          .limit(20)
+      },
+      Some("""WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+             |      FROM events
+             |      WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |      GROUP BY 1, 2, 3),
+             |comp AS (SELECT
+             |        CASE WHEN a.cents > b.cents THEN a.item ELSE b.item END AS wi,
+             |        CASE WHEN a.cents > b.cents THEN b.item ELSE a.item END AS li
+             |      FROM iv a JOIN iv b ON a.user_id = b.user_id
+             |        AND a.day = b.day AND a.item < b.item
+             |        AND a.cents <> b.cents),
+             |wd AS (SELECT wi, li, COUNT(*) AS nw FROM comp GROUP BY 1, 2),
+             |e AS (SELECT i, j, SUM(nw) AS n FROM (
+             |        SELECT wi AS i, li AS j, nw FROM wd
+             |        UNION ALL SELECT li, wi, nw FROM wd) GROUP BY 1, 2),
+             |items AS (SELECT DISTINCT i FROM e),
+             |wins AS (SELECT items.i, COALESCE(SUM(wd.nw), 0) AS w
+             |      FROM items LEFT JOIN wd ON wd.wi = items.i GROUP BY 1),
+             |loss AS (SELECT items.i, COALESCE(SUM(wd.nw), 0) AS l
+             |      FROM items LEFT JOIN wd ON wd.li = items.i GROUP BY 1),
+             |p0 AS (SELECT i, 1.0 AS p FROM items),
+             |d1 AS (SELECT e.i, CAST(SUM(CAST(round(CAST(e.n AS DOUBLE) /
+             |          (pi.p + pj.p), 6) AS DECIMAL(18,6))) AS DOUBLE) AS den
+             |      FROM e JOIN p0 pi ON pi.i = e.i
+             |        JOIN p0 pj ON pj.i = e.j GROUP BY 1),
+             |r1 AS (SELECT w.i, round((w.w + 1.0) /
+             |          (d1.den + round(2.0 / (p.p + 1.0), 6)), 6) AS raw
+             |      FROM wins w JOIN d1 ON d1.i = w.i JOIN p0 p ON p.i = w.i),
+             |t1 AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS s FROM r1),
+             |p1 AS (SELECT i, round(raw / t1.s, 6) AS p
+             |      FROM r1 CROSS JOIN t1),
+             |d2 AS (SELECT e.i, CAST(SUM(CAST(round(CAST(e.n AS DOUBLE) /
+             |          (pi.p + pj.p), 6) AS DECIMAL(18,6))) AS DOUBLE) AS den
+             |      FROM e JOIN p1 pi ON pi.i = e.i
+             |        JOIN p1 pj ON pj.i = e.j GROUP BY 1),
+             |r2 AS (SELECT w.i, round((w.w + 1.0) /
+             |          (d2.den + round(2.0 / (p.p + 1.0), 6)), 6) AS raw
+             |      FROM wins w JOIN d2 ON d2.i = w.i JOIN p1 p ON p.i = w.i),
+             |t2 AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS s FROM r2),
+             |p2 AS (SELECT i, round(raw / t2.s, 6) AS p
+             |      FROM r2 CROSS JOIN t2),
+             |d3 AS (SELECT e.i, CAST(SUM(CAST(round(CAST(e.n AS DOUBLE) /
+             |          (pi.p + pj.p), 6) AS DECIMAL(18,6))) AS DOUBLE) AS den
+             |      FROM e JOIN p2 pi ON pi.i = e.i
+             |        JOIN p2 pj ON pj.i = e.j GROUP BY 1),
+             |r3 AS (SELECT w.i, round((w.w + 1.0) /
+             |          (d3.den + round(2.0 / (p.p + 1.0), 6)), 6) AS raw
+             |      FROM wins w JOIN d3 ON d3.i = w.i JOIN p2 p ON p.i = w.i),
+             |t3 AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(18,6))) AS DOUBLE)
+             |        AS s FROM r3),
+             |p3 AS (SELECT i, round(raw / t3.s, 6) AS p
+             |      FROM r3 CROSS JOIN t3)
+             |SELECT p3.i AS item, CAST(w.w AS BIGINT) AS wins,
+             |  CAST(loss.l AS BIGINT) AS losses, p3.p AS strength
+             |FROM p3 JOIN wins w ON w.i = p3.i JOIN loss ON loss.i = p3.i
+             |ORDER BY strength DESC, item LIMIT 20""".stripMargin))
   )
 }
