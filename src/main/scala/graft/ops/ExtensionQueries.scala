@@ -12219,6 +12219,117 @@ object ExtensionQueries {
              |SELECT p3.i AS item, CAST(w.w AS BIGINT) AS wins,
              |  CAST(loss.l AS BIGINT) AS losses, p3.p AS strength
              |FROM p3 JOIN wins w ON w.i = p3.i JOIN loss ON loss.i = p3.i
-             |ORDER BY strength DESC, item LIMIT 20""".stripMargin))
+             |ORDER BY strength DESC, item LIMIT 20""".stripMargin)),
+
+    // Difference-in-differences (Ashenfelter & Card, REStat 67, 1985;
+    // Card & Krueger, AER 84, 1994): the panel causal estimator the
+    // cross-sectional suite (x125 CUPED, x182 IPW) lacks — arm-B lift in
+    // per-user purchase revenue net of the common time trend, assuming
+    // parallel trends. Arms = user parity (the x125 convention); periods
+    // split at the calendar midpoint; each user contributes a pre and a
+    // post outcome with NO-PURCHASE periods zero-filled (dropping them
+    // biases toward active users — the classic DiD mistake). The 2x2
+    // cells carry exact integer moments (n, Σcents, Σcents² — the x133
+    // discipline), so every mean/variance is an IEEE expression over
+    // BIGINTs with no add-order dependence anywhere; the SE is the
+    // four-cell pooled form √(Σ s²ᵢ/nᵢ). Scale shape: one scan to
+    // user-period sums, a users × {pre,post} zero-fill join, a 4-row
+    // cell aggregate — two shuffles at any corpus size.
+    QuerySpec(
+      "x213_diff_in_diff",
+      (s, dir) => {
+        val cal = Tables.events(s, dir)
+          .agg(min(to_date(col("ts"))).as("gmin"),
+            max(to_date(col("ts"))).as("gmax"))
+          .select(expr("date_add(gmin, CAST(datediff(gmax, gmin) DIV 2 " +
+            "AS INT))").as("mid"))
+        val up = Tables.events(s, dir).crossJoin(broadcast(cal))
+          .select(col("user_id"),
+            (to_date(col("ts")) > col("mid")).as("is_post"),
+            when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)
+              .as("cents"))
+          .groupBy("user_id", "is_post")
+          .agg(sum(col("cents")).as("y"))
+        val users = Tables.events(s, dir).select("user_id").distinct()
+        val periods = broadcast(
+          s.range(2).select((col("id") === 1).as("is_post")))
+        val grid = users.crossJoin(periods)
+          .join(up, Seq("user_id", "is_post"), "left")
+          .na.fill(0L, Seq("y"))
+        val cells = grid
+          .groupBy((col("user_id") % 2 === 1).as("is_b"), col("is_post"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+        val m = col("sy").cast("double") / col("n") / 100.0
+        val v = (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy") / col("n")) /
+          (col("n") - 1) / 10000.0
+        def cell(b: Boolean, p: Boolean, c: org.apache.spark.sql.Column) =
+          sum(when(col("is_b") === b && col("is_post") === p, c))
+        cells.agg(
+            cell(false, false, col("n")).as("n_a_pre"),
+            cell(true, false, col("n")).as("n_b_pre"),
+            cell(false, false, m).as("ma0"), cell(false, true, m).as("ma1"),
+            cell(true, false, m).as("mb0"), cell(true, true, m).as("mb1"),
+            sum(when(col("n") > 1, v / col("n")).otherwise(0.0)).as("vse"))
+          .select(col("n_a_pre"), col("n_b_pre"),
+            round(col("ma0"), 6).as("mean_a_pre"),
+            round(col("ma1"), 6).as("mean_a_post"),
+            round(col("mb0"), 6).as("mean_b_pre"),
+            round(col("mb1"), 6).as("mean_b_post"),
+            round(col("mb1") - col("mb0") - (col("ma1") - col("ma0")), 6)
+              .as("did"),
+            round(sqrt(col("vse")), 6).as("se"),
+            round((col("mb1") - col("mb0") - (col("ma1") - col("ma0"))) /
+              sqrt(col("vse")), 6).as("t_stat"),
+            when(abs((col("mb1") - col("mb0") -
+              (col("ma1") - col("ma0"))) / sqrt(col("vse"))) > 1.959964,
+              "arm lifts revenue").otherwise("no evidence").as("verdict"))
+      },
+      Some("""WITH cal AS (SELECT MIN(CAST(ts AS DATE)) AS gmin,
+             |        MAX(CAST(ts AS DATE)) AS gmax FROM events),
+             |mid AS (SELECT gmin + CAST(datediff('day', gmin, gmax) // 2
+             |        AS INT) AS mid FROM cal),
+             |up AS (SELECT user_id, CAST(ts AS DATE) > mid.mid AS is_post,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |            THEN CAST(round(value * 100) AS BIGINT)
+             |            ELSE 0 END) AS y
+             |      FROM events CROSS JOIN mid GROUP BY 1, 2),
+             |users AS (SELECT DISTINCT user_id FROM events),
+             |grid AS (SELECT u.user_id, p.is_post, COALESCE(up.y, 0) AS y
+             |      FROM users u
+             |      CROSS JOIN (VALUES (false), (true)) p(is_post)
+             |      LEFT JOIN up ON up.user_id = u.user_id
+             |        AND up.is_post = p.is_post),
+             |cells AS (SELECT user_id % 2 = 1 AS is_b, is_post,
+             |        COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+             |      FROM grid GROUP BY 1, 2),
+             |pv AS (SELECT
+             |        SUM(CASE WHEN NOT is_b AND NOT is_post THEN n END) AS n_a_pre,
+             |        SUM(CASE WHEN is_b AND NOT is_post THEN n END) AS n_b_pre,
+             |        SUM(CASE WHEN NOT is_b AND NOT is_post
+             |            THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS ma0,
+             |        SUM(CASE WHEN NOT is_b AND is_post
+             |            THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS ma1,
+             |        SUM(CASE WHEN is_b AND NOT is_post
+             |            THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS mb0,
+             |        SUM(CASE WHEN is_b AND is_post
+             |            THEN CAST(sy AS DOUBLE) / n / 100.0 END) AS mb1,
+             |        SUM(CASE WHEN n > 1 THEN
+             |            (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             |            / (n - 1) / 10000.0 / n ELSE 0.0 END) AS vse
+             |      FROM cells)
+             |SELECT CAST(n_a_pre AS BIGINT) AS n_a_pre,
+             |  CAST(n_b_pre AS BIGINT) AS n_b_pre,
+             |  round(ma0, 6) AS mean_a_pre, round(ma1, 6) AS mean_a_post,
+             |  round(mb0, 6) AS mean_b_pre, round(mb1, 6) AS mean_b_post,
+             |  round(mb1 - mb0 - (ma1 - ma0), 6) AS did,
+             |  round(sqrt(vse), 6) AS se,
+             |  round((mb1 - mb0 - (ma1 - ma0)) / sqrt(vse), 6) AS t_stat,
+             |  CASE WHEN abs((mb1 - mb0 - (ma1 - ma0)) / sqrt(vse))
+             |    > 1.959964 THEN 'arm lifts revenue'
+             |    ELSE 'no evidence' END AS verdict
+             |FROM pv ORDER BY did""".stripMargin))
   )
 }
