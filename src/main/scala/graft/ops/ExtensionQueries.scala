@@ -173,6 +173,34 @@ object ExtensionQueries {
       .select(col(v), col("c"), (col("bbelow") + col("ibelow")).as("below"))
   }
 
+  /** Per-GROUP variant of [[countBelow]] (x214): for a (g, v, c) grid of
+    * per-group distinct values with multiplicities, returns
+    * (g, v, c, below) where below = Σ c over rows of the same group with
+    * smaller v — the exact rank machinery for per-group order statistics
+    * with NO per-group full sort: values bucket into ≤1024 per-group
+    * ranges (the two-level x165/x166/x168 device), the cross-bucket
+    * cumulative runs on the group×1024 aggregate frame, and the
+    * within-bucket window partitions on (g, bkt) — fine-grained, so a hot
+    * group never pins one task. */
+  private def countBelowBy(grid: org.apache.spark.sql.DataFrame,
+      g: String, v: String): org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val mm = grid.groupBy(g).agg(min(col(v)).as("mn"), max(col(v)).as("mx"))
+    val g2 = grid.join(broadcast(mm), g)
+      .withColumn("bkt", expr(s"($v - mn) div (((mx - mn) div 1024) + 1)"))
+    val wb = W.partitionBy(g).orderBy("bkt")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bAgg = g2.groupBy(g, "bkt").agg(sum(col("c")).as("bc"))
+      .withColumn("bbelow", coalesce(sum(col("bc")).over(wb), lit(0L)))
+      .select(col(g), col("bkt"), col("bbelow"))
+    val wi = W.partitionBy(g, "bkt").orderBy(v)
+      .rowsBetween(W.unboundedPreceding, -1)
+    g2.withColumn("ibelow", coalesce(sum(col("c")).over(wi), lit(0L)))
+      .join(bAgg, Seq(g, "bkt"))
+      .select(col(g), col(v), col("c"),
+        (col("bbelow") + col("ibelow")).as("below"))
+  }
+
   /** Shared x202/x211 survival machinery: the per-distinct-time risk grid
     * over the two user-parity arms. Returns (byTime, arms): byTime has one
     * row per informative event time t (dt > 0, nt > 1) with d1 = arm-B
@@ -12330,6 +12358,105 @@ object ExtensionQueries {
              |  CASE WHEN abs((mb1 - mb0 - (ma1 - ma0)) / sqrt(vse))
              |    > 1.959964 THEN 'arm lifts revenue'
              |    ELSE 'no evidence' END AS verdict
-             |FROM pv ORDER BY did""".stripMargin))
+             |FROM pv ORDER BY did""".stripMargin)),
+
+    // Split-conformal prediction intervals, group-conditional (Vovk et
+    // al. 2005 "Algorithmic Learning in a Random World"; Lei et al.,
+    // JASA 113, 2018; Mondrian/group-conditional form): distribution-free
+    // finite-sample-valid intervals for `value` from ANY point predictor —
+    // here the per-event-type train-fold mean. Folds by user hash
+    // (user%4: {0,1} train, 2 calibration, 3 test); the interval is
+    // μ̂ ± q̂ with q̂ the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    // nonconformity |y−μ̂|, α=0.1 — the ORDER STATISTIC, not an
+    // interpolated quantile (interpolation voids the coverage proof).
+    // Nonconformities live in exact integer space: score = |y_cents·n_tr
+    // − Σy_tr| (a constant positive multiple of |y−μ̂| within a type, so
+    // order statistics and coverage comparisons are BIGINT-exact, no ulp
+    // anywhere). The k-th smallest comes from the per-group bucketed
+    // countBelow — no per-type full sort, no 5-partition skew window.
+    // Test-fold coverage (expected ≥ 0.9) is an exact integer comparison
+    // per row. Scale shape: three fold scans, group-bounded aggregates,
+    // the two-level rank device; q̂ falls back to NULL (infinite
+    // interval, coverage 1) when a type's calibration fold is < 9 rows —
+    // the honest small-n conformal convention.
+    QuerySpec(
+      "x214_conformal",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          (col("user_id") % 4).as("fold"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("yc"))
+        val tr = ev.filter(col("fold") <= 1).groupBy("event_type")
+          .agg(count(lit(1)).as("n_train"), sum(col("yc")).as("sy"))
+        val calsc = ev.filter(col("fold") === 2).join(tr, "event_type")
+          .select(col("event_type"),
+            abs(col("yc") * col("n_train") - col("sy")).as("sc"))
+        val nc = calsc.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+          .withColumn("k",
+            expr("CAST(((n_cal + 1) * 9 + 9) DIV 10 AS BIGINT)"))
+        val grid = calsc.groupBy("event_type", "sc")
+          .agg(count(lit(1)).as("c"))
+        val kth = countBelowBy(grid, "event_type", "sc")
+          .join(nc, "event_type")
+          .filter(col("below") < col("k") &&
+            col("k") <= col("below") + col("c"))
+          .select(col("event_type"), col("sc").as("kth"))
+        val dims = nc.join(kth, Seq("event_type"), "left")
+        val te = ev.filter(col("fold") === 3).join(tr, "event_type")
+          .join(dims, "event_type")
+          .groupBy("event_type", "n_train", "sy", "n_cal", "kth")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("kth").isNull ||
+              abs(col("yc") * col("n_train") - col("sy")) <= col("kth"),
+              1L).otherwise(0L)).as("covered"))
+        te.select(col("event_type"), col("n_train"), col("n_cal"),
+            col("n_test"),
+            round(col("sy").cast("double") / col("n_train") / 100.0, 6)
+              .as("mu"),
+            round(col("kth").cast("double") /
+              (col("n_train").cast("double") * 100.0), 6).as("qhat"),
+            round(col("kth").cast("double") * 2.0 /
+              (col("n_train").cast("double") * 100.0), 6).as("width"),
+            round(col("covered").cast("double") / col("n_test"), 6)
+              .as("coverage"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id % 4 AS fold,
+             |        CAST(round(value * 100) AS BIGINT) AS yc FROM events),
+             |tr AS (SELECT event_type, COUNT(*) AS n_train, SUM(yc) AS sy
+             |      FROM ev WHERE fold <= 1 GROUP BY 1),
+             |calsc AS (SELECT ev.event_type,
+             |        abs(ev.yc * tr.n_train - tr.sy) AS sc
+             |      FROM ev JOIN tr ON ev.event_type = tr.event_type
+             |      WHERE ev.fold = 2),
+             |nc AS (SELECT event_type, COUNT(*) AS n_cal,
+             |        CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+             |      FROM calsc GROUP BY 1),
+             |grid AS (SELECT event_type, sc, COUNT(*) AS c
+             |      FROM calsc GROUP BY 1, 2),
+             |cb AS (SELECT event_type, sc, c,
+             |        COALESCE(SUM(c) OVER (PARTITION BY event_type
+             |          ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND 1 PRECEDING), 0) AS below FROM grid),
+             |kth AS (SELECT cb.event_type, cb.sc AS kth
+             |      FROM cb JOIN nc ON nc.event_type = cb.event_type
+             |      WHERE cb.below < nc.k AND nc.k <= cb.below + cb.c),
+             |dims AS (SELECT nc.event_type, nc.n_cal, kth.kth
+             |      FROM nc LEFT JOIN kth ON kth.event_type = nc.event_type),
+             |te AS (SELECT ev.event_type, tr.n_train, tr.sy, d.n_cal,
+             |        d.kth, COUNT(*) AS n_test,
+             |        SUM(CASE WHEN d.kth IS NULL OR
+             |            abs(ev.yc * tr.n_train - tr.sy) <= d.kth
+             |            THEN 1 ELSE 0 END) AS covered
+             |      FROM ev JOIN tr ON ev.event_type = tr.event_type
+             |        JOIN dims d ON d.event_type = ev.event_type
+             |      WHERE ev.fold = 3 GROUP BY 1, 2, 3, 4, 5)
+             |SELECT event_type, n_train, n_cal, n_test,
+             |  round(CAST(sy AS DOUBLE) / n_train / 100.0, 6) AS mu,
+             |  round(CAST(kth AS DOUBLE) /
+             |    (CAST(n_train AS DOUBLE) * 100.0), 6) AS qhat,
+             |  round(CAST(kth AS DOUBLE) * 2.0 /
+             |    (CAST(n_train AS DOUBLE) * 100.0), 6) AS width,
+             |  round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
+             |FROM te ORDER BY event_type""".stripMargin))
   )
 }
