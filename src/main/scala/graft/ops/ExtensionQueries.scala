@@ -12457,6 +12457,118 @@ object ExtensionQueries {
              |  round(CAST(kth AS DOUBLE) * 2.0 /
              |    (CAST(n_train AS DOUBLE) * 100.0), 6) AS width,
              |  round(CAST(covered AS DOUBLE) / n_test, 6) AS coverage
-             |FROM te ORDER BY event_type""".stripMargin))
+             |FROM te ORDER BY event_type""".stripMargin)),
+
+    // Simplified silhouette (Kaufman & Rousseeuw 1990 §2.2; the
+    // centroid-distance simplification of Hruschka et al. 2004, the form
+    // every large-scale library ships because the full silhouette is
+    // O(n²)): the internal-validity audit for the x52 k-means clustering
+    // the suite curates by — s(i) = (b−a)/max(a,b) with a = distance to
+    // the OWN final centroid, b = the nearest OTHER centroid. Replays
+    // the x52 fit exactly (same seeds/scale/2 Lloyd rounds via the
+    // shared Quantized.lloydKmeansFixedK), then one assignment-shaped
+    // pass against the k final centroids: distances use the identical
+    // integer Σ(q·n−s)²/n² arithmetic x52's oracle replays, so argmin
+    // and runner-up are engine-exact; per-row silhouettes round to 6 dp
+    // and DECIMAL-sum per cluster. Scale shape: k-bounded broadcast
+    // fan-out (n·k rows), a 16-row-per-vector window for rank-1/rank-2,
+    // cluster-count aggregates — the same O(n·k) as assignment itself.
+    QuerySpec(
+      "x215_silhouette",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val cents = Quantized.lloydKmeansFixedK(emb, "vec_id", "embedding",
+            k = 16, salt = "graft-kmeans-42:", scale = 1e4, iters = 2)
+          .groupBy(col("cluster").cast("long").as("c"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, " +
+            "sum_q))), r -> r.sum_q)").as("sums"),
+            max(col("n")).as("n"))
+        val qv = emb.select(col("vec_id"),
+          Quantized.quantizeUdf(1e4)(col("embedding")).as("q"))
+        val d = qv.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("c"),
+            (expr("CAST(aggregate(zip_with(q, sums, (x, sv) -> " +
+              "(x*n - sv)*(x*n - sv)), CAST(0 AS BIGINT), " +
+              "(acc, x) -> acc + x) AS DOUBLE)") /
+              (col("n").cast("double") * col("n"))).as("dist"))
+        val rk = d.withColumn("rn",
+          row_number().over(W.partitionBy("vec_id")
+            .orderBy(col("dist"), col("c"))))
+        val ab = rk.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c").as("cluster"),
+            col("dist").as("a"))
+          .join(rk.filter(col("rn") === 2)
+            .select(col("vec_id"), col("dist").as("b")), "vec_id")
+        ab.select(col("cluster"), col("a"), col("b"),
+            when(greatest(col("a"), col("b")) > 0,
+              round((col("b") - col("a")) / greatest(col("a"), col("b")),
+                6)).otherwise(0.0).as("sil"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(round(col("a"), 6).cast("decimal(38,6)"))
+              .cast("double") / count(lit(1)), 6).as("cohesion"),
+            round(sum(round(col("b"), 6).cast("decimal(38,6)"))
+              .cast("double") / count(lit(1)), 6).as("separation"),
+            round(sum(col("sil").cast("decimal(38,6)")).cast("double") /
+              count(lit(1)), 6).as("silhouette"))
+          .orderBy("cluster")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |  [CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
+             |s AS (SELECT (row_number() OVER (ORDER BY md5('graft-kmeans-42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1) AS c, q
+             |      FROM e QUALIFY c <= 15),
+             |a1 AS (
+             |  SELECT e.vec_id, s.c,
+             |    list_sum([(e.q[i+1] - s.q[i+1])*(e.q[i+1] - s.q[i+1]) for i in range(0, len(e.q))]) AS d2
+             |  FROM e CROSS JOIN s
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2, s.c) = 1),
+             |m1 AS (SELECT a1.c, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS qv
+             |       FROM a1 JOIN e USING (vec_id)),
+             |c1 AS (SELECT c, pos, CAST(SUM(qv) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+             |       FROM m1 GROUP BY 1, 2),
+             |c1arr AS (
+             |  SELECT s.c,
+             |    CASE WHEN COUNT(c1.sv) = 0 THEN s.q ELSE list(c1.sv ORDER BY c1.pos) END AS sums,
+             |    CASE WHEN COUNT(c1.sv) = 0 THEN 1 ELSE any_value(c1.n) END AS n
+             |  FROM s LEFT JOIN c1 USING (c) GROUP BY s.c, s.q),
+             |a2 AS (
+             |  SELECT e.vec_id, c1arr.c,
+             |    CAST(list_sum([(e.q[i+1]*c1arr.n - c1arr.sums[i+1])*(e.q[i+1]*c1arr.n - c1arr.sums[i+1])
+             |                   for i in range(0, len(e.q))]) AS DOUBLE)
+             |      / (CAST(c1arr.n AS DOUBLE) * c1arr.n) AS dist
+             |  FROM e CROSS JOIN c1arr
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c1arr.c) = 1),
+             |f AS (SELECT a2.c AS cluster, e.vec_id, generate_subscripts(e.q, 1) AS pos, unnest(e.q) AS qv
+             |      FROM a2 JOIN e USING (vec_id)),
+             |c2 AS (SELECT cluster, pos, CAST(SUM(qv) AS BIGINT) AS sv,
+             |        CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+             |      FROM f GROUP BY 1, 2),
+             |c2arr AS (SELECT cluster AS c, list(sv ORDER BY pos) AS sums,
+             |        any_value(n) AS n FROM c2 GROUP BY 1),
+             |d AS (SELECT e.vec_id, c2arr.c,
+             |    CAST(list_sum([(e.q[i+1]*c2arr.n - c2arr.sums[i+1])*(e.q[i+1]*c2arr.n - c2arr.sums[i+1])
+             |                   for i in range(0, len(e.q))]) AS DOUBLE)
+             |      / (CAST(c2arr.n AS DOUBLE) * c2arr.n) AS dist
+             |  FROM e CROSS JOIN c2arr),
+             |rk AS (SELECT vec_id, c, dist,
+             |        row_number() OVER (PARTITION BY vec_id
+             |          ORDER BY dist, c) AS rn FROM d),
+             |ab AS (SELECT r1.vec_id, r1.c AS cluster, r1.dist AS a,
+             |        r2.dist AS b
+             |      FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id
+             |        AND r1.rn = 1 AND r2.rn = 2),
+             |sil AS (SELECT cluster, a, b,
+             |        CASE WHEN greatest(a, b) > 0
+             |          THEN round((b - a) / greatest(a, b), 6)
+             |          ELSE 0.0 END AS sil FROM ab)
+             |SELECT cluster, COUNT(*) AS n_vecs,
+             |  round(CAST(SUM(CAST(round(a, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             |    / COUNT(*), 6) AS cohesion,
+             |  round(CAST(SUM(CAST(round(b, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             |    / COUNT(*), 6) AS separation,
+             |  round(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE)
+             |    / COUNT(*), 6) AS silhouette
+             |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin))
   )
 }
