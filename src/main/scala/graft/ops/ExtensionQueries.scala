@@ -12569,6 +12569,119 @@ object ExtensionQueries {
              |    / COUNT(*), 6) AS separation,
              |  round(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE)
              |    / COUNT(*), 6) AS silhouette
-             |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin))
+             |FROM sil GROUP BY 1 ORDER BY cluster""".stripMargin)),
+
+    // Poisson bootstrap CI for the mean purchase value (Efron, AoS 7,
+    // 1979, via the poissonized resampling of Chamandy, Muralidharan,
+    // Najmi & Naidu 2012, "Estimating Uncertainty for Massive Data
+    // Streams" — THE bootstrap that works on sharded data: multinomial
+    // resampling needs global coordination, but Binomial(n,1/n) →
+    // Poisson(1) per row as n→∞, so every row draws its B replicate
+    // weights independently from its own hash). B=64 replicates; each
+    // weight is the Poisson(1) inverse CDF of a 48-bit md5 uniform
+    // (truncated at 13, tail mass 6e-11 ≪ any 6-dp boundary), keyed on
+    // (user, epoch, cents, b) so the draw replays in SQL. Replicate sums
+    // are INTEGER (w·cents ≤ 1.2e6 per row) — order-exact, no bridge
+    // needed; the CI is the (⌈(B+1)α⌉, B+1−⌈(B+1)α⌉) = (2nd, 63rd)
+    // order-statistic pair of the 64 replicate means and the bootstrap
+    // SE comes from rounded-6 DECIMAL moments over the 64-row frame.
+    // Scale shape: the 64× fan-out map-side-combines into 64 cells —
+    // ONE 64·partitions-row shuffle no matter the corpus size.
+    QuerySpec(
+      "x216_poisson_bootstrap",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val cdf = Seq("0.36787944117144233D", "0.7357588823428847D",
+          "0.9196986029286058D", "0.9810118431238462D",
+          "0.9963401531726563D", "0.9994058151824183D",
+          "0.9999167588507119D", "0.9999897508033253D",
+          "0.9999988747974048D", "0.9999998885745217D",
+          "0.9999999899522336D", "0.9999999991683892D",
+          "0.9999999999364653D").mkString(", ")
+        val purch = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("ep"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val est = purch.agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sc"))
+        val reps = purch
+          .select(col("user_id"), col("ep"), col("cents"),
+            explode(expr("sequence(0, 63)")).as("b"))
+          .withColumn("u",
+            conv(substring(md5(concat_ws(":", lit("pb"), col("user_id"),
+              col("ep"), col("cents"), col("b"))), 1, 12), 16, 10)
+              .cast("long") / lit(281474976710656.0))
+          .withColumn("w",
+            expr(s"CAST(size(filter(array($cdf), t -> t <= u)) AS BIGINT)"))
+          .groupBy("b")
+          .agg(sum(col("w") * col("cents")).as("swc"),
+            sum(col("w")).as("sw"))
+          .select(col("b"),
+            (col("swc").cast("double") / col("sw") / 100.0).as("m"))
+        val rk = reps.withColumn("rn",
+          row_number().over(W.orderBy(col("m"), col("b"))))
+        val mom = reps.agg(
+          sum(round(col("m"), 6).cast("decimal(38,6)")).cast("double")
+            .as("sm"),
+          sum(round(col("m") * col("m"), 6).cast("decimal(38,6)"))
+            .cast("double").as("smm"),
+          count(lit(1)).as("nb"))
+        rk.filter(col("rn") === 2).select(col("m").as("lo"))
+          .crossJoin(broadcast(rk.filter(col("rn") === 63)
+            .select(col("m").as("hi"))))
+          .crossJoin(broadcast(mom))
+          .crossJoin(broadcast(est))
+          .select(col("n_rows"), col("nb").as("n_boot"),
+            round(col("sc").cast("double") / col("n_rows") / 100.0, 6)
+              .as("est_mean"),
+            round(sqrt((col("smm") - col("sm") * col("sm") / col("nb")) /
+              (col("nb") - 1)), 6).as("boot_se"),
+            round(col("lo"), 6).as("ci_lo"),
+            round(col("hi"), 6).as("ci_hi"))
+      },
+      Some("""WITH purch AS (SELECT user_id, epoch_us(ts) AS ep,
+             |        CAST(round(value * 100) AS BIGINT) AS cents
+             |      FROM events WHERE event_type = 'purchase'),
+             |est AS (SELECT COUNT(*) AS n_rows, SUM(cents) AS sc FROM purch),
+             |reps AS (SELECT p.cents, r.b,
+             |        CAST(('0x' || substr(md5('pb:' || CAST(p.user_id AS VARCHAR)
+             |          || ':' || CAST(p.ep AS VARCHAR) || ':'
+             |          || CAST(p.cents AS VARCHAR) || ':'
+             |          || CAST(r.b AS VARCHAR)), 1, 12)) AS BIGINT)
+             |          / 281474976710656.0 AS u
+             |      FROM purch p CROSS JOIN range(0, 64) r(b)),
+             |wt AS (SELECT b, cents,
+             |        CAST(len(list_filter([0.36787944117144233,
+             |          0.7357588823428847, 0.9196986029286058,
+             |          0.9810118431238462, 0.9963401531726563,
+             |          0.9994058151824183, 0.9999167588507119,
+             |          0.9999897508033253, 0.9999988747974048,
+             |          0.9999998885745217, 0.9999999899522336,
+             |          0.9999999991683892, 0.9999999999364653],
+             |          t -> t <= u)) AS BIGINT) AS w
+             |      FROM reps),
+             |cells AS (SELECT b, SUM(w * cents) AS swc, SUM(w) AS sw
+             |      FROM wt GROUP BY 1),
+             |means AS (SELECT b, CAST(swc AS DOUBLE) / sw / 100.0 AS m
+             |      FROM cells),
+             |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn
+             |      FROM means),
+             |mom AS (SELECT
+             |        CAST(SUM(CAST(round(m, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sm,
+             |        CAST(SUM(CAST(round(m * m, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS smm,
+             |        COUNT(*) AS nb FROM means)
+             |SELECT est.n_rows, CAST(mom.nb AS BIGINT) AS n_boot,
+             |  round(CAST(est.sc AS DOUBLE) / est.n_rows / 100.0, 6)
+             |    AS est_mean,
+             |  round(sqrt((mom.smm - mom.sm * mom.sm / mom.nb)
+             |    / (mom.nb - 1)), 6) AS boot_se,
+             |  round(lo.m, 6) AS ci_lo, round(hi.m, 6) AS ci_hi
+             |FROM (SELECT m FROM rk WHERE rn = 2) lo
+             |CROSS JOIN (SELECT m FROM rk WHERE rn = 63) hi
+             |CROSS JOIN mom CROSS JOIN est
+             |ORDER BY est_mean""".stripMargin))
   )
 }
