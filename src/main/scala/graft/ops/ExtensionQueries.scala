@@ -12682,6 +12682,175 @@ object ExtensionQueries {
              |FROM (SELECT m FROM rk WHERE rn = 2) lo
              |CROSS JOIN (SELECT m FROM rk WHERE rn = 63) hi
              |CROSS JOIN mom CROSS JOIN est
-             |ORDER BY est_mean""".stripMargin))
+             |ORDER BY est_mean""".stripMargin)),
+
+    // Grid-accelerated DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996;
+    // the cell-based neighborhood join of Gunawan 2013 / He et al.
+    // "MR-DBSCAN" 2011): density clustering with NOISE — the cluster
+    // reader x52's k-means can't give (k-means force-assigns outliers;
+    // DBSCAN names them). Points are the 2-d JL projection of the
+    // quantized embeddings (integer coords, the x12 device); eps =
+    // range/64 derived from the data, minPts = 4. Candidates come ONLY
+    // from the 3×3 adjacent-cell equi-join (each pair matches exactly
+    // one (dx,dy), so no dedup is needed); the exact integer d² ≤ eps²
+    // test verifies. Core points (≥ minPts−1 neighbors) cluster via 3
+    // unrolled hash-min rounds over core-core edges (the x170 HCC
+    // device, with the same changed-in-round-3 honesty probe); border
+    // points adopt the MIN neighboring core label; the rest is noise.
+    // Five rounds (not x170's three): the eps-graph of a 2-d blob has
+    // longer chains than the co-occurrence graph, and the probe showed
+    // round 3 still moving one label here. Scale shape: everything is
+    // equi-joins on cell keys and bounded aggregates — but eps is a
+    // DENSITY parameter: the fixed 64-wide grid keeps per-cell occupancy
+    // bounded only at fixed corpus density, so a 100 TB run re-derives
+    // eps (finer grid) the same way this query derives it from min/max.
+    QuerySpec(
+      "x217_grid_dbscan",
+      (s, dir) => {
+        val p = Tables.embeddings(s, dir).select(col("vec_id"),
+            Quantized.projectUdf(2)(
+              Quantized.quantizeUdf(1e4)(col("embedding"))).as("pr"))
+          .select(col("vec_id"), col("pr")(0).as("px"), col("pr")(1).as("py"))
+        val mm = p.agg(min(col("px")).as("mnx"), max(col("px")).as("mxx"),
+            min(col("py")).as("mny"), max(col("py")).as("mxy"))
+          .select(col("mnx"), col("mny"),
+            expr("greatest(mxx - mnx, mxy - mny) div 64 + 1").as("eps"))
+        val pts = p.crossJoin(broadcast(mm))
+          .select(col("vec_id"), (col("px") - col("mnx")).as("x"),
+            (col("py") - col("mny")).as("y"), col("eps"))
+          .withColumn("cx", expr("x div eps"))
+          .withColumn("cy", expr("y div eps"))
+          .localCheckpoint() // feeds probes, the cell join, degrees, totals
+        val probes = pts
+          .withColumn("dx", explode(expr("array(-1L, 0L, 1L)")))
+          .withColumn("dy", explode(expr("array(-1L, 0L, 1L)")))
+          .select(col("vec_id").as("va"), col("x").as("xa"),
+            col("y").as("ya"), col("eps"),
+            (col("cx") + col("dx")).as("qx"),
+            (col("cy") + col("dy")).as("qy"))
+        val nb = probes.join(
+            pts.select(col("vec_id").as("vb"), col("x").as("xb"),
+              col("y").as("yb"), col("cx").as("bx"), col("cy").as("by")),
+            col("bx") === col("qx") && col("by") === col("qy") &&
+              col("va") =!= col("vb"))
+          .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+            (col("ya") - col("yb")) * (col("ya") - col("yb")) <=
+            col("eps") * col("eps"))
+          .select(col("va"), col("vb"))
+          .localCheckpoint() // pair list feeds degree, edges, and borders
+        val deg = nb.groupBy(col("va").as("vec_id"))
+          .agg(count(lit(1)).as("n_nb"))
+        val core = pts.join(deg, Seq("vec_id"), "left")
+          .filter(coalesce(col("n_nb"), lit(0L)) + 1 >= 4)
+          .select("vec_id")
+        val ce = nb
+          .join(core.select(col("vec_id").as("va")), "va")
+          .join(core.select(col("vec_id").as("vb")), "vb")
+          .select(col("va").as("src"), col("vb").as("dst"))
+          .localCheckpoint()
+        var lab = core.select(col("vec_id").as("v"),
+          col("vec_id").as("lab"))
+        var prev: org.apache.spark.sql.DataFrame = null
+        (1 to 5).foreach { _ =>
+          prev = lab
+          lab = ce.join(lab.select(col("v").as("src"), col("lab")), "src")
+            .select(col("dst").as("v"), col("lab"))
+            .union(lab)
+            .groupBy("v").agg(min(col("lab")).as("lab"))
+            .localCheckpoint()
+        }
+        val changed = lab.as("a")
+          .join(prev.as("b"), col("a.v") === col("b.v"))
+          .filter(col("a.lab") =!= col("b.lab"))
+          .agg(count(lit(1)).as("n_changed_last_round"))
+        val border = nb
+          .join(core.select(col("vec_id").as("va")), Seq("va"), "left_anti")
+          .join(lab.select(col("v").as("vb"), col("lab")), "vb")
+          .groupBy(col("va").as("v")).agg(min(col("lab")).as("lab"))
+        val nCore = core.agg(count(lit(1)).as("n_core"))
+        val nBorder = border.agg(count(lit(1)).as("n_border"))
+        val nAll = pts.agg(count(lit(1)).as("n_pts"))
+        val asg = lab.unionByName(border)
+        asg.groupBy("lab").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_clusters"),
+            min(col("lab")).cast("long").as("min_root"))
+          .crossJoin(broadcast(nCore)).crossJoin(broadcast(nBorder))
+          .crossJoin(broadcast(nAll)).crossJoin(broadcast(changed))
+          .select(col("size"), col("n_clusters"), col("min_root"),
+            col("n_core"), col("n_border"),
+            (col("n_pts") - col("n_core") - col("n_border")).as("n_noise"),
+            col("n_changed_last_round"))
+          .orderBy("size")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |  [CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT) for x in embedding] AS q FROM embeddings),
+             |p AS (SELECT vec_id,
+             |  CAST(list_sum([q[i+1] * (1 - 2*(((((i*2+0)*1103515245 + 12345) % 2147483648) // 65536) % 2))
+             |                 for i in range(0, len(q))]) AS BIGINT) AS px,
+             |  CAST(list_sum([q[i+1] * (1 - 2*(((((i*2+1)*1103515245 + 12345) % 2147483648) // 65536) % 2))
+             |                 for i in range(0, len(q))]) AS BIGINT) AS py
+             |  FROM e),
+             |mm AS (SELECT MIN(px) AS mnx, MIN(py) AS mny,
+             |        greatest(MAX(px) - MIN(px), MAX(py) - MIN(py)) // 64 + 1
+             |          AS eps FROM p),
+             |pts AS (SELECT vec_id, px - mnx AS x, py - mny AS y,
+             |        (px - mnx) // eps AS cx, (py - mny) // eps AS cy, eps
+             |      FROM p CROSS JOIN mm),
+             |dd AS (SELECT a.dx, b.dy FROM (VALUES (-1), (0), (1)) a(dx)
+             |      CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+             |nb AS (SELECT a.vec_id AS va, b.vec_id AS vb
+             |      FROM pts a CROSS JOIN dd
+             |      JOIN pts b ON b.cx = a.cx + dd.dx AND b.cy = a.cy + dd.dy
+             |        AND b.vec_id <> a.vec_id
+             |      WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+             |        <= a.eps * a.eps),
+             |deg AS (SELECT va AS vec_id, COUNT(*) AS n_nb FROM nb GROUP BY 1),
+             |core AS (SELECT p2.vec_id FROM pts p2
+             |      LEFT JOIN deg ON deg.vec_id = p2.vec_id
+             |      WHERE COALESCE(deg.n_nb, 0) + 1 >= 4),
+             |ce AS (SELECT nb.va AS src, nb.vb AS dst FROM nb
+             |      JOIN core c1 ON c1.vec_id = nb.va
+             |      JOIN core c2 ON c2.vec_id = nb.vb),
+             |l0 AS (SELECT vec_id AS v, vec_id AS lab FROM core),
+             |l1 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT ce.dst AS v, l.lab FROM ce JOIN l0 l ON l.v = ce.src
+             |        UNION ALL SELECT v, lab FROM l0) GROUP BY 1),
+             |l2 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT ce.dst AS v, l.lab FROM ce JOIN l1 l ON l.v = ce.src
+             |        UNION ALL SELECT v, lab FROM l1) GROUP BY 1),
+             |l3 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT ce.dst AS v, l.lab FROM ce JOIN l2 l ON l.v = ce.src
+             |        UNION ALL SELECT v, lab FROM l2) GROUP BY 1),
+             |l4 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT ce.dst AS v, l.lab FROM ce JOIN l3 l ON l.v = ce.src
+             |        UNION ALL SELECT v, lab FROM l3) GROUP BY 1),
+             |l5 AS (SELECT v, MIN(lab) AS lab FROM (
+             |        SELECT ce.dst AS v, l.lab FROM ce JOIN l4 l ON l.v = ce.src
+             |        UNION ALL SELECT v, lab FROM l4) GROUP BY 1),
+             |ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed_last_round
+             |      FROM l5 JOIN l4 ON l4.v = l5.v AND l4.lab <> l5.lab),
+             |border AS (SELECT nb.va AS v, MIN(l5.lab) AS lab
+             |      FROM nb JOIN l5 ON l5.v = nb.vb
+             |      LEFT JOIN core c1 ON c1.vec_id = nb.va
+             |      WHERE c1.vec_id IS NULL GROUP BY 1),
+             |tots AS (SELECT
+             |        (SELECT COUNT(*) FROM core) AS n_core,
+             |        (SELECT COUNT(*) FROM border) AS n_border,
+             |        (SELECT COUNT(*) FROM pts) AS n_pts),
+             |asg AS (SELECT v, lab FROM l5 UNION ALL
+             |        SELECT v, lab FROM border),
+             |cs AS (SELECT lab, COUNT(*) AS size FROM asg GROUP BY 1)
+             |SELECT CAST(size AS BIGINT) AS size,
+             |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             |  CAST(MIN(lab) AS BIGINT) AS min_root,
+             |  CAST(tots.n_core AS BIGINT) AS n_core,
+             |  CAST(tots.n_border AS BIGINT) AS n_border,
+             |  CAST(tots.n_pts - tots.n_core - tots.n_border AS BIGINT)
+             |    AS n_noise,
+             |  ch.n_changed_last_round
+             |FROM cs CROSS JOIN tots CROSS JOIN ch
+             |GROUP BY size, tots.n_core, tots.n_border, tots.n_pts,
+             |  ch.n_changed_last_round
+             |ORDER BY size""".stripMargin))
   )
 }
