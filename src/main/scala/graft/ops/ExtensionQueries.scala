@@ -12851,6 +12851,95 @@ object ExtensionQueries {
              |FROM cs CROSS JOIN tots CROSS JOIN ch
              |GROUP BY size, tots.n_core, tots.n_border, tots.n_pts,
              |  ch.n_changed_last_round
-             |ORDER BY size""".stripMargin))
+             |ORDER BY size""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney, ICASSP 1995;
+    // Chen & Goodman, Harvard TR-10-98 — the smoothing inside KenLM,
+    // i.e. the actual CCNet/quality-filter perplexity model, where
+    // x44's add-one is the classroom baseline): train on even doc_ids,
+    // score held-out odd docs per source. P(w2|w1) = max(c12−D,0)/c1 +
+    // D·N1+(w1,·)/c1 · Pcont(w2), D = 0.75, with the CONTINUATION
+    // probability Pcont(w2) = (N1+(·,w2)+1)/(T+V) — distinct-context
+    // counts, not raw frequency (the Kneser insight: "Francisco" is
+    // frequent but follows only "San"), +1/V-floored so unseen held-out
+    // words score finitely instead of ln 0. Unseen w1 backs off to
+    // Pcont alone. Per-bigram ln rounds to 6 dp into DECIMAL sums (the
+    // x44 device). Scale shape: identical to x44 — shuffles keyed on
+    // bigram, first-word, and second-word, all size-driven joins, one
+    // bounded per-source reduce.
+    QuerySpec(
+      "x218_kneser_ney",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+        val big = toks.select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(0, size(ws)-2), " +
+              "i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("source"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bg = big.filter(col("doc_id") % 2 === 0)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .localCheckpoint() // feeds c1, continuation counts, totals, scoring
+        val c1 = bg.groupBy("w1")
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+        val cont = bg.groupBy("w2").agg(count(lit(1)).as("nc"))
+        val tots = bg.agg(count(lit(1)).as("tbt"))
+        val vc = cont.agg(count(lit(1)).as("vc"))
+        val pcont = (coalesce(col("nc"), lit(0L)) + 1).cast("double") /
+          (col("tbt") + col("vc"))
+        val p = when(col("c1").isNull, pcont)
+          .otherwise(
+            greatest(coalesce(col("c12"), lit(0L)).cast("double") - 0.75,
+              lit(0.0)) / col("c1") +
+              lit(0.75) * col("n1p") / col("c1") * pcont)
+        big.filter(col("doc_id") % 2 === 1)
+          .join(bg, Seq("w1", "w2"), "left")
+          .join(c1, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(tots)).crossJoin(broadcast(vc))
+          .select(col("doc_id"), col("source"),
+            round(log(p), 6).cast("decimal(18,6)").as("lp"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_bigrams"),
+            round(-sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("xent"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |        list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |          x -> x <> '') AS ws FROM documents),
+             |big AS (SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+             |      FROM d, unnest(range(1, len(ws))) r(i)
+             |      WHERE len(ws) >= 2),
+             |bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM big
+             |      WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p
+             |      FROM bg GROUP BY 1),
+             |cont AS (SELECT w2, COUNT(*) AS nc FROM bg GROUP BY 1),
+             |tots AS (SELECT COUNT(*) AS tbt FROM bg),
+             |vcq AS (SELECT COUNT(*) AS vc FROM cont),
+             |sc AS (SELECT te.doc_id, te.source,
+             |        CAST(round(ln(CASE WHEN c1.c1 IS NULL
+             |          THEN CAST(COALESCE(cont.nc, 0) + 1 AS DOUBLE)
+             |            / (tots.tbt + vcq.vc)
+             |          ELSE greatest(CAST(COALESCE(bg.c12, 0) AS DOUBLE)
+             |              - 0.75, 0.0)
+             |            / c1.c1 + 0.75 * c1.n1p / c1.c1 *
+             |            (CAST(COALESCE(cont.nc, 0) + 1 AS DOUBLE)
+             |              / (tots.tbt + vcq.vc))
+             |          END), 6) AS DECIMAL(18,6)) AS lp
+             |      FROM big te
+             |      LEFT JOIN bg ON bg.w1 = te.w1 AND bg.w2 = te.w2
+             |      LEFT JOIN c1 ON c1.w1 = te.w1
+             |      LEFT JOIN cont ON cont.w2 = te.w2
+             |      CROSS JOIN tots CROSS JOIN vcq
+             |      WHERE te.doc_id % 2 = 1)
+             |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+             |  COUNT(*) AS n_bigrams,
+             |  round(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS xent
+             |FROM sc GROUP BY 1 ORDER BY source""".stripMargin))
   )
 }
