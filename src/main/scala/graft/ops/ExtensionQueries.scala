@@ -12940,6 +12940,88 @@ object ExtensionQueries {
              |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
              |  COUNT(*) AS n_bigrams,
              |  round(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS xent
-             |FROM sc GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM sc GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions (Lin, IEEE-IT 37, 1991): the SYMMETRIC, bounded
+    // [0, ln2] source-similarity matrix — where x105's PSI needs a
+    // designated baseline and KL blows up on disjoint support, JSD is a
+    // metric (its √ is — Endres & Schindelin 2003) over all 45 source
+    // pairs at once. Key scale device: words on ONE side only
+    // contribute exactly (ln2)/2 of their mass, so
+    // JSD = ½Σ_common[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    //     + (ln2)/2·[(1−P_common) + (1−Q_common)]
+    // needs only the INNER self-join on word (per-word fan-out bounded
+    // by #sources) plus per-pair common-mass sums — no outer join, no
+    // per-pair vocabulary union materialization. ln terms round to 15 dp
+    // (they can be ~1e-9 yet sum to O(1)) into DECIMAL(28,15) bridges;
+    // ln2 is a literal, so no transcendental runs on engine-divergent
+    // inputs. Scale shape: one token scan, a word-keyed self-join, a
+    // 45-row reduce.
+    QuerySpec(
+      "x219_js_divergence",
+      (s, dir) => {
+        val ln2 = 0.6931471805599453
+        val wc = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val ns = wc.groupBy("source").agg(sum(col("c")).as("n"))
+        val sw = wc.join(ns, "source")
+        val j = sw.as("a").join(sw.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .select(col("a.source").as("s1"), col("b.source").as("s2"),
+            (col("a.c").cast("double") / col("a.n")).as("p"),
+            (col("b.c").cast("double") / col("b.n")).as("q"))
+        j.groupBy("s1", "s2")
+          .agg(count(lit(1)).as("n_common"),
+            sum(round(col("p") * log(lit(2.0) * col("p") /
+              (col("p") + col("q"))), 15).cast("decimal(28,15)"))
+              .cast("double").as("t1"),
+            sum(round(col("q") * log(lit(2.0) * col("q") /
+              (col("p") + col("q"))), 15).cast("decimal(28,15)"))
+              .cast("double").as("t2"),
+            sum(round(col("p"), 15).cast("decimal(28,15)")).cast("double")
+              .as("pc"),
+            sum(round(col("q"), 15).cast("decimal(28,15)")).cast("double")
+              .as("qc"))
+          .select(col("s1"), col("s2"), col("n_common"),
+            round(lit(0.5) * (col("t1") + col("t2")) +
+              lit(0.5) * lit(ln2) *
+              ((lit(1.0) - col("pc")) + (lit(1.0) - col("qc"))), 6)
+              .as("jsd"),
+            round(sqrt(lit(0.5) * (col("t1") + col("t2")) +
+              lit(0.5) * lit(ln2) *
+              ((lit(1.0) - col("pc")) + (lit(1.0) - col("qc")))), 6)
+              .as("js_dist"))
+          .orderBy("s1", "s2")
+      },
+      Some("""WITH t AS (SELECT source,
+             |        unnest(list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '')) AS w FROM documents),
+             |wc AS (SELECT source, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |ns AS (SELECT source, SUM(c) AS n FROM wc GROUP BY 1),
+             |sw AS (SELECT wc.source, wc.w, wc.c, ns.n
+             |      FROM wc JOIN ns ON ns.source = wc.source),
+             |j AS (SELECT a.source AS s1, b.source AS s2,
+             |        CAST(a.c AS DOUBLE) / a.n AS p,
+             |        CAST(b.c AS DOUBLE) / b.n AS q
+             |      FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source),
+             |agg AS (SELECT s1, s2, COUNT(*) AS n_common,
+             |        CAST(SUM(CAST(round(p * ln(2.0 * p / (p + q)), 15)
+             |          AS DECIMAL(28,15))) AS DOUBLE) AS t1,
+             |        CAST(SUM(CAST(round(q * ln(2.0 * q / (p + q)), 15)
+             |          AS DECIMAL(28,15))) AS DOUBLE) AS t2,
+             |        CAST(SUM(CAST(round(p, 15) AS DECIMAL(28,15)))
+             |          AS DOUBLE) AS pc,
+             |        CAST(SUM(CAST(round(q, 15) AS DECIMAL(28,15)))
+             |          AS DOUBLE) AS qc
+             |      FROM j GROUP BY 1, 2)
+             |SELECT s1, s2, n_common,
+             |  round(0.5 * (t1 + t2) + 0.5 * 0.6931471805599453 *
+             |    ((1.0 - pc) + (1.0 - qc)), 6) AS jsd,
+             |  round(sqrt(0.5 * (t1 + t2) + 0.5 * 0.6931471805599453 *
+             |    ((1.0 - pc) + (1.0 - qc))), 6) AS js_dist
+             |FROM agg ORDER BY s1, s2""".stripMargin))
   )
 }
