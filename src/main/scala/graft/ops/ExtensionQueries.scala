@@ -13022,6 +13022,75 @@ object ExtensionQueries {
              |    ((1.0 - pc) + (1.0 - qc)), 6) AS jsd,
              |  round(sqrt(0.5 * (t1 + t2) + 0.5 * 0.6931471805599453 *
              |    ((1.0 - pc) + (1.0 - qc))), 6) AS js_dist
-             |FROM agg ORDER BY s1, s2""".stripMargin))
+             |FROM agg ORDER BY s1, s2""".stripMargin)),
+
+    // Tukey-Kramer HSD post-hoc (Tukey 1949 "Comparing Individual Means
+    // in the Analysis of Variance", Biometrics 5; Kramer, Biometrics 12,
+    // 1956 for unequal n): WHICH groups differ once an omnibus F (x157/
+    // x209's family) fires — the all-pairs follow-up that controls the
+    // familywise rate by the studentized-range law, where x195's BH
+    // controls FDR over arbitrary families. All 10 event-type pairs:
+    // q = |ȳᵢ−ȳⱼ| / √(MSW/2·(1/nᵢ+1/nⱼ)) against q₀.₀₅(5,∞) = 3.858
+    // (Harter 1960 table, df→∞ since n ≫ 1000). Group means and the
+    // pooled MSW come from exact integer cents moments (n, Σc, Σc² —
+    // the x133 discipline), so every statistic is a fixed-order IEEE
+    // expression; the 5-row within-group SS reduction is the only sum
+    // and rides a DECIMAL(38,6) bridge. Scale shape: one scan to 5
+    // moment rows, a 10-row self-join — nothing else.
+    QuerySpec(
+      "x220_tukey_hsd",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .localCheckpoint() // 5 rows feed MSW and the pair grid
+        val msw = g.agg(
+            sum(round((col("scc").cast("double") -
+              col("sc").cast("double") * col("sc") / col("n")) / 10000.0,
+              6).cast("decimal(38,6)")).cast("double").as("ssw"),
+            sum(col("n")).as("nn"), count(lit(1)).as("k"))
+          .select((col("ssw") / (col("nn") - col("k"))).as("msw"))
+        val m = col("sc").cast("double") / col("n") / 100.0
+        val pairs = g.as("a").join(g.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .crossJoin(broadcast(msw))
+          .select(col("a.event_type").as("g1"),
+            col("b.event_type").as("g2"),
+            col("a.n").as("n1"), col("b.n").as("n2"),
+            (col("a.sc").cast("double") / col("a.n") / 100.0 -
+              col("b.sc").cast("double") / col("b.n") / 100.0).as("diff"),
+            sqrt(col("msw") / 2.0 *
+              (lit(1.0) / col("a.n") + lit(1.0) / col("b.n"))).as("se"))
+        pairs.select(col("g1"), col("g2"), col("n1"), col("n2"),
+            round(col("diff"), 6).as("mean_diff"),
+            round(abs(col("diff")) / col("se"), 6).as("q_stat"),
+            when(abs(col("diff")) / col("se") > 3.858, "differs")
+              .otherwise("no evidence").as("verdict"))
+          .orderBy("g1", "g2")
+      },
+      Some("""WITH g AS (SELECT event_type, COUNT(*) AS n,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+             |        SUM(CAST(round(value * 100) AS BIGINT) *
+             |            CAST(round(value * 100) AS BIGINT)) AS scc
+             |      FROM events GROUP BY 1),
+             |msw AS (SELECT CAST(SUM(CAST(round((CAST(scc AS DOUBLE) -
+             |          CAST(sc AS DOUBLE) * sc / n) / 10000.0, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE)
+             |          / (SUM(n) - COUNT(*)) AS msw FROM g),
+             |pairs AS (SELECT a.event_type AS g1, b.event_type AS g2,
+             |        a.n AS n1, b.n AS n2,
+             |        CAST(a.sc AS DOUBLE) / a.n / 100.0 -
+             |          CAST(b.sc AS DOUBLE) / b.n / 100.0 AS diff,
+             |        sqrt(msw.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)) AS se
+             |      FROM g a JOIN g b ON a.event_type < b.event_type
+             |      CROSS JOIN msw)
+             |SELECT g1, g2, n1, n2, round(diff, 6) AS mean_diff,
+             |  round(abs(diff) / se, 6) AS q_stat,
+             |  CASE WHEN abs(diff) / se > 3.858 THEN 'differs'
+             |    ELSE 'no evidence' END AS verdict
+             |FROM pairs ORDER BY g1, g2""".stripMargin))
   )
 }
