@@ -12577,10 +12577,18 @@ object ExtensionQueries {
     // Streams" — THE bootstrap that works on sharded data: multinomial
     // resampling needs global coordination, but Binomial(n,1/n) →
     // Poisson(1) per row as n→∞, so every row draws its B replicate
-    // weights independently from its own hash). B=64 replicates; each
-    // weight is the Poisson(1) inverse CDF of a 48-bit md5 uniform
-    // (truncated at 13, tail mass 6e-11 ≪ any 6-dp boundary), keyed on
-    // (user, epoch, cents, b) so the draw replays in SQL. Replicate sums
+    // weights independently from its own hash). B=64 replicates.
+    //
+    // Draw cost (round-10 rewrite of the registry's 28 s hog): ONE md5
+    // per (row, lane-group) — 8 digests per row, not 64 — each 128-bit
+    // digest split into 8 × 16-bit hex lanes, so lane (g, j) seeds
+    // replicate b = 8g + j. The Poisson(1) inverse CDF is a chained
+    // integer `when` over precomputed thresholds ceil(cdf_k · 2^16)
+    // (codegen'd comparisons; the old 13-element array-filter lambda was
+    // an interpreted HigherOrderFunction per draw). A 16-bit uniform
+    // truncates the weight at 7 (P[W≥8] ≈ 1.0e-5 — immaterial to a
+    // 64-replicate CI and identical on both engines, since the oracle
+    // replays the same integer lanes and thresholds). Replicate sums
     // are INTEGER (w·cents ≤ 1.2e6 per row) — order-exact, no bridge
     // needed; the CI is the (⌈(B+1)α⌉, B+1−⌈(B+1)α⌉) = (2nd, 63rd)
     // order-statistic pair of the 64 replicate means and the bootstrap
@@ -12591,13 +12599,12 @@ object ExtensionQueries {
       "x216_poisson_bootstrap",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val cdf = Seq("0.36787944117144233D", "0.7357588823428847D",
-          "0.9196986029286058D", "0.9810118431238462D",
-          "0.9963401531726563D", "0.9994058151824183D",
-          "0.9999167588507119D", "0.9999897508033253D",
-          "0.9999988747974048D", "0.9999998885745217D",
-          "0.9999999899522336D", "0.9999999991683892D",
-          "0.9999999999364653D").mkString(", ")
+        // ceil(cdf_k * 65536) for Poisson(1) cdf at k = 0..6; thresholds
+        // for k >= 7 are 65536 and can never fire on a 16-bit lane.
+        val wExpr = "CASE WHEN u >= 65531 THEN 7L WHEN u >= 65498 THEN 6L " +
+          "WHEN u >= 65297 THEN 5L WHEN u >= 64292 THEN 4L " +
+          "WHEN u >= 60274 THEN 3L WHEN u >= 48219 THEN 2L " +
+          "WHEN u >= 24110 THEN 1L ELSE 0L END"
         val purch = Tables.events(s, dir)
           .filter(col("event_type") === "purchase")
           .select(col("user_id"),
@@ -12607,13 +12614,16 @@ object ExtensionQueries {
           sum(col("cents")).as("sc"))
         val reps = purch
           .select(col("user_id"), col("ep"), col("cents"),
-            explode(expr("sequence(0, 63)")).as("b"))
-          .withColumn("u",
-            conv(substring(md5(concat_ws(":", lit("pb"), col("user_id"),
-              col("ep"), col("cents"), col("b"))), 1, 12), 16, 10)
-              .cast("long") / lit(281474976710656.0))
-          .withColumn("w",
-            expr(s"CAST(size(filter(array($cdf), t -> t <= u)) AS BIGINT)"))
+            explode(expr("sequence(0, 7)")).as("g"))
+          .select(col("cents"), col("g"),
+            md5(concat_ws(":", lit("pb"), col("user_id"), col("ep"),
+              col("cents"), col("g"))).as("dg"))
+          .select(col("cents"), col("g"), col("dg"),
+            explode(expr("sequence(0, 7)")).as("j"))
+          .select((col("g") * 8 + col("j")).as("b"), col("cents"),
+            conv(expr("substring(dg, j * 4 + 1, 4)"), 16, 10)
+              .cast("long").as("u"))
+          .withColumn("w", expr(wExpr))
           .groupBy("b")
           .agg(sum(col("w") * col("cents")).as("swc"),
             sum(col("w")).as("sw"))
@@ -12644,22 +12654,21 @@ object ExtensionQueries {
              |        CAST(round(value * 100) AS BIGINT) AS cents
              |      FROM events WHERE event_type = 'purchase'),
              |est AS (SELECT COUNT(*) AS n_rows, SUM(cents) AS sc FROM purch),
-             |reps AS (SELECT p.cents, r.b,
-             |        CAST(('0x' || substr(md5('pb:' || CAST(p.user_id AS VARCHAR)
+             |digs AS (SELECT p.cents, g.g,
+             |        md5('pb:' || CAST(p.user_id AS VARCHAR)
              |          || ':' || CAST(p.ep AS VARCHAR) || ':'
              |          || CAST(p.cents AS VARCHAR) || ':'
-             |          || CAST(r.b AS VARCHAR)), 1, 12)) AS BIGINT)
-             |          / 281474976710656.0 AS u
-             |      FROM purch p CROSS JOIN range(0, 64) r(b)),
+             |          || CAST(g.g AS VARCHAR)) AS dg
+             |      FROM purch p CROSS JOIN range(0, 8) g(g)),
+             |reps AS (SELECT d.cents, d.g * 8 + j.j AS b,
+             |        CAST(('0x' || substr(d.dg, CAST(j.j * 4 + 1 AS INT), 4))
+             |          AS BIGINT) AS u
+             |      FROM digs d CROSS JOIN range(0, 8) j(j)),
              |wt AS (SELECT b, cents,
-             |        CAST(len(list_filter([0.36787944117144233,
-             |          0.7357588823428847, 0.9196986029286058,
-             |          0.9810118431238462, 0.9963401531726563,
-             |          0.9994058151824183, 0.9999167588507119,
-             |          0.9999897508033253, 0.9999988747974048,
-             |          0.9999998885745217, 0.9999999899522336,
-             |          0.9999999991683892, 0.9999999999364653],
-             |          t -> t <= u)) AS BIGINT) AS w
+             |        CASE WHEN u >= 65531 THEN 7 WHEN u >= 65498 THEN 6
+             |          WHEN u >= 65297 THEN 5 WHEN u >= 64292 THEN 4
+             |          WHEN u >= 60274 THEN 3 WHEN u >= 48219 THEN 2
+             |          WHEN u >= 24110 THEN 1 ELSE 0 END AS w
              |      FROM reps),
              |cells AS (SELECT b, SUM(w * cents) AS swc, SUM(w) AS sw
              |      FROM wt GROUP BY 1),
