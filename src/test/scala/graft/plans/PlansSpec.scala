@@ -53,6 +53,73 @@ class PlansSpec extends SparkSpec {
   private def cartesians(plan: SparkPlan): Seq[SparkPlan] =
     plan.collect { case c: CartesianProductExec => c }
 
+  /** Rule 4 — no expensive per-row digest under a wide constant fan-out.
+    * x216 shipped green at 28 s because nothing priced per-row expression
+    * cost: it computed a full md5 (plus a string `conv`) per (row,
+    * replicate) under an `explode(sequence(0, 63))` — 64 digests per input
+    * row where lanes of one digest suffice. This static check taints the
+    * output attribute of any Explode over a LITERAL sequence of width
+    * ≥ 16, propagates the taint through Project aliases (an alias derived
+    * from a tainted column is evaluated once per fanned-out row too), and
+    * flags Md5/Sha1/Sha2/Crc32/Conv expressions referencing a tainted
+    * attribute. Aggregates stop the taint: after a groupBy the row count
+    * is the group count, not the fan-out. Width < 16 is allowed — the
+    * fixed x216 hashes once per 8-lane group, which is the point of the
+    * lane device. */
+  private val fanoutThreshold = 16L
+
+  private def hashUnderFanout(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def litLong(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    val tainted = scala.collection.mutable.HashSet.empty[ExprId]
+    val offenses = scala.collection.mutable.ArrayBuffer.empty[String]
+    def expensive(e: Expression): Option[String] = e match {
+      case _: Md5 => Some("md5")
+      case _: Sha1 => Some("sha1")
+      case _: Sha2 => Some("sha2")
+      case _: Crc32 => Some("crc32")
+      case _: Conv => Some("conv")
+      case _ => None
+    }
+    plan.foreachUp { node =>
+      // flag BEFORE propagating this node's aliases, so the offense names
+      // the digest itself rather than everything downstream of it
+      node.expressions.foreach(_.foreach { e =>
+        expensive(e).foreach { what =>
+          if (e.references.exists(a => tainted(a.exprId)))
+            offenses += s"$what(${e.references.map(_.name).mkString(",")})"
+        }
+      })
+      node match {
+        case g: Generate =>
+          g.generator match {
+            case Explode(seq: Sequence) =>
+              (litLong(seq.start), litLong(seq.stop)) match {
+                case (Some(a), Some(b)) if math.abs(b - a) + 1 >= fanoutThreshold =>
+                  g.generatorOutput.foreach(att => tainted += att.exprId)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case p: Project =>
+          p.projectList.foreach {
+            case a: Alias if a.child.references.exists(r => tainted(r.exprId)) =>
+              tainted += a.exprId
+            case _ => ()
+          }
+        case _: Aggregate => () // group count, not fan-out: taint stops here
+        case _ => ()
+      }
+    }
+    offenses.toSeq
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan hygiene: $name") {
       val df = fn(spark, sfDir)
@@ -65,6 +132,12 @@ class PlansSpec extends SparkSpec {
       }
       assert(cartesians(plan).isEmpty,
         s"$name plans a CartesianProduct — unbounded O(n*m) at scale")
+      val hashFanout = hashUnderFanout(df.queryExecution.analyzed)
+      assert(hashFanout.isEmpty,
+        s"$name computes an expensive digest per fanned-out row " +
+          s"(${hashFanout.mkString("; ")}) under an explode(sequence) of " +
+          s"width >= $fanoutThreshold — hash once per row and split the " +
+          "digest into lanes (the x216 round-10 fix)")
       val decimalCols = df.schema.fields
         .filter(f => containsDecimal(f.dataType)).map(_.name)
       assert(decimalCols.isEmpty,
@@ -196,6 +269,38 @@ class PlansSpec extends SparkSpec {
     assert(fullOuter.nonEmpty, "x164 plans no equi full-outer join")
     assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "x164's merge join degenerated to a nested loop")
+  }
+
+  test("hash-under-fanout rule fires on the old x216 shape (regression fixture)") {
+    import org.apache.spark.sql.functions._
+    // the exact pre-round-10 pattern: one md5 + conv PER (row, replicate)
+    // under a 64-wide constant explode
+    val purch = spark.range(10).select(col("id").as("user_id"),
+      (col("id") * 7).as("ep"), (col("id") % 5).as("cents"))
+    val bad = purch
+      .select(col("user_id"), col("ep"), col("cents"),
+        explode(expr("sequence(0, 63)")).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", lit("pb"), col("user_id"),
+          col("ep"), col("cents"), col("b"))), 1, 12), 16, 10)
+          .cast("long"))
+    val hits = hashUnderFanout(bad.queryExecution.analyzed)
+    assert(hits.exists(_.startsWith("md5")),
+      s"fixture should flag the per-replicate md5; got: $hits")
+    // and the FIXED lane shape (8-wide groups) must pass
+    val good = purch
+      .select(col("user_id"), col("ep"), col("cents"),
+        explode(expr("sequence(0, 7)")).as("g"))
+      .select(col("cents"), col("g"),
+        md5(concat_ws(":", lit("pb"), col("user_id"), col("ep"),
+          col("cents"), col("g"))).as("dg"))
+      .select(col("cents"), col("g"), col("dg"),
+        explode(expr("sequence(0, 7)")).as("j"))
+      .select((col("g") * 8 + col("j")).as("b"), col("cents"),
+        conv(expr("substring(dg, j * 4 + 1, 4)"), 16, 10)
+          .cast("long").as("u"))
+    assert(hashUnderFanout(good.queryExecution.analyzed).isEmpty,
+      "the 8-lane-group digest shape must not be flagged")
   }
 
   test("x161 computes all 25 distinct counts in ONE scan (Expand, single orders read)") {
