@@ -12157,6 +12157,7 @@ object ExtensionQueries {
           .unionByName(wdir.select(col("li").as("i"), col("wi").as("j"),
             col("nw")))
           .groupBy("i", "j").agg(sum(col("nw")).as("n"))
+          .localCheckpoint() // consumed twice per MM step (den + tot branch)
         val items = e.select("i").distinct()
         val wins = items
           .join(wdir.groupBy(col("wi").as("i")).agg(sum("nw").as("w")),
@@ -12177,9 +12178,14 @@ object ExtensionQueries {
               round((col("w") + lit(1.0)) /
                 (col("den") + round(lit(2.0) / (col("p") + lit(1.0)), 6)),
                 6).as("raw"))
-          val tot = raw.agg(sum(col("raw").cast("decimal(18,6)"))
+          // checkpoint the vocab-bounded strengths: without it each step's
+          // tot-broadcast re-evaluates the PREVIOUS steps' whole subtree
+          // (~2x plan duplication per step — measured 12.9 s of pure
+          // constant factor at sf0.01, corpus-independent)
+          val rawCk = raw.localCheckpoint()
+          val tot = rawCk.agg(sum(col("raw").cast("decimal(18,6)"))
             .cast("double").as("sraw"))
-          raw.crossJoin(broadcast(tot))
+          rawCk.crossJoin(broadcast(tot))
             .select(col("i"), round(col("raw") / col("sraw"), 6).as("p"))
         }
         val p3 = step(step(step(items.withColumn("p", lit(1.0)))))
@@ -13100,6 +13106,58 @@ object ExtensionQueries {
              |  round(abs(diff) / se, 6) AS q_stat,
              |  CASE WHEN abs(diff) / se > 3.858 THEN 'differs'
              |    ELSE 'no evidence' END AS verdict
-             |FROM pairs ORDER BY g1, g2""".stripMargin))
+             |FROM pairs ORDER BY g1, g2""".stripMargin)),
+
+    // Weighted reservoir sampling per stratum (Efraimidis & Spirakis, IPL
+    // 97, 2006, algorithm A-ES): draw a FIXED-SIZE sample of k=10 docs per
+    // source with inclusion probability proportional to weight — the
+    // standard "pick a training subset by quality weight within each
+    // domain" primitive (x65's bounded top-k is global top-by-weight;
+    // x49's stratified sample is unweighted-rate; this is per-stratum
+    // fixed-k weighted-without-replacement). A-ES keys each row with
+    // u^(1/w) (equivalently ln(u)/w, same order) for u uniform in (0,1]
+    // and keeps the k largest keys per stratum; the key is derived from a
+    // per-row md5 (48-bit lane, +1 so u>0), so the draw replays exactly in
+    // SQL. Weight = n_chars (longer docs proportionally likelier — swap in
+    // any quality score). Scale shape: rank() <= k over
+    // (stratum, key desc) plans a WindowGroupLimit — Partial+Final rank
+    // pushdown keeps <= k rows per map partition BEFORE the stratum
+    // shuffle, so the shuffle moves O(k · partitions · strata) rows, not
+    // the corpus; key order is continuous (distinct 48-bit uniforms), so
+    // cross-engine ULP flips need two keys within ~1e-16 of each other —
+    // never at these densities.
+    QuerySpec(
+      "x221_weighted_reservoir",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("bigint").as("n_chars"))
+          .withColumn("u",
+            (conv(substring(md5(concat_ws(":", lit("wrs"), col("doc_id"))),
+              1, 12), 16, 10).cast("double") + 1.0) / 281474976710657.0)
+          .withColumn("key", log(col("u")) / col("n_chars"))
+          .withColumn("rank",
+            row_number().over(W.partitionBy(col("source"))
+              .orderBy(col("key").desc, col("doc_id"))).cast("bigint"))
+          .filter(col("rank") <= 10)
+          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+            round(col("key") * 1e6, 6).as("key_ppm"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+             |      FROM documents WHERE n_chars > 0),
+             |k AS (SELECT doc_id, source, n_chars,
+             |        ln((CAST(('0x' || substr(md5('wrs:' ||
+             |            CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1.0)
+             |          / 281474976710657.0) / n_chars AS key
+             |      FROM d),
+             |r AS (SELECT source, doc_id, n_chars, key,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY key DESC, doc_id) AS rank FROM k)
+             |SELECT source, rank, doc_id, n_chars,
+             |  round(key * 1e6, 6) AS key_ppm
+             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin))
   )
 }
