@@ -303,6 +303,20 @@ class PlansSpec extends SparkSpec {
       "the 8-lane-group digest shape must not be flagged")
   }
 
+  test("x221 per-stratum weighted draw plans a WindowGroupLimit (rank pushdown, <= k rows shuffled)") {
+    val plan = SparkEntry.queries("x221_weighted_reservoir")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val wgl = plan.collect { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty,
+      "x221's rank <= k filter did not push into a WindowGroupLimit — " +
+        "the stratum shuffle would move the whole corpus instead of " +
+        "k rows per map partition per stratum")
+    // Partial mode must appear below the shuffle (that's the map-side cut)
+    assert(wgl.exists(_.mode.toString.contains("Partial")),
+      s"x221 has no Partial-mode WindowGroupLimit below the shuffle: " +
+        wgl.map(_.mode.toString).mkString(","))
+  }
+
   test("x161 computes all 25 distinct counts in ONE scan (Expand, single orders read)") {
     import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec}
     val plan = SparkEntry.queries("x161_fd_discovery")(spark, sfDir)
