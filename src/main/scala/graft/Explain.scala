@@ -73,7 +73,17 @@ object Explain {
       "x181_consistent_hashing", "x182_ipw_ate", "x183_degree_mixing",
       "x184_geometric_median", "x185_mcnemar", "x186_hill_tail",
       "x187_lsh_planner", "x188_average_precision", "x189_hurst",
-      "x190_feature_hashing", "x191_energy_distance")
+      "x190_feature_hashing", "x191_energy_distance",
+      "x192_dedup_recall_eval", "x193_shuffle_mixing", "x194_ccf",
+      "x195_bh_fdr", "x196_cmh", "x197_sprt", "x198_l_diversity",
+      "x199_conductance", "x200_facility_location",
+      "x201_allpairs_prefix", "x202_logrank", "x203_isotonic",
+      "x204_kruskal_wallis", "x205_kmv_distinct", "x206_link_prediction",
+      "x207_brier_decomposition", "x208_rfm_segments", "x209_brown_forsythe",
+      "x210_qlm_retrieval", "x211_cox_ph", "x212_bradley_terry",
+      "x213_diff_in_diff", "x214_conformal", "x215_silhouette",
+      "x216_poisson_bootstrap", "x217_grid_dbscan", "x218_kneser_ney",
+      "x219_js_divergence", "x220_tukey_hsd", "x221_weighted_reservoir")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
