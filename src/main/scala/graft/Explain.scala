@@ -83,7 +83,9 @@ object Explain {
       "x210_qlm_retrieval", "x211_cox_ph", "x212_bradley_terry",
       "x213_diff_in_diff", "x214_conformal", "x215_silhouette",
       "x216_poisson_bootstrap", "x217_grid_dbscan", "x218_kneser_ney",
-      "x219_js_divergence", "x220_tukey_hsd", "x221_weighted_reservoir")
+      "x219_js_divergence", "x220_tukey_hsd", "x221_weighted_reservoir",
+      "x222_heaps_law", "x223_modularity", "x224_seasonal_strength",
+      "x225_ess_weights", "x226_neyman_allocation")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -212,6 +212,47 @@ object ExtensionQueries {
     * rescan — so everything past the two data-scan shuffles (user span,
     * (t, arm) cells) is calendar-sized. ONE definition so the log-rank
     * test and the Cox fit can't drift on the risk-set convention. */
+  /** x41/x225 shared DSIR per-doc log importance weights (Xie et al.
+    * 2023): hashed unigram+bigram features (poly31 % 64 buckets),
+    * per-bucket add-one log-ratio of target (source='src0') vs raw,
+    * per-doc logw = Σ cnt·lr over rounded-6 DECIMAL terms, rounded 4.
+    * Returns (doc_id, source, n_grams, logw) — x41 projects the
+    * doc-grain view, x225 aggregates ESS per source. */
+  private def dsirDocWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val m = 64
+    val gramBuckets = udf { toks: Seq[String] =>
+      val out = new Array[Long](math.max(0, 2 * toks.length - 1))
+      var i = 0
+      while (i < toks.length) {
+        out(i) = Dedup.poly31(toks(i)) % m
+        if (i + 1 < toks.length)
+          out(toks.length + i) = Dedup.poly31(toks(i) + " " + toks(i + 1)) % m
+        i += 1
+      }
+      out
+    }
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(gramBuckets(TextFunctions.tokens(col("text")))).as("bucket"))
+    val df = f.groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val side = f.groupBy("bucket").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+    val tot = side.agg(sum("ct").cast("long").as("nt"),
+      sum("cr").cast("long").as("nr"))
+    val lam = side.crossJoin(broadcast(tot)) // tot is one row
+      .select(col("bucket"),
+        round(log((col("ct") + 1.0) / (col("nt") + m)) -
+          log((col("cr") + 1.0) / (col("nr") + m)), 6)
+          .cast("decimal(18,6)").as("lr"))
+    df.join(lam, "bucket")
+      .groupBy("doc_id", "source")
+      .agg(sum("cnt").cast("long").as("n_grams"),
+        round(sum(col("cnt") * col("lr")).cast("double"), 4).as("logw"))
+  }
+
   private def armRiskGrid(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
@@ -1560,39 +1601,9 @@ object ExtensionQueries {
     // DECIMAL(18,6) for an order-independent, hash-stable per-doc sum.
     QuerySpec(
       "x41_dsir_weights",
-      (s, dir) => {
-        val m = 64
-        val gramBuckets = udf { toks: Seq[String] =>
-          val out = new Array[Long](math.max(0, 2 * toks.length - 1))
-          var i = 0
-          while (i < toks.length) {
-            out(i) = Dedup.poly31(toks(i)) % m
-            if (i + 1 < toks.length)
-              out(toks.length + i) = Dedup.poly31(toks(i) + " " + toks(i + 1)) % m
-            i += 1
-          }
-          out
-        }
-        val f = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(gramBuckets(TextFunctions.tokens(col("text")))).as("bucket"))
-        val df = f.groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-        val side = f.groupBy("bucket").agg(
-          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
-          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
-        val tot = side.agg(sum("ct").cast("long").as("nt"),
-          sum("cr").cast("long").as("nr"))
-        val lam = side.crossJoin(broadcast(tot)) // tot is one row
-          .select(col("bucket"),
-            round(log((col("ct") + 1.0) / (col("nt") + m)) -
-              log((col("cr") + 1.0) / (col("nr") + m)), 6)
-              .cast("decimal(18,6)").as("lr"))
-        df.join(lam, "bucket")
-          .groupBy("doc_id")
-          .agg(sum("cnt").cast("long").as("n_grams"),
-            round(sum(col("cnt") * col("lr")).cast("double"), 4).as("logw"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => dsirDocWeights(s, dir)
+        .select(col("doc_id"), col("n_grams"), col("logw"))
+        .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, source,
              |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
              |  FROM documents),
@@ -13158,6 +13169,452 @@ object ExtensionQueries {
              |          ORDER BY key DESC, doc_id) AS rank FROM k)
              |SELECT source, rank, doc_id, n_chars,
              |  round(key * 1e6, 6) AS key_ppm
-             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin))
+             |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth fit (Heaps 1978; Herdan 1960):
+    // V(n) = K·n^β — how fast the type inventory grows as the corpus
+    // does, THE capacity question behind tokenizer sizing and
+    // dedup-payoff forecasts (β near 1 = unbounded novelty, e.g.
+    // boilerplate IDs; lower β = saturating reuse). Types are WORD
+    // TRIGRAM shingles (the x2/x4 dedup unit — and the harness corpus
+    // has a 31-word closed unigram vocabulary, which saturates in the
+    // first prefix; trigram contexts are what actually grow). The
+    // at-scale trick: V(n) at a prefix is #{types whose FIRST occurrence
+    // falls inside it} — one min(doc_id) aggregate per type, never a
+    // distinct-count per prefix. 20 integer doc-id thresholds bucket
+    // both docs and first occurrences; prefix counts are cumulative
+    // sums over the 20-row grid (aggregate below window = Rule-1
+    // escape); the fit is the x174 log-log OLS with rounded-6
+    // DECIMAL-bridged terms. exp appears once, on the final rounded
+    // intercept (the x206/x211 precedent).
+    QuerySpec(
+      "x222_heaps_law",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val bounds = docs.agg(min(col("doc_id")).as("lo"),
+          (max(col("doc_id")) - min(col("doc_id")) + 1L).as("span"))
+        val grid = s.range(20).toDF("b")
+        val dbkt = docs.crossJoin(broadcast(bounds))
+          .select(expr("(doc_id - lo) * 20 div span").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nd"))
+        val wbkt = docs
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ws) - 3), " +
+              "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+          .groupBy("w").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(bounds))
+          .select(expr("(fd - lo) * 20 div span").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nv"))
+        val wc = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+        val pref = grid
+          .join(dbkt, Seq("b"), "left").na.fill(0L, Seq("nd"))
+          .join(wbkt, Seq("b"), "left").na.fill(0L, Seq("nv"))
+          .withColumn("n", sum(col("nd")).over(wc))
+          .withColumn("v", sum(col("nv")).over(wc))
+          .filter(col("n") > 0 && col("v") > 0)
+        val terms = pref.select(
+          round(log(col("n").cast("double")), 6).as("x"),
+          round(log(col("v").cast("double")), 6).as("y"),
+          col("n"), col("v"))
+        val m = terms.agg(count(lit(1)).as("np"),
+          max(col("n")).as("n_docs"), max(col("v")).as("n_types"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+          sum(round(col("x") * col("y"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxy"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sxx"))
+        val slope = (col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx"))
+        m.select(col("np").as("n_points"), col("n_docs"), col("n_types"),
+            (round(slope, 6) + lit(0.0)).as("heaps_beta"),
+            round(exp(round((col("sy") - slope * col("sx")) / col("np"), 6)),
+              6).as("heaps_k"))
+          .orderBy("n_points")
+      },
+      Some("""WITH bounds AS (SELECT MIN(doc_id) AS lo,
+             |        MAX(doc_id) - MIN(doc_id) + 1 AS span FROM documents),
+             |dbkt AS (SELECT (d.doc_id - b.lo) * 20 // b.span
+             |          AS b, COUNT(*) AS nd
+             |      FROM documents d CROSS JOIN bounds b GROUP BY 1),
+             |tk AS (SELECT doc_id, list_filter(
+             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+             |        AS toks
+             |      FROM documents),
+             |t AS (SELECT doc_id,
+             |        unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             |                for i in range(1, len(toks) - 1)]) AS w
+             |      FROM tk WHERE len(toks) >= 3),
+             |fw AS (SELECT w, MIN(doc_id) AS fd FROM t GROUP BY 1),
+             |wbkt AS (SELECT (f.fd - b.lo) * 20 // b.span
+             |          AS b, COUNT(*) AS nv
+             |      FROM fw f CROSS JOIN bounds b GROUP BY 1),
+             |grid AS (SELECT g.g AS b FROM range(0, 20) g(g)),
+             |pref AS (SELECT grid.b,
+             |        SUM(COALESCE(dbkt.nd, 0)) OVER (ORDER BY grid.b
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS n,
+             |        SUM(COALESCE(wbkt.nv, 0)) OVER (ORDER BY grid.b
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS v
+             |      FROM grid LEFT JOIN dbkt ON dbkt.b = grid.b
+             |      LEFT JOIN wbkt ON wbkt.b = grid.b),
+             |terms AS (SELECT round(ln(CAST(n AS DOUBLE)), 6) AS x,
+             |        round(ln(CAST(v AS DOUBLE)), 6) AS y, n, v
+             |      FROM pref WHERE n > 0 AND v > 0),
+             |m AS (SELECT COUNT(*) AS np, MAX(n) AS n_docs,
+             |        MAX(v) AS n_types,
+             |        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sxy,
+             |        CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sxx
+             |      FROM terms)
+             |SELECT CAST(np AS BIGINT) AS n_points,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) + 0.0
+             |    AS heaps_beta,
+             |  round(exp(round((sy - ((np * sxy - sx * sy) /
+             |      (np * sxx - sx * sx)) * sx) / np, 6)), 6) AS heaps_k
+             |FROM m ORDER BY n_points""".stripMargin)),
+
+
+    // Newman-Girvan modularity (Newman & Girvan, PRE 69, 2004; Newman,
+    // PNAS 103, 2006): Q = Σ_c [ w_in(c)/W − (vol(c)/W)² ] over the x120
+    // LPA partition of the item co-occurrence graph — the OBJECTIVE-value
+    // audit complementing x199's per-community conductance (conductance
+    // reads each community's boundary; modularity scores the partition
+    // against the degree-preserving null model, the quantity Louvain
+    // maximizes). All masses are exact integer sums over the directed
+    // edge list joined twice to the label table (the x183/x199 shape);
+    // each community's contribution is one rational expression rounded
+    // to 6 — Q is their DECIMAL-bridged sum, emitted alongside.
+    QuerySpec(
+      "x223_modularity",
+      (s, dir) => {
+        val edges = itemEdges(s, dir, 3).localCheckpoint()
+        val lab = Graph.labelPropagation(edges, rounds = 3)
+        val ed = edges
+          .join(lab.select(col("v").as("src"), col("lab").as("ls")), "src")
+          .join(lab.select(col("v").as("dst"), col("lab").as("ld")), "dst")
+        val per = ed.groupBy("ls").agg(
+          sum(when(col("ls") === col("ld"), col("w")).otherwise(0L))
+            .as("w_in"),
+          sum(col("w")).as("vol"))
+        val tot = per.agg(sum(col("vol")).as("wt"))
+        val nn = lab.groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+        val contrib = per.join(nn, col("ls") === col("lab"))
+          .crossJoin(broadcast(tot))
+          .select(col("ls").as("community"), col("n_nodes"),
+            col("w_in"), col("vol"),
+            round(col("w_in").cast("double") / col("wt") -
+              (col("vol").cast("double") / col("wt")) *
+              (col("vol").cast("double") / col("wt")), 6).as("q_contrib"))
+          .localCheckpoint() // community-bounded; feeds rows + the Q total
+        val q = contrib.agg(
+          sum(col("q_contrib").cast("decimal(18,6)")).cast("double")
+            .as("q_total"))
+        contrib.crossJoin(broadcast(q))
+          .select(col("community"), col("n_nodes"), col("w_in"), col("vol"),
+            col("q_contrib"), round(col("q_total"), 6).as("modularity"))
+          .orderBy("community")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+             |       CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |       FROM ctx a JOIN ctx b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc UNION ALL SELECT ib, ia, w FROM pc),
+             |lab0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+             |s1 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab0 l ON l.v = e.src GROUP BY 1, 2),
+             |lab1 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s1)
+             |  WHERE rn = 1),
+             |s2 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab1 l ON l.v = e.src GROUP BY 1, 2),
+             |lab2 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s2)
+             |  WHERE rn = 1),
+             |s3 AS (SELECT e.dst, l.lab, SUM(e.w) AS ws FROM e JOIN lab2 l ON l.v = e.src GROUP BY 1, 2),
+             |lab3 AS (SELECT dst AS v, lab FROM (
+             |    SELECT dst, lab, row_number() OVER (PARTITION BY dst ORDER BY ws DESC, lab) AS rn FROM s3)
+             |  WHERE rn = 1),
+             |ed AS (SELECT e.src, e.dst, e.w, a.lab AS ls, b.lab AS ld
+             |      FROM e JOIN lab3 a ON a.v = e.src JOIN lab3 b ON b.v = e.dst),
+             |per AS (SELECT ls, SUM(CASE WHEN ls = ld THEN w ELSE 0 END) AS w_in,
+             |        SUM(w) AS vol FROM ed GROUP BY 1),
+             |tot AS (SELECT SUM(vol) AS wt FROM per),
+             |nn AS (SELECT lab, COUNT(*) AS n_nodes FROM lab3 GROUP BY 1),
+             |contrib AS (SELECT per.ls AS community, nn.n_nodes,
+             |        CAST(per.w_in AS BIGINT) AS w_in,
+             |        CAST(per.vol AS BIGINT) AS vol,
+             |        round(CAST(per.w_in AS DOUBLE) / tot.wt -
+             |          (CAST(per.vol AS DOUBLE) / tot.wt) *
+             |          (CAST(per.vol AS DOUBLE) / tot.wt), 6) AS q_contrib
+             |      FROM per JOIN nn ON nn.lab = per.ls CROSS JOIN tot),
+             |q AS (SELECT CAST(SUM(CAST(q_contrib AS DECIMAL(18,6)))
+             |        AS DOUBLE) AS q_total FROM contrib)
+             |SELECT community, n_nodes, w_in, vol, q_contrib,
+             |  round(q.q_total, 6) AS modularity
+             |FROM contrib CROSS JOIN q ORDER BY community""".stripMargin)),
+
+
+    // Classical additive seasonal decomposition + seasonal/trend STRENGTH
+    // (Macaulay 1931 moving-average decomposition — the "Decomposition"
+    // chapter of Hyndman-Athanasopoulos FPP, incl. its F_T/F_S strength
+    // measures): daily event volume = trend (centered 7-day MA) +
+    // day-of-week seasonal + remainder, then F = max(0, 1 −
+    // Var(R)/Var(component + R)) says how much structure each component
+    // actually explains — the one-number read x136's per-DOW indices
+    // don't give. Day cells are calendar-bounded (zero-filled via
+    // sequence over the min..max span); the MA window is 7 rows over the
+    // aggregate-bounded day grid (Rule-1 escape); DOW = epoch-day % 7
+    // (the x136 convention — immune to engine dayofweek disagreements);
+    // detrended values round to 6 and every mean/variance rides the
+    // DECIMAL bridge over the bounded grid.
+    QuerySpec(
+      "x224_seasonal_strength",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val counts = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val span = Tables.events(s, dir)
+          .agg(min(to_date(col("ts"))).as("a"), max(to_date(col("ts"))).as("b"))
+        val daily = span
+          .select(explode(expr("sequence(a, b)")).as("day"))
+          .join(counts, Seq("day"), "left").na.fill(0L, Seq("n"))
+          .withColumn("dow",
+            expr("datediff(day, DATE '1970-01-01') % 7").cast("long"))
+        val ma = W.orderBy("day").rowsBetween(-3, 3)
+        val detr = daily
+          .withColumn("wn", count(lit(1)).over(ma))
+          .withColumn("tr",
+            sum(col("n")).over(ma).cast("double") / col("wn"))
+          .filter(col("wn") === 7)
+          .select(col("day"), col("dow"), col("n"),
+            round(col("n") - col("tr"), 6).as("d"))
+          .localCheckpoint() // calendar-bounded; feeds seasonal + strengths
+        val sraw = detr.groupBy("dow").agg(count(lit(1)).as("n_days"),
+          (sum(col("d").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("raw"))
+        val sadj = sraw.agg(
+          (sum(round(col("raw"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("adj"))
+        val seas = sraw.crossJoin(broadcast(sadj))
+          .select(col("dow"), col("n_days"),
+            round(col("raw") - col("adj"), 6).as("seasonal"))
+        val parts = detr.join(seas.select(col("dow"), col("seasonal")), "dow")
+          .select(col("dow"),
+            round(col("d") - col("seasonal"), 6).as("r"),
+            col("d"))
+        def varOf(c: org.apache.spark.sql.Column) = (
+          sum(round(c * c, 6).cast("decimal(38,6)")).cast("double") -
+            sum(round(c, 6).cast("decimal(38,6)")).cast("double") *
+            sum(round(c, 6).cast("decimal(38,6)")).cast("double") /
+            count(lit(1))) / count(lit(1))
+        val fs = parts.agg(varOf(col("r")).as("vr"), varOf(col("d")).as("vd"))
+          .select(
+            round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vd")), 6)
+              .as("f_seasonal"),
+            round(col("vr"), 6).as("resid_var"))
+        seas.crossJoin(broadcast(fs))
+          .select(col("dow"), col("n_days"), col("seasonal"),
+            col("f_seasonal"), col("resid_var"))
+          .orderBy("dow")
+      },
+      Some("""WITH counts AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |span AS (SELECT MIN(CAST(ts AS DATE)) AS a,
+             |        MAX(CAST(ts AS DATE)) AS b FROM events),
+             |cal AS (SELECT CAST(unnest(generate_series(span.a, span.b,
+             |        INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |daily AS (SELECT cal.day, COALESCE(counts.n, 0) AS n,
+             |        CAST(date_diff('day', DATE '1970-01-01', cal.day) % 7
+             |          AS BIGINT) AS dow
+             |      FROM cal LEFT JOIN counts ON counts.day = cal.day),
+             |mad AS (SELECT day, dow, n,
+             |        COUNT(*) OVER w AS wn,
+             |        CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS tr
+             |      FROM daily
+             |      WINDOW w AS (ORDER BY day
+             |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |detr AS (SELECT day, dow, n, round(n - tr, 6) AS d
+             |      FROM mad WHERE wn = 7),
+             |sraw AS (SELECT dow, COUNT(*) AS n_days,
+             |        CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+             |          / COUNT(*) AS raw
+             |      FROM detr GROUP BY 1),
+             |sadj AS (SELECT CAST(SUM(CAST(round(raw, 6) AS DECIMAL(18,6)))
+             |        AS DOUBLE) / COUNT(*) AS adj FROM sraw),
+             |seas AS (SELECT dow, n_days, round(raw - sadj.adj, 6)
+             |        AS seasonal FROM sraw CROSS JOIN sadj),
+             |parts AS (SELECT detr.dow, round(detr.d - seas.seasonal, 6)
+             |        AS r, detr.d
+             |      FROM detr JOIN seas ON seas.dow = detr.dow),
+             |fs AS (SELECT
+             |        (CAST(SUM(CAST(round(r * r, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) -
+             |          CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) *
+             |          CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) / COUNT(*)) / COUNT(*) AS vr,
+             |        (CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) -
+             |          CAST(SUM(CAST(round(d, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) *
+             |          CAST(SUM(CAST(round(d, 6) AS DECIMAL(38,6)))
+             |            AS DOUBLE) / COUNT(*)) / COUNT(*) AS vd
+             |      FROM parts)
+             |SELECT seas.dow, CAST(seas.n_days AS BIGINT) AS n_days,
+             |  seas.seasonal,
+             |  round(greatest(0.0, 1.0 - fs.vr / fs.vd), 6) AS f_seasonal,
+             |  round(fs.vr, 6) AS resid_var
+             |FROM seas CROSS JOIN fs ORDER BY dow""".stripMargin)),
+
+
+    // Importance-weight diagnostics for the x41 DSIR weights (effective
+    // sample size — Kong 1992 / Liu 1996, THE resampling health metric;
+    // Owen, "Monte Carlo theory", ch. 9): ESS = (Σw)²/Σw² says how many
+    // effective documents survive weighting BEFORE x36/x221 draw by
+    // those weights — per-source, so a source whose weights collapse
+    // onto a handful of docs (ESS ≪ n) is flagged before resampling
+    // bakes the collapse in. Weights are self-normalized per source
+    // (w = e^{logw − max logw} ∈ (0,1] — ESS is scale-invariant, so the
+    // max-shift is exact, not an approximation), each exp lands on a
+    // 6-dp rounding of a 4-dp input (corpus-grain transcendental, the
+    // x175/x128 rounding class); sums ride DECIMAL(38,6). share_zero =
+    // docs whose weight underflows the 6-dp grid — the "effectively
+    // dropped" mass.
+    QuerySpec(
+      "x225_ess_weights",
+      (s, dir) => {
+        val wts = dsirDocWeights(s, dir)
+        val mx = wts.groupBy("source").agg(max(col("logw")).as("mlw"))
+        val w = wts.join(mx, "source")
+          .select(col("source"),
+            round(exp(col("logw") - col("mlw")), 6).as("w"))
+        w.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("w").cast("decimal(38,6)")).cast("double").as("sw"),
+            sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sww"),
+            sum(when(col("w") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+          .select(col("source"), col("n_docs"),
+            round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
+            round(col("sw") * col("sw") / col("sww") / col("n_docs"), 6)
+              .as("ess_ratio"),
+            round(col("n_zero").cast("double") / col("n_docs"), 6)
+              .as("share_zero"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id, source,
+             |  toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams FROM t),
+             |f0 AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
+             |f AS (SELECT doc_id, source,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      [CAST(ord(c) AS BIGINT) for c in string_split(gram, '')]),
+             |    (acc, x) -> (acc*31 + x) % 2147483647) % 64 AS bucket
+             |  FROM f0),
+             |df AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
+             |side AS (SELECT bucket,
+             |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+             |  FROM f GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM side),
+             |lam AS (SELECT bucket,
+             |    CAST(round(ln((ct + 1.0)/(nt + 64)) - ln((cr + 1.0)/(nr + 64)), 6) AS DECIMAL(18,6)) AS lr
+             |  FROM side CROSS JOIN tot),
+             |dw AS (SELECT df.doc_id, round(CAST(SUM(df.cnt * lam.lr) AS DOUBLE), 4) AS logw
+             |  FROM df JOIN lam USING (bucket) GROUP BY 1),
+             |ds AS (SELECT dw.doc_id, d.source, dw.logw
+             |  FROM dw JOIN documents d ON d.doc_id = dw.doc_id),
+             |mx AS (SELECT source, MAX(logw) AS mlw FROM ds GROUP BY 1),
+             |w AS (SELECT ds.source, round(exp(ds.logw - mx.mlw), 6) AS w
+             |  FROM ds JOIN mx ON mx.source = ds.source),
+             |agg AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+             |    CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sww,
+             |    SUM(CASE WHEN w = 0.0 THEN 1 ELSE 0 END) AS n_zero
+             |  FROM w GROUP BY 1)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  round(sw * sw / sww, 6) AS ess,
+             |  round(sw * sw / sww / n_docs, 6) AS ess_ratio,
+             |  round(CAST(n_zero AS DOUBLE) / n_docs, 6) AS share_zero
+             |FROM agg ORDER BY source""".stripMargin)),
+
+
+    // Neyman optimal stratified allocation (Neyman, JRSS 97, 1934;
+    // Cochran, "Sampling Techniques" ch. 5): given a fixed eval/labeling
+    // budget of n = 1000 draws across document sources, the allocation
+    // minimizing the stratified-mean variance is n_h ∝ N_h·S_h — budget
+    // goes where strata are BIG and NOISY, not merely big. Emits the
+    // Neyman and proportional allocations side by side plus the design
+    // effect Var_ney/Var_prop = (ΣW_h·S_h)²/(ΣW_h·S_h²) ≤ 1 (equality
+    // iff all strata share one σ — Cauchy-Schwarz), i.e. how much
+    // variance the optimal split saves. Composes with x221 (which draws
+    // the per-stratum samples this op sizes). One scan to integer
+    // moments; everything downstream is 20-row algebra with rounded-6
+    // DECIMAL bridges; sqrt on the bounded stratum grid only.
+    QuerySpec(
+      "x226_neyman_allocation",
+      (s, dir) => {
+        val st = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").cast("long").as("y"))
+          .groupBy("source").agg(count(lit(1)).as("nh"),
+            sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+          .select(col("source"), col("nh"),
+            when(col("nh") > 1,
+              round(sqrt((col("syy").cast("double") -
+                col("sy").cast("double") * col("sy") / col("nh")) /
+                (col("nh") - 1)), 6)).otherwise(lit(0.0)).as("sh"))
+          .localCheckpoint() // stratum-bounded; feeds totals + output rows
+        val tot = st.agg(sum(col("nh")).as("n_total"),
+          sum(round(col("nh") * col("sh"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sns"),
+          sum(round(col("nh") * col("sh") * col("sh"), 6)
+            .cast("decimal(38,6)")).cast("double").as("snss"))
+        st.crossJoin(broadcast(tot))
+          .select(col("source"), col("nh").as("n_docs"),
+            col("sh").as("stddev_chars"),
+            round(lit(1000.0) * col("nh") * col("sh") / col("sns"), 2)
+              .as("alloc_neyman"),
+            round(lit(1000.0) * col("nh") / col("n_total"), 2)
+              .as("alloc_prop"),
+            round(col("sns") * col("sns") / (col("n_total") * col("snss")),
+              6).as("design_effect"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (SELECT source, COUNT(*) AS nh,
+             |        SUM(CAST(n_chars AS BIGINT)) AS sy,
+             |        SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+             |          AS syy
+             |      FROM documents GROUP BY 1),
+             |sh AS (SELECT source, nh,
+             |        CASE WHEN nh > 1 THEN
+             |          round(sqrt((CAST(syy AS DOUBLE) -
+             |            CAST(sy AS DOUBLE) * sy / nh) / (nh - 1)), 6)
+             |          ELSE 0.0 END AS sh
+             |      FROM st),
+             |tot AS (SELECT SUM(nh) AS n_total,
+             |        CAST(SUM(CAST(round(nh * sh, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sns,
+             |        CAST(SUM(CAST(round(nh * sh * sh, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS snss
+             |      FROM sh)
+             |SELECT sh.source, CAST(sh.nh AS BIGINT) AS n_docs,
+             |  sh.sh AS stddev_chars,
+             |  round(1000.0 * sh.nh * sh.sh / tot.sns, 2) AS alloc_neyman,
+             |  round(1000.0 * sh.nh / tot.n_total, 2) AS alloc_prop,
+             |  round(tot.sns * tot.sns / (tot.n_total * tot.snss), 6)
+             |    AS design_effect
+             |FROM sh CROSS JOIN tot ORDER BY source""".stripMargin))
   )
 }
