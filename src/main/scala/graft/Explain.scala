@@ -85,7 +85,8 @@ object Explain {
       "x216_poisson_bootstrap", "x217_grid_dbscan", "x218_kneser_ney",
       "x219_js_divergence", "x220_tukey_hsd", "x221_weighted_reservoir",
       "x222_heaps_law", "x223_modularity", "x224_seasonal_strength",
-      "x225_ess_weights", "x226_neyman_allocation")
+      "x225_ess_weights", "x226_neyman_allocation", "x227_cusum",
+      "x228_wasserstein", "x229_ols_multi", "x230_self_bleu")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -13137,26 +13137,12 @@ object ExtensionQueries {
     // the corpus; key order is continuous (distinct 48-bit uniforms), so
     // cross-engine ULP flips need two keys within ~1e-16 of each other —
     // never at these densities.
+    // (implementation lives in [[Reservoir]] — the shared core the
+    // streaming twin [[graft.streaming.ReservoirStream]] re-ranks
+    // through, so the stream inherits these oracle-checked semantics)
     QuerySpec(
       "x221_weighted_reservoir",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        Tables.documents(s, dir)
-          .filter(col("n_chars") > 0)
-          .select(col("doc_id"), col("source"),
-            col("n_chars").cast("bigint").as("n_chars"))
-          .withColumn("u",
-            (conv(substring(md5(concat_ws(":", lit("wrs"), col("doc_id"))),
-              1, 12), 16, 10).cast("double") + 1.0) / 281474976710657.0)
-          .withColumn("key", log(col("u")) / col("n_chars"))
-          .withColumn("rank",
-            row_number().over(W.partitionBy(col("source"))
-              .orderBy(col("key").desc, col("doc_id"))).cast("bigint"))
-          .filter(col("rank") <= 10)
-          .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
-            round(col("key") * 1e6, 6).as("key_ppm"))
-          .orderBy(col("source"), col("rank"))
-      },
+      (s, dir) => Reservoir.sample(Tables.documents(s, dir), 10),
       Some("""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
              |      FROM documents WHERE n_chars > 0),
              |k AS (SELECT doc_id, source, n_chars,
@@ -13615,6 +13601,396 @@ object ExtensionQueries {
              |  round(1000.0 * sh.nh / tot.n_total, 2) AS alloc_prop,
              |  round(tot.sns * tot.sns / (tot.n_total * tot.snss), 6)
              |    AS design_effect
-             |FROM sh CROSS JOIN tot ORDER BY source""".stripMargin))
+             |FROM sh CROSS JOIN tot ORDER BY source""".stripMargin)),
+
+    // CUSUM control chart (Page, Biometrika 41, 1954; the tabular two-
+    // sided form of Montgomery's SPC ch. 9): sequential drift detection
+    // over daily event volume — the monitoring read between x143's
+    // retrospective single changepoint and x197's two-hypothesis SPRT.
+    // The recursion S_t = max(0, S_{t-1} + dev_t) is deliberately NOT
+    // computed as a loop: S_t = C_t − min(0, min_{τ≤t} C_τ) for prefix
+    // sums C — a running min over the calendar-bounded day grid, so the
+    // whole trajectory is two windows (aggregate below = Rule-1 escape).
+    // μ, σ enter as rounded-6 scalars (σ's sqrt once, the x211
+    // precedent); allowance k = σ/2, threshold h = 4σ (the standard
+    // ARL-motivated tabular choice); per-day deviations round to 6 and
+    // prefix-sum through DECIMAL(18,6), so the trajectory replays
+    // bit-identically.
+    QuerySpec(
+      "x227_cusum",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val counts = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val span = Tables.events(s, dir)
+          .agg(min(to_date(col("ts"))).as("a"),
+            max(to_date(col("ts"))).as("b"))
+        val daily = span
+          .select(explode(expr("sequence(a, b)")).as("day"))
+          .join(counts, Seq("day"), "left").na.fill(0L, Seq("n"))
+        val mom = daily.agg(count(lit(1)).as("d"),
+            sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
+          .select(
+            round(col("sn").cast("double") / col("d"), 6).as("mu"),
+            round(sqrt((col("snn").cast("double") -
+              col("sn").cast("double") * col("sn") / col("d")) /
+              (col("d") - 1)), 6).as("sigma"))
+        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        val dev = daily.crossJoin(broadcast(mom))
+          .select(col("day"), col("n"), col("mu"), col("sigma"),
+            round(col("n") - col("mu") - col("sigma") / 2, 6)
+              .cast("decimal(18,6)").as("dh"),
+            round(col("n") - col("mu") + col("sigma") / 2, 6)
+              .cast("decimal(18,6)").as("dl"))
+          .withColumn("ch", sum(col("dh")).over(wc))
+          .withColumn("cl", sum(col("dl")).over(wc))
+          .withColumn("mh", min(col("ch")).over(wc))
+          .withColumn("ml", max(col("cl")).over(wc))
+        dev.select(col("day"), col("n"),
+            round((col("ch") - least(col("mh"),
+              lit(0).cast("decimal(18,6)"))).cast("double"), 6).as("s_hi"),
+            round((greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
+              col("cl")).cast("double"), 6).as("s_lo"),
+            ((col("ch") - least(col("mh"), lit(0).cast("decimal(18,6)")))
+              .cast("double") > col("sigma") * 4 ||
+              (greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
+                col("cl")).cast("double") > col("sigma") * 4)
+              .cast("long").as("alarm"))
+          .orderBy("day")
+      },
+      Some("""WITH counts AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |span AS (SELECT MIN(CAST(ts AS DATE)) AS a,
+             |        MAX(CAST(ts AS DATE)) AS b FROM events),
+             |cal AS (SELECT CAST(unnest(generate_series(span.a, span.b,
+             |        INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+             |daily AS (SELECT cal.day, COALESCE(counts.n, 0) AS n
+             |      FROM cal LEFT JOIN counts ON counts.day = cal.day),
+             |mom AS (SELECT round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+             |          AS mu,
+             |        round(sqrt((CAST(SUM(n * n) AS DOUBLE) -
+             |          CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*)) /
+             |          (COUNT(*) - 1)), 6) AS sigma
+             |      FROM daily),
+             |dev AS (SELECT d.day, d.n, m.mu, m.sigma,
+             |        CAST(round(d.n - m.mu - m.sigma / 2, 6)
+             |          AS DECIMAL(18,6)) AS dh,
+             |        CAST(round(d.n - m.mu + m.sigma / 2, 6)
+             |          AS DECIMAL(18,6)) AS dl
+             |      FROM daily d CROSS JOIN mom m),
+             |tr0 AS (SELECT day, n, sigma,
+             |        SUM(dh) OVER w AS ch, SUM(dl) OVER w AS cl
+             |      FROM dev
+             |      WINDOW w AS (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tr AS (SELECT day, n, sigma, ch, cl,
+             |        MIN(ch) OVER w2 AS mh, MAX(cl) OVER w2 AS ml
+             |      FROM tr0
+             |      WINDOW w2 AS (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT day, CAST(n AS BIGINT) AS n,
+             |  round(CAST(ch - least(mh, CAST(0 AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS s_hi,
+             |  round(CAST(greatest(ml, CAST(0 AS DECIMAL(18,6))) - cl
+             |    AS DOUBLE), 6) AS s_lo,
+             |  CAST(CAST(ch - least(mh, CAST(0 AS DECIMAL(18,6)))
+             |      AS DOUBLE) > 4 * sigma OR
+             |    CAST(greatest(ml, CAST(0 AS DECIMAL(18,6))) - cl
+             |      AS DOUBLE) > 4 * sigma AS BIGINT) AS alarm
+             |FROM tr ORDER BY day""".stripMargin)),
+
+    // 1-d Wasserstein-1 distance (Monge 1781 / Kantorovich 1942; Ramdas,
+    // García Trillos & Cuturi, Entropy 19, 2017 for the 1-d CDF identity
+    // W₁ = ∫|F_A − F_B|): the earth-mover drift metric between the arm-A
+    // and arm-B purchase-value distributions — unlike x129's KS sup it
+    // weighs HOW FAR mass moved, not just the largest gap, and unlike
+    // x105's PSI it needs no binning. On the distinct-cents grid every
+    // term is EXACT INTEGER arithmetic: |cumA·n_B − cumB·n_A| · gap (all
+    // ≤ 1e15 ≪ 2^63), summed as BIGINT, divided once at the end — no
+    // float enters until the final division. Grid size is bounded by the
+    // VALUE DOMAIN (distinct cents), not the corpus; cumulative windows
+    // ride the aggregate-bounded grid (Rule-1 escape).
+    QuerySpec(
+      "x228_wasserstein",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).cast("long").as("arm"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+        val grid = p.groupBy("y")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+        val tots = p.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"))
+        val wc = W.orderBy("y").rowsBetween(W.unboundedPreceding, 0)
+        val steps = grid
+          .withColumn("cuma", sum(col("ca")).over(wc))
+          .withColumn("cumb", sum(col("cb")).over(wc))
+          .withColumn("gap",
+            coalesce(lead(col("y"), 1).over(W.orderBy("y")) - col("y"),
+              lit(0L)))
+        steps.crossJoin(broadcast(tots))
+          .select(col("na"), col("nb"), col("sa"), col("sb"),
+            (abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
+              col("gap")).as("t"))
+          .groupBy("na", "nb", "sa", "sb")
+          .agg(sum(col("t")).as("st"), count(lit(1)).as("n_support"))
+          .select(col("na").as("n_a"), col("nb").as("n_b"),
+            col("n_support"),
+            round(col("st").cast("double") /
+              (col("na") * col("nb")) / 100.0, 6).as("w1_dollars"),
+            round(col("sa").cast("double") / col("na") / 100.0, 6)
+              .as("mean_a"),
+            round(col("sb").cast("double") / col("nb") / 100.0, 6)
+              .as("mean_b"))
+          .orderBy("n_a")
+      },
+      Some("""WITH p AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             |        CAST(round(value * 100) AS BIGINT) AS y
+             |      FROM events WHERE event_type = 'purchase'),
+             |grid AS (SELECT y,
+             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+             |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+             |      FROM p GROUP BY 1),
+             |tots AS (SELECT
+             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+             |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+             |        SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sa,
+             |        SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sb
+             |      FROM p),
+             |steps AS (SELECT y,
+             |        SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+             |        COALESCE(lead(y, 1) OVER (ORDER BY y) - y, 0) AS gap
+             |      FROM grid
+             |      WINDOW w AS (ORDER BY y
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |agg AS (SELECT t.na, t.nb, t.sa, t.sb,
+             |        SUM(abs(s.cuma * t.nb - s.cumb * t.na) * s.gap) AS st,
+             |        COUNT(*) AS n_support
+             |      FROM steps s CROSS JOIN tots t GROUP BY 1, 2, 3, 4)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CAST(n_support AS BIGINT) AS n_support,
+             |  round(CAST(st AS DOUBLE) / (na * nb) / 100.0, 6)
+             |    AS w1_dollars,
+             |  round(CAST(sa AS DOUBLE) / na / 100.0, 6) AS mean_a,
+             |  round(CAST(sb AS DOUBLE) / nb / 100.0, 6) AS mean_b
+             |FROM agg ORDER BY n_a""".stripMargin)),
+
+    // Closed-form multiple linear regression via normal equations
+    // (Gauss 1809; the sufficient-statistics shape of distributed OLS —
+    // e.g. Chu et al. NIPS 2006 "Map-Reduce for Machine Learning"):
+    // user revenue ~ activity volume + active days, fit EXACTLY from one
+    // pass of integer moments — the 3×3 system solves by Cramer's rule
+    // in a fixed expression tree over BIGINT sums, so both engines
+    // execute the identical IEEE sequence (no iteration, no learning
+    // rate — cf. x121's logreg, x150's stump, x174's 1-d OLS). At any
+    // corpus size the fit costs one map-side-combined aggregate to 10
+    // numbers; R² falls out of the same moments.
+    QuerySpec(
+      "x229_ols_multi",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("y"),
+            count(lit(1)).as("x1"),
+            countDistinct(to_date(col("ts"))).as("x2"))
+        val m = u.agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+          sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+        // Cramer's rule in DOUBLE throughout: BIGINT cofactor products
+        // overflow 2^63 (n * s11 * s22 ~ 1e21 at sf0.1), and identical
+        // double trees are engine-exact anyway
+        def D(name: String) = col(name).cast("double")
+        val det = D("n") * (D("s11") * D("s22") - D("s12") * D("s12")) -
+          D("s1") * (D("s1") * D("s22") - D("s12") * D("s2")) +
+          D("s2") * (D("s1") * D("s12") - D("s11") * D("s2"))
+        val b0 = (D("sy") * (D("s11") * D("s22") - D("s12") * D("s12")) -
+          D("s1") * (D("s1y") * D("s22") - D("s12") * D("s2y")) +
+          D("s2") * (D("s1y") * D("s12") - D("s11") * D("s2y"))) / det
+        val b1 = (D("n") * (D("s1y") * D("s22") - D("s12") * D("s2y")) -
+          D("sy") * (D("s1") * D("s22") - D("s12") * D("s2")) +
+          D("s2") * (D("s1") * D("s2y") - D("s1y") * D("s2"))) / det
+        val b2 = (D("n") * (D("s11") * D("s2y") - D("s1y") * D("s12")) -
+          D("s1") * (D("s1") * D("s2y") - D("s1y") * D("s2")) +
+          D("sy") * (D("s1") * D("s12") - D("s11") * D("s2"))) / det
+        val sse = D("syy") - (b0 * D("sy") + b1 * D("s1y") + b2 * D("s2y"))
+        val sst = D("syy") - D("sy") * D("sy") / D("n")
+        m.select(col("n").as("n_users"),
+            round(b0, 6).as("b0_cents"),
+            round(b1, 6).as("b1_per_event"),
+            round(b2, 6).as("b2_per_active_day"),
+            round(lit(1.0) - sse / sst, 6).as("r2"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS y,
+             |        COUNT(*) AS x1,
+             |        COUNT(DISTINCT CAST(ts AS DATE)) AS x2
+             |      FROM events GROUP BY 1),
+             |m0 AS (SELECT COUNT(*) AS ni, SUM(x1) AS s1, SUM(x2) AS s2,
+             |        SUM(y) AS sy, SUM(x1 * x1) AS s11,
+             |        SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+             |        SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+             |        SUM(y * y) AS syy
+             |      FROM u),
+             |m AS (SELECT ni, CAST(ni AS DOUBLE) AS n,
+             |        CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             |        CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+             |        CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+             |        CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+             |        CAST(syy AS DOUBLE) AS syy
+             |      FROM m0),
+             |fit AS (SELECT ni, n, sy, s1y, s2y, syy,
+             |        n * (s11 * s22 - s12 * s12) -
+             |          s1 * (s1 * s22 - s12 * s2) +
+             |          s2 * (s1 * s12 - s11 * s2) AS det,
+             |        sy * (s11 * s22 - s12 * s12) -
+             |          s1 * (s1y * s22 - s12 * s2y) +
+             |          s2 * (s1y * s12 - s11 * s2y) AS d0,
+             |        n * (s1y * s22 - s12 * s2y) -
+             |          sy * (s1 * s22 - s12 * s2) +
+             |          s2 * (s1 * s2y - s1y * s2) AS d1,
+             |        n * (s11 * s2y - s1y * s12) -
+             |          s1 * (s1 * s2y - s1y * s2) +
+             |          sy * (s1 * s12 - s11 * s2) AS d2
+             |      FROM m)
+             |SELECT CAST(ni AS BIGINT) AS n_users,
+             |  round(d0 / det, 6) AS b0_cents,
+             |  round(d1 / det, 6) AS b1_per_event,
+             |  round(d2 / det, 6) AS b2_per_active_day,
+             |  round(1.0 - (syy - ((d0 / det) * sy + (d1 / det) * s1y +
+             |    (d2 / det) * s2y)) /
+             |    (syy - sy * sy / n), 6) AS r2
+             |FROM fit ORDER BY n_users""".stripMargin)),
+
+    // Self-BLEU corpus diversity (Papineni et al., ACL 2002 BLEU; the
+    // self-BLEU diversity read of Zhu et al., SIGIR 2018 "Texygen"): how
+    // much each document's n-grams are already covered by OTHER docs —
+    // HIGH self-BLEU = mode collapse, the synthetic-data failure x72's
+    // within-doc repetition can't see (it reads one doc at a time).
+    // Modified n-gram precision clips each doc-gram count against the
+    // best count for that gram in any OTHER single doc: per gram the
+    // top-2 (count, doc) pairs suffice (rank ≤ 2 per gram plans a
+    // WindowGroupLimit — the x221 device), so the clip table is two
+    // bounded columns per gram, never a doc × gram fan-out. p₁, p₂ are
+    // exact integer ratios; √(p₁p₂) rounds to 6 per doc (bounded-risk
+    // corpus-grain transcendental, the x225 class) and averages per
+    // source through the DECIMAL bridge.
+    QuerySpec(
+      "x230_self_bleu",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokens(col("text")).as("ws"))
+          .filter(size(col("ws")) >= 2)
+        def prec(gramExpr: String): org.apache.spark.sql.DataFrame = {
+          val dg = toks
+            .select(col("doc_id"), col("source"),
+              explode(expr(gramExpr)).as("g"))
+            .groupBy("doc_id", "source", "g")
+            .agg(count(lit(1)).as("c"))
+          val top2 = dg
+            .withColumn("rn", row_number().over(
+              W.partitionBy("g").orderBy(col("c").desc, col("doc_id"))))
+            .filter(col("rn") <= 2)
+            .groupBy("g")
+            .agg(max(when(col("rn") === 1,
+                struct(col("c").as("c"), col("doc_id").as("d")))).as("m1"),
+              max(when(col("rn") === 2, col("c"))).as("m2"))
+          dg.join(top2, "g")
+            .select(col("doc_id"), col("source"), col("c"),
+              when(col("doc_id") === col("m1.d"),
+                coalesce(col("m2"), lit(0L)))
+                .otherwise(col("m1.c")).as("clip"))
+            .groupBy("doc_id", "source")
+            .agg(sum(least(col("c"), col("clip"))).as("num"),
+              sum(col("c")).as("den"))
+        }
+        val p1 = prec("ws")
+          .select(col("doc_id"), col("source"),
+            col("num").as("n1"), col("den").as("d1"))
+        val p2 = prec("transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i+1]))")
+          .select(col("doc_id"), col("num").as("n2"), col("den").as("d2"))
+        val perDoc = p1.join(p2, "doc_id")
+          .select(col("source"),
+            round(sqrt((col("n1").cast("double") / col("d1")) *
+              (col("n2").cast("double") / col("d2"))), 6).as("bleu"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("bleu").cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("sb"))
+          .select(col("source"), col("n_docs"),
+            round(col("sb"), 6).as("self_bleu"),
+            round(lit(1.0) - col("sb"), 6).as("diversity"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, list_filter(
+             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+             |        AS ws
+             |      FROM documents),
+             |d AS (SELECT doc_id, source, ws FROM tk WHERE len(ws) >= 2),
+             |g1 AS (SELECT doc_id, source, unnest(ws) AS g FROM d),
+             |dg1 AS (SELECT doc_id, source, g, COUNT(*) AS c
+             |      FROM g1 GROUP BY 1, 2, 3),
+             |t1 AS (SELECT g, doc_id, c, row_number() OVER (PARTITION BY g
+             |        ORDER BY c DESC, doc_id) AS rn FROM dg1),
+             |m1 AS (SELECT g,
+             |        MAX(CASE WHEN rn = 1 THEN c END) AS m1c,
+             |        MAX(CASE WHEN rn = 1 THEN doc_id END) AS m1d,
+             |        MAX(CASE WHEN rn = 2 THEN c END) AS m2c
+             |      FROM t1 WHERE rn <= 2 GROUP BY 1),
+             |pr1 AS (SELECT dg1.doc_id, dg1.source,
+             |        SUM(least(dg1.c, CASE WHEN dg1.doc_id = m1.m1d
+             |          THEN COALESCE(m1.m2c, 0) ELSE m1.m1c END)) AS n1,
+             |        SUM(dg1.c) AS d1
+             |      FROM dg1 JOIN m1 USING (g) GROUP BY 1, 2),
+             |g2 AS (SELECT doc_id, source,
+             |        unnest([ws[i] || ' ' || ws[i+1]
+             |                for i in range(1, len(ws))]) AS g
+             |      FROM d),
+             |dg2 AS (SELECT doc_id, source, g, COUNT(*) AS c
+             |      FROM g2 GROUP BY 1, 2, 3),
+             |t2 AS (SELECT g, doc_id, c, row_number() OVER (PARTITION BY g
+             |        ORDER BY c DESC, doc_id) AS rn FROM dg2),
+             |m2 AS (SELECT g,
+             |        MAX(CASE WHEN rn = 1 THEN c END) AS m1c,
+             |        MAX(CASE WHEN rn = 1 THEN doc_id END) AS m1d,
+             |        MAX(CASE WHEN rn = 2 THEN c END) AS m2c
+             |      FROM t2 WHERE rn <= 2 GROUP BY 1),
+             |pr2 AS (SELECT dg2.doc_id,
+             |        SUM(least(dg2.c, CASE WHEN dg2.doc_id = m2.m1d
+             |          THEN COALESCE(m2.m2c, 0) ELSE m2.m1c END)) AS n2,
+             |        SUM(dg2.c) AS d2
+             |      FROM dg2 JOIN m2 USING (g) GROUP BY 1),
+             |pd AS (SELECT pr1.source,
+             |        round(sqrt((CAST(pr1.n1 AS DOUBLE) / pr1.d1) *
+             |          (CAST(pr2.n2 AS DOUBLE) / pr2.d2)), 6) AS bleu
+             |      FROM pr1 JOIN pr2 ON pr2.doc_id = pr1.doc_id),
+             |agg AS (SELECT source, COUNT(*) AS n_docs,
+             |        CAST(SUM(CAST(bleu AS DECIMAL(18,6))) AS DOUBLE)
+             |          / COUNT(*) AS sb
+             |      FROM pd GROUP BY 1)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  round(sb, 6) AS self_bleu,
+             |  round(1.0 - sb, 6) AS diversity
+             |FROM agg ORDER BY source""".stripMargin))
   )
 }

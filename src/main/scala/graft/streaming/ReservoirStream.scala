@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Reservoir
+
+/** Streaming per-stratum weighted reservoir — the stream-side twin of the
+  * x221 A-ES draw, so a fixed-size weighted training subset stays current
+  * as documents arrive instead of being redrawn from scratch each night.
+  *
+  * Why this is exact, not approximate: the A-ES key is a deterministic
+  * function of (doc_id, n_chars), and top-k is a monoid homomorphism —
+  * top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)). So per-micro-batch state is
+  * just each batch's k survivors per stratum (bounded at k·|strata| rows
+  * per batch REGARDLESS of batch size), written into batch_id partitions
+  * with dynamic overwrite so an at-least-once re-delivery REPLACES its
+  * contribution (the VolumeStream/DecayStream idempotency discipline);
+  * duplicate doc_ids across re-deliveries collapse at report time because
+  * equal docs carry equal keys (dropDuplicates before the final rank).
+  * The report re-ranks the union of survivors through the SAME
+  * [[graft.ops.Reservoir]] core the registry query uses —
+  * ReservoirStreamSpec proves stream == one-shot == registry x221.
+  */
+object ReservoirStream {
+
+  val K = 10
+
+  /** One micro-batch's contribution: its own k survivors per stratum. */
+  def accumulateBatch(batch: DataFrame, stateDir: String,
+      batchId: Long): Unit =
+    Reservoir.topKPerStratum(Reservoir.aesKeyed(batch), K)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+
+  /** Wire [[accumulateBatch]] into a foreachBatch sink over a document
+    * stream carrying (doc_id, source, n_chars). */
+  def reservoirOnIngest(stream: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        accumulateBatch(b, stateDir, id)
+      }
+      .start()
+
+  /** The current draw: re-rank the union of per-batch survivors through
+    * the shared core — the EXACT x221 output contract. */
+  def report(spark: SparkSession, stateDir: String): DataFrame =
+    Reservoir.sample(
+      spark.read.parquet(stateDir)
+        .select("doc_id", "source", "n_chars")
+        .dropDuplicates("source", "doc_id"), K)
+}
