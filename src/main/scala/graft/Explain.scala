@@ -86,7 +86,9 @@ object Explain {
       "x219_js_divergence", "x220_tukey_hsd", "x221_weighted_reservoir",
       "x222_heaps_law", "x223_modularity", "x224_seasonal_strength",
       "x225_ess_weights", "x226_neyman_allocation", "x227_cusum",
-      "x228_wasserstein", "x229_ols_multi", "x230_self_bleu")
+      "x228_wasserstein", "x229_ols_multi", "x230_self_bleu",
+      "x231_theil_sen", "x232_matching_att", "x233_rmst",
+      "x234_fairness_audit")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

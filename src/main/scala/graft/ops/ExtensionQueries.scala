@@ -13991,6 +13991,402 @@ object ExtensionQueries {
              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
              |  round(sb, 6) AS self_bleu,
              |  round(1.0 - sb, 6) AS diversity
-             |FROM agg ORDER BY source""".stripMargin))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // Theil-Sen robust trend (Theil 1950; Sen, JASA 63, 1968): the median
+    // of pairwise slopes over the daily-volume series — the MAGNITUDE
+    // companion to x177's Mann-Kendall (which only signs the trend), with
+    // 29% breakdown where x174-style OLS has none (one corrupted day can
+    // move an OLS slope arbitrarily). The pair set is the day grid's own
+    // square — calendar-bounded (≈ |days|²/2 pairs at ANY corpus size),
+    // built by a self-join on the aggregate, never on events; slopes are
+    // exact-integer ratios rounded to 6 so both engines take the median
+    // (the x196 percentile/quantile_cont correspondence) of identical
+    // value sets; Sen's intercept = median(y − slope·t) the same way.
+    QuerySpec(
+      "x231_theil_sen",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
+            .as("t"), col("n"))
+          .localCheckpoint() // calendar-bounded; feeds pairs + intercepts
+        val pairs = d.as("a").join(d.as("b"), col("a.t") < col("b.t"))
+          .select(round((col("b.n") - col("a.n")).cast("double") /
+            (col("b.t") - col("a.t")), 6).as("sl"))
+        val slope = pairs.agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(sl, 0.5)").as("slope"))
+        d.crossJoin(broadcast(slope))
+          .select(col("n_pairs"), col("slope"),
+            round(col("n") - col("slope") * col("t"), 6).as("ic"))
+          .groupBy("n_pairs", "slope")
+          .agg(count(lit(1)).as("n_days"),
+            expr("percentile(ic, 0.5)").as("icm"))
+          .select(col("n_days"), col("n_pairs"),
+            round(col("slope"), 6).as("sen_slope"),
+            round(col("icm"), 6).as("sen_intercept"))
+          .orderBy("n_days")
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+             |          CAST(ts AS DATE)) AS BIGINT) AS t, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |pairs AS (SELECT round(CAST(b.n - a.n AS DOUBLE) /
+             |          (b.t - a.t), 6) AS sl
+             |      FROM d a JOIN d b ON a.t < b.t),
+             |sl AS (SELECT COUNT(*) AS n_pairs,
+             |        quantile_cont(sl, 0.5) AS slope FROM pairs),
+             |ic AS (SELECT sl.n_pairs, sl.slope,
+             |        round(d.n - sl.slope * d.t, 6) AS ic
+             |      FROM d CROSS JOIN sl),
+             |f AS (SELECT n_pairs, slope, COUNT(*) AS n_days,
+             |        quantile_cont(ic, 0.5) AS icm
+             |      FROM ic GROUP BY 1, 2)
+             |SELECT CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  round(slope, 6) AS sen_slope,
+             |  round(icm, 6) AS sen_intercept
+             |FROM f ORDER BY n_days""".stripMargin)),
+
+    // Matching ATT on the bounded covariate grid (Rubin, Biometrics 29,
+    // 1973; Rosenbaum & Rubin 1983; Abadie & Imbens, ECTA 74, 2006 for
+    // the with-replacement 1-NN estimator): the effect on the TREATED of
+    // x182's treatment (≥2 high-value purchases) on click outcome,
+    // matching each treated user to the nearest control by the activity
+    // confounder — the design-based companion to x182's model-based IPW
+    // (matching fails loudly where IPW silently extrapolates). The
+    // at-scale device: matching happens on the DISTINCT-ACTIVITY grid
+    // (bounded by the value domain, the x228 argument), not per user —
+    // controls at the same activity are exchangeable, so 1-NN-with-
+    // replacement averages them (exact-distance kernel matching);
+    // nearest-below/above come from running last/first over the grid
+    // (aggregate below = Rule-1 escape), ties break toward the lower
+    // activity. Per-grid-row means are rationals rounded 6 into
+    // DECIMAL sums; the naive difference rides along as the contrast.
+    QuerySpec(
+      "x232_matching_att",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("t"))
+        val grid = u.groupBy("act").agg(
+            sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+            sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"),
+            sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+            sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"))
+        // no checkpoint: the grid feeds a single window chain, and keeping
+        // the Aggregate visible below the global windows is what proves
+        // (to PlansSpec and to a reader) they run over value-domain-bounded
+        // input, not the corpus
+        val wPrev = W.orderBy("act").rowsBetween(W.unboundedPreceding, 0)
+        val wNext = W.orderBy(col("act").desc)
+          .rowsBetween(W.unboundedPreceding, 0)
+        val ctrl = when(col("nc") > 0,
+          struct(col("act").as("a"), col("syc").as("sy"), col("nc").as("n")))
+        val g2 = grid
+          .withColumn("pm", last(ctrl, ignoreNulls = true).over(wPrev))
+          .withColumn("nm", last(ctrl, ignoreNulls = true).over(wNext))
+        val pick = when(col("nm").isNull, col("pm"))
+          .when(col("pm").isNull, col("nm"))
+          .when(col("act") - col("pm.a") <= col("nm.a") - col("act"),
+            col("pm"))
+          .otherwise(col("nm"))
+        val att = g2.filter(col("nt") > 0)
+          .select(col("nt"), col("syt"),
+            (col("act") === pick("a")).cast("long").as("exact"),
+            round(col("syt") - col("nt") *
+              (pick("sy").cast("double") / pick("n")), 6)
+              .cast("decimal(18,6)").as("contrib"))
+          .agg(sum(col("nt")).as("n_treated"),
+            sum(col("nt") * col("exact")).as("n_exact"),
+            sum(col("contrib")).cast("double").as("sc"))
+        val naive = u.agg(
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_controls"),
+          (sum(col("t") * col("y")).cast("double") /
+            sum(col("t")).cast("double") -
+            sum((lit(1L) - col("t")) * col("y")).cast("double") /
+            sum(lit(1L) - col("t")).cast("double")).as("nd"))
+        att.crossJoin(broadcast(naive))
+          .select(col("n_treated"), col("n_controls"),
+            round(col("n_exact").cast("double") / col("n_treated"), 6)
+              .as("share_exact_match"),
+            round(col("sc") / col("n_treated"), 6).as("att_clicks"),
+            round(col("nd"), 6).as("naive_diff"))
+          .orderBy("n_treated")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |          AS y,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS t
+             |      FROM events GROUP BY 1),
+             |grid AS (SELECT act,
+             |        SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
+             |        SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS syc,
+             |        SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+             |        SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS syt
+             |      FROM u GROUP BY 1),
+             |g2 AS (SELECT act, nc, syc, nt, syt,
+             |        last_value(CASE WHEN nc > 0 THEN act END IGNORE NULLS)
+             |          OVER wp AS pa,
+             |        last_value(CASE WHEN nc > 0 THEN syc END IGNORE NULLS)
+             |          OVER wp AS psy,
+             |        last_value(CASE WHEN nc > 0 THEN nc END IGNORE NULLS)
+             |          OVER wp AS pn,
+             |        last_value(CASE WHEN nc > 0 THEN act END IGNORE NULLS)
+             |          OVER wn AS na,
+             |        last_value(CASE WHEN nc > 0 THEN syc END IGNORE NULLS)
+             |          OVER wn AS nsy,
+             |        last_value(CASE WHEN nc > 0 THEN nc END IGNORE NULLS)
+             |          OVER wn AS nn
+             |      FROM grid
+             |      WINDOW wp AS (ORDER BY act
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |      wn AS (ORDER BY act DESC
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |pick AS (SELECT nt, syt,
+             |        CASE WHEN na IS NULL THEN pa
+             |          WHEN pa IS NULL THEN na
+             |          WHEN act - pa <= na - act THEN pa ELSE na END AS ma,
+             |        CASE WHEN na IS NULL THEN psy
+             |          WHEN pa IS NULL THEN nsy
+             |          WHEN act - pa <= na - act THEN psy ELSE nsy END AS msy,
+             |        CASE WHEN na IS NULL THEN pn
+             |          WHEN pa IS NULL THEN nn
+             |          WHEN act - pa <= na - act THEN pn ELSE nn END AS mn,
+             |        act
+             |      FROM g2 WHERE nt > 0),
+             |att AS (SELECT SUM(nt) AS n_treated,
+             |        SUM(nt * CASE WHEN act = ma THEN 1 ELSE 0 END)
+             |          AS n_exact,
+             |        CAST(SUM(CAST(round(syt - nt *
+             |          (CAST(msy AS DOUBLE) / mn), 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) AS sc
+             |      FROM pick),
+             |naive AS (SELECT
+             |        SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_controls,
+             |        CAST(SUM(t * y) AS DOUBLE) / SUM(t) -
+             |          CAST(SUM((1 - t) * y) AS DOUBLE) / SUM(1 - t) AS nd
+             |      FROM u)
+             |SELECT CAST(att.n_treated AS BIGINT) AS n_treated,
+             |  CAST(naive.n_controls AS BIGINT) AS n_controls,
+             |  round(CAST(att.n_exact AS DOUBLE) / att.n_treated, 6)
+             |    AS share_exact_match,
+             |  round(att.sc / att.n_treated, 6) AS att_clicks,
+             |  round(naive.nd, 6) AS naive_diff
+             |FROM att CROSS JOIN naive ORDER BY n_treated""".stripMargin)),
+
+    // Restricted mean survival time (Irwin 1949; Royston & Parmar, BMC
+    // Med Res Meth 13, 2013 — the effect size regulators now prefer over
+    // hazard ratios when proportional hazards fails): per arm, the area
+    // under the Kaplan-Meier curve up to τ = 30 days — "average
+    // error-free days in the first month", the absolute companion to
+    // x211's multiplicative hazard ratio on the SAME armRiskGrid risk
+    // sets. The KM product is NOT a loop: S(t) = exp(Σ_{u≤t} ln(1−d/n))
+    // with per-time ln rounded 6 into a DECIMAL prefix sum (calendar-
+    // bounded grid, the x211/x218 ln discipline), and the RMST integral
+    // is Σ S(tᵢ)·(min(tᵢ₊₁,τ) − tᵢ) over the same bounded grid.
+    QuerySpec(
+      "x233_rmst",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tau = 30L
+        val (byTime0, _) = armRiskGrid(s, dir)
+        // byTime grid carries (t, d1, dt, n1, nt): arm-1 deaths/at-risk
+        // and totals per time — split it back into the two arms
+        val byTime = byTime0.localCheckpoint() // calendar-bounded
+        val wc = W.partitionBy("g").orderBy("t")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val perArm = byTime
+          .select(lit(1L).as("g"), col("t"), col("d1"), col("n1"))
+          .unionByName(byTime.select(lit(0L).as("g"), col("t"),
+            (col("dt") - col("d1")).as("d1"),
+            (col("nt") - col("n1")).as("n1")))
+        val km = perArm
+          .filter(col("n1") > 0)
+          .withColumn("lnterm",
+            when(col("d1") < col("n1"),
+              round(log(lit(1.0) - col("d1").cast("double") / col("n1")), 6))
+              .otherwise(lit(-20.0)) // d=n: S hits 0; exp(-20) rounds to 0
+              .cast("decimal(18,6)"))
+          .withColumn("lns", sum(col("lnterm")).over(wc))
+          .withColumn("surv", round(exp(col("lns").cast("double")), 6))
+          .withColumn("tnext",
+            coalesce(lead(col("t"), 1).over(W.partitionBy("g")
+              .orderBy("t")), lit(tau)))
+        val seg = km.filter(col("t") < tau)
+          .select(col("g"),
+            (round(col("surv") * (least(col("tnext"), lit(tau)) - col("t")),
+              6).cast("decimal(18,6)")).as("area"))
+        val head = perArm.filter(col("n1") > 0)
+          .groupBy("g").agg(min(col("t")).as("t0"))
+          .select(col("g"),
+            least(col("t0"), lit(tau)).cast("decimal(18,6)").as("area"))
+        seg.unionByName(head)
+          .groupBy("g")
+          .agg(sum(col("area")).cast("double").as("rmst"))
+          .select(col("g").as("arm"), round(col("rmst"), 6).as("rmst_days"))
+          .orderBy("arm")
+      },
+      Some("""WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |        MIN(CASE WHEN event_type = 'error'
+             |          THEN CAST(ts AS DATE) END) AS e
+             |      FROM events GROUP BY 1),
+             |gm AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
+             |subj AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
+             |        CAST(CASE WHEN e IS NOT NULL THEN datediff('day', f, e)
+             |             ELSE datediff('day', f, gm.gmax) END AS BIGINT) AS t,
+             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |      FROM span CROSS JOIN gm),
+             |ptg AS (SELECT t, g, SUM(obs) AS d, SUM(1 - obs) AS c
+             |      FROM subj GROUP BY 1, 2),
+             |tot AS (SELECT g, COUNT(*) AS ng FROM subj GROUP BY 1),
+             |grid AS (SELECT ts.t, gs.g, COALESCE(p.d, 0) AS d,
+             |        COALESCE(p.c, 0) AS c
+             |      FROM (SELECT DISTINCT t FROM ptg) ts
+             |      CROSS JOIN (SELECT DISTINCT g FROM subj) gs
+             |      LEFT JOIN ptg p ON p.t = ts.t AND p.g = gs.g),
+             |ar AS (SELECT grid.t, grid.g, grid.d,
+             |        tot.ng - COALESCE(SUM(grid.d + grid.c)
+             |          OVER (PARTITION BY grid.g ORDER BY grid.t
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS nr
+             |      FROM grid JOIN tot ON tot.g = grid.g),
+             |bt AS (SELECT t,
+             |        SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
+             |        SUM(d) AS dt,
+             |        SUM(CASE WHEN g = 1 THEN nr ELSE 0 END) AS n1,
+             |        SUM(nr) AS nt
+             |      FROM ar GROUP BY 1
+             |      HAVING SUM(d) > 0 AND SUM(nr) > 1),
+             |pa AS (SELECT CAST(1 AS BIGINT) AS g, t, d1, n1 FROM bt
+             |      UNION ALL
+             |      SELECT CAST(0 AS BIGINT) AS g, t, dt - d1 AS d1,
+             |        nt - n1 AS n1 FROM bt),
+             |km0 AS (SELECT g, t, d1, n1 FROM pa WHERE n1 > 0),
+             |km1 AS (SELECT g, t, CAST(CASE WHEN d1 < n1
+             |          THEN round(ln(1.0 - CAST(d1 AS DOUBLE) / n1), 6)
+             |          ELSE -20.0 END AS DECIMAL(18,6)) AS lnterm
+             |      FROM km0),
+             |km2 AS (SELECT g, t,
+             |        SUM(lnterm) OVER (PARTITION BY g ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS lns
+             |      FROM km1),
+             |km3 AS (SELECT g, t, round(exp(CAST(lns AS DOUBLE)), 6)
+             |          AS surv,
+             |        COALESCE(lead(t, 1) OVER (PARTITION BY g ORDER BY t),
+             |          30) AS tnext
+             |      FROM km2),
+             |seg AS (SELECT g, CAST(round(surv * (least(tnext, 30) - t), 6)
+             |          AS DECIMAL(18,6)) AS area
+             |      FROM km3 WHERE t < 30),
+             |hd AS (SELECT g, CAST(least(MIN(t), 30) AS DECIMAL(18,6))
+             |          AS area
+             |      FROM km0 GROUP BY 1),
+             |uni AS (SELECT g, area FROM seg
+             |      UNION ALL SELECT g, area FROM hd)
+             |SELECT g AS arm,
+             |  round(CAST(SUM(area) AS DOUBLE), 6) AS rmst_days
+             |FROM uni GROUP BY 1 ORDER BY arm""".stripMargin)),
+
+    // Group-fairness audit (Feldman et al., KDD 2015 disparate impact;
+    // Hardt, Price & Srebro, NeurIPS 2016 equalized odds): for a
+    // deterministic high-activity targeting rule (decide d=1 when a
+    // user's activity exceeds the global median) against x182's
+    // high-value ground truth, per user-parity group: selection rate,
+    // TPR, FPR, then the fairness reads — demographic-parity gap, the
+    // 80%-rule disparate-impact ratio, and equalized-odds gaps. A model
+    // eval suite that reports only accuracy (x121/x168) ships rules like
+    // this blind; the audit is one exact-integer cell table (group ×
+    // decision × label) from one scan plus a broadcast median, and every
+    // rate is a rational rounded at the end — nothing here exceeds
+    // 8-row algebra at any corpus size.
+    QuerySpec(
+      "x234_fairness_audit",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("y"))
+          .select((col("user_id") % 2).cast("long").as("grp"),
+            col("act"), col("y"))
+          .localCheckpoint() // one scan feeds the median and the cells
+        val med = u.agg(expr("percentile(act, 0.5)").as("m"))
+        val cells = u.crossJoin(broadcast(med))
+          .select(col("grp"), col("y"),
+            (col("act") > col("m")).cast("long").as("d"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(col("d")).as("nd"),
+            sum(col("y")).as("ny"),
+            sum(col("d") * col("y")).as("ndy"),
+            sum(col("d") * (lit(1L) - col("y"))).as("ndy0"))
+          .select(col("grp"), col("n"),
+            (col("nd").cast("double") / col("n")).as("sel"),
+            (col("ndy").cast("double") / col("ny")).as("tpr"),
+            (col("ndy0").cast("double") / (col("n") - col("ny")))
+              .as("fpr"))
+          .localCheckpoint() // 2 rows feed output + the gap row
+        val a = cells.filter(col("grp") === 0)
+          .select(col("n").as("n0"), col("sel").as("sel0"),
+            col("tpr").as("tpr0"), col("fpr").as("fpr0"))
+        val b = cells.filter(col("grp") === 1)
+          .select(col("n").as("n1"), col("sel").as("sel1"),
+            col("tpr").as("tpr1"), col("fpr").as("fpr1"))
+        a.crossJoin(broadcast(b))
+          .select(col("n0"), col("n1"),
+            round(col("sel0"), 6).as("sel_rate_g0"),
+            round(col("sel1"), 6).as("sel_rate_g1"),
+            round(col("sel1") - col("sel0"), 6).as("dp_gap"),
+            round(least(col("sel0"), col("sel1")) /
+              greatest(col("sel0"), col("sel1")), 6).as("di_ratio"),
+            round(col("tpr1") - col("tpr0"), 6).as("tpr_gap"),
+            round(col("fpr1") - col("fpr0"), 6).as("fpr_gap"),
+            (least(col("sel0"), col("sel1")) /
+              greatest(col("sel0"), col("sel1")) >= 0.8).cast("long")
+              .as("passes_80pct_rule"))
+          .orderBy("n0")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS y
+             |      FROM events GROUP BY 1),
+             |g AS (SELECT CAST(user_id % 2 AS BIGINT) AS grp, act, y
+             |      FROM u),
+             |med AS (SELECT quantile_cont(act, 0.5) AS m FROM g),
+             |cells AS (SELECT grp, COUNT(*) AS n,
+             |        SUM(CASE WHEN act > med.m THEN 1 ELSE 0 END) AS nd,
+             |        SUM(y) AS ny,
+             |        SUM(CASE WHEN act > med.m THEN y ELSE 0 END) AS ndy,
+             |        SUM(CASE WHEN act > med.m THEN 1 - y ELSE 0 END)
+             |          AS ndy0
+             |      FROM g CROSS JOIN med GROUP BY 1),
+             |r AS (SELECT grp, n,
+             |        CAST(nd AS DOUBLE) / n AS sel,
+             |        CAST(ndy AS DOUBLE) / ny AS tpr,
+             |        CAST(ndy0 AS DOUBLE) / (n - ny) AS fpr
+             |      FROM cells)
+             |SELECT a.n AS n0, b.n AS n1,
+             |  round(a.sel, 6) AS sel_rate_g0,
+             |  round(b.sel, 6) AS sel_rate_g1,
+             |  round(b.sel - a.sel, 6) AS dp_gap,
+             |  round(least(a.sel, b.sel) / greatest(a.sel, b.sel), 6)
+             |    AS di_ratio,
+             |  round(b.tpr - a.tpr, 6) AS tpr_gap,
+             |  round(b.fpr - a.fpr, 6) AS fpr_gap,
+             |  CAST(least(a.sel, b.sel) / greatest(a.sel, b.sel) >= 0.8
+             |    AS BIGINT) AS passes_80pct_rule
+             |FROM (SELECT * FROM r WHERE grp = 0) a
+             |CROSS JOIN (SELECT * FROM r WHERE grp = 1) b
+             |ORDER BY n0""".stripMargin)),
   )
 }
