@@ -88,7 +88,8 @@ object Explain {
       "x225_ess_weights", "x226_neyman_allocation", "x227_cusum",
       "x228_wasserstein", "x229_ols_multi", "x230_self_bleu",
       "x231_theil_sen", "x232_matching_att", "x233_rmst",
-      "x234_fairness_audit")
+      "x234_fairness_audit", "x235_chao_richness", "x236_ewma_chart",
+      "x237_jackknife", "x238_icws_weighted_minhash")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -886,4 +886,97 @@ object Dedup {
         sum(col("b") - col("a") + 1).cast("long").as("dup_chars"),
         max(col("b") - col("a") + 1).cast("long").as("max_span"))
   }
+
+  /** Ioffe 2010 Improved Consistent Weighted Sampling (ICWS): weighted-
+    * MinHash near-dup pairs under the WEIGHTED Jaccard
+    * J_w(A,B) = sum_k min(w_A(k), w_B(k)) / sum_k max(w_A(k), w_B(k))
+    * over per-doc token term frequencies — the dedup read for
+    * bag-of-words near-copies where binary shingle Jaccard
+    * ([[minhashNearDups]], x2) saturates: a doc that repeats one
+    * paragraph 10x shares every shingle TYPE with the original but not
+    * its weight profile. P[ICWS samples collide] = J_w exactly
+    * (Ioffe, ICDM 2010, Thm 1).
+    *
+    * Scale + oracle shape:
+    *  - the Gamma(2,1)/Uniform draws (r_k, ln c_k, beta_k) attach to the
+    *    TOKEN TYPE (per seed), not the (doc, token) pair — computed once
+    *    on the vocab-bounded distinct-token x seed grid and equi-joined
+    *    back, so signature cost is one slim join over the tf table;
+    *  - every draw derives from md5("icws:<salt>:<seed>:<token>") and
+    *    each nonlinear step (ln, the floor quantile t, the argmin key)
+    *    is rounded before reuse, making the WHOLE candidate generation —
+    *    sample argmin, 2-row banding, bucket self-join — SQL-replayable
+    *    (the x2/x13 seed-vector discipline): the DuckDB oracle re-runs
+    *    it bit-identically, then BOTH engines verify candidates with the
+    *    exact integer weighted Jaccard;
+    *  - the only corpus shuffles are the (doc, seed) argmin and the
+    *    band-bucket equi-join — no all-pairs anywhere.
+    * Reference behavior: the reference dedups on exact payload bytes
+    * only (pipeline.py load loop); this extends x2's unweighted MinHash
+    * the way Ioffe's sampler extends Broder's.
+    *
+    * Emits (doc_a, doc_b, wjac) for candidates with exact weighted
+    * Jaccard >= threshold, wjac rounded to 4 (exact-integer ratio). */
+  def icwsNearDups(df: DataFrame, idCol: String, textCol: String,
+      seeds: Int = 8, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seeds % 2 == 0, "2-row bands need an even seed count")
+    val tf = df
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("w"))
+    // (0,1] uniforms from 48-bit md5 prefixes, the established device
+    def u(salt: String): Column =
+      (conv(substring(md5(concat(lit(s"icws:$salt:"), col("seed"),
+        lit(":"), col("tok"))), 1, 12), 16, 10).cast("double") + 1.0) /
+        281474976710656.0
+    val seedG = broadcast(df.sparkSession.range(seeds).toDF("seed"))
+    // r ~ Gamma(2,1) rounded at 9 (a 6-dp round can collapse the ~1e-6
+    // left tail of -ln(u1 u2) to 0 and r is a divisor); ln c at 6 is
+    // safe — it is only an argmin ingredient
+    val rnd = tf.select("tok").distinct().crossJoin(seedG)
+      .select(col("tok"), col("seed"),
+        greatest(round(-log(u("r1")) - log(u("r2")), 9), lit(1e-9)).as("r"),
+        round(log(greatest(round(-log(u("c1")) - log(u("c2")), 9),
+          lit(1e-9))), 6).as("lnc"),
+        round(u("b"), 9).as("beta"))
+    val smp = tf.join(rnd, Seq("tok"))
+      .withColumn("t",
+        floor(round(log(col("w").cast("double")) / col("r") + col("beta"),
+          9)))
+      .withColumn("lna", round(col("lnc") -
+        round(col("r") * (col("t") - col("beta")), 6) - col("r"), 6))
+    val wArg = Window.partitionBy("doc", "seed")
+      .orderBy(col("lna"), col("tok"))
+    val sig = smp.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1)
+      .select(col("doc"), col("seed"),
+        concat(col("tok"), lit(":"), col("t")).as("sig"))
+    val bk = sig
+      .withColumn("band", (col("seed") / 2).cast("long"))
+      .groupBy("doc", "band")
+      .agg(max(when(col("seed") % 2 === 0, col("sig"))).as("s0"),
+        max(when(col("seed") % 2 === 1, col("sig"))).as("s1"))
+      .select(col("doc"), concat(col("band").cast("string"), lit("|"),
+        col("s0"), lit("|"), col("s1")).as("bkey"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"))
+      .distinct()
+    val tot = tf.groupBy("doc").agg(sum(col("w")).as("tw"))
+    val m = cand
+      .join(tf.select(col("doc").as("da"), col("tok"), col("w").as("wa")),
+        Seq("da"))
+      .join(tf.select(col("doc").as("db"), col("tok"), col("w").as("wb")),
+        Seq("db", "tok"))
+      .groupBy("da", "db").agg(sum(least(col("wa"), col("wb"))).as("m"))
+    val wjac = round(col("m").cast("double") /
+      (col("ta") + col("tb") - col("m")), 4)
+    m.join(tot.select(col("doc").as("da"), col("tw").as("ta")), Seq("da"))
+      .join(tot.select(col("doc").as("db"), col("tw").as("tb")), Seq("db"))
+      .filter(wjac >= threshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        wjac.as("wjac"))
+  }
 }
