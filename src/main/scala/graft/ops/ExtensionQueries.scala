@@ -15840,5 +15840,249 @@ object ExtensionQueries {
              |WHERE round(CAST(mm.m AS DOUBLE) / (x.tw + y.tw - mm.m), 4)
              |  >= 0.4
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Markov-chain attribution with removal effects (Anderl, Becker,
+    // von Wangenheim & Schumann, IJRM 2016 — the industry-standard
+    // "Markov model" that replaced last-touch; Kemeny-Snell 1960 for the
+    // absorbing-chain machinery): journeys are per-user event-type paths
+    // truncated at the first purchase ('conv'; journeys without one end
+    // in 'null'), a 7-state first-order chain estimated from transition
+    // counts, and each channel's credit is its REMOVAL EFFECT — the drop
+    // in start→conv absorption when transitions into that channel are
+    // redirected to 'null' — normalized into attribution shares. The
+    // complement to x145's rule-based positional credits: removal
+    // effects price a channel by counterfactual, not by position.
+    // At-scale shape: ONE corpus pass builds the ≤(6×7)-row transition
+    // grid; absorption is M^1024 by TEN REPEATED SQUARINGS of the
+    // ≤49-row matrix (bounded joins, DECIMAL-summed rounded-9 products
+    // so both engines square bit-identically; localCheckpoint keeps the
+    // 50-join lineage shallow) — never a per-user path simulation. The
+    // output is the T=1024 truncated absorption, identical on both
+    // engines by construction (residual transient mass ~1e-7 here).
+    QuerySpec(
+      "x239_markov_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("st"))
+        val fp = ev.filter(col("st") === "conv")
+          .groupBy("user_id").agg(min(col("ts")).as("pts"))
+        val pe = ev.join(fp, Seq("user_id"), "left")
+          .filter(col("pts").isNull || col("ts") <= col("pts"))
+        val wseq = W.partitionBy("user_id").orderBy("ts")
+        val seq0 = pe
+          .withColumn("nx", lead(col("st"), 1).over(wseq))
+          .withColumn("rn", row_number().over(wseq))
+        val tr = seq0.filter(col("rn") === 1)
+            .select(lit("start").as("i"), col("st").as("j"))
+          .unionByName(seq0.filter(col("st") =!= "conv")
+            .select(col("st").as("i"),
+              coalesce(col("nx"), lit("null")).as("j")))
+        val cnt = tr.groupBy("i", "j").agg(count(lit(1)).as("c"))
+        val rt = cnt.groupBy("i").agg(sum(col("c")).as("t"))
+        val m0 = cnt.join(rt, Seq("i"))
+          .select(col("i"), col("j"),
+            round(col("c").cast("double") / col("t"), 9).as("p"))
+          .unionByName(Seq(("conv", "conv", 1.0), ("null", "null", 1.0))
+            .toDF("i", "j", "p"))
+        def squared(m: org.apache.spark.sql.DataFrame) =
+          m.as("a").join(m.as("b"), col("a.j") === col("b.i"))
+            .groupBy(col("a.i").as("i"), col("b.j").as("j"))
+            .agg(round(sum(round(col("a.p") * col("b.p"), 9)
+              .cast("decimal(18,9)")).cast("double"), 9).as("p"))
+        def absorb(m: org.apache.spark.sql.DataFrame) = {
+          var cur = m.localCheckpoint() // <= 49 rows by construction
+          // checkpoint every OTHER squaring: a depth-2 join tree over a
+          // 49-row frame is free, and halving the checkpoint count takes
+          // ~2 s off the 50-job chain (5 chains x 10 squarings)
+          for (k <- 1 to 10) {
+            cur = squared(cur)
+            if (k % 2 == 0) cur = cur.localCheckpoint()
+          }
+          cur.filter(col("i") === "start" && col("j") === "conv")
+            .agg(coalesce(sum(col("p")), lit(0.0)).as("p"))
+        }
+        val base = m0.localCheckpoint()
+        val channels = Seq("click", "error", "signup", "view")
+        def removed(c: String) = base.filter(col("i") =!= c)
+          .select(col("i"),
+            when(col("j") === c, lit("null")).otherwise(col("j")).as("j"),
+            col("p"))
+          .groupBy("i", "j").agg(sum(col("p")).as("p"))
+        val pBase = absorb(base).select(col("p").as("p_base"))
+        val rows = channels.map { c =>
+          absorb(removed(c))
+            .select(lit(c).as("channel"), col("p").as("pr"))
+        }.reduce(_ unionByName _)
+        val re = rows.crossJoin(broadcast(pBase))
+          .select(col("channel"), col("p_base"), col("pr"),
+            round((col("p_base") - col("pr")) / col("p_base"), 6)
+              .as("removal_effect"))
+        val tot2 = re.agg(sum(col("removal_effect")
+          .cast("decimal(18,6)")).as("sre"))
+        re.crossJoin(broadcast(tot2))
+          .select(col("channel"),
+            round(col("p_base"), 6).as("p_conv"),
+            round(col("pr"), 6).as("p_removed"),
+            col("removal_effect"),
+            round(col("removal_effect") / col("sre").cast("double"), 6)
+              .as("attribution"))
+          .orderBy("channel")
+      },
+      Some {
+        val channels = Seq("click", "error", "signup", "view")
+        def chain(pre: String): String =
+          (1 to 10).map { k =>
+            s"""m${pre}_$k AS MATERIALIZED (SELECT a.i, b.j,
+               |        round(CAST(SUM(CAST(round(a.p * b.p, 9)
+               |          AS DECIMAL(18,9))) AS DOUBLE), 9) AS p
+               |      FROM m${pre}_${k - 1} a JOIN m${pre}_${k - 1} b
+               |        ON b.i = a.j GROUP BY 1, 2)""".stripMargin
+          }.mkString(",\n")
+        val variants = channels.map { c =>
+          s"""m${c}_0 AS MATERIALIZED (SELECT i, j, SUM(p) AS p FROM (
+             |        SELECT i, CASE WHEN j = '$c' THEN 'null' ELSE j END
+             |          AS j, p
+             |        FROM mbase_0 WHERE i <> '$c') GROUP BY 1, 2),
+             |${chain(c)}""".stripMargin
+        }.mkString(",\n")
+        val resRows = channels.map { c =>
+          s"""SELECT '$c' AS channel, (SELECT COALESCE(SUM(p), 0.0)
+             |  FROM m${c}_10 WHERE i = 'start' AND j = 'conv') AS pr"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ev AS (SELECT user_id, ts,
+           |        CASE WHEN event_type = 'purchase' THEN 'conv'
+           |          ELSE event_type END AS st
+           |      FROM events),
+           |fp AS (SELECT user_id, MIN(ts) AS pts FROM ev
+           |      WHERE st = 'conv' GROUP BY 1),
+           |pe AS (SELECT ev.user_id, ev.ts, ev.st FROM ev
+           |      LEFT JOIN fp ON fp.user_id = ev.user_id
+           |      WHERE fp.pts IS NULL OR ev.ts <= fp.pts),
+           |sq AS (SELECT user_id, st,
+           |        lead(st) OVER (PARTITION BY user_id ORDER BY ts) AS nx,
+           |        row_number() OVER (PARTITION BY user_id ORDER BY ts)
+           |          AS rn
+           |      FROM pe),
+           |tr AS (SELECT 'start' AS i, st AS j FROM sq WHERE rn = 1
+           |      UNION ALL
+           |      SELECT st AS i, COALESCE(nx, 'null') AS j FROM sq
+           |      WHERE st <> 'conv'),
+           |cntm AS (SELECT i, j, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+           |rt AS (SELECT i, SUM(c) AS t FROM cntm GROUP BY 1),
+           |mbase_0 AS MATERIALIZED (SELECT cntm.i, cntm.j,
+           |        round(CAST(cntm.c AS DOUBLE) / rt.t, 9) AS p
+           |      FROM cntm JOIN rt ON rt.i = cntm.i
+           |      UNION ALL SELECT 'conv', 'conv', 1.0
+           |      UNION ALL SELECT 'null', 'null', 1.0),
+           |${chain("base")},
+           |$variants,
+           |pb AS (SELECT COALESCE(SUM(p), 0.0) AS p FROM mbase_10
+           |      WHERE i = 'start' AND j = 'conv'),
+           |res AS ($resRows),
+           |re AS (SELECT res.channel, pb.p AS p_base, res.pr,
+           |        round((pb.p - res.pr) / pb.p, 6) AS removal_effect
+           |      FROM res CROSS JOIN pb),
+           |t2 AS (SELECT SUM(CAST(removal_effect AS DECIMAL(18,6)))
+           |          AS sre FROM re)
+           |SELECT channel, round(p_base, 6) AS p_conv,
+           |  round(pr, 6) AS p_removed, removal_effect,
+           |  round(removal_effect / CAST(t2.sre AS DOUBLE), 6)
+           |    AS attribution
+           |FROM re CROSS JOIN t2 ORDER BY channel""".stripMargin
+      }),
+
+    // Kendall tau-b rank stability (Kendall, Biometrika 1938; the tau-b
+    // tie correction from Kendall 1945) between item popularity in the
+    // first vs second calendar half — the ORDINAL drift read next to
+    // x166's Spearman (which needs ranks and a different tie treatment)
+    // and x87's embedding drift: tau-b prices every item PAIR's order
+    // agreement, so a single hot item swapping places moves it by
+    // exactly its pair mass. Items are the bounded props→k domain;
+    // concordant/discordant/tied counts come from the item-grid
+    // self-join (domain², never events²; at an unbounded item vocab the
+    // standard practice is a top-K cap by total count first — a
+    // WindowGroupLimit, the x221 device), every count an exact integer,
+    // one sqrt at the end.
+    QuerySpec(
+      "x240_kendall_tau",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("ts"),
+            expr("variant_get(parse_json(props), '$.k', 'int')")
+              .as("item"))
+        val mid = ev.agg(min(to_date(col("ts"))).as("a"),
+            max(to_date(col("ts"))).as("b"))
+          .select(expr("date_add(a, CAST(datediff(b, a) div 2 AS INT))").as("mid"))
+        val grid = ev.crossJoin(broadcast(mid))
+          .select(col("item"),
+            (to_date(col("ts")) <= col("mid")).as("h1"))
+          .groupBy("item")
+          .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("h1"), 1L).otherwise(0L)).as("nb"))
+        val pr = grid.as("x")
+          .join(grid.as("y"), col("x.item") < col("y.item"))
+          .select(
+            (col("x.na") < col("y.na") && col("x.nb") < col("y.nb") ||
+              col("x.na") > col("y.na") && col("x.nb") > col("y.nb"))
+              .cast("long").as("cc"),
+            (col("x.na") < col("y.na") && col("x.nb") > col("y.nb") ||
+              col("x.na") > col("y.na") && col("x.nb") < col("y.nb"))
+              .cast("long").as("dd"),
+            (col("x.na") === col("y.na")).cast("long").as("ta"),
+            (col("x.nb") === col("y.nb")).cast("long").as("tb"))
+        val n = grid.agg(count(lit(1)).as("n_items"))
+        pr.agg(count(lit(1)).as("n_pairs"),
+            sum(col("cc")).as("concordant"),
+            sum(col("dd")).as("discordant"),
+            sum(col("ta")).as("ties_first"),
+            sum(col("tb")).as("ties_second"))
+          .crossJoin(broadcast(n))
+          .select(col("n_items"), col("n_pairs"), col("concordant"),
+            col("discordant"), col("ties_first"), col("ties_second"),
+            round((col("concordant") - col("discordant")).cast("double") /
+              sqrt((col("n_pairs") - col("ties_first")).cast("double") *
+                (col("n_pairs") - col("ties_second"))), 6).as("tau_b"))
+          .orderBy("n_items")
+      },
+      Some("""WITH ev AS (SELECT ts,
+             |        CAST(json_extract_string(props, '$.k') AS INT) AS item
+             |      FROM events),
+             |sp AS (SELECT MIN(CAST(ts AS DATE)) AS a,
+             |        MAX(CAST(ts AS DATE)) AS b FROM ev),
+             |md AS (SELECT a + CAST(datediff('day', a, b) // 2 AS INT)
+             |          AS mid FROM sp),
+             |g AS (SELECT item,
+             |        SUM(CASE WHEN CAST(ts AS DATE) <= md.mid
+             |          THEN 1 ELSE 0 END) AS na,
+             |        SUM(CASE WHEN CAST(ts AS DATE) <= md.mid
+             |          THEN 0 ELSE 1 END) AS nb
+             |      FROM ev CROSS JOIN md GROUP BY 1),
+             |pr AS (SELECT
+             |        CASE WHEN (x.na < y.na AND x.nb < y.nb)
+             |          OR (x.na > y.na AND x.nb > y.nb)
+             |          THEN 1 ELSE 0 END AS cc,
+             |        CASE WHEN (x.na < y.na AND x.nb > y.nb)
+             |          OR (x.na > y.na AND x.nb < y.nb)
+             |          THEN 1 ELSE 0 END AS dd,
+             |        CASE WHEN x.na = y.na THEN 1 ELSE 0 END AS ta,
+             |        CASE WHEN x.nb = y.nb THEN 1 ELSE 0 END AS tb
+             |      FROM g x JOIN g y ON x.item < y.item),
+             |n AS (SELECT COUNT(*) AS n_items FROM g)
+             |SELECT CAST(n.n_items AS BIGINT) AS n_items,
+             |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(cc) AS BIGINT) AS concordant,
+             |  CAST(SUM(dd) AS BIGINT) AS discordant,
+             |  CAST(SUM(ta) AS BIGINT) AS ties_first,
+             |  CAST(SUM(tb) AS BIGINT) AS ties_second,
+             |  round(CAST(SUM(cc) - SUM(dd) AS DOUBLE) /
+             |    sqrt(CAST(COUNT(*) - SUM(ta) AS DOUBLE) *
+             |      (COUNT(*) - SUM(tb))), 6) AS tau_b
+             |FROM pr CROSS JOIN n GROUP BY n.n_items
+             |ORDER BY n_items""".stripMargin)),
   )
 }

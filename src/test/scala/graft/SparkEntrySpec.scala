@@ -26,9 +26,11 @@ class SparkEntrySpec extends SparkSpec {
       fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // allow CTE names and inline subqueries: only flag unknown BARE names
         // that look like tables (heuristic: not defined as a CTE in the sql —
-        // with or without a recursive-CTE column list, `name(a, b) AS (`)
+        // with or without a recursive-CTE column list `name(a, b) AS (`, or
+        // DuckDB's `AS MATERIALIZED (` used where un-materialized inlining
+        // would be exponential, x239)
         val isCte =
-          s"""(?i)\\b$t\\s*(\\([^)]*\\))?\\s+as\\s*\\(""".r
+          s"""(?i)\\b$t\\s*(\\([^)]*\\))?\\s+as\\s*(materialized\\s*)?\\(""".r
             .findFirstIn(sql).isDefined
         assert(tables.contains(t) || isCte || t == "unnest" || t == "range" ||
             t == "generate_series",
