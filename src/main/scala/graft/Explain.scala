@@ -90,7 +90,8 @@ object Explain {
       "x231_theil_sen", "x232_matching_att", "x233_rmst",
       "x234_fairness_audit", "x235_chao_richness", "x236_ewma_chart",
       "x237_jackknife", "x238_icws_weighted_minhash",
-      "x239_markov_attribution", "x240_kendall_tau")
+      "x239_markov_attribution", "x240_kendall_tau",
+      "x241_llr_keyness", "x242_smd_balance")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

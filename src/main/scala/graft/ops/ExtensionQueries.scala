@@ -16084,5 +16084,264 @@ object ExtensionQueries {
              |      (COUNT(*) - SUM(tb))), 6) AS tau_b
              |FROM pr CROSS JOIN n GROUP BY n.n_items
              |ORDER BY n_items""".stripMargin)),
+
+    // Log-likelihood-ratio keyness (Dunning, Computational Linguistics
+    // 1993 — the corpus-linguistics standard that replaced chi-square
+    // for sparse counts): per source, the top-5 OVER-REPRESENTED tokens
+    // by the G² statistic of the 2×2 (source vs rest) × (term vs other
+    // terms) table — "what vocabulary makes this source itself", the
+    // corpus-comparison read that x85's PMI (co-occurrence within
+    // baskets) and x29's tf-idf (doc-level salience) don't give.
+    // G² = 2·Σ k·ln(k/E) over the 4 cells with the 0·ln0 = 0 convention;
+    // each cell ratio is k·N/(row·col) — exact integers pushed through
+    // ONE double division — and the four rounded-6 contributions are
+    // DECIMAL-summed (a plain double sum of rounded values drifts ~1e-10
+    // and can straddle the 4-dp output round across ~60k terms). Per-
+    // source top-5 is a rank-over-(llr, term) WindowGroupLimit on the
+    // vocab-bounded scored grid.
+    QuerySpec(
+      "x241_llr_keyness",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val st = tok.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        val gt = st.groupBy("tok").agg(sum(col("a")).as("g"))
+        val srcTot = st.groupBy("source").agg(sum(col("a")).as("rt"))
+        val nTot = srcTot.agg(sum(col("rt")).as("nn"))
+        val full = st.join(gt, Seq("tok")).join(broadcast(srcTot),
+            Seq("source"))
+          .crossJoin(broadcast(nTot))
+          .select(col("source"), col("tok"), col("a"), col("g"),
+            col("rt"), col("nn"),
+            (col("g") - col("a")).as("b"),
+            (col("rt") - col("a")).as("c"),
+            (col("nn") - col("g") - col("rt") + col("a")).as("d"))
+        def xl(k: org.apache.spark.sql.Column,
+            row: org.apache.spark.sql.Column,
+            ct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          when(k > 0, round(k.cast("double") *
+            log(k.cast("double") * col("nn") /
+              (row.cast("double") * ct)), 6))
+            .otherwise(lit(0.0)).cast("decimal(18,6)")
+        val scored = full.select(col("source"), col("tok"), col("a"),
+          round((xl(col("a"), col("rt"), col("g")) +
+            xl(col("b"), col("nn") - col("rt"), col("g")) +
+            xl(col("c"), col("rt"), col("nn") - col("g")) +
+            xl(col("d"), col("nn") - col("rt"), col("nn") - col("g")))
+            .cast("double") * 2, 4).as("llr"),
+          (col("a").cast("double") * col("nn") >
+            col("g").cast("double") * col("rt")).as("over"))
+        val wr = W.partitionBy("source")
+          .orderBy(col("llr").desc, col("tok"))
+        scored.filter(col("over"))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("tok").as("term"),
+            col("a").as("freq"), col("llr"))
+          .orderBy("source", "rank")
+      },
+      Some("""WITH tk AS (SELECT source,
+             |        unnest(list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '')) AS tok
+             |      FROM documents),
+             |st AS (SELECT source, tok, COUNT(*) AS a FROM tk
+             |      GROUP BY 1, 2),
+             |gt AS (SELECT tok, SUM(a) AS g FROM st GROUP BY 1),
+             |rt AS (SELECT source, SUM(a) AS rt FROM st GROUP BY 1),
+             |nn AS (SELECT SUM(rt) AS nn FROM rt),
+             |f AS (SELECT st.source, st.tok, st.a, gt.g, rt.rt, nn.nn,
+             |        gt.g - st.a AS b, rt.rt - st.a AS c,
+             |        nn.nn - gt.g - rt.rt + st.a AS d
+             |      FROM st JOIN gt USING (tok) JOIN rt USING (source)
+             |      CROSS JOIN nn),
+             |sc AS (SELECT source, tok, a,
+             |        round(CAST(
+             |          CAST(CASE WHEN a > 0 THEN round(CAST(a AS DOUBLE) *
+             |            ln(CAST(a AS DOUBLE) * nn / (CAST(rt AS DOUBLE)
+             |            * g)), 6) ELSE 0.0 END AS DECIMAL(18,6)) +
+             |          CAST(CASE WHEN b > 0 THEN round(CAST(b AS DOUBLE) *
+             |            ln(CAST(b AS DOUBLE) * nn / (CAST(nn - rt
+             |            AS DOUBLE) * g)), 6) ELSE 0.0 END
+             |            AS DECIMAL(18,6)) +
+             |          CAST(CASE WHEN c > 0 THEN round(CAST(c AS DOUBLE) *
+             |            ln(CAST(c AS DOUBLE) * nn / (CAST(rt AS DOUBLE)
+             |            * (nn - g))), 6) ELSE 0.0 END
+             |            AS DECIMAL(18,6)) +
+             |          CAST(CASE WHEN d > 0 THEN round(CAST(d AS DOUBLE) *
+             |            ln(CAST(d AS DOUBLE) * nn / (CAST(nn - rt
+             |            AS DOUBLE) * (nn - g))), 6) ELSE 0.0 END
+             |            AS DECIMAL(18,6))
+             |          AS DOUBLE) * 2, 4) AS llr
+             |      FROM f
+             |      WHERE CAST(a AS DOUBLE) * nn > CAST(g AS DOUBLE) * rt),
+             |r AS (SELECT source, tok, a, llr, row_number() OVER (
+             |        PARTITION BY source ORDER BY llr DESC, tok) AS rank
+             |      FROM sc)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, tok AS term,
+             |  CAST(a AS BIGINT) AS freq, llr
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Covariate-balance SMD audit (Rosenbaum & Rubin 1985's standardized
+    // mean difference; Austin & Stuart, Stat Med 2015 for the IPW
+    // diagnostic practice and the |SMD| <= 0.1 convention): the check
+    // every IPW/matching analysis (x182/x232) must SHOW, not assume —
+    // per covariate (activity, active days, spend cents), the SMD
+    // between treated and control BEFORE weighting and AFTER inverse-
+    // propensity weighting, with propensity estimated on the DISTINCT-
+    // ACTIVITY grid (exact stratification — the x232 device — so the
+    // activity SMD collapses toward 0 by construction and the others
+    // show how much balance one confounder buys). Positivity violations
+    // (activity levels with e ∈ {0,1}) are EXCLUDED and counted, never
+    // divided by (the x182 discipline). One scan → user covariates →
+    // value-domain grid → 6-cell weighted-moment table; weighted sums
+    // ride the rounded-6 DECIMAL(38,6) bridge (w·cents² reaches 1e16).
+    QuerySpec(
+      "x242_smd_balance",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            countDistinct(to_date(col("ts"))).as("days"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("t"))
+        val grid = u.groupBy("act")
+          .agg(count(lit(1)).as("n"), sum(col("t")).as("nt"))
+          .select(col("act"),
+            (col("nt") > 0 && col("nt") < col("n")).as("ok"),
+            round(col("nt").cast("double") / col("n"), 6).as("e"))
+        val wu = u.join(grid, Seq("act"))
+          .filter(col("ok"))
+          .select(col("act"), col("days"), col("cents"), col("t"),
+            round(when(col("t") === 1, lit(1.0) / col("e"))
+              .otherwise(lit(1.0) / (lit(1.0) - col("e"))), 6).as("w"))
+        val cov = wu.select(col("t"), col("w"), explode(array(
+            struct(lit("activity").as("cv"),
+              col("act").cast("double").as("x")),
+            struct(lit("active_days").as("cv"),
+              col("days").cast("double").as("x")),
+            struct(lit("value_cents").as("cv"),
+              col("cents").cast("double").as("x")))).as("s"))
+          .select(col("t"), col("w"), col("s.cv").as("cv"),
+            col("s.x").as("x"))
+        val ag = cov.groupBy("cv", "t").agg(
+          count(lit(1)).as("n"),
+          sum(round(col("x"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sx"),
+          sum(round(col("x") * col("x"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sxx"),
+          sum(col("w").cast("decimal(38,6)")).cast("double").as("sw"),
+          sum(round(col("w") * col("x"), 6).cast("decimal(38,6)"))
+            .cast("double").as("swx"),
+          sum(round(col("w") * col("x") * col("x"), 6)
+            .cast("decimal(38,6)")).cast("double").as("swxx"))
+        val a1 = ag.filter(col("t") === 1).select(col("cv"),
+          col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"),
+          col("sw").as("sw1"), col("swx").as("swx1"),
+          col("swxx").as("swxx1"))
+        val a0 = ag.filter(col("t") === 0).select(col("cv"),
+          col("n").as("n0"), col("sx").as("sx0"), col("sxx").as("sxx0"),
+          col("sw").as("sw0"), col("swx").as("swx0"),
+          col("swxx").as("swxx0"))
+        val ex = u.agg(count(lit(1)).as("tu"))
+          .crossJoin(wu.agg(count(lit(1)).as("tw")))
+          .select((col("tu") - col("tw")).as("n_excluded"))
+        val m = a1.join(a0, Seq("cv"))
+          .select(col("cv"), col("n1"), col("n0"),
+            round(col("sx1") / col("n1"), 6).as("m1"),
+            round(col("sx0") / col("n0"), 6).as("m0"),
+            round(col("swx1") / col("sw1"), 6).as("mw1"),
+            round(col("swx0") / col("sw0"), 6).as("mw0"),
+            col("sxx1"), col("sxx0"), col("swxx1"), col("swxx0"),
+            col("sw1"), col("sw0"))
+        val v = m.select(col("cv"), col("n1"), col("n0"), col("m1"),
+          col("m0"), col("mw1"), col("mw0"),
+          round(greatest(col("sxx1") / col("n1") - col("m1") * col("m1"),
+            lit(0.0)), 6).as("v1"),
+          round(greatest(col("sxx0") / col("n0") - col("m0") * col("m0"),
+            lit(0.0)), 6).as("v0"),
+          round(greatest(col("swxx1") / col("sw1") -
+            col("mw1") * col("mw1"), lit(0.0)), 6).as("vw1"),
+          round(greatest(col("swxx0") / col("sw0") -
+            col("mw0") * col("mw0"), lit(0.0)), 6).as("vw0"))
+        val smdA = round(abs(col("mw1") - col("mw0")) /
+          sqrt(round((col("vw1") + col("vw0")) / 2, 6)), 6)
+        v.crossJoin(broadcast(ex))
+          .select(col("cv").as("covariate"),
+            col("n1").as("n_treated"), col("n0").as("n_control"),
+            col("n_excluded"),
+            round(abs(col("m1") - col("m0")) /
+              sqrt(round((col("v1") + col("v0")) / 2, 6)), 6)
+              .as("smd_before"),
+            smdA.as("smd_after"),
+            (smdA <= 0.1).cast("long").as("balanced"))
+          .orderBy("covariate")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        COUNT(DISTINCT CAST(ts AS DATE)) AS days,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS t
+             |      FROM events GROUP BY 1),
+             |grid AS (SELECT act, COUNT(*) AS n, SUM(t) AS nt FROM u
+             |      GROUP BY 1),
+             |g2 AS (SELECT act, nt > 0 AND nt < n AS ok,
+             |        round(CAST(nt AS DOUBLE) / n, 6) AS e FROM grid),
+             |wu AS (SELECT u.act, u.days, u.cents, u.t,
+             |        round(CASE WHEN u.t = 1 THEN 1.0 / g2.e
+             |          ELSE 1.0 / (1.0 - g2.e) END, 6) AS w
+             |      FROM u JOIN g2 USING (act) WHERE g2.ok),
+             |cov AS (SELECT t, w, 'activity' AS cv, CAST(act AS DOUBLE)
+             |          AS x FROM wu
+             |      UNION ALL SELECT t, w, 'active_days',
+             |        CAST(days AS DOUBLE) FROM wu
+             |      UNION ALL SELECT t, w, 'value_cents',
+             |        CAST(cents AS DOUBLE) FROM wu),
+             |ag AS (SELECT cv, t, COUNT(*) AS n,
+             |        CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sxx,
+             |        CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(w * x, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS swx,
+             |        CAST(SUM(CAST(round(w * x * x, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS swxx
+             |      FROM cov GROUP BY 1, 2),
+             |ex AS (SELECT (SELECT COUNT(*) FROM u) -
+             |        (SELECT COUNT(*) FROM wu) AS n_excluded),
+             |j AS (SELECT a.cv, a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+             |        a.sw AS sw1, a.swx AS swx1, a.swxx AS swxx1,
+             |        b.n AS n0, b.sx AS sx0, b.sxx AS sxx0, b.sw AS sw0,
+             |        b.swx AS swx0, b.swxx AS swxx0
+             |      FROM (SELECT * FROM ag WHERE t = 1) a
+             |      JOIN (SELECT * FROM ag WHERE t = 0) b USING (cv)),
+             |m AS (SELECT cv, n1, n0,
+             |        round(sx1 / n1, 6) AS m1, round(sx0 / n0, 6) AS m0,
+             |        round(swx1 / sw1, 6) AS mw1,
+             |        round(swx0 / sw0, 6) AS mw0,
+             |        sxx1, sxx0, swxx1, swxx0, sw1, sw0
+             |      FROM j),
+             |v AS (SELECT cv, n1, n0, m1, m0, mw1, mw0,
+             |        round(greatest(sxx1 / n1 - m1 * m1, 0.0), 6) AS v1,
+             |        round(greatest(sxx0 / n0 - m0 * m0, 0.0), 6) AS v0,
+             |        round(greatest(swxx1 / sw1 - mw1 * mw1, 0.0), 6)
+             |          AS vw1,
+             |        round(greatest(swxx0 / sw0 - mw0 * mw0, 0.0), 6)
+             |          AS vw0
+             |      FROM m)
+             |SELECT cv AS covariate, CAST(n1 AS BIGINT) AS n_treated,
+             |  CAST(n0 AS BIGINT) AS n_control,
+             |  CAST(ex.n_excluded AS BIGINT) AS n_excluded,
+             |  round(abs(m1 - m0) / sqrt(round((v1 + v0) / 2, 6)), 6)
+             |    AS smd_before,
+             |  round(abs(mw1 - mw0) / sqrt(round((vw1 + vw0) / 2, 6)), 6)
+             |    AS smd_after,
+             |  CAST(round(abs(mw1 - mw0) / sqrt(round((vw1 + vw0) / 2,
+             |    6)), 6) <= 0.1 AS BIGINT) AS balanced
+             |FROM v CROSS JOIN ex ORDER BY covariate""".stripMargin)),
   )
 }
