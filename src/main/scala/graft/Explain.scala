@@ -91,7 +91,8 @@ object Explain {
       "x234_fairness_audit", "x235_chao_richness", "x236_ewma_chart",
       "x237_jackknife", "x238_icws_weighted_minhash",
       "x239_markov_attribution", "x240_kendall_tau",
-      "x241_llr_keyness", "x242_smd_balance")
+      "x241_llr_keyness", "x242_smd_balance", "x243_burrows_delta",
+      "x244_cochran_armitage", "x245_chapman_capture")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

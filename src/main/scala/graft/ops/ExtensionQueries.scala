@@ -16343,5 +16343,254 @@ object ExtensionQueries {
              |  CAST(round(abs(mw1 - mw0) / sqrt(round((vw1 + vw0) / 2,
              |    6)), 6) <= 0.1 AS BIGINT) AS balanced
              |FROM v CROSS JOIN ex ORDER BY covariate""".stripMargin)),
+
+    // Burrows' Delta stylometric distance (Burrows, LLC 2002; Argamon
+    // 2008 for the formal reading as Manhattan distance in z-space):
+    // pairwise source distance over the z-scored relative frequencies of
+    // the top-50 corpus-wide tokens — the STYLOMETRY read (who writes
+    // like whom) next to x59's KL and x219's JS divergences (which
+    // compare full distributions, not function-word style profiles).
+    // Top-50 is a rank over the vocab-bounded global counts; the
+    // source × top-word grid is zero-filled (a missing function word IS
+    // stylometric signal); per-word mean/σ across the 20 sources from
+    // exact DECIMAL moments of rounded-9 frequencies; σ=0 words
+    // contribute z=0 on both engines. The pair set is the source grid's
+    // own square — 190 pairs at any corpus size.
+    QuerySpec(
+      "x243_burrows_delta",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val st = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        val top = st.groupBy("tok").agg(sum(col("a")).as("g"))
+          .withColumn("rk", row_number().over(
+            W.orderBy(col("g").desc, col("tok"))))
+          .filter(col("rk") <= 50)
+          .select("tok")
+        val rt = st.groupBy("source").agg(sum(col("a")).as("rt"))
+        val grid = rt.crossJoin(broadcast(top))
+          .join(st, Seq("source", "tok"), "left")
+          .na.fill(0L, Seq("a"))
+          .select(col("source"), col("tok"),
+            round(col("a").cast("double") / col("rt"), 9).as("f"))
+        val ms = grid.groupBy("tok").agg(
+            count(lit(1)).as("ns"),
+            sum(col("f").cast("decimal(18,9)")).cast("double").as("sf"),
+            sum(round(col("f") * col("f"), 9).cast("decimal(18,9)"))
+              .cast("double").as("sff"))
+          .select(col("tok"),
+            round(col("sf") / col("ns"), 12).as("mu"),
+            round(sqrt(greatest(col("sff") / col("ns") -
+              round(col("sf") / col("ns"), 12) *
+              round(col("sf") / col("ns"), 12), lit(0.0))), 9).as("sg"))
+        val z = grid.join(broadcast(ms), Seq("tok"))
+          .select(col("source"), col("tok"),
+            when(col("sg") > 0,
+              round((col("f") - col("mu")) / col("sg"), 6))
+              .otherwise(lit(0.0)).as("z"))
+        val pairs = z.as("x").join(z.as("y"),
+            col("x.tok") === col("y.tok") &&
+              col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(round(abs(col("x.z") - col("y.z")), 6)
+              .cast("decimal(18,6)")).cast("double").as("sd"))
+          .select(col("source_a"), col("source_b"),
+            // round at 8, not 6: sd is an exact 6-dp DECIMAL and /50
+            // widens it to exactly 8 decimal digits, so a 6-dp round can
+            // land on a TRUE decimal tie (hit in verification: .xxxxxx50)
+            // where Spark's shortest-repr HALF_UP and DuckDB's binary
+            // round disagree; at 8 the quotient is exact — no tie class
+            round(col("sd") / col("n_words"), 8).as("delta"))
+        pairs.orderBy("source_a", "source_b")
+      },
+      Some("""WITH tk AS (SELECT source,
+             |        unnest(list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '')) AS tok
+             |      FROM documents),
+             |st AS (SELECT source, tok, COUNT(*) AS a FROM tk
+             |      GROUP BY 1, 2),
+             |top AS (SELECT tok FROM (SELECT tok, row_number() OVER (
+             |        ORDER BY SUM(a) DESC, tok) AS rk FROM st GROUP BY tok)
+             |      WHERE rk <= 50),
+             |rt AS (SELECT source, SUM(a) AS rt FROM st GROUP BY 1),
+             |grid AS (SELECT rt.source, top.tok,
+             |        round(CAST(COALESCE(st.a, 0) AS DOUBLE) / rt.rt, 9)
+             |          AS f
+             |      FROM rt CROSS JOIN top
+             |      LEFT JOIN st ON st.source = rt.source
+             |        AND st.tok = top.tok),
+             |ms AS (SELECT tok, COUNT(*) AS ns,
+             |        CAST(SUM(CAST(f AS DECIMAL(18,9))) AS DOUBLE) AS sf,
+             |        CAST(SUM(CAST(round(f * f, 9) AS DECIMAL(18,9)))
+             |          AS DOUBLE) AS sff
+             |      FROM grid GROUP BY 1),
+             |m2 AS (SELECT tok, round(sf / ns, 12) AS mu,
+             |        round(sqrt(greatest(sff / ns -
+             |          round(sf / ns, 12) * round(sf / ns, 12), 0.0)), 9)
+             |          AS sg
+             |      FROM ms),
+             |z AS (SELECT grid.source, grid.tok,
+             |        CASE WHEN m2.sg > 0
+             |          THEN round((grid.f - m2.mu) / m2.sg, 6)
+             |          ELSE 0.0 END AS z
+             |      FROM grid JOIN m2 USING (tok))
+             |SELECT x.source AS source_a, y.source AS source_b,
+             |  round(CAST(SUM(CAST(round(abs(x.z - y.z), 6)
+             |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 8) AS delta
+             |FROM z x JOIN z y ON y.tok = x.tok AND x.source < y.source
+             |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
+    // Cochran-Armitage trend test (Cochran, Biometrics 1954; Armitage
+    // 1955): is conversion MONOTONE in activity exposure? — the ordered-
+    // categories test that x158's Cramér's V (nominal) and x196's CMH
+    // (stratified 2×2) don't give: it spends its one degree of freedom
+    // on the linear trend across activity terciles. Terciles from one
+    // bounded exact-percentile aggregate (the x182 cut device, the x196
+    // percentile correspondence); T = Σ sᵢ(rᵢN − nᵢR) and
+    // Var T = R(N−R)/N · [N Σ sᵢ²nᵢ − (Σ sᵢnᵢ)²] are EXACT INTEGERS
+    // promoted to DOUBLE only for the final ratio — no per-row math at
+    // all after the 3-row cell table.
+    QuerySpec(
+      "x244_cochran_armitage",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("y"))
+        val cuts = u.agg(
+          round(expr("percentile(act, CAST(1 AS DOUBLE) / 3)"), 6)
+            .as("t1"),
+          round(expr("percentile(act, CAST(2 AS DOUBLE) / 3)"), 6)
+            .as("t2"))
+        val cells = u.crossJoin(broadcast(cuts))
+          .select(when(col("act") <= col("t1"), 0L)
+            .when(col("act") <= col("t2"), 1L).otherwise(2L).as("sc"),
+            col("y"))
+          .groupBy("sc")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+        val tot = cells.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+          sum(col("sc") * col("r")).as("sr"),
+          sum(col("sc") * col("n")).as("sn"),
+          sum(col("sc") * col("sc") * col("n")).as("ssn"))
+        val t = (col("sr") * col("nn") - col("sn") * col("rr"))
+          .cast("double")
+        val varT = (col("rr") * (col("nn") - col("rr"))).cast("double") /
+          col("nn") *
+          (col("nn") * col("ssn") - col("sn") * col("sn")).cast("double")
+        val zc = round(t / sqrt(varT), 6)
+        cells.orderBy("sc")
+          .select(col("sc").as("tercile"), col("n"), col("r")
+            .as("converted"),
+            round(col("r").cast("double") / col("n"), 6).as("rate"))
+          .crossJoin(broadcast(tot.select(zc.as("z_trend"),
+            round(zc * zc, 4).as("chi2_1df"))))
+          .orderBy("tercile")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS y
+             |      FROM events GROUP BY 1),
+             |cuts AS (SELECT
+             |        round(quantile_cont(act, CAST(1 AS DOUBLE) / 3), 6)
+             |          AS t1,
+             |        round(quantile_cont(act, CAST(2 AS DOUBLE) / 3), 6)
+             |          AS t2
+             |      FROM u),
+             |cells AS (SELECT CASE WHEN act <= cuts.t1 THEN 0
+             |          WHEN act <= cuts.t2 THEN 1 ELSE 2 END AS sc,
+             |        COUNT(*) AS n, SUM(y) AS r
+             |      FROM u CROSS JOIN cuts GROUP BY 1),
+             |tot AS (SELECT SUM(n) AS nn, SUM(r) AS rr,
+             |        SUM(sc * r) AS sr, SUM(sc * n) AS sn,
+             |        SUM(sc * sc * n) AS ssn
+             |      FROM cells),
+             |zt AS (SELECT
+             |        round(CAST(sr * nn - sn * rr AS DOUBLE) /
+             |          sqrt(CAST(rr * (nn - rr) AS DOUBLE) / nn *
+             |            CAST(nn * ssn - sn * sn AS DOUBLE)), 6) AS z
+             |      FROM tot)
+             |SELECT CAST(cells.sc AS BIGINT) AS tercile,
+             |  CAST(cells.n AS BIGINT) AS n,
+             |  CAST(cells.r AS BIGINT) AS converted,
+             |  round(CAST(cells.r AS DOUBLE) / cells.n, 6) AS rate,
+             |  zt.z AS z_trend, round(zt.z * zt.z, 4) AS chi2_1df
+             |FROM cells CROSS JOIN zt ORDER BY tercile""".stripMargin)),
+
+    // Chapman capture-recapture audit (Lincoln 1930 / Petersen;
+    // Chapman 1951's bias-corrected estimator; Seber 1970 variance):
+    // estimate the TOTAL user population from two "capture lists" —
+    // users ever seen viewing vs users ever seen clicking — and score
+    // the estimate against the KNOWN total, the abundance-estimation
+    // companion to x235's species richness (Chao1 asks how many types
+    // are unseen; Chapman asks how many INDIVIDUALS two overlapping
+    // samples imply). N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with Seber's variance
+    // and a normal 95% CI; the independence assumption is exactly what
+    // the audit tests (users who view are also more likely to click →
+    // expect under-estimation). Three distinct-count aggregates and
+    // 8-number algebra — one corpus pass, no joins on events.
+    QuerySpec(
+      "x245_chapman_capture",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val caps = ev.agg(
+          countDistinct(when(col("event_type") === "view",
+            col("user_id"))).as("n1"),
+          countDistinct(when(col("event_type") === "click",
+            col("user_id"))).as("n2"),
+          countDistinct(col("user_id")).as("n_true"))
+        val m = ev.filter(col("event_type").isin("view", "click"))
+          .groupBy("user_id")
+          .agg(countDistinct(col("event_type")).as("k"))
+          .agg(sum(when(col("k") === 2, 1L).otherwise(0L)).as("m"))
+        val est = round((col("n1") + 1).cast("double") *
+          (col("n2") + 1) / (col("m") + 1) - 1, 4)
+        val varC = (col("n1") + 1).cast("double") * (col("n2") + 1) *
+          (col("n1") - col("m")) * (col("n2") - col("m")) /
+          ((col("m") + 1).cast("double") * (col("m") + 1) *
+            (col("m") + 2))
+        caps.crossJoin(broadcast(m))
+          .select(col("n1"), col("n2"), col("m"), col("n_true"),
+            est.as("n_hat"),
+            round(sqrt(varC), 4).as("se"),
+            round(est - lit(1.96) * round(sqrt(varC), 4), 4)
+              .as("ci_lower"),
+            round(est + lit(1.96) * round(sqrt(varC), 4), 4)
+              .as("ci_upper"),
+            round(est / col("n_true"), 6).as("coverage_ratio"))
+          .orderBy("n1")
+      },
+      Some("""WITH caps AS (SELECT
+             |        COUNT(DISTINCT CASE WHEN event_type = 'view'
+             |          THEN user_id END) AS n1,
+             |        COUNT(DISTINCT CASE WHEN event_type = 'click'
+             |          THEN user_id END) AS n2,
+             |        COUNT(DISTINCT user_id) AS n_true
+             |      FROM events),
+             |mm AS (SELECT SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS m
+             |      FROM (SELECT user_id, COUNT(DISTINCT event_type) AS k
+             |            FROM events
+             |            WHERE event_type IN ('view', 'click')
+             |            GROUP BY 1)),
+             |est AS (SELECT n1, n2, m, n_true,
+             |        round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1)
+             |          - 1, 4) AS n_hat,
+             |        round(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) *
+             |          (n1 - m) * (n2 - m) /
+             |          (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))), 4)
+             |          AS se
+             |      FROM caps CROSS JOIN mm)
+             |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             |  CAST(m AS BIGINT) AS m, CAST(n_true AS BIGINT) AS n_true,
+             |  n_hat, se,
+             |  round(n_hat - 1.96 * se, 4) AS ci_lower,
+             |  round(n_hat + 1.96 * se, 4) AS ci_upper,
+             |  round(n_hat / n_true, 6) AS coverage_ratio
+             |FROM est ORDER BY n1""".stripMargin)),
   )
 }
