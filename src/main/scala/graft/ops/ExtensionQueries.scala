@@ -16592,5 +16592,330 @@ object ExtensionQueries {
              |  round(n_hat + 1.96 * se, 4) AS ci_upper,
              |  round(n_hat / n_true, 6) AS coverage_ratio
              |FROM est ORDER BY n1""".stripMargin)),
+
+    // Cumulative gains / lift table (the direct-marketing standard —
+    // Berry & Linoff 1997; Provost & Fawcett 2013 ch.8 treat it as the
+    // profit-curve primitive): decile-ranked users by activity score vs
+    // the x182 high-value outcome — the "how deep do we mail" read that
+    // completes the eval suite (x168 ROC ranks thresholds, x188 AP
+    // ranks retrieval, x165 calibrates; gains PRICES a cutoff). Decile
+    // cuts from ONE bounded exact-percentile aggregate (the x182
+    // device); decile assignment is a 9-comparison sum against the
+    // broadcast cut row (row-local, no corpus window); cumulative
+    // capture/lift are windows over the 10-row decile aggregate.
+    QuerySpec(
+      "x246_gain_lift",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("y"))
+        val cutCols = (1 to 9).map(i =>
+          round(expr(s"percentile(act, CAST($i AS DOUBLE) / 10)"), 6)
+            .as(s"c$i"))
+        val cuts = u.agg(cutCols.head, cutCols.tail: _*)
+        val dec = u.crossJoin(broadcast(cuts))
+          .select(col("y"),
+            (1 to 9).map(i => (col("act") > col(s"c$i")).cast("long"))
+              .reduce(_ + _).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+        val tot = dec.agg(sum(col("n")).as("tn"), sum(col("r")).as("tr"))
+        val wc = W.orderBy(col("d").desc)
+          .rowsBetween(W.unboundedPreceding, 0)
+        dec.crossJoin(broadcast(tot))
+          .withColumn("cn", sum(col("n")).over(wc))
+          .withColumn("cr", sum(col("r")).over(wc))
+          .select((lit(10) - col("d")).as("decile_rank"), col("n"),
+            col("r").as("responders"),
+            round(col("r").cast("double") / col("n"), 6).as("rate"),
+            round(col("cr").cast("double") / col("tr"), 6)
+              .as("cum_gain"),
+            round(col("cr").cast("double") / col("cn") /
+              (col("tr").cast("double") / col("tn")), 6).as("lift"))
+          .orderBy("decile_rank")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS y
+             |      FROM events GROUP BY 1),
+             |cuts AS (SELECT
+             |        round(quantile_cont(act, CAST(1 AS DOUBLE) / 10), 6) AS c1,
+             |        round(quantile_cont(act, CAST(2 AS DOUBLE) / 10), 6) AS c2,
+             |        round(quantile_cont(act, CAST(3 AS DOUBLE) / 10), 6) AS c3,
+             |        round(quantile_cont(act, CAST(4 AS DOUBLE) / 10), 6) AS c4,
+             |        round(quantile_cont(act, CAST(5 AS DOUBLE) / 10), 6) AS c5,
+             |        round(quantile_cont(act, CAST(6 AS DOUBLE) / 10), 6) AS c6,
+             |        round(quantile_cont(act, CAST(7 AS DOUBLE) / 10), 6) AS c7,
+             |        round(quantile_cont(act, CAST(8 AS DOUBLE) / 10), 6) AS c8,
+             |        round(quantile_cont(act, CAST(9 AS DOUBLE) / 10), 6) AS c9
+             |      FROM u),
+             |dec AS (SELECT
+             |        CAST(act > c1 AS BIGINT) + CAST(act > c2 AS BIGINT) +
+             |        CAST(act > c3 AS BIGINT) + CAST(act > c4 AS BIGINT) +
+             |        CAST(act > c5 AS BIGINT) + CAST(act > c6 AS BIGINT) +
+             |        CAST(act > c7 AS BIGINT) + CAST(act > c8 AS BIGINT) +
+             |        CAST(act > c9 AS BIGINT) AS d, COUNT(*) AS n,
+             |        SUM(y) AS r
+             |      FROM u CROSS JOIN cuts GROUP BY 1),
+             |tot AS (SELECT SUM(n) AS tn, SUM(r) AS tr FROM dec),
+             |cum AS (SELECT d, n, r,
+             |        SUM(n) OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) AS cn,
+             |        SUM(r) OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) AS cr
+             |      FROM dec)
+             |SELECT CAST(10 - d AS BIGINT) AS decile_rank,
+             |  CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS responders,
+             |  round(CAST(r AS DOUBLE) / n, 6) AS rate,
+             |  round(CAST(cr AS DOUBLE) / tot.tr, 6) AS cum_gain,
+             |  round(CAST(cr AS DOUBLE) / cn /
+             |    (CAST(tot.tr AS DOUBLE) / tot.tn), 6) AS lift
+             |FROM cum CROSS JOIN tot ORDER BY decile_rank""".stripMargin)),
+
+    // Trimmed mean with the Tukey-McLaughlin SE (Tukey & McLaughlin,
+    // Sankhya 1963; Wilcox 2012 ch.3 for the modern treatment): robust
+    // location for purchase values — x179 flags outliers by MAD, this
+    // ESTIMATES THROUGH them: 10%-threshold trim for the mean,
+    // winsorized variance for the SE (the T-M insight: the trimmed
+    // mean's sampling variance is the winsorized variance scaled by
+    // (1−2α)⁻²). Thresholds are exact percentiles (the x196
+    // correspondence) so trim/winsorize are row-local comparisons; all
+    // moments ride rounded-6 DECIMAL sums; α is the ACHIEVED trim
+    // fraction (ties at the cut stay in — documented threshold
+    // convention, not the order-statistic count).
+    QuerySpec(
+      "x247_trimmed_mean",
+      (s, dir) => {
+        val v = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val cuts = v.agg(
+          round(expr("percentile(c, CAST(1 AS DOUBLE) / 10)"), 6)
+            .as("q10"),
+          round(expr("percentile(c, CAST(9 AS DOUBLE) / 10)"), 6)
+            .as("q90"))
+        val w = v.crossJoin(broadcast(cuts))
+          .select(col("c"), col("q10"), col("q90"),
+            (col("c") >= col("q10") && col("c") <= col("q90"))
+              .cast("long").as("keep"),
+            round(least(greatest(col("c").cast("double"), col("q10")),
+              col("q90")), 6).as("wz"))
+        val m = w.agg(count(lit(1)).as("n"), sum(col("keep")).as("nt"),
+          sum(col("c")).as("sc"),
+          sum(when(col("keep") === 1, col("c")).otherwise(0L)).as("st"),
+          sum(col("wz").cast("decimal(38,6)")).cast("double").as("sw"),
+          sum(round(col("wz") * col("wz"), 6).cast("decimal(38,6)"))
+            .cast("double").as("sww"))
+        val mw = round(col("sw") / col("n"), 6)
+        val vw = round(greatest((col("sww") -
+          col("n") * mw * mw) / (col("n") - 1), lit(0.0)), 6)
+        val alpha = round((col("n") - col("nt")).cast("double") /
+          (lit(2.0) * col("n")), 6)
+        m.select(col("n"), col("nt").as("n_trimmed"),
+            round(col("sc").cast("double") / col("n") / 100, 6)
+              .as("mean_dollars"),
+            round(col("st").cast("double") / col("nt") / 100, 6)
+              .as("trimmed_mean_dollars"),
+            round(sqrt(vw) / 100, 6).as("winsorized_sd_dollars"),
+            round(sqrt(vw) / ((lit(1.0) - lit(2) * alpha) *
+              sqrt(col("n").cast("double"))) / 100, 6)
+              .as("se_trimmed_dollars"))
+          .orderBy("n")
+      },
+      Some("""WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events WHERE event_type = 'purchase'),
+             |cuts AS (SELECT
+             |        round(quantile_cont(c, CAST(1 AS DOUBLE) / 10), 6)
+             |          AS q10,
+             |        round(quantile_cont(c, CAST(9 AS DOUBLE) / 10), 6)
+             |          AS q90
+             |      FROM v),
+             |w AS (SELECT c,
+             |        CASE WHEN c >= q10 AND c <= q90 THEN 1 ELSE 0 END
+             |          AS keep,
+             |        round(least(greatest(CAST(c AS DOUBLE), q10), q90),
+             |          6) AS wz
+             |      FROM v CROSS JOIN cuts),
+             |m AS (SELECT COUNT(*) AS n, SUM(keep) AS nt, SUM(c) AS sc,
+             |        SUM(CASE WHEN keep = 1 THEN c ELSE 0 END) AS st,
+             |        CAST(SUM(CAST(wz AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(wz * wz, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sww
+             |      FROM w),
+             |d AS (SELECT n, nt, sc, st,
+             |        round(sw / n, 6) AS mw,
+             |        round(greatest((sww - n * round(sw / n, 6) *
+             |          round(sw / n, 6)) / (n - 1), 0.0), 6) AS vw,
+             |        round(CAST(n - nt AS DOUBLE) / (2.0 * n), 6)
+             |          AS alpha
+             |      FROM m)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT)
+             |    AS n_trimmed,
+             |  round(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_dollars,
+             |  round(CAST(st AS DOUBLE) / nt / 100, 6)
+             |    AS trimmed_mean_dollars,
+             |  round(sqrt(vw) / 100, 6) AS winsorized_sd_dollars,
+             |  round(sqrt(vw) / ((1.0 - 2 * alpha) *
+             |    sqrt(CAST(n AS DOUBLE))) / 100, 6)
+             |    AS se_trimmed_dollars
+             |FROM d ORDER BY n""".stripMargin)),
+
+    // Friedman blocked rank test with tie correction (Friedman, JASA
+    // 1937; Conover 1999 §5.8 for the tie-corrected form): do the five
+    // event types keep the same POPULARITY ORDER day after day? —
+    // the repeated-measures companion to x204's Kruskal-Wallis (which
+    // pools all observations and so confounds day volume with type
+    // preference; Friedman ranks WITHIN each day-block and asks if the
+    // rank profile is stable). Blocks are the zero-filled day × type
+    // grid (calendar-bounded); average ranks for ties come from
+    // rank() + (tiecount−1)/2 — exact halves, so every moment (R_j, A)
+    // is an exact rational and the only doubles are the final ratio;
+    // Q_c = (k−1)·Σ(R_j − n(k+1)/2)²/(A − C), the Conover form that is
+    // exact under ties.
+    QuerySpec(
+      "x248_friedman",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+        val grid = ev.select("day").distinct()
+          .crossJoin(broadcast(ev.select("event_type").distinct()))
+          .join(ev.groupBy("day", "event_type")
+            .agg(count(lit(1)).as("cnt")), Seq("day", "event_type"),
+            "left")
+          .na.fill(0L, Seq("cnt"))
+        val wr = W.partitionBy("day").orderBy("cnt")
+        val wt = W.partitionBy("day", "cnt")
+        val ranked = grid
+          .withColumn("rk", rank().over(wr))
+          .withColumn("tc", count(lit(1)).over(wt))
+          .withColumn("r", col("rk") + (col("tc") - 1) / lit(2.0))
+        val rj = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("r").cast("decimal(18,6)")).cast("double").as("rsum"))
+        val a = ranked.agg(
+          sum(round(col("r") * col("r"), 6).cast("decimal(18,6)"))
+            .cast("double").as("aa"), count(lit(1)).as("nk"))
+        val k = lit(5.0)
+        val stats = rj.crossJoin(broadcast(a))
+          .select(col("event_type"), col("n"), col("rsum"),
+            round((col("rsum") - col("n") * (k + 1) / 2) *
+              (col("rsum") - col("n") * (k + 1) / 2), 6).as("dev2"),
+            col("aa"))
+        val q = stats.agg(max(col("n")).as("n_days"),
+            sum(col("dev2").cast("decimal(18,6)")).cast("double")
+              .as("sdev"), max(col("aa")).as("aa"))
+          .select(col("n_days"),
+            round((k - 1) * col("sdev") /
+              (col("aa") - col("n_days") * k * (k + 1) * (k + 1) / 4),
+              4).as("friedman_q"))
+        stats.select(col("event_type"), col("n").as("n_days"),
+            round(col("rsum") / col("n"), 6).as("mean_rank"))
+          .crossJoin(broadcast(q.select(col("friedman_q"))))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type
+             |      FROM events),
+             |grid AS (SELECT d.day, t.event_type, COALESCE(c.cnt, 0)
+             |          AS cnt
+             |      FROM (SELECT DISTINCT day FROM ev) d
+             |      CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+             |      LEFT JOIN (SELECT day, event_type, COUNT(*) AS cnt
+             |                 FROM ev GROUP BY 1, 2) c
+             |        ON c.day = d.day AND c.event_type = t.event_type),
+             |rk AS (SELECT day, event_type, cnt,
+             |        rank() OVER (PARTITION BY day ORDER BY cnt) AS rk,
+             |        COUNT(*) OVER (PARTITION BY day, cnt) AS tc
+             |      FROM grid),
+             |r AS (SELECT day, event_type, rk + (tc - 1) / 2.0 AS r
+             |      FROM rk),
+             |rj AS (SELECT event_type, COUNT(*) AS n,
+             |        CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS rsum
+             |      FROM r GROUP BY 1),
+             |a AS (SELECT CAST(SUM(CAST(round(r * r, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS aa
+             |      FROM r),
+             |st AS (SELECT event_type, n, rsum,
+             |        round((rsum - n * 6.0 / 2) * (rsum - n * 6.0 / 2),
+             |          6) AS dev2, a.aa
+             |      FROM rj CROSS JOIN a),
+             |q AS (SELECT MAX(n) AS n_days,
+             |        round(4.0 * CAST(SUM(CAST(dev2 AS DECIMAL(18,6)))
+             |          AS DOUBLE) /
+             |          (MAX(aa) - MAX(n) * 5.0 * 6 * 6 / 4), 4)
+             |          AS friedman_q
+             |      FROM st)
+             |SELECT st.event_type, CAST(st.n AS BIGINT) AS n_days,
+             |  round(st.rsum / st.n, 6) AS mean_rank, q.friedman_q
+             |FROM st CROSS JOIN q ORDER BY event_type""".stripMargin)),
+
+    // Flesch readability (Flesch, J.Appl.Psych 1948; Kincaid et al.
+    // 1975 for the grade-level recast): per-source reading ease and
+    // FK grade from words/sentences/syllables — the classic
+    // curation-filter feature the x23/x72 quality reads don't include
+    // (C4 and friends gate on sentence structure; readability is the
+    // one-number summary reviewers expect). Syllables are the standard
+    // dependency-free proxy — vowel-group runs, floor 1 per word —
+    // and sentences are [.!?]+ runs, floor 1 per doc; both are one
+    // regexp_count per doc (row-local, codegen'd), the per-doc scores
+    // are exact rationals rounded 6, and source means ride the DECIMAL
+    // bridge.
+    QuerySpec(
+      "x249_readability",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("source"),
+            TextFunctions.tokens(col("text")).as("ws"), col("text"))
+          .filter(size(col("ws")) > 0)
+          .select(col("source"), size(col("ws")).cast("long").as("w"),
+            greatest(expr("CAST(regexp_count(text, '[.!?]+') AS LONG)"),
+              lit(1L)).as("sen"),
+            expr("""aggregate(transform(ws, x ->
+              greatest(CAST(regexp_count(x, '[aeiouy]+') AS LONG),
+              CAST(1 AS LONG))), CAST(0 AS LONG), (a, b) -> a + b)""")
+              .as("syl"))
+        val scored = d.select(col("source"),
+          round(lit(206.835) - lit(1.015) * col("w") / col("sen") -
+            lit(84.6) * col("syl") / col("w"), 6).as("fre"),
+          round(lit(0.39) * col("w") / col("sen") +
+            lit(11.8) * col("syl") / col("w") - lit(15.59), 6).as("fk"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("fre").cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 4).as("mean_reading_ease"),
+            round(sum(col("fk").cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 4).as("mean_fk_grade"),
+            round(sum(when(col("fre") >= 60, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("share_easy"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, text,
+             |        list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '') AS ws
+             |      FROM documents),
+             |d AS (SELECT source, CAST(len(ws) AS BIGINT) AS w,
+             |        greatest(CAST(len(regexp_extract_all(text,
+             |          '[.!?]+')) AS BIGINT), 1) AS sen,
+             |        CAST(list_sum([greatest(len(regexp_extract_all(x,
+             |          '[aeiouy]+')), 1) for x in ws]) AS BIGINT) AS syl
+             |      FROM t WHERE len(ws) > 0),
+             |sc AS (SELECT source,
+             |        round(206.835 - 1.015 * w / sen - 84.6 * syl / w, 6)
+             |          AS fre,
+             |        round(0.39 * w / sen + 11.8 * syl / w - 15.59, 6)
+             |          AS fk
+             |      FROM d)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  round(CAST(SUM(CAST(fre AS DECIMAL(18,6))) AS DOUBLE)
+             |    / COUNT(*), 4) AS mean_reading_ease,
+             |  round(CAST(SUM(CAST(fk AS DECIMAL(18,6))) AS DOUBLE)
+             |    / COUNT(*), 4) AS mean_fk_grade,
+             |  round(CAST(SUM(CASE WHEN fre >= 60 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS share_easy
+             |FROM sc GROUP BY 1 ORDER BY source""".stripMargin)),
   )
 }
