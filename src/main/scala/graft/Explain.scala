@@ -93,7 +93,8 @@ object Explain {
       "x239_markov_attribution", "x240_kendall_tau",
       "x241_llr_keyness", "x242_smd_balance", "x243_burrows_delta",
       "x244_cochran_armitage", "x245_chapman_capture", "x246_gain_lift",
-      "x247_trimmed_mean", "x248_friedman", "x249_readability")
+      "x247_trimmed_mean", "x248_friedman", "x249_readability",
+      "x250_shapley_attribution", "x251_qte")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

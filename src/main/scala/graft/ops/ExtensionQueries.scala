@@ -16917,5 +16917,200 @@ object ExtensionQueries {
              |  round(CAST(SUM(CASE WHEN fre >= 60 THEN 1 ELSE 0 END)
              |    AS DOUBLE) / COUNT(*), 6) AS share_easy
              |FROM sc GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Shapley-value attribution (Shapley 1953; Dalessandro, Perlich,
+    // Stitelman & Provost, ADKDD 2012 for the marketing-attribution
+    // use): each channel's credit is its average marginal contribution
+    // to the conversion rate across ALL coalitions of touched channels —
+    // the axiomatic (efficiency/symmetry) companion to x239's Markov
+    // removal effects: Markov prices a channel by path counterfactual,
+    // Shapley by coalition-game fairness; production stacks report both.
+    // The characteristic function v(S) = HIGH-VALUE conversion rate
+    // (first purchase over $150 — every synthetic user purchases
+    // *something*, so plain purchase would be the degenerate v≡1 game)
+    // among users whose PRE-CONVERSION touched-channel set ⊆ S needs
+    // only the 16-row mask histogram (one corpus pass → 4-bit mask), the
+    // subset sums are a bitwise-AND join on the 16×16 grid, and the
+    // Shapley sum is 4 channels × 8 coalitions of exact-rational v's —
+    // bounded algebra start to finish; Σφ telescopes to v(full) − v(∅)
+    // (efficiency), reported as a built-in audit column.
+    QuerySpec(
+      "x250_shapley_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"),
+            col("value"))
+        val hv = col("event_type") === "purchase" && col("value") > 150
+        val fp = ev.filter(hv)
+          .groupBy("user_id").agg(min(col("ts")).as("pts"))
+        val pe = ev.join(fp, Seq("user_id"), "left")
+          .filter(col("pts").isNull || col("ts") <= col("pts"))
+        val um = pe.groupBy("user_id").agg(
+          (max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+            max(when(col("event_type") === "error", 2L).otherwise(0L)) +
+            max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+            max(when(col("event_type") === "view", 8L).otherwise(0L)))
+            .as("mask"),
+          max(when(hv, 1L).otherwise(0L)).as("conv"))
+        val g = um.groupBy("mask")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+        val coal = s.range(16).toDF("cs")
+        val vt = coal.join(broadcast(g),
+            g("mask").bitwiseAND(coal("cs")) === g("mask"), "left")
+          .groupBy("cs")
+          .agg(coalesce(sum(col("n")), lit(0L)).as("ns"),
+            coalesce(sum(col("k")), lit(0L)).as("ks"))
+          .select(col("cs"),
+            when(col("ns") > 0,
+              round(col("ks").cast("double") / col("ns"), 9))
+              .otherwise(lit(0.0)).as("v"))
+          .localCheckpoint() // 16 rows by construction
+        val bits = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+          ("view", 8L)).toDF("channel", "bit")
+        val wgt = when(expr("bit_count(cs)") === 0, lit(0.25))
+          .when(expr("bit_count(cs)") === 1, lit(1.0) / lit(12.0))
+          .when(expr("bit_count(cs)") === 2, lit(1.0) / lit(12.0))
+          .otherwise(lit(0.25))
+        val phi = broadcast(bits)
+          .join(vt.select(col("cs"), col("v")),
+            col("cs").bitwiseAND(col("bit")) === 0)
+          .join(broadcast(vt.select(col("cs").as("cs2"),
+            col("v").as("v2"))), col("cs2") === col("cs") + col("bit"))
+          .select(col("channel"),
+            round(wgt * (col("v2") - col("v")), 9)
+              .cast("decimal(18,9)").as("term"))
+          .groupBy("channel")
+          .agg(sum(col("term")).cast("double").as("phi"))
+        val tot = phi.agg(sum(col("phi").cast("decimal(18,9)"))
+          .cast("double").as("sphi"))
+        val vEnds = vt.agg(
+          round(sum(when(col("cs") === 15, col("v")).otherwise(0.0)) -
+            sum(when(col("cs") === 0, col("v")).otherwise(0.0)), 9)
+            .as("v_span"))
+        phi.crossJoin(broadcast(tot)).crossJoin(broadcast(vEnds))
+          .select(col("channel"), round(col("phi"), 6).as("shapley"),
+            when(col("sphi") =!= 0,
+              round(col("phi") / col("sphi"), 6)).otherwise(lit(0.0))
+              .as("share"),
+            round(col("sphi") - col("v_span"), 6).as("efficiency_gap"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_type, value
+             |      FROM events),
+             |fp AS (SELECT user_id, MIN(ts) AS pts FROM ev
+             |      WHERE event_type = 'purchase' AND value > 150
+             |      GROUP BY 1),
+             |pe AS (SELECT ev.user_id, ev.ts, ev.event_type, ev.value
+             |      FROM ev
+             |      LEFT JOIN fp ON fp.user_id = ev.user_id
+             |      WHERE fp.pts IS NULL OR ev.ts <= fp.pts),
+             |um AS (SELECT user_id,
+             |        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+             |          END) +
+             |        MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0
+             |          END) +
+             |        MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0
+             |          END) +
+             |        MAX(CASE WHEN event_type = 'view' THEN 8 ELSE 0
+             |          END) AS mask,
+             |        MAX(CASE WHEN event_type = 'purchase'
+             |          AND value > 150 THEN 1 ELSE 0 END) AS conv
+             |      FROM pe GROUP BY 1),
+             |g AS (SELECT mask, COUNT(*) AS n, SUM(conv) AS k FROM um
+             |      GROUP BY 1),
+             |coal AS (SELECT unnest(range(16)) AS cs),
+             |vt AS (SELECT coal.cs,
+             |        CASE WHEN COALESCE(SUM(g.n), 0) > 0
+             |          THEN round(CAST(COALESCE(SUM(g.k), 0) AS DOUBLE) /
+             |            COALESCE(SUM(g.n), 0), 9)
+             |          ELSE 0.0 END AS v
+             |      FROM coal LEFT JOIN g ON (g.mask & coal.cs) = g.mask
+             |      GROUP BY 1),
+             |bits AS (SELECT 'click' AS channel, 1 AS bit
+             |      UNION ALL SELECT 'error', 2
+             |      UNION ALL SELECT 'signup', 4
+             |      UNION ALL SELECT 'view', 8),
+             |phi AS (SELECT bits.channel,
+             |        CAST(SUM(CAST(round(
+             |          (CASE WHEN bit_count(a.cs) = 0 THEN 0.25
+             |            WHEN bit_count(a.cs) = 1 THEN 1.0 / 12.0
+             |            WHEN bit_count(a.cs) = 2 THEN 1.0 / 12.0
+             |            ELSE 0.25 END) * (b.v - a.v), 9)
+             |          AS DECIMAL(18,9))) AS DOUBLE) AS phi
+             |      FROM bits JOIN vt a ON (a.cs & bits.bit) = 0
+             |      JOIN vt b ON b.cs = a.cs + bits.bit
+             |      GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(CAST(phi AS DECIMAL(18,9)))
+             |          AS DOUBLE) AS sphi FROM phi),
+             |ve AS (SELECT round(
+             |        SUM(CASE WHEN cs = 15 THEN v ELSE 0.0 END) -
+             |        SUM(CASE WHEN cs = 0 THEN v ELSE 0.0 END), 9)
+             |          AS v_span FROM vt)
+             |SELECT channel, round(phi, 6) AS shapley,
+             |  CASE WHEN tot.sphi <> 0 THEN round(phi / tot.sphi, 6)
+             |    ELSE 0.0 END AS share,
+             |  round(tot.sphi - ve.v_span, 6) AS efficiency_gap
+             |FROM phi CROSS JOIN tot CROSS JOIN ve
+             |ORDER BY channel""".stripMargin)),
+
+    // Quantile treatment effects (Doksum, AoS 1974; Koenker & Bassett
+    // 1978 frame them as quantile-regression coefficients): per decile,
+    // the gap between arm purchase-value quantiles — WHERE in the
+    // distribution the arms differ, which x228's single-number W₁
+    // integrates away and a mean effect (x133/x213) can't see at all
+    // (a treatment that fattens the right tail while thinning the left
+    // has zero ATE and a sharply sloped QTE curve). Both arms' nine
+    // quantiles come from ONE bounded percentile-array aggregate each
+    // (the x196 quantile_cont correspondence, rounded 6 element-wise
+    // before the diff); dollar outputs round at 8 — past the exact
+    // width of the /100 recode — so the half-up-vs-binary tie class
+    // x243 hit cannot occur.
+    QuerySpec(
+      "x251_qte",
+      (s, dir) => {
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).cast("long").as("arm"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+        val fr = (1 to 9).map(i => s"CAST($i AS DOUBLE) / 10")
+          .mkString(", ")
+        val q = p.groupBy("arm")
+          .agg(expr(s"percentile(y, array($fr))").as("qs"))
+        val dec = q.select(col("arm"),
+            posexplode(col("qs")).as(Seq("pos", "qv")))
+          .select(col("arm"), (col("pos") + 1).cast("long").as("decile"),
+            round(col("qv"), 6).as("qv"))
+        val a = dec.filter(col("arm") === 0)
+          .select(col("decile"), col("qv").as("qc"))
+        val b = dec.filter(col("arm") === 1)
+          .select(col("decile"), col("qv").as("qt"))
+        a.join(b, Seq("decile"))
+          .select(col("decile"),
+            round(col("qc") / 100, 8).as("q_ctrl_dollars"),
+            round(col("qt") / 100, 8).as("q_treat_dollars"),
+            round((col("qt") - col("qc")) / 100, 8).as("qte_dollars"))
+          .orderBy("decile")
+      },
+      Some("""WITH p AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             |        CAST(round(value * 100) AS BIGINT) AS y
+             |      FROM events WHERE event_type = 'purchase'),
+             |q AS (SELECT arm, quantile_cont(y,
+             |        [CAST(1 AS DOUBLE) / 10, CAST(2 AS DOUBLE) / 10,
+             |         CAST(3 AS DOUBLE) / 10, CAST(4 AS DOUBLE) / 10,
+             |         CAST(5 AS DOUBLE) / 10, CAST(6 AS DOUBLE) / 10,
+             |         CAST(7 AS DOUBLE) / 10, CAST(8 AS DOUBLE) / 10,
+             |         CAST(9 AS DOUBLE) / 10]) AS qs
+             |      FROM p GROUP BY 1),
+             |d AS (SELECT arm, g.i AS decile, round(qs[g.i], 6) AS qv
+             |      FROM q CROSS JOIN (SELECT CAST(unnest(range(1, 10))
+             |        AS INT) AS i) g)
+             |SELECT CAST(a.decile AS BIGINT) AS decile,
+             |  round(a.qv / 100, 8) AS q_ctrl_dollars,
+             |  round(b.qv / 100, 8) AS q_treat_dollars,
+             |  round((b.qv - a.qv) / 100, 8) AS qte_dollars
+             |FROM (SELECT * FROM d WHERE arm = 0) a
+             |JOIN (SELECT * FROM d WHERE arm = 1) b USING (decile)
+             |ORDER BY decile""".stripMargin)),
   )
 }
