@@ -94,7 +94,10 @@ object Explain {
       "x241_llr_keyness", "x242_smd_balance", "x243_burrows_delta",
       "x244_cochran_armitage", "x245_chapman_capture", "x246_gain_lift",
       "x247_trimmed_mean", "x248_friedman", "x249_readability",
-      "x250_shapley_attribution", "x251_qte")
+      "x250_shapley_attribution", "x251_qte", "x252_ljung_box",
+      "x253_effect_sizes", "x254_yule_k", "x255_qini_uplift",
+      "x256_t_closeness", "x257_kmv_set_ops",
+      "x258_edit_distance_dedup", "x259_cronbach_alpha")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
