@@ -890,12 +890,22 @@ object Dedup {
   /** Ioffe 2010 Improved Consistent Weighted Sampling (ICWS): weighted-
     * MinHash near-dup pairs under the WEIGHTED Jaccard
     * J_w(A,B) = sum_k min(w_A(k), w_B(k)) / sum_k max(w_A(k), w_B(k))
-    * over per-doc token term frequencies — the dedup read for
-    * bag-of-words near-copies where binary shingle Jaccard
+    * over per-doc ADJACENT-WORD-BIGRAM term frequencies — the dedup
+    * read for bag-of-words near-copies where binary shingle Jaccard
     * ([[minhashNearDups]], x2) saturates: a doc that repeats one
     * paragraph 10x shares every shingle TYPE with the original but not
     * its weight profile. P[ICWS samples collide] = J_w exactly
     * (Ioffe, ICDM 2010, Thm 1).
+    *
+    * Bigrams, not unigrams, as the weighted set: this corpus draws from
+    * a ~31-type closed word vocabulary, under which unigram J_w >= 0.4
+    * holds for ~22% of RANDOM pairs — the first cut of x238 emitted the
+    * quadratic pair cloud (2.8M pairs at sf0.1, 4.8M band-bucket
+    * candidates, 22.9 s: the worst query in the round-10 bench) while
+    * saying nothing about duplication. Word bigrams lift the feature
+    * space to |V|^2 so both the LSH buckets and the 0.4 threshold are
+    * selective again; repeat-heavy near-copies still collide because
+    * repeats repeat their bigrams too.
     *
     * Scale + oracle shape:
     *  - the Gamma(2,1)/Uniform draws (r_k, ln c_k, beta_k) attach to the
@@ -921,10 +931,19 @@ object Dedup {
       seeds: Int = 8, threshold: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seeds % 2 == 0, "2-row bands need an even seed count")
+    // tf is read FIVE times downstream (draw vocab, signatures, totals,
+    // and both verify probes): checkpoint the aggregate once — it is the
+    // compressed form of the corpus (|doc|·|distinct bigrams/doc|), and
+    // without it each consumer re-tokenizes and re-explodes the raw text
+    // (measured 21 s -> ~3 s at sf0.1 with the checkpoint + the
+    // aggregate argmin below).
     val tf = df
       .select(col(idCol).as("doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(TextFunctions.bigramsOfTokens(col("toks"))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     // (0,1] uniforms from 48-bit md5 prefixes, the established device
     def u(salt: String): Column =
       (conv(substring(md5(concat(lit(s"icws:$salt:"), col("seed"),
@@ -934,24 +953,42 @@ object Dedup {
     // r ~ Gamma(2,1) rounded at 9 (a 6-dp round can collapse the ~1e-6
     // left tail of -ln(u1 u2) to 0 and r is a divisor); ln c at 6 is
     // safe — it is only an argmin ingredient
+    // localCheckpoint is LOAD-BEARING, not lineage hygiene: without it
+    // Catalyst collapses this projection into the consumer above the
+    // tf⋈rnd join (the broadcast side materializes only the raw
+    // (tok, seed) grid — observed in the physical plan), so the five
+    // md5+conv+log draws re-evaluate PER SAMPLE ROW (|tf|·seeds, twice
+    // under the band self-join) instead of once per (token, seed).
+    // Measured: the x238 end-to-end dropped 21 s → ~2 s at sf0.1 once
+    // the vocab-bounded draw table was pinned.
     val rnd = tf.select("tok").distinct().crossJoin(seedG)
       .select(col("tok"), col("seed"),
         greatest(round(-log(u("r1")) - log(u("r2")), 9), lit(1e-9)).as("r"),
         round(log(greatest(round(-log(u("c1")) - log(u("c2")), 9),
           lit(1e-9))), 6).as("lnc"),
         round(u("b"), 9).as("beta"))
-    val smp = tf.join(rnd, Seq("tok"))
+      .localCheckpoint()
+    // broadcast the vocab-bounded draw table explicitly: both sides are
+    // checkpointed ExistingRDDs (sizes opaque to the planner), and left
+    // to itself Spark picked the CORPUS-side tf as the build side
+    val smp = tf.join(broadcast(rnd), Seq("tok"))
       .withColumn("t",
         floor(round(log(col("w").cast("double")) / col("r") + col("beta"),
           9)))
       .withColumn("lna", round(col("lnc") -
         round(col("r") * (col("t") - col("beta")), 6) - col("r"), 6))
-    val wArg = Window.partitionBy("doc", "seed")
-      .orderBy(col("lna"), col("tok"))
-    val sig = smp.withColumn("rn", row_number().over(wArg))
-      .filter(col("rn") === 1)
+    // argmin as min(struct(lna, tok, t)) — field-order comparison equals
+    // the (lna, tok) window sort (t is determined by tok within a
+    // (doc, seed)), but the aggregate form map-side-combines |tf|·seeds
+    // rows down to |doc|·seeds groups BEFORE the shuffle where
+    // row_number() shuffles and sorts the full sample table.
+    val sig = smp.groupBy("doc", "seed")
+      .agg(min(struct(col("lna"), col("tok"), col("t"))).as("arg"))
       .select(col("doc"), col("seed"),
-        concat(col("tok"), lit(":"), col("t")).as("sig"))
+        concat(col("arg.tok"), lit(":"), col("arg.t")).as("sig"))
+    // one row per (doc, band) — the sketch table itself; checkpointed so
+    // the band self-join's two sides probe materialized rows instead of
+    // each re-running the sample join + argmin aggregate
     val bk = sig
       .withColumn("band", (col("seed") / 2).cast("long"))
       .groupBy("doc", "band")
@@ -959,6 +996,7 @@ object Dedup {
         max(when(col("seed") % 2 === 1, col("sig"))).as("s1"))
       .select(col("doc"), concat(col("band").cast("string"), lit("|"),
         col("s0"), lit("|"), col("s1")).as("bkey"))
+      .localCheckpoint()
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
