@@ -13607,1141 +13607,17 @@ object ExtensionQueries {
     // sided form of Montgomery's SPC ch. 9): sequential drift detection
     // over daily event volume — the monitoring read between x143's
     // retrospective single changepoint and x197's two-hypothesis SPRT.
-    // The recursion S_t = max(0, S_{t-1} + dev_t) is deliberately NOT
-    // computed as a loop: S_t = C_t − min(0, min_{τ≤t} C_τ) for prefix
-    // sums C — a running min over the calendar-bounded day grid, so the
-    // whole trajectory is two windows (aggregate below = Rule-1 escape).
-    // μ, σ enter as rounded-6 scalars (σ's sqrt once, the x211
-    // precedent); allowance k = σ/2, threshold h = 4σ (the standard
-    // ARL-motivated tabular choice); per-day deviations round to 6 and
-    // prefix-sum through DECIMAL(18,6), so the trajectory replays
-    // bit-identically.
+    // The chart math lives in the SHARED [[CusumChart]] core (prefix-sum
+    // + running-min, never a loop; rounded-6 DECIMAL trajectory so both
+    // engines replay bit-identically — see the core's note), reused
+    // verbatim by the [[graft.streaming.CusumStream]] ingest-time twin
+    // the way x236/EwmaStream share [[EwmaChart]].
     QuerySpec(
       "x227_cusum",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val counts = Tables.events(s, dir)
+      (s, dir) => CusumChart.fromCounts(
+        Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val span = Tables.events(s, dir)
-          .agg(min(to_date(col("ts"))).as("a"),
-            max(to_date(col("ts"))).as("b"))
-        val daily = span
-          .select(explode(expr("sequence(a, b)")).as("day"))
-          .join(counts, Seq("day"), "left").na.fill(0L, Seq("n"))
-        val mom = daily.agg(count(lit(1)).as("d"),
-            sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
-          .select(
-            round(col("sn").cast("double") / col("d"), 6).as("mu"),
-            round(sqrt((col("snn").cast("double") -
-              col("sn").cast("double") * col("sn") / col("d")) /
-              (col("d") - 1)), 6).as("sigma"))
-        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-        val dev = daily.crossJoin(broadcast(mom))
-          .select(col("day"), col("n"), col("mu"), col("sigma"),
-            round(col("n") - col("mu") - col("sigma") / 2, 6)
-              .cast("decimal(18,6)").as("dh"),
-            round(col("n") - col("mu") + col("sigma") / 2, 6)
-              .cast("decimal(18,6)").as("dl"))
-          .withColumn("ch", sum(col("dh")).over(wc))
-          .withColumn("cl", sum(col("dl")).over(wc))
-          .withColumn("mh", min(col("ch")).over(wc))
-          .withColumn("ml", max(col("cl")).over(wc))
-        dev.select(col("day"), col("n"),
-            round((col("ch") - least(col("mh"),
-              lit(0).cast("decimal(18,6)"))).cast("double"), 6).as("s_hi"),
-            round((greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
-              col("cl")).cast("double"), 6).as("s_lo"),
-            ((col("ch") - least(col("mh"), lit(0).cast("decimal(18,6)")))
-              .cast("double") > col("sigma") * 4 ||
-              (greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
-                col("cl")).cast("double") > col("sigma") * 4)
-              .cast("long").as("alarm"))
-          .orderBy("day")
-      },
-      Some("""WITH counts AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-             |      FROM events GROUP BY 1),
-             |span AS (SELECT MIN(CAST(ts AS DATE)) AS a,
-             |        MAX(CAST(ts AS DATE)) AS b FROM events),
-             |cal AS (SELECT CAST(unnest(generate_series(span.a, span.b,
-             |        INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-             |daily AS (SELECT cal.day, COALESCE(counts.n, 0) AS n
-             |      FROM cal LEFT JOIN counts ON counts.day = cal.day),
-             |mom AS (SELECT round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
-             |          AS mu,
-             |        round(sqrt((CAST(SUM(n * n) AS DOUBLE) -
-             |          CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*)) /
-             |          (COUNT(*) - 1)), 6) AS sigma
-             |      FROM daily),
-             |dev AS (SELECT d.day, d.n, m.mu, m.sigma,
-             |        CAST(round(d.n - m.mu - m.sigma / 2, 6)
-             |          AS DECIMAL(18,6)) AS dh,
-             |        CAST(round(d.n - m.mu + m.sigma / 2, 6)
-             |          AS DECIMAL(18,6)) AS dl
-             |      FROM daily d CROSS JOIN mom m),
-             |tr0 AS (SELECT day, n, sigma,
-             |        SUM(dh) OVER w AS ch, SUM(dl) OVER w AS cl
-             |      FROM dev
-             |      WINDOW w AS (ORDER BY day
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |tr AS (SELECT day, n, sigma, ch, cl,
-             |        MIN(ch) OVER w2 AS mh, MAX(cl) OVER w2 AS ml
-             |      FROM tr0
-             |      WINDOW w2 AS (ORDER BY day
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT day, CAST(n AS BIGINT) AS n,
-             |  round(CAST(ch - least(mh, CAST(0 AS DECIMAL(18,6)))
-             |    AS DOUBLE), 6) AS s_hi,
-             |  round(CAST(greatest(ml, CAST(0 AS DECIMAL(18,6))) - cl
-             |    AS DOUBLE), 6) AS s_lo,
-             |  CAST(CAST(ch - least(mh, CAST(0 AS DECIMAL(18,6)))
-             |      AS DOUBLE) > 4 * sigma OR
-             |    CAST(greatest(ml, CAST(0 AS DECIMAL(18,6))) - cl
-             |      AS DOUBLE) > 4 * sigma AS BIGINT) AS alarm
-             |FROM tr ORDER BY day""".stripMargin)),
-
-    // 1-d Wasserstein-1 distance (Monge 1781 / Kantorovich 1942; Ramdas,
-    // García Trillos & Cuturi, Entropy 19, 2017 for the 1-d CDF identity
-    // W₁ = ∫|F_A − F_B|): the earth-mover drift metric between the arm-A
-    // and arm-B purchase-value distributions — unlike x129's KS sup it
-    // weighs HOW FAR mass moved, not just the largest gap, and unlike
-    // x105's PSI it needs no binning. On the distinct-cents grid every
-    // term is EXACT INTEGER arithmetic: |cumA·n_B − cumB·n_A| · gap (all
-    // ≤ 1e15 ≪ 2^63), summed as BIGINT, divided once at the end — no
-    // float enters until the final division. Grid size is bounded by the
-    // VALUE DOMAIN (distinct cents), not the corpus; cumulative windows
-    // ride the aggregate-bounded grid (Rule-1 escape).
-    QuerySpec(
-      "x228_wasserstein",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val p = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
-          .select((col("user_id") % 2).cast("long").as("arm"),
-            expr("CAST(round(value * 100) AS BIGINT)").as("y"))
-        val grid = p.groupBy("y")
-          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
-            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
-        val tots = p.agg(
-          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
-          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sa"),
-          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sb"))
-        val wc = W.orderBy("y").rowsBetween(W.unboundedPreceding, 0)
-        val steps = grid
-          .withColumn("cuma", sum(col("ca")).over(wc))
-          .withColumn("cumb", sum(col("cb")).over(wc))
-          .withColumn("gap",
-            coalesce(lead(col("y"), 1).over(W.orderBy("y")) - col("y"),
-              lit(0L)))
-        steps.crossJoin(broadcast(tots))
-          .select(col("na"), col("nb"), col("sa"), col("sb"),
-            (abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
-              col("gap")).as("t"))
-          .groupBy("na", "nb", "sa", "sb")
-          .agg(sum(col("t")).as("st"), count(lit(1)).as("n_support"))
-          .select(col("na").as("n_a"), col("nb").as("n_b"),
-            col("n_support"),
-            round(col("st").cast("double") /
-              (col("na") * col("nb")) / 100.0, 6).as("w1_dollars"),
-            round(col("sa").cast("double") / col("na") / 100.0, 6)
-              .as("mean_a"),
-            round(col("sb").cast("double") / col("nb") / 100.0, 6)
-              .as("mean_b"))
-          .orderBy("n_a")
-      },
-      Some("""WITH p AS (SELECT CAST(user_id % 2 AS BIGINT) AS arm,
-             |        CAST(round(value * 100) AS BIGINT) AS y
-             |      FROM events WHERE event_type = 'purchase'),
-             |grid AS (SELECT y,
-             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
-             |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
-             |      FROM p GROUP BY 1),
-             |tots AS (SELECT
-             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
-             |        SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
-             |        SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sa,
-             |        SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sb
-             |      FROM p),
-             |steps AS (SELECT y,
-             |        SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
-             |        COALESCE(lead(y, 1) OVER (ORDER BY y) - y, 0) AS gap
-             |      FROM grid
-             |      WINDOW w AS (ORDER BY y
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |agg AS (SELECT t.na, t.nb, t.sa, t.sb,
-             |        SUM(abs(s.cuma * t.nb - s.cumb * t.na) * s.gap) AS st,
-             |        COUNT(*) AS n_support
-             |      FROM steps s CROSS JOIN tots t GROUP BY 1, 2, 3, 4)
-             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-             |  CAST(n_support AS BIGINT) AS n_support,
-             |  round(CAST(st AS DOUBLE) / (na * nb) / 100.0, 6)
-             |    AS w1_dollars,
-             |  round(CAST(sa AS DOUBLE) / na / 100.0, 6) AS mean_a,
-             |  round(CAST(sb AS DOUBLE) / nb / 100.0, 6) AS mean_b
-             |FROM agg ORDER BY n_a""".stripMargin)),
-
-    // Closed-form multiple linear regression via normal equations
-    // (Gauss 1809; the sufficient-statistics shape of distributed OLS —
-    // e.g. Chu et al. NIPS 2006 "Map-Reduce for Machine Learning"):
-    // user revenue ~ activity volume + active days, fit EXACTLY from one
-    // pass of integer moments — the 3×3 system solves by Cramer's rule
-    // in a fixed expression tree over BIGINT sums, so both engines
-    // execute the identical IEEE sequence (no iteration, no learning
-    // rate — cf. x121's logreg, x150's stump, x174's 1-d OLS). At any
-    // corpus size the fit costs one map-side-combined aggregate to 10
-    // numbers; R² falls out of the same moments.
-    QuerySpec(
-      "x229_ols_multi",
-      (s, dir) => {
-        val u = Tables.events(s, dir)
-          .groupBy("user_id")
-          .agg(
-            sum(when(col("event_type") === "purchase",
-              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
-              .as("y"),
-            count(lit(1)).as("x1"),
-            countDistinct(to_date(col("ts"))).as("x2"))
-        val m = u.agg(count(lit(1)).as("n"),
-          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-          sum(col("y")).as("sy"),
-          sum(col("x1") * col("x1")).as("s11"),
-          sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x2") * col("x2")).as("s22"),
-          sum(col("x1") * col("y")).as("s1y"),
-          sum(col("x2") * col("y")).as("s2y"),
-          sum(col("y") * col("y")).as("syy"))
-        // Cramer's rule in DOUBLE throughout: BIGINT cofactor products
-        // overflow 2^63 (n * s11 * s22 ~ 1e21 at sf0.1), and identical
-        // double trees are engine-exact anyway
-        def D(name: String) = col(name).cast("double")
-        val det = D("n") * (D("s11") * D("s22") - D("s12") * D("s12")) -
-          D("s1") * (D("s1") * D("s22") - D("s12") * D("s2")) +
-          D("s2") * (D("s1") * D("s12") - D("s11") * D("s2"))
-        val b0 = (D("sy") * (D("s11") * D("s22") - D("s12") * D("s12")) -
-          D("s1") * (D("s1y") * D("s22") - D("s12") * D("s2y")) +
-          D("s2") * (D("s1y") * D("s12") - D("s11") * D("s2y"))) / det
-        val b1 = (D("n") * (D("s1y") * D("s22") - D("s12") * D("s2y")) -
-          D("sy") * (D("s1") * D("s22") - D("s12") * D("s2")) +
-          D("s2") * (D("s1") * D("s2y") - D("s1y") * D("s2"))) / det
-        val b2 = (D("n") * (D("s11") * D("s2y") - D("s1y") * D("s12")) -
-          D("s1") * (D("s1") * D("s2y") - D("s1y") * D("s2")) +
-          D("sy") * (D("s1") * D("s12") - D("s11") * D("s2"))) / det
-        val sse = D("syy") - (b0 * D("sy") + b1 * D("s1y") + b2 * D("s2y"))
-        val sst = D("syy") - D("sy") * D("sy") / D("n")
-        m.select(col("n").as("n_users"),
-            round(b0, 6).as("b0_cents"),
-            round(b1, 6).as("b1_per_event"),
-            round(b2, 6).as("b2_per_active_day"),
-            round(lit(1.0) - sse / sst, 6).as("r2"))
-          .orderBy("n_users")
-      },
-      Some("""WITH u AS (SELECT user_id,
-             |        SUM(CASE WHEN event_type = 'purchase'
-             |          THEN CAST(round(value * 100) AS BIGINT)
-             |          ELSE 0 END) AS y,
-             |        COUNT(*) AS x1,
-             |        COUNT(DISTINCT CAST(ts AS DATE)) AS x2
-             |      FROM events GROUP BY 1),
-             |m0 AS (SELECT COUNT(*) AS ni, SUM(x1) AS s1, SUM(x2) AS s2,
-             |        SUM(y) AS sy, SUM(x1 * x1) AS s11,
-             |        SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
-             |        SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
-             |        SUM(y * y) AS syy
-             |      FROM u),
-             |m AS (SELECT ni, CAST(ni AS DOUBLE) AS n,
-             |        CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
-             |        CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
-             |        CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
-             |        CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
-             |        CAST(syy AS DOUBLE) AS syy
-             |      FROM m0),
-             |fit AS (SELECT ni, n, sy, s1y, s2y, syy,
-             |        n * (s11 * s22 - s12 * s12) -
-             |          s1 * (s1 * s22 - s12 * s2) +
-             |          s2 * (s1 * s12 - s11 * s2) AS det,
-             |        sy * (s11 * s22 - s12 * s12) -
-             |          s1 * (s1y * s22 - s12 * s2y) +
-             |          s2 * (s1y * s12 - s11 * s2y) AS d0,
-             |        n * (s1y * s22 - s12 * s2y) -
-             |          sy * (s1 * s22 - s12 * s2) +
-             |          s2 * (s1 * s2y - s1y * s2) AS d1,
-             |        n * (s11 * s2y - s1y * s12) -
-             |          s1 * (s1 * s2y - s1y * s2) +
-             |          sy * (s1 * s12 - s11 * s2) AS d2
-             |      FROM m)
-             |SELECT CAST(ni AS BIGINT) AS n_users,
-             |  round(d0 / det, 6) AS b0_cents,
-             |  round(d1 / det, 6) AS b1_per_event,
-             |  round(d2 / det, 6) AS b2_per_active_day,
-             |  round(1.0 - (syy - ((d0 / det) * sy + (d1 / det) * s1y +
-             |    (d2 / det) * s2y)) /
-             |    (syy - sy * sy / n), 6) AS r2
-             |FROM fit ORDER BY n_users""".stripMargin)),
-
-    // Self-BLEU corpus diversity (Papineni et al., ACL 2002 BLEU; the
-    // self-BLEU diversity read of Zhu et al., SIGIR 2018 "Texygen"): how
-    // much each document's n-grams are already covered by OTHER docs —
-    // HIGH self-BLEU = mode collapse, the synthetic-data failure x72's
-    // within-doc repetition can't see (it reads one doc at a time).
-    // Modified n-gram precision clips each doc-gram count against the
-    // best count for that gram in any OTHER single doc: per gram the
-    // top-2 (count, doc) pairs suffice (rank ≤ 2 per gram plans a
-    // WindowGroupLimit — the x221 device), so the clip table is two
-    // bounded columns per gram, never a doc × gram fan-out. p₁, p₂ are
-    // exact integer ratios; √(p₁p₂) rounds to 6 per doc (bounded-risk
-    // corpus-grain transcendental, the x225 class) and averages per
-    // source through the DECIMAL bridge.
-    QuerySpec(
-      "x230_self_bleu",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            TextFunctions.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 2)
-        def prec(gramExpr: String): org.apache.spark.sql.DataFrame = {
-          val dg = toks
-            .select(col("doc_id"), col("source"),
-              explode(expr(gramExpr)).as("g"))
-            .groupBy("doc_id", "source", "g")
-            .agg(count(lit(1)).as("c"))
-          val top2 = dg
-            .withColumn("rn", row_number().over(
-              W.partitionBy("g").orderBy(col("c").desc, col("doc_id"))))
-            .filter(col("rn") <= 2)
-            .groupBy("g")
-            .agg(max(when(col("rn") === 1,
-                struct(col("c").as("c"), col("doc_id").as("d")))).as("m1"),
-              max(when(col("rn") === 2, col("c"))).as("m2"))
-          dg.join(top2, "g")
-            .select(col("doc_id"), col("source"), col("c"),
-              when(col("doc_id") === col("m1.d"),
-                coalesce(col("m2"), lit(0L)))
-                .otherwise(col("m1.c")).as("clip"))
-            .groupBy("doc_id", "source")
-            .agg(sum(least(col("c"), col("clip"))).as("num"),
-              sum(col("c")).as("den"))
-        }
-        val p1 = prec("ws")
-          .select(col("doc_id"), col("source"),
-            col("num").as("n1"), col("den").as("d1"))
-        val p2 = prec("transform(sequence(0, size(ws) - 2), " +
-            "i -> concat(ws[i], ' ', ws[i+1]))")
-          .select(col("doc_id"), col("num").as("n2"), col("den").as("d2"))
-        val perDoc = p1.join(p2, "doc_id")
-          .select(col("source"),
-            round(sqrt((col("n1").cast("double") / col("d1")) *
-              (col("n2").cast("double") / col("d2"))), 6).as("bleu"))
-        perDoc.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            (sum(col("bleu").cast("decimal(18,6)")).cast("double") /
-              count(lit(1))).as("sb"))
-          .select(col("source"), col("n_docs"),
-            round(col("sb"), 6).as("self_bleu"),
-            round(lit(1.0) - col("sb"), 6).as("diversity"))
-          .orderBy("source")
-      },
-      Some("""WITH tk AS (SELECT doc_id, source, list_filter(
-             |        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
-             |        AS ws
-             |      FROM documents),
-             |d AS (SELECT doc_id, source, ws FROM tk WHERE len(ws) >= 2),
-             |g1 AS (SELECT doc_id, source, unnest(ws) AS g FROM d),
-             |dg1 AS (SELECT doc_id, source, g, COUNT(*) AS c
-             |      FROM g1 GROUP BY 1, 2, 3),
-             |t1 AS (SELECT g, doc_id, c, row_number() OVER (PARTITION BY g
-             |        ORDER BY c DESC, doc_id) AS rn FROM dg1),
-             |m1 AS (SELECT g,
-             |        MAX(CASE WHEN rn = 1 THEN c END) AS m1c,
-             |        MAX(CASE WHEN rn = 1 THEN doc_id END) AS m1d,
-             |        MAX(CASE WHEN rn = 2 THEN c END) AS m2c
-             |      FROM t1 WHERE rn <= 2 GROUP BY 1),
-             |pr1 AS (SELECT dg1.doc_id, dg1.source,
-             |        SUM(least(dg1.c, CASE WHEN dg1.doc_id = m1.m1d
-             |          THEN COALESCE(m1.m2c, 0) ELSE m1.m1c END)) AS n1,
-             |        SUM(dg1.c) AS d1
-             |      FROM dg1 JOIN m1 USING (g) GROUP BY 1, 2),
-             |g2 AS (SELECT doc_id, source,
-             |        unnest([ws[i] || ' ' || ws[i+1]
-             |                for i in range(1, len(ws))]) AS g
-             |      FROM d),
-             |dg2 AS (SELECT doc_id, source, g, COUNT(*) AS c
-             |      FROM g2 GROUP BY 1, 2, 3),
-             |t2 AS (SELECT g, doc_id, c, row_number() OVER (PARTITION BY g
-             |        ORDER BY c DESC, doc_id) AS rn FROM dg2),
-             |m2 AS (SELECT g,
-             |        MAX(CASE WHEN rn = 1 THEN c END) AS m1c,
-             |        MAX(CASE WHEN rn = 1 THEN doc_id END) AS m1d,
-             |        MAX(CASE WHEN rn = 2 THEN c END) AS m2c
-             |      FROM t2 WHERE rn <= 2 GROUP BY 1),
-             |pr2 AS (SELECT dg2.doc_id,
-             |        SUM(least(dg2.c, CASE WHEN dg2.doc_id = m2.m1d
-             |          THEN COALESCE(m2.m2c, 0) ELSE m2.m1c END)) AS n2,
-             |        SUM(dg2.c) AS d2
-             |      FROM dg2 JOIN m2 USING (g) GROUP BY 1),
-             |pd AS (SELECT pr1.source,
-             |        round(sqrt((CAST(pr1.n1 AS DOUBLE) / pr1.d1) *
-             |          (CAST(pr2.n2 AS DOUBLE) / pr2.d2)), 6) AS bleu
-             |      FROM pr1 JOIN pr2 ON pr2.doc_id = pr1.doc_id),
-             |agg AS (SELECT source, COUNT(*) AS n_docs,
-             |        CAST(SUM(CAST(bleu AS DECIMAL(18,6))) AS DOUBLE)
-             |          / COUNT(*) AS sb
-             |      FROM pd GROUP BY 1)
-             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-             |  round(sb, 6) AS self_bleu,
-             |  round(1.0 - sb, 6) AS diversity
-             |FROM agg ORDER BY source""".stripMargin)),
-
-    // Theil-Sen robust trend (Theil 1950; Sen, JASA 63, 1968): the median
-    // of pairwise slopes over the daily-volume series — the MAGNITUDE
-    // companion to x177's Mann-Kendall (which only signs the trend), with
-    // 29% breakdown where x174-style OLS has none (one corrupted day can
-    // move an OLS slope arbitrarily). The pair set is the day grid's own
-    // square — calendar-bounded (≈ |days|²/2 pairs at ANY corpus size),
-    // built by a self-join on the aggregate, never on events; slopes are
-    // exact-integer ratios rounded to 6 so both engines take the median
-    // (the x196 percentile/quantile_cont correspondence) of identical
-    // value sets; Sen's intercept = median(y − slope·t) the same way.
-    QuerySpec(
-      "x231_theil_sen",
-      (s, dir) => {
-        val d = Tables.events(s, dir)
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
-            .as("t"), col("n"))
-          .localCheckpoint() // calendar-bounded; feeds pairs + intercepts
-        val pairs = d.as("a").join(d.as("b"), col("a.t") < col("b.t"))
-          .select(round((col("b.n") - col("a.n")).cast("double") /
-            (col("b.t") - col("a.t")), 6).as("sl"))
-        val slope = pairs.agg(count(lit(1)).as("n_pairs"),
-          expr("percentile(sl, 0.5)").as("slope"))
-        d.crossJoin(broadcast(slope))
-          .select(col("n_pairs"), col("slope"),
-            round(col("n") - col("slope") * col("t"), 6).as("ic"))
-          .groupBy("n_pairs", "slope")
-          .agg(count(lit(1)).as("n_days"),
-            expr("percentile(ic, 0.5)").as("icm"))
-          .select(col("n_days"), col("n_pairs"),
-            round(col("slope"), 6).as("sen_slope"),
-            round(col("icm"), 6).as("sen_intercept"))
-          .orderBy("n_days")
-      },
-      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
-             |          CAST(ts AS DATE)) AS BIGINT) AS t, COUNT(*) AS n
-             |      FROM events GROUP BY 1),
-             |pairs AS (SELECT round(CAST(b.n - a.n AS DOUBLE) /
-             |          (b.t - a.t), 6) AS sl
-             |      FROM d a JOIN d b ON a.t < b.t),
-             |sl AS (SELECT COUNT(*) AS n_pairs,
-             |        quantile_cont(sl, 0.5) AS slope FROM pairs),
-             |ic AS (SELECT sl.n_pairs, sl.slope,
-             |        round(d.n - sl.slope * d.t, 6) AS ic
-             |      FROM d CROSS JOIN sl),
-             |f AS (SELECT n_pairs, slope, COUNT(*) AS n_days,
-             |        quantile_cont(ic, 0.5) AS icm
-             |      FROM ic GROUP BY 1, 2)
-             |SELECT CAST(n_days AS BIGINT) AS n_days,
-             |  CAST(n_pairs AS BIGINT) AS n_pairs,
-             |  round(slope, 6) AS sen_slope,
-             |  round(icm, 6) AS sen_intercept
-             |FROM f ORDER BY n_days""".stripMargin)),
-
-    // Matching ATT on the bounded covariate grid (Rubin, Biometrics 29,
-    // 1973; Rosenbaum & Rubin 1983; Abadie & Imbens, ECTA 74, 2006 for
-    // the with-replacement 1-NN estimator): the effect on the TREATED of
-    // x182's treatment (≥2 high-value purchases) on click outcome,
-    // matching each treated user to the nearest control by the activity
-    // confounder — the design-based companion to x182's model-based IPW
-    // (matching fails loudly where IPW silently extrapolates). The
-    // at-scale device: matching happens on the DISTINCT-ACTIVITY grid
-    // (bounded by the value domain, the x228 argument), not per user —
-    // controls at the same activity are exchangeable, so 1-NN-with-
-    // replacement averages them (exact-distance kernel matching);
-    // nearest-below/above come from running last/first over the grid
-    // (aggregate below = Rule-1 escape), ties break toward the lower
-    // activity. Per-grid-row means are rationals rounded 6 into
-    // DECIMAL sums; the naive difference rides along as the contrast.
-    QuerySpec(
-      "x232_matching_att",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val u = Tables.events(s, dir).groupBy("user_id")
-          .agg(count(lit(1)).as("act"),
-            sum(when(col("event_type") === "click", 1L).otherwise(0L))
-              .as("y"),
-            when(sum(when(col("event_type") === "purchase" &&
-              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
-              .otherwise(0L).as("t"))
-        val grid = u.groupBy("act").agg(
-            sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
-            sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"),
-            sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
-            sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"))
-        // no checkpoint: the grid feeds a single window chain, and keeping
-        // the Aggregate visible below the global windows is what proves
-        // (to PlansSpec and to a reader) they run over value-domain-bounded
-        // input, not the corpus
-        val wPrev = W.orderBy("act").rowsBetween(W.unboundedPreceding, 0)
-        val wNext = W.orderBy(col("act").desc)
-          .rowsBetween(W.unboundedPreceding, 0)
-        val ctrl = when(col("nc") > 0,
-          struct(col("act").as("a"), col("syc").as("sy"), col("nc").as("n")))
-        val g2 = grid
-          .withColumn("pm", last(ctrl, ignoreNulls = true).over(wPrev))
-          .withColumn("nm", last(ctrl, ignoreNulls = true).over(wNext))
-        val pick = when(col("nm").isNull, col("pm"))
-          .when(col("pm").isNull, col("nm"))
-          .when(col("act") - col("pm.a") <= col("nm.a") - col("act"),
-            col("pm"))
-          .otherwise(col("nm"))
-        val att = g2.filter(col("nt") > 0)
-          .select(col("nt"), col("syt"),
-            (col("act") === pick("a")).cast("long").as("exact"),
-            round(col("syt") - col("nt") *
-              (pick("sy").cast("double") / pick("n")), 6)
-              .cast("decimal(18,6)").as("contrib"))
-          .agg(sum(col("nt")).as("n_treated"),
-            sum(col("nt") * col("exact")).as("n_exact"),
-            sum(col("contrib")).cast("double").as("sc"))
-        val naive = u.agg(
-          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_controls"),
-          (sum(col("t") * col("y")).cast("double") /
-            sum(col("t")).cast("double") -
-            sum((lit(1L) - col("t")) * col("y")).cast("double") /
-            sum(lit(1L) - col("t")).cast("double")).as("nd"))
-        att.crossJoin(broadcast(naive))
-          .select(col("n_treated"), col("n_controls"),
-            round(col("n_exact").cast("double") / col("n_treated"), 6)
-              .as("share_exact_match"),
-            round(col("sc") / col("n_treated"), 6).as("att_clicks"),
-            round(col("nd"), 6).as("naive_diff"))
-          .orderBy("n_treated")
-      },
-      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
-             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             |          AS y,
-             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
-             |          THEN 1 ELSE 0 END AS t
-             |      FROM events GROUP BY 1),
-             |grid AS (SELECT act,
-             |        SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
-             |        SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS syc,
-             |        SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
-             |        SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS syt
-             |      FROM u GROUP BY 1),
-             |g2 AS (SELECT act, nc, syc, nt, syt,
-             |        last_value(CASE WHEN nc > 0 THEN act END IGNORE NULLS)
-             |          OVER wp AS pa,
-             |        last_value(CASE WHEN nc > 0 THEN syc END IGNORE NULLS)
-             |          OVER wp AS psy,
-             |        last_value(CASE WHEN nc > 0 THEN nc END IGNORE NULLS)
-             |          OVER wp AS pn,
-             |        last_value(CASE WHEN nc > 0 THEN act END IGNORE NULLS)
-             |          OVER wn AS na,
-             |        last_value(CASE WHEN nc > 0 THEN syc END IGNORE NULLS)
-             |          OVER wn AS nsy,
-             |        last_value(CASE WHEN nc > 0 THEN nc END IGNORE NULLS)
-             |          OVER wn AS nn
-             |      FROM grid
-             |      WINDOW wp AS (ORDER BY act
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             |      wn AS (ORDER BY act DESC
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-             |pick AS (SELECT nt, syt,
-             |        CASE WHEN na IS NULL THEN pa
-             |          WHEN pa IS NULL THEN na
-             |          WHEN act - pa <= na - act THEN pa ELSE na END AS ma,
-             |        CASE WHEN na IS NULL THEN psy
-             |          WHEN pa IS NULL THEN nsy
-             |          WHEN act - pa <= na - act THEN psy ELSE nsy END AS msy,
-             |        CASE WHEN na IS NULL THEN pn
-             |          WHEN pa IS NULL THEN nn
-             |          WHEN act - pa <= na - act THEN pn ELSE nn END AS mn,
-             |        act
-             |      FROM g2 WHERE nt > 0),
-             |att AS (SELECT SUM(nt) AS n_treated,
-             |        SUM(nt * CASE WHEN act = ma THEN 1 ELSE 0 END)
-             |          AS n_exact,
-             |        CAST(SUM(CAST(round(syt - nt *
-             |          (CAST(msy AS DOUBLE) / mn), 6) AS DECIMAL(18,6)))
-             |          AS DOUBLE) AS sc
-             |      FROM pick),
-             |naive AS (SELECT
-             |        SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_controls,
-             |        CAST(SUM(t * y) AS DOUBLE) / SUM(t) -
-             |          CAST(SUM((1 - t) * y) AS DOUBLE) / SUM(1 - t) AS nd
-             |      FROM u)
-             |SELECT CAST(att.n_treated AS BIGINT) AS n_treated,
-             |  CAST(naive.n_controls AS BIGINT) AS n_controls,
-             |  round(CAST(att.n_exact AS DOUBLE) / att.n_treated, 6)
-             |    AS share_exact_match,
-             |  round(att.sc / att.n_treated, 6) AS att_clicks,
-             |  round(naive.nd, 6) AS naive_diff
-             |FROM att CROSS JOIN naive ORDER BY n_treated""".stripMargin)),
-
-    // Restricted mean survival time (Irwin 1949; Royston & Parmar, BMC
-    // Med Res Meth 13, 2013 — the effect size regulators now prefer over
-    // hazard ratios when proportional hazards fails): per arm, the area
-    // under the Kaplan-Meier curve up to τ = 30 days — "average
-    // error-free days in the first month", the absolute companion to
-    // x211's multiplicative hazard ratio on the SAME armRiskGrid risk
-    // sets. The KM product is NOT a loop: S(t) = exp(Σ_{u≤t} ln(1−d/n))
-    // with per-time ln rounded 6 into a DECIMAL prefix sum (calendar-
-    // bounded grid, the x211/x218 ln discipline), and the RMST integral
-    // is Σ S(tᵢ)·(min(tᵢ₊₁,τ) − tᵢ) over the same bounded grid.
-    QuerySpec(
-      "x233_rmst",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val tau = 30L
-        val (byTime0, _) = armRiskGrid(s, dir)
-        // byTime grid carries (t, d1, dt, n1, nt): arm-1 deaths/at-risk
-        // and totals per time — split it back into the two arms
-        val byTime = byTime0.localCheckpoint() // calendar-bounded
-        val wc = W.partitionBy("g").orderBy("t")
-          .rowsBetween(W.unboundedPreceding, 0)
-        val perArm = byTime
-          .select(lit(1L).as("g"), col("t"), col("d1"), col("n1"))
-          .unionByName(byTime.select(lit(0L).as("g"), col("t"),
-            (col("dt") - col("d1")).as("d1"),
-            (col("nt") - col("n1")).as("n1")))
-        val km = perArm
-          .filter(col("n1") > 0)
-          .withColumn("lnterm",
-            when(col("d1") < col("n1"),
-              round(log(lit(1.0) - col("d1").cast("double") / col("n1")), 6))
-              .otherwise(lit(-20.0)) // d=n: S hits 0; exp(-20) rounds to 0
-              .cast("decimal(18,6)"))
-          .withColumn("lns", sum(col("lnterm")).over(wc))
-          .withColumn("surv", round(exp(col("lns").cast("double")), 6))
-          .withColumn("tnext",
-            coalesce(lead(col("t"), 1).over(W.partitionBy("g")
-              .orderBy("t")), lit(tau)))
-        val seg = km.filter(col("t") < tau)
-          .select(col("g"),
-            (round(col("surv") * (least(col("tnext"), lit(tau)) - col("t")),
-              6).cast("decimal(18,6)")).as("area"))
-        val head = perArm.filter(col("n1") > 0)
-          .groupBy("g").agg(min(col("t")).as("t0"))
-          .select(col("g"),
-            least(col("t0"), lit(tau)).cast("decimal(18,6)").as("area"))
-        seg.unionByName(head)
-          .groupBy("g")
-          .agg(sum(col("area")).cast("double").as("rmst"))
-          .select(col("g").as("arm"), round(col("rmst"), 6).as("rmst_days"))
-          .orderBy("arm")
-      },
-      Some("""WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
-             |        MIN(CASE WHEN event_type = 'error'
-             |          THEN CAST(ts AS DATE) END) AS e
-             |      FROM events GROUP BY 1),
-             |gm AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
-             |subj AS (SELECT CAST(user_id % 2 AS BIGINT) AS g,
-             |        CAST(CASE WHEN e IS NOT NULL THEN datediff('day', f, e)
-             |             ELSE datediff('day', f, gm.gmax) END AS BIGINT) AS t,
-             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
-             |      FROM span CROSS JOIN gm),
-             |ptg AS (SELECT t, g, SUM(obs) AS d, SUM(1 - obs) AS c
-             |      FROM subj GROUP BY 1, 2),
-             |tot AS (SELECT g, COUNT(*) AS ng FROM subj GROUP BY 1),
-             |grid AS (SELECT ts.t, gs.g, COALESCE(p.d, 0) AS d,
-             |        COALESCE(p.c, 0) AS c
-             |      FROM (SELECT DISTINCT t FROM ptg) ts
-             |      CROSS JOIN (SELECT DISTINCT g FROM subj) gs
-             |      LEFT JOIN ptg p ON p.t = ts.t AND p.g = gs.g),
-             |ar AS (SELECT grid.t, grid.g, grid.d,
-             |        tot.ng - COALESCE(SUM(grid.d + grid.c)
-             |          OVER (PARTITION BY grid.g ORDER BY grid.t
-             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-             |          0) AS nr
-             |      FROM grid JOIN tot ON tot.g = grid.g),
-             |bt AS (SELECT t,
-             |        SUM(CASE WHEN g = 1 THEN d ELSE 0 END) AS d1,
-             |        SUM(d) AS dt,
-             |        SUM(CASE WHEN g = 1 THEN nr ELSE 0 END) AS n1,
-             |        SUM(nr) AS nt
-             |      FROM ar GROUP BY 1
-             |      HAVING SUM(d) > 0 AND SUM(nr) > 1),
-             |pa AS (SELECT CAST(1 AS BIGINT) AS g, t, d1, n1 FROM bt
-             |      UNION ALL
-             |      SELECT CAST(0 AS BIGINT) AS g, t, dt - d1 AS d1,
-             |        nt - n1 AS n1 FROM bt),
-             |km0 AS (SELECT g, t, d1, n1 FROM pa WHERE n1 > 0),
-             |km1 AS (SELECT g, t, CAST(CASE WHEN d1 < n1
-             |          THEN round(ln(1.0 - CAST(d1 AS DOUBLE) / n1), 6)
-             |          ELSE -20.0 END AS DECIMAL(18,6)) AS lnterm
-             |      FROM km0),
-             |km2 AS (SELECT g, t,
-             |        SUM(lnterm) OVER (PARTITION BY g ORDER BY t
-             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |          AS lns
-             |      FROM km1),
-             |km3 AS (SELECT g, t, round(exp(CAST(lns AS DOUBLE)), 6)
-             |          AS surv,
-             |        COALESCE(lead(t, 1) OVER (PARTITION BY g ORDER BY t),
-             |          30) AS tnext
-             |      FROM km2),
-             |seg AS (SELECT g, CAST(round(surv * (least(tnext, 30) - t), 6)
-             |          AS DECIMAL(18,6)) AS area
-             |      FROM km3 WHERE t < 30),
-             |hd AS (SELECT g, CAST(least(MIN(t), 30) AS DECIMAL(18,6))
-             |          AS area
-             |      FROM km0 GROUP BY 1),
-             |uni AS (SELECT g, area FROM seg
-             |      UNION ALL SELECT g, area FROM hd)
-             |SELECT g AS arm,
-             |  round(CAST(SUM(area) AS DOUBLE), 6) AS rmst_days
-             |FROM uni GROUP BY 1 ORDER BY arm""".stripMargin)),
-
-    // Group-fairness audit (Feldman et al., KDD 2015 disparate impact;
-    // Hardt, Price & Srebro, NeurIPS 2016 equalized odds): for a
-    // deterministic high-activity targeting rule (decide d=1 when a
-    // user's activity exceeds the global median) against x182's
-    // high-value ground truth, per user-parity group: selection rate,
-    // TPR, FPR, then the fairness reads — demographic-parity gap, the
-    // 80%-rule disparate-impact ratio, and equalized-odds gaps. A model
-    // eval suite that reports only accuracy (x121/x168) ships rules like
-    // this blind; the audit is one exact-integer cell table (group ×
-    // decision × label) from one scan plus a broadcast median, and every
-    // rate is a rational rounded at the end — nothing here exceeds
-    // 8-row algebra at any corpus size.
-    QuerySpec(
-      "x234_fairness_audit",
-      (s, dir) => {
-        val u = Tables.events(s, dir).groupBy("user_id")
-          .agg(count(lit(1)).as("act"),
-            when(sum(when(col("event_type") === "purchase" &&
-              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
-              .otherwise(0L).as("y"))
-          .select((col("user_id") % 2).cast("long").as("grp"),
-            col("act"), col("y"))
-          .localCheckpoint() // one scan feeds the median and the cells
-        val med = u.agg(expr("percentile(act, 0.5)").as("m"))
-        val cells = u.crossJoin(broadcast(med))
-          .select(col("grp"), col("y"),
-            (col("act") > col("m")).cast("long").as("d"))
-          .groupBy("grp")
-          .agg(count(lit(1)).as("n"),
-            sum(col("d")).as("nd"),
-            sum(col("y")).as("ny"),
-            sum(col("d") * col("y")).as("ndy"),
-            sum(col("d") * (lit(1L) - col("y"))).as("ndy0"))
-          .select(col("grp"), col("n"),
-            (col("nd").cast("double") / col("n")).as("sel"),
-            (col("ndy").cast("double") / col("ny")).as("tpr"),
-            (col("ndy0").cast("double") / (col("n") - col("ny")))
-              .as("fpr"))
-          .localCheckpoint() // 2 rows feed output + the gap row
-        val a = cells.filter(col("grp") === 0)
-          .select(col("n").as("n0"), col("sel").as("sel0"),
-            col("tpr").as("tpr0"), col("fpr").as("fpr0"))
-        val b = cells.filter(col("grp") === 1)
-          .select(col("n").as("n1"), col("sel").as("sel1"),
-            col("tpr").as("tpr1"), col("fpr").as("fpr1"))
-        a.crossJoin(broadcast(b))
-          .select(col("n0"), col("n1"),
-            round(col("sel0"), 6).as("sel_rate_g0"),
-            round(col("sel1"), 6).as("sel_rate_g1"),
-            round(col("sel1") - col("sel0"), 6).as("dp_gap"),
-            round(least(col("sel0"), col("sel1")) /
-              greatest(col("sel0"), col("sel1")), 6).as("di_ratio"),
-            round(col("tpr1") - col("tpr0"), 6).as("tpr_gap"),
-            round(col("fpr1") - col("fpr0"), 6).as("fpr_gap"),
-            (least(col("sel0"), col("sel1")) /
-              greatest(col("sel0"), col("sel1")) >= 0.8).cast("long")
-              .as("passes_80pct_rule"))
-          .orderBy("n0")
-      },
-      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
-             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
-             |          THEN 1 ELSE 0 END AS y
-             |      FROM events GROUP BY 1),
-             |g AS (SELECT CAST(user_id % 2 AS BIGINT) AS grp, act, y
-             |      FROM u),
-             |med AS (SELECT quantile_cont(act, 0.5) AS m FROM g),
-             |cells AS (SELECT grp, COUNT(*) AS n,
-             |        SUM(CASE WHEN act > med.m THEN 1 ELSE 0 END) AS nd,
-             |        SUM(y) AS ny,
-             |        SUM(CASE WHEN act > med.m THEN y ELSE 0 END) AS ndy,
-             |        SUM(CASE WHEN act > med.m THEN 1 - y ELSE 0 END)
-             |          AS ndy0
-             |      FROM g CROSS JOIN med GROUP BY 1),
-             |r AS (SELECT grp, n,
-             |        CAST(nd AS DOUBLE) / n AS sel,
-             |        CAST(ndy AS DOUBLE) / ny AS tpr,
-             |        CAST(ndy0 AS DOUBLE) / (n - ny) AS fpr
-             |      FROM cells)
-             |SELECT a.n AS n0, b.n AS n1,
-             |  round(a.sel, 6) AS sel_rate_g0,
-             |  round(b.sel, 6) AS sel_rate_g1,
-             |  round(b.sel - a.sel, 6) AS dp_gap,
-             |  round(least(a.sel, b.sel) / greatest(a.sel, b.sel), 6)
-             |    AS di_ratio,
-             |  round(b.tpr - a.tpr, 6) AS tpr_gap,
-             |  round(b.fpr - a.fpr, 6) AS fpr_gap,
-             |  CAST(least(a.sel, b.sel) / greatest(a.sel, b.sel) >= 0.8
-             |    AS BIGINT) AS passes_80pct_rule
-             |FROM (SELECT * FROM r WHERE grp = 0) a
-             |CROSS JOIN (SELECT * FROM r WHERE grp = 1) b
-             |ORDER BY n0""".stripMargin)),
-
-    // Chao1 unseen-species richness (Chao, Scand. J. Stat. 1984; Chao
-    // 1987 for the variance; the EstimateS/iNEXT standard): per source,
-    // how many trigram TYPES the corpus has NOT yet shown — the
-    // "how much novelty is left" companion to x222's Heaps growth CURVE
-    // and x173's Good-Turing unseen MASS: Chao1 estimates the size of
-    // the unseen inventory itself from the singleton/doubleton counts
-    // (f1, f2) alone. chao1 = D + f1(f1-1)/(2(f2+1)) (bias-corrected
-    // form, defined at f2=0), lognormal 95% CI via Chao 1987's variance.
-    // One scan -> per-(source, type) counts -> a source-bounded
-    // frequency-of-frequencies row; all algebra on the tiny grid, every
-    // nonlinear step rounded before reuse (x206/x211 discipline), and
-    // the f1^4-scale variance terms promoted to DOUBLE before any
-    // product (the exact integers overflow BIGINT at ~1e5 singletons).
-    QuerySpec(
-      "x235_chao_richness",
-      (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("source"),
-            TextFunctions.tokens(col("text")).as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("source"), explode(expr(
-            "transform(sequence(0, size(ws) - 3), " +
-              "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
-        val fof = sh.groupBy("source", "w").agg(count(lit(1)).as("c"))
-          .groupBy("source").agg(
-            count(lit(1)).as("d_types"),
-            sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
-            sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
-        val f1d = col("f1").cast("double")
-        val b = fof.select(col("source"), col("d_types"), col("f1"),
-          col("f2"),
-          round(f1d * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 6)
-            .as("t0"),
-          round(f1d * (col("f1") - 1) / (lit(2) * (col("f2") + 1)) +
-            f1d * (lit(2) * col("f1") - 1) * (lit(2) * col("f1") - 1) /
-              (lit(4.0) * (col("f2") + 1) * (col("f2") + 1)) +
-            f1d * col("f1") * col("f2") * (col("f1") - 1) *
-              (col("f1") - 1) /
-              (lit(4.0) * (col("f2") + 1) * (col("f2") + 1) *
-                (col("f2") + 1) * (col("f2") + 1)), 6).as("v0"))
-        val k = round(exp(lit(1.96) * round(sqrt(round(log(lit(1.0) +
-          round(col("v0") / (col("t0") * col("t0")), 6)), 6)), 6)), 6)
-        b.select(col("source"), col("d_types"), col("f1"), col("f2"),
-            round(col("d_types") + col("t0"), 4).as("chao1"),
-            when(col("t0") > 0,
-              round(col("d_types") + col("t0") / k, 4))
-              .otherwise(col("d_types").cast("double")).as("ci_lower"),
-            when(col("t0") > 0,
-              round(col("d_types") + col("t0") * k, 4))
-              .otherwise(col("d_types").cast("double")).as("ci_upper"))
-          .orderBy("source")
-      },
-      Some("""WITH t AS (SELECT source,
-             |        list_filter(regexp_split_to_array(trim(text), '\s+'),
-             |          x -> x <> '') AS toks
-             |      FROM documents),
-             |g AS (SELECT source,
-             |        unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-             |                for i in range(1, len(toks) - 1)]) AS w
-             |      FROM t WHERE len(toks) >= 3),
-             |cnt AS (SELECT source, w, COUNT(*) AS c FROM g GROUP BY 1, 2),
-             |fof AS (SELECT source, COUNT(*) AS d_types,
-             |        SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
-             |        SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
-             |      FROM cnt GROUP BY 1),
-             |b AS (SELECT source, d_types, f1, f2,
-             |        round(CAST(f1 AS DOUBLE) * (f1 - 1) /
-             |          (2.0 * (f2 + 1)), 6) AS t0,
-             |        round(CAST(f1 AS DOUBLE) * (f1 - 1) / (2 * (f2 + 1)) +
-             |          CAST(f1 AS DOUBLE) * (2 * f1 - 1) * (2 * f1 - 1) /
-             |            (4.0 * (f2 + 1) * (f2 + 1)) +
-             |          CAST(f1 AS DOUBLE) * f1 * f2 * (f1 - 1) * (f1 - 1) /
-             |            (4.0 * (f2 + 1) * (f2 + 1) * (f2 + 1) * (f2 + 1)),
-             |          6) AS v0
-             |      FROM fof),
-             |k AS (SELECT b.*, round(exp(1.96 * round(sqrt(round(
-             |        ln(1.0 + round(v0 / (t0 * t0), 6)), 6)), 6)), 6) AS kk
-             |      FROM b)
-             |SELECT source, CAST(d_types AS BIGINT) AS d_types,
-             |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
-             |  round(d_types + t0, 4) AS chao1,
-             |  CASE WHEN t0 > 0 THEN round(d_types + t0 / kk, 4)
-             |    ELSE CAST(d_types AS DOUBLE) END AS ci_lower,
-             |  CASE WHEN t0 > 0 THEN round(d_types + t0 * kk, 4)
-             |    ELSE CAST(d_types AS DOUBLE) END AS ci_upper
-             |FROM k ORDER BY source""".stripMargin)),
-
-    // EWMA control chart (Roberts, Technometrics 1959; Lucas & Saccucci
-    // 1990 for the limits): exponentially weighted moving average of
-    // daily-volume deviations with lambda = 0.2, L = 3 time-varying
-    // limits — the small-shift monitor BETWEEN x227's CUSUM (fast for
-    // sustained shifts) and a Shewhart rule (single spikes): EWMA is the
-    // optimal chart for drifts of ~0.5-1 sigma. The geometric recursion
-    // z_t = lambda*x_t + (1-lambda)*z_{t-1} is NOT a loop here — it is a
-    // TWO-LEVEL RESCALED SCAN: within 16-day blocks z is a prefix sum of
-    // terms pre-scaled by 1.25^j (exactly representable: 5^15 < 2^53)
-    // and post-scaled by 0.8^j, so no overflow/underflow ever enters;
-    // block carries decay as E_k * 0.8^{16(b-1-k)} over the
-    // ~|days|/16-row block grid (a bounded broadcast theta-join). Every
-    // power is round(power(.,.), 10) so a last-ulp libm difference
-    // between engines cannot move a 6-dp value; per-step products are
-    // rounded-6 into DECIMAL sums (the x227 trajectory discipline).
-    QuerySpec(
-      "x236_ewma_chart",
-      (s, dir) => EwmaChart.fromCounts(Tables.events(s, dir)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))),
-      Some("""WITH counts AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-             |      FROM events GROUP BY 1),
-             |span AS (SELECT MIN(CAST(ts AS DATE)) AS a,
-             |        MAX(CAST(ts AS DATE)) AS b FROM events),
-             |cal AS (SELECT CAST(unnest(generate_series(span.a, span.b,
-             |        INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-             |daily AS (SELECT cal.day, COALESCE(counts.n, 0) AS n,
-             |        CAST(date_diff('day', DATE '1970-01-01', cal.day) % 7
-             |          AS BIGINT) AS dow
-             |      FROM cal LEFT JOIN counts ON counts.day = cal.day),
-             |mad AS (SELECT day, dow, n,
-             |        COUNT(*) OVER w AS wn,
-             |        CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS tr
-             |      FROM daily
-             |      WINDOW w AS (ORDER BY day
-             |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-             |detr AS (SELECT day, dow, n, round(n - tr, 6) AS d
-             |      FROM mad WHERE wn = 7),
-             |sraw AS (SELECT dow, COUNT(*) AS n_days,
-             |        CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
-             |          / COUNT(*) AS raw
-             |      FROM detr GROUP BY 1),
-             |sadj AS (SELECT CAST(SUM(CAST(round(raw, 6) AS DECIMAL(18,6)))
-             |        AS DOUBLE) / COUNT(*) AS adj FROM sraw),
-             |seas AS (SELECT dow, n_days, round(raw - sadj.adj, 6)
-             |        AS seasonal FROM sraw CROSS JOIN sadj),
-             |parts AS (SELECT detr.dow, round(detr.d - seas.seasonal, 6)
-             |        AS r, detr.d
-             |      FROM detr JOIN seas ON seas.dow = detr.dow),
-             |fs AS (SELECT
-             |        (CAST(SUM(CAST(round(r * r, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) -
-             |          CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) *
-             |          CAST(SUM(CAST(round(r, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) / COUNT(*)) / COUNT(*) AS vr,
-             |        (CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) -
-             |          CAST(SUM(CAST(round(d, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) *
-             |          CAST(SUM(CAST(round(d, 6) AS DECIMAL(38,6)))
-             |            AS DOUBLE) / COUNT(*)) / COUNT(*) AS vd
-             |      FROM parts)
-             |SELECT seas.dow, CAST(seas.n_days AS BIGINT) AS n_days,
-             |  seas.seasonal,
-             |  round(greatest(0.0, 1.0 - fs.vr / fs.vd), 6) AS f_seasonal,
-             |  round(fs.vr, 6) AS resid_var
-             |FROM seas CROSS JOIN fs ORDER BY dow""".stripMargin)),
-
-
-    // Importance-weight diagnostics for the x41 DSIR weights (effective
-    // sample size — Kong 1992 / Liu 1996, THE resampling health metric;
-    // Owen, "Monte Carlo theory", ch. 9): ESS = (Σw)²/Σw² says how many
-    // effective documents survive weighting BEFORE x36/x221 draw by
-    // those weights — per-source, so a source whose weights collapse
-    // onto a handful of docs (ESS ≪ n) is flagged before resampling
-    // bakes the collapse in. Weights are self-normalized per source
-    // (w = e^{logw − max logw} ∈ (0,1] — ESS is scale-invariant, so the
-    // max-shift is exact, not an approximation), each exp lands on a
-    // 6-dp rounding of a 4-dp input (corpus-grain transcendental, the
-    // x175/x128 rounding class); sums ride DECIMAL(38,6). share_zero =
-    // docs whose weight underflows the 6-dp grid — the "effectively
-    // dropped" mass.
-    QuerySpec(
-      "x225_ess_weights",
-      (s, dir) => {
-        val wts = dsirDocWeights(s, dir)
-        val mx = wts.groupBy("source").agg(max(col("logw")).as("mlw"))
-        val w = wts.join(mx, "source")
-          .select(col("source"),
-            round(exp(col("logw") - col("mlw")), 6).as("w"))
-        w.groupBy("source").agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("w").cast("decimal(38,6)")).cast("double").as("sw"),
-            sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
-              .cast("double").as("sww"),
-            sum(when(col("w") === 0.0, 1L).otherwise(0L)).as("n_zero"))
-          .select(col("source"), col("n_docs"),
-            round(col("sw") * col("sw") / col("sww"), 6).as("ess"),
-            round(col("sw") * col("sw") / col("sww") / col("n_docs"), 6)
-              .as("ess_ratio"),
-            round(col("n_zero").cast("double") / col("n_docs"), 6)
-              .as("share_zero"))
-          .orderBy("source")
-      },
-      Some("""WITH t AS (SELECT doc_id, source,
-             |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
-             |  FROM documents),
-             |g AS (SELECT doc_id, source,
-             |  toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams FROM t),
-             |f0 AS (SELECT doc_id, source, unnest(grams) AS gram FROM g),
-             |f AS (SELECT doc_id, source,
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      [CAST(ord(c) AS BIGINT) for c in string_split(gram, '')]),
-             |    (acc, x) -> (acc*31 + x) % 2147483647) % 64 AS bucket
-             |  FROM f0),
-             |df AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM f GROUP BY 1, 2),
-             |side AS (SELECT bucket,
-             |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
-             |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
-             |  FROM f GROUP BY 1),
-             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM side),
-             |lam AS (SELECT bucket,
-             |    CAST(round(ln((ct + 1.0)/(nt + 64)) - ln((cr + 1.0)/(nr + 64)), 6) AS DECIMAL(18,6)) AS lr
-             |  FROM side CROSS JOIN tot),
-             |dw AS (SELECT df.doc_id, round(CAST(SUM(df.cnt * lam.lr) AS DOUBLE), 4) AS logw
-             |  FROM df JOIN lam USING (bucket) GROUP BY 1),
-             |ds AS (SELECT dw.doc_id, d.source, dw.logw
-             |  FROM dw JOIN documents d ON d.doc_id = dw.doc_id),
-             |mx AS (SELECT source, MAX(logw) AS mlw FROM ds GROUP BY 1),
-             |w AS (SELECT ds.source, round(exp(ds.logw - mx.mlw), 6) AS w
-             |  FROM ds JOIN mx ON mx.source = ds.source),
-             |agg AS (SELECT source, COUNT(*) AS n_docs,
-             |    CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
-             |    CAST(SUM(CAST(round(w * w, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sww,
-             |    SUM(CASE WHEN w = 0.0 THEN 1 ELSE 0 END) AS n_zero
-             |  FROM w GROUP BY 1)
-             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-             |  round(sw * sw / sww, 6) AS ess,
-             |  round(sw * sw / sww / n_docs, 6) AS ess_ratio,
-             |  round(CAST(n_zero AS DOUBLE) / n_docs, 6) AS share_zero
-             |FROM agg ORDER BY source""".stripMargin)),
-
-
-    // Neyman optimal stratified allocation (Neyman, JRSS 97, 1934;
-    // Cochran, "Sampling Techniques" ch. 5): given a fixed eval/labeling
-    // budget of n = 1000 draws across document sources, the allocation
-    // minimizing the stratified-mean variance is n_h ∝ N_h·S_h — budget
-    // goes where strata are BIG and NOISY, not merely big. Emits the
-    // Neyman and proportional allocations side by side plus the design
-    // effect Var_ney/Var_prop = (ΣW_h·S_h)²/(ΣW_h·S_h²) ≤ 1 (equality
-    // iff all strata share one σ — Cauchy-Schwarz), i.e. how much
-    // variance the optimal split saves. Composes with x221 (which draws
-    // the per-stratum samples this op sizes). One scan to integer
-    // moments; everything downstream is 20-row algebra with rounded-6
-    // DECIMAL bridges; sqrt on the bounded stratum grid only.
-    QuerySpec(
-      "x226_neyman_allocation",
-      (s, dir) => {
-        val st = Tables.documents(s, dir)
-          .select(col("source"), col("n_chars").cast("long").as("y"))
-          .groupBy("source").agg(count(lit(1)).as("nh"),
-            sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
-          .select(col("source"), col("nh"),
-            when(col("nh") > 1,
-              round(sqrt((col("syy").cast("double") -
-                col("sy").cast("double") * col("sy") / col("nh")) /
-                (col("nh") - 1)), 6)).otherwise(lit(0.0)).as("sh"))
-          .localCheckpoint() // stratum-bounded; feeds totals + output rows
-        val tot = st.agg(sum(col("nh")).as("n_total"),
-          sum(round(col("nh") * col("sh"), 6).cast("decimal(38,6)"))
-            .cast("double").as("sns"),
-          sum(round(col("nh") * col("sh") * col("sh"), 6)
-            .cast("decimal(38,6)")).cast("double").as("snss"))
-        st.crossJoin(broadcast(tot))
-          .select(col("source"), col("nh").as("n_docs"),
-            col("sh").as("stddev_chars"),
-            round(lit(1000.0) * col("nh") * col("sh") / col("sns"), 2)
-              .as("alloc_neyman"),
-            round(lit(1000.0) * col("nh") / col("n_total"), 2)
-              .as("alloc_prop"),
-            round(col("sns") * col("sns") / (col("n_total") * col("snss")),
-              6).as("design_effect"))
-          .orderBy("source")
-      },
-      Some("""WITH st AS (SELECT source, COUNT(*) AS nh,
-             |        SUM(CAST(n_chars AS BIGINT)) AS sy,
-             |        SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
-             |          AS syy
-             |      FROM documents GROUP BY 1),
-             |sh AS (SELECT source, nh,
-             |        CASE WHEN nh > 1 THEN
-             |          round(sqrt((CAST(syy AS DOUBLE) -
-             |            CAST(sy AS DOUBLE) * sy / nh) / (nh - 1)), 6)
-             |          ELSE 0.0 END AS sh
-             |      FROM st),
-             |tot AS (SELECT SUM(nh) AS n_total,
-             |        CAST(SUM(CAST(round(nh * sh, 6) AS DECIMAL(38,6)))
-             |          AS DOUBLE) AS sns,
-             |        CAST(SUM(CAST(round(nh * sh * sh, 6) AS DECIMAL(38,6)))
-             |          AS DOUBLE) AS snss
-             |      FROM sh)
-             |SELECT sh.source, CAST(sh.nh AS BIGINT) AS n_docs,
-             |  sh.sh AS stddev_chars,
-             |  round(1000.0 * sh.nh * sh.sh / tot.sns, 2) AS alloc_neyman,
-             |  round(1000.0 * sh.nh / tot.n_total, 2) AS alloc_prop,
-             |  round(tot.sns * tot.sns / (tot.n_total * tot.snss), 6)
-             |    AS design_effect
-             |FROM sh CROSS JOIN tot ORDER BY source""".stripMargin)),
-
-    // CUSUM control chart (Page, Biometrika 41, 1954; the tabular two-
-    // sided form of Montgomery's SPC ch. 9): sequential drift detection
-    // over daily event volume — the monitoring read between x143's
-    // retrospective single changepoint and x197's two-hypothesis SPRT.
-    // The recursion S_t = max(0, S_{t-1} + dev_t) is deliberately NOT
-    // computed as a loop: S_t = C_t − min(0, min_{τ≤t} C_τ) for prefix
-    // sums C — a running min over the calendar-bounded day grid, so the
-    // whole trajectory is two windows (aggregate below = Rule-1 escape).
-    // μ, σ enter as rounded-6 scalars (σ's sqrt once, the x211
-    // precedent); allowance k = σ/2, threshold h = 4σ (the standard
-    // ARL-motivated tabular choice); per-day deviations round to 6 and
-    // prefix-sum through DECIMAL(18,6), so the trajectory replays
-    // bit-identically.
-    QuerySpec(
-      "x227_cusum",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val counts = Tables.events(s, dir)
-          .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val span = Tables.events(s, dir)
-          .agg(min(to_date(col("ts"))).as("a"),
-            max(to_date(col("ts"))).as("b"))
-        val daily = span
-          .select(explode(expr("sequence(a, b)")).as("day"))
-          .join(counts, Seq("day"), "left").na.fill(0L, Seq("n"))
-        val mom = daily.agg(count(lit(1)).as("d"),
-            sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
-          .select(
-            round(col("sn").cast("double") / col("d"), 6).as("mu"),
-            round(sqrt((col("snn").cast("double") -
-              col("sn").cast("double") * col("sn") / col("d")) /
-              (col("d") - 1)), 6).as("sigma"))
-        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-        val dev = daily.crossJoin(broadcast(mom))
-          .select(col("day"), col("n"), col("mu"), col("sigma"),
-            round(col("n") - col("mu") - col("sigma") / 2, 6)
-              .cast("decimal(18,6)").as("dh"),
-            round(col("n") - col("mu") + col("sigma") / 2, 6)
-              .cast("decimal(18,6)").as("dl"))
-          .withColumn("ch", sum(col("dh")).over(wc))
-          .withColumn("cl", sum(col("dl")).over(wc))
-          .withColumn("mh", min(col("ch")).over(wc))
-          .withColumn("ml", max(col("cl")).over(wc))
-        dev.select(col("day"), col("n"),
-            round((col("ch") - least(col("mh"),
-              lit(0).cast("decimal(18,6)"))).cast("double"), 6).as("s_hi"),
-            round((greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
-              col("cl")).cast("double"), 6).as("s_lo"),
-            ((col("ch") - least(col("mh"), lit(0).cast("decimal(18,6)")))
-              .cast("double") > col("sigma") * 4 ||
-              (greatest(col("ml"), lit(0).cast("decimal(18,6)")) -
-                col("cl")).cast("double") > col("sigma") * 4)
-              .cast("long").as("alarm"))
-          .orderBy("day")
-      },
+          .agg(count(lit(1)).as("n"))),
       Some("""WITH counts AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
              |      FROM events GROUP BY 1),
              |span AS (SELECT MIN(CAST(ts AS DATE)) AS a,
