@@ -97,7 +97,9 @@ object Explain {
       "x250_shapley_attribution", "x251_qte", "x252_ljung_box",
       "x253_effect_sizes", "x254_yule_k", "x255_qini_uplift",
       "x256_t_closeness", "x257_kmv_set_ops",
-      "x258_edit_distance_dedup", "x259_cronbach_alpha")
+      "x258_edit_distance_dedup", "x259_cronbach_alpha",
+      "x260_strat_ate", "x261_overdispersion",
+      "x262_theil_decomposition", "x263_harmonic_centrality")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

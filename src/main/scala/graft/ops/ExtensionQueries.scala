@@ -16731,5 +16731,372 @@ object ExtensionQueries {
              |  round(vt, 6) AS total_var,
              |  round(1.25 * (1.0 - vi / vt), 6) AS alpha
              |FROM v ORDER BY n_users""".stripMargin)),
+
+    // Subclassification ATE (Rosenbaum & Rubin, JASA 1984 — stratify on
+    // the propensity proxy, difference within, pool): the stratified
+    // companion to x182's IPW — same activity-quintile strata and the
+    // same "high-value repeat buyer" treatment, but where IPW reweights
+    // each arm this DIFFERENCES WITHIN each stratum and pools by
+    // stratum weight, which (a) exposes effect HETEROGENEITY (the
+    // per-stratum rows x182's single number hides) and (b) carries the
+    // textbook pooled SE  Σw_g²(s²_{1g}/n_{1g}+s²_{0g}/n_{0g}) that IPW
+    // lacks. One user-grid pass, ONE bounded percentile aggregate, all
+    // moments exact BIGINT; degenerate strata (an arm empty) are
+    // excluded from the pool and reported via the excluded flag.
+    QuerySpec(
+      "x260_strat_ate",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("t"))
+        val qs = u.agg(
+          expr("percentile(act, array(0.2, 0.4, 0.6, 0.8))").as("q"))
+        val st = u.crossJoin(broadcast(qs))
+          .select(col("y"), col("t"),
+            ((col("act") > element_at(col("q"), 1)).cast("long") +
+              (col("act") > element_at(col("q"), 2)).cast("long") +
+              (col("act") > element_at(col("q"), 3)).cast("long") +
+              (col("act") > element_at(col("q"), 4)).cast("long"))
+              .as("stratum"))
+          .groupBy("stratum")
+          .agg(count(lit(1)).as("n"),
+            sum(col("t")).as("n1"),
+            sum(col("t") * col("y")).as("sy1"),
+            sum(col("t") * col("y") * col("y")).as("qy1"),
+            sum((lit(1L) - col("t")) * col("y")).as("sy0"),
+            sum((lit(1L) - col("t")) * col("y") * col("y")).as("qy0"))
+          .withColumn("n0", col("n") - col("n1"))
+          .localCheckpoint() // 5 rows by construction
+        val g = st.select(col("stratum"), col("n"), col("n1"), col("n0"),
+          when(col("n1") > 0 && col("n0") > 0,
+            round(col("sy1").cast("double") / col("n1") -
+              col("sy0").cast("double") / col("n0"), 6))
+            .as("diff"),
+          when(col("n1") > 1 && col("n0") > 1,
+            round((col("qy1").cast("double") -
+              col("sy1").cast("double") * col("sy1") / col("n1")) /
+              (col("n1") - 1L) / col("n1") +
+              (col("qy0").cast("double") -
+                col("sy0").cast("double") * col("sy0") / col("n0")) /
+                (col("n0") - 1L) / col("n0"), 9)).as("vg"))
+        val pool = g.filter(col("diff").isNotNull && col("vg").isNotNull)
+          .crossJoin(broadcast(g.agg(sum(
+            when(col("diff").isNotNull && col("vg").isNotNull, col("n"))
+              .otherwise(0L)).as("nu"))))
+          .agg(max(col("nu")).as("n_used"),
+            sum(round(col("n").cast("double") * col("diff"), 6)
+              .cast("decimal(38,6)")).cast("double").as("swd"),
+            sum(round(col("n").cast("double") * col("n") * col("vg"), 6)
+              .cast("decimal(38,6)")).cast("double").as("swv"))
+        g.crossJoin(broadcast(pool))
+          .select(col("stratum"), col("n"), col("n1"), col("n0"),
+            coalesce(col("diff"), lit(0.0)).as("diff_g"),
+            (col("diff").isNull || col("vg").isNull).cast("long")
+              .as("excluded"),
+            round(col("swd") / col("n_used"), 6).as("ate_strat"),
+            round(sqrt(col("swv")) / col("n_used"), 6).as("se_strat"))
+          .orderBy("stratum")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |          AS y,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS t
+             |      FROM events GROUP BY 1),
+             |qs AS (SELECT quantile_cont(act, [0.2, 0.4, 0.6, 0.8]) AS q
+             |      FROM u),
+             |st AS (SELECT
+             |        CAST(act > q[1] AS BIGINT) +
+             |        CAST(act > q[2] AS BIGINT) +
+             |        CAST(act > q[3] AS BIGINT) +
+             |        CAST(act > q[4] AS BIGINT) AS stratum,
+             |        COUNT(*) AS n, SUM(t) AS n1,
+             |        SUM(t * y) AS sy1, SUM(t * y * y) AS qy1,
+             |        SUM((1 - t) * y) AS sy0,
+             |        SUM((1 - t) * y * y) AS qy0
+             |      FROM u CROSS JOIN qs GROUP BY 1),
+             |g AS (SELECT stratum, n, n1, n - n1 AS n0,
+             |        CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+             |          round(CAST(sy1 AS DOUBLE) / n1 -
+             |            CAST(sy0 AS DOUBLE) / (n - n1), 6) END AS diff,
+             |        CASE WHEN n1 > 1 AND n - n1 > 1 THEN
+             |          round((CAST(qy1 AS DOUBLE) -
+             |            CAST(sy1 AS DOUBLE) * sy1 / n1) / (n1 - 1) / n1 +
+             |            (CAST(qy0 AS DOUBLE) -
+             |            CAST(sy0 AS DOUBLE) * sy0 / (n - n1)) /
+             |            (n - n1 - 1) / (n - n1), 9) END AS vg
+             |      FROM st),
+             |pool AS (SELECT
+             |        SUM(CASE WHEN diff IS NOT NULL AND vg IS NOT NULL
+             |          THEN n ELSE 0 END) AS n_used,
+             |        CAST(SUM(CASE WHEN diff IS NOT NULL
+             |            AND vg IS NOT NULL
+             |          THEN CAST(round(CAST(n AS DOUBLE) * diff, 6)
+             |            AS DECIMAL(38,6)) END) AS DOUBLE) AS swd,
+             |        CAST(SUM(CASE WHEN diff IS NOT NULL
+             |            AND vg IS NOT NULL
+             |          THEN CAST(round(CAST(n AS DOUBLE) * n * vg, 6)
+             |            AS DECIMAL(38,6)) END) AS DOUBLE) AS swv
+             |      FROM g)
+             |SELECT stratum, CAST(n AS BIGINT) AS n,
+             |  CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+             |  COALESCE(diff, 0.0) AS diff_g,
+             |  CAST(diff IS NULL OR vg IS NULL AS BIGINT) AS excluded,
+             |  round(pool.swd / pool.n_used, 6) AS ate_strat,
+             |  round(sqrt(pool.swv) / pool.n_used, 6) AS se_strat
+             |FROM g CROSS JOIN pool ORDER BY stratum""".stripMargin)),
+
+    // Overdispersion test (Cameron & Trivedi, J. Econometrics 1990; the
+    // NB2 auxiliary regression, Cameron-Trivedi 2013 ch. 3): does the
+    // per-user event-count variance exceed its Poisson mean — the
+    // gatekeeper every count model needs BEFORE x121-style fits treat
+    // counts as exponential-family, and the formal read behind x95's
+    // anomaly z-scores (a Poisson band on overdispersed counts
+    // over-alarms). With the NB2 regressor g(μ)=μ² and a common μ the
+    // auxiliary OLS collapses to a one-sample t on w = ((y−μ)²−y)/μ:
+    // α̂ = w̄/μ, z = √n·w̄/s_w. One user-grid pass then exact-BIGINT
+    // moment sums; w rounds 6 into DECIMAL sums (μ is the only double).
+    QuerySpec(
+      "x261_overdispersion",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("y"))
+        val mu = u.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"), col("sy"), col("syy"),
+            round(col("sy").cast("double") / col("n"), 6).as("mu"))
+        val w = u.crossJoin(broadcast(mu))
+          .select(col("n"), col("sy"), col("syy"), col("mu"),
+            round(((col("y") - col("mu")) * (col("y") - col("mu")) -
+              col("y")) / col("mu"), 6).as("w"))
+          .groupBy("n", "sy", "syy", "mu")
+          .agg(sum(col("w").cast("decimal(38,6)")).cast("double").as("sw"),
+            sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sww"))
+        w.select(col("n").as("n_users"),
+            col("mu").as("mean"),
+            round((col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("n")) /
+              (col("n") - 1L), 6).as("variance"),
+            round(((col("syy").cast("double") -
+              col("sy").cast("double") * col("sy") / col("n")) /
+              (col("n") - 1L)) / col("mu"), 6).as("dispersion_ratio"),
+            round(col("sw") / col("n") / col("mu"), 6).as("alpha_hat"),
+            round(sqrt(col("n").cast("double")) * (col("sw") / col("n")) /
+              sqrt((col("sww") - col("sw") * col("sw") / col("n")) /
+                (col("n") - 1L)), 6).as("z"),
+            (sqrt(col("n").cast("double")) * (col("sw") / col("n")) /
+              sqrt((col("sww") - col("sw") * col("sw") / col("n")) /
+                (col("n") - 1L)) > 1.645).cast("long")
+              .as("overdispersed_05"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS y FROM events
+             |      GROUP BY 1),
+             |mu AS (SELECT COUNT(*) AS n, SUM(y) AS sy,
+             |        SUM(y * y) AS syy,
+             |        round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mu
+             |      FROM u),
+             |w AS (SELECT mu.n, mu.sy, mu.syy, mu.mu,
+             |        CAST(SUM(CAST(round(((y - mu.mu) * (y - mu.mu) - y)
+             |          / mu.mu, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(round(((y - mu.mu) *
+             |          (y - mu.mu) - y) / mu.mu, 6) *
+             |          round(((y - mu.mu) * (y - mu.mu) - y) / mu.mu, 6),
+             |          6) AS DECIMAL(38,6))) AS DOUBLE) AS sww
+             |      FROM u CROSS JOIN mu GROUP BY 1, 2, 3, 4)
+             |SELECT CAST(n AS BIGINT) AS n_users, mu AS mean,
+             |  round((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             |    / (n - 1), 6) AS variance,
+             |  round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             |    / (n - 1)) / mu, 6) AS dispersion_ratio,
+             |  round(sw / n / mu, 6) AS alpha_hat,
+             |  round(sqrt(CAST(n AS DOUBLE)) * (sw / n) /
+             |    sqrt((sww - sw * sw / n) / (n - 1)), 6) AS z,
+             |  CAST(sqrt(CAST(n AS DOUBLE)) * (sw / n) /
+             |    sqrt((sww - sw * sw / n) / (n - 1)) > 1.645 AS BIGINT)
+             |    AS overdispersed_05
+             |FROM w ORDER BY n_users""".stripMargin)),
+
+    // Theil T inequality decomposition (Theil 1967; Shorrocks,
+    // Econometrica 1980 for the additive-decomposability result —
+    // Theil is the ONLY inequality index whose total splits exactly
+    // into within + between): order-value concentration by
+    // o_orderpriority — the decomposition read x147's Gini can't give
+    // (Gini doesn't decompose; Theil says HOW MUCH inequality lives
+    // inside priority classes vs between them). Every ratio x/μ is an
+    // exact BIGINT-cents rational (x·n/Σx), so each ln lands on the
+    // same argument in both engines (rounded 6, the corpus-grain
+    // transcendental class) and rides DECIMAL sums; group moments are
+    // a 5-row grid.
+    QuerySpec(
+      "x262_theil_decomposition",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+          .localCheckpoint() // one scan feeds totals, groups, both passes
+        val tot = o.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        val gm = o.groupBy("prio")
+          .agg(count(lit(1)).as("ng"), sum(col("c")).as("scg"))
+          .localCheckpoint() // 5 rows
+        val tw = o.join(broadcast(gm), "prio").crossJoin(broadcast(tot))
+          .select(col("prio"), col("ng"), col("scg"), col("n"), col("sc"),
+            round((col("c").cast("double") * col("ng") / col("scg")) *
+              log(col("c").cast("double") * col("ng") / col("scg")), 6)
+              .cast("decimal(38,6)").as("tg"),
+            round((col("c").cast("double") * col("n") / col("sc")) *
+              log(col("c").cast("double") * col("n") / col("sc")), 6)
+              .cast("decimal(38,6)").as("tt"))
+          .groupBy("prio", "ng", "scg", "n", "sc")
+          .agg((sum(col("tg")).cast("double") / col("ng")).as("t_within"),
+            sum(col("tt")).cast("double").as("ttp"))
+        val parts = tw.select(col("prio"), col("ng"), col("scg"), col("n"),
+            col("sc"), col("t_within"), col("ttp"),
+            (col("scg").cast("double") / col("sc")).as("share"),
+            round((col("scg").cast("double") / col("sc")) *
+              log((col("scg").cast("double") / col("ng")) /
+                (col("sc").cast("double") / col("n"))), 9).as("btw"))
+          .localCheckpoint() // 5 rows
+        val agg = parts.agg(
+          (sum(col("ttp").cast("decimal(38,6)")).cast("double") /
+            max(col("n"))).as("theil_total"),
+          sum(round(col("share") * col("t_within"), 9)
+            .cast("decimal(38,9)")).cast("double").as("theil_within"),
+          sum(col("btw").cast("decimal(38,9)")).cast("double")
+            .as("theil_between"))
+        parts.crossJoin(broadcast(agg))
+          .select(col("prio"), col("ng").as("n_orders"),
+            round(col("share"), 6).as("revenue_share"),
+            round(col("t_within"), 6).as("theil_within_g"),
+            round(col("btw"), 6).as("between_term"),
+            round(col("theil_total"), 6).as("theil_total"),
+            round(col("theil_within"), 6).as("theil_within"),
+            round(col("theil_between"), 6).as("theil_between"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |      FROM orders),
+             |tot AS (SELECT COUNT(*) AS n, SUM(c) AS sc FROM o),
+             |gm AS (SELECT prio, COUNT(*) AS ng, SUM(c) AS scg FROM o
+             |      GROUP BY 1),
+             |tw AS (SELECT o.prio, gm.ng, gm.scg, tot.n, tot.sc,
+             |        CAST(SUM(CAST(round(
+             |          (CAST(o.c AS DOUBLE) * gm.ng / gm.scg) *
+             |          ln(CAST(o.c AS DOUBLE) * gm.ng / gm.scg), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) / gm.ng AS t_within,
+             |        CAST(SUM(CAST(round(
+             |          (CAST(o.c AS DOUBLE) * tot.n / tot.sc) *
+             |          ln(CAST(o.c AS DOUBLE) * tot.n / tot.sc), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS ttp
+             |      FROM o JOIN gm ON gm.prio = o.prio CROSS JOIN tot
+             |      GROUP BY 1, 2, 3, 4, 5),
+             |parts AS (SELECT prio, ng, scg, n, sc, t_within, ttp,
+             |        CAST(scg AS DOUBLE) / sc AS share,
+             |        round((CAST(scg AS DOUBLE) / sc) *
+             |          ln((CAST(scg AS DOUBLE) / ng) /
+             |            (CAST(sc AS DOUBLE) / n)), 9) AS btw
+             |      FROM tw),
+             |agg AS (SELECT
+             |        CAST(SUM(CAST(ttp AS DECIMAL(38,6))) AS DOUBLE)
+             |          / MAX(n) AS theil_total,
+             |        CAST(SUM(CAST(round(share * t_within, 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS theil_within,
+             |        CAST(SUM(CAST(btw AS DECIMAL(38,9))) AS DOUBLE)
+             |          AS theil_between
+             |      FROM parts)
+             |SELECT prio, CAST(ng AS BIGINT) AS n_orders,
+             |  round(share, 6) AS revenue_share,
+             |  round(t_within, 6) AS theil_within_g,
+             |  round(btw, 6) AS between_term,
+             |  round(agg.theil_total, 6) AS theil_total,
+             |  round(agg.theil_within, 6) AS theil_within,
+             |  round(agg.theil_between, 6) AS theil_between
+             |FROM parts CROSS JOIN agg ORDER BY prio""".stripMargin)),
+
+    // Truncated harmonic centrality (Marchiori & Latora, Physica A
+    // 2000; Boldi & Vigna, Internet Math 2014 argue it over closeness
+    // for disconnected graphs): H(v) = Σ_u 1/d(v,u) over d ≤ 3 on the
+    // x114/x139 item co-occurrence graph — the DISTANCE-family
+    // centrality the suite lacks (PageRank x101 and HITS x180 price
+    // link mass, k-core x140 prices embeddedness, x139 walks ONE
+    // seed's reach; harmonic ranks EVERY node by how near everything
+    // else is, the access/logistics read). All-pairs-within-3-hops on
+    // the item-vocab-bounded graph: dist-2 = wedge join minus dist-1,
+    // dist-3 = (dist-2 ∘ adjacency) minus closer — bounded item-key
+    // equi-joins (the x206 wedge discipline), never a corpus shuffle;
+    // H is an exact rational reported ×6 as BIGINT alongside the
+    // rounded double. Top-20, deterministic (h, item) tie-break.
+    QuerySpec(
+      "x263_harmonic_centrality",
+      (s, dir) => {
+        val und = itemPairs(s, dir, 3)
+          .select(col("ia").as("ea"), col("ib").as("eb"))
+        val adj = und.select(col("ea").as("u"), col("eb").as("v"))
+          .unionByName(und.select(col("eb").as("u"), col("ea").as("v")))
+          .localCheckpoint() // feeds d2, d3 and all three counts
+        val d2 = adj.as("e1").join(adj.as("e2"),
+            col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
+          .select(col("e1.u").as("u"), col("e2.v").as("v")).distinct()
+          .join(adj, Seq("u", "v"), "left_anti")
+          .localCheckpoint()
+        val d3 = d2.as("p").join(adj.as("e"), col("p.v") === col("e.u")
+            && col("p.u") =!= col("e.v"))
+          .select(col("p.u").as("u"), col("e.v").as("v")).distinct()
+          .join(adj, Seq("u", "v"), "left_anti")
+          .join(d2, Seq("u", "v"), "left_anti")
+        val n1 = adj.groupBy("u").agg(count(lit(1)).as("c1"))
+        val n2 = d2.groupBy("u").agg(count(lit(1)).as("c2"))
+        val n3 = d3.groupBy("u").agg(count(lit(1)).as("c3"))
+        n1.join(n2, Seq("u"), "left").join(n3, Seq("u"), "left")
+          .na.fill(0L, Seq("c2", "c3"))
+          .select(col("u").as("item"), col("c1"), col("c2"), col("c3"),
+            (col("c1") * 6 + col("c2") * 3 + col("c3") * 2).as("h6"),
+            round(col("c1") + col("c2").cast("double") / 2 +
+              col("c3").cast("double") / 3, 6).as("harmonic"))
+          .orderBy(col("h6").desc, col("item")).limit(20)
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+             |          AS day,
+             |        CAST(json_extract_string(props, '$.k') AS INT)
+             |          AS item
+             |      FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib
+             |      FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |        AND a.day = b.day AND a.item < b.item
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |adj AS (SELECT ia AS u, ib AS v FROM pc
+             |      UNION ALL SELECT ib, ia FROM pc),
+             |d2 AS (SELECT DISTINCT e1.u, e2.v
+             |      FROM adj e1 JOIN adj e2 ON e2.u = e1.v
+             |        AND e1.u <> e2.v
+             |      WHERE NOT EXISTS (SELECT 1 FROM adj
+             |        WHERE adj.u = e1.u AND adj.v = e2.v)),
+             |d3 AS (SELECT DISTINCT p.u, e.v
+             |      FROM d2 p JOIN adj e ON e.u = p.v AND p.u <> e.v
+             |      WHERE NOT EXISTS (SELECT 1 FROM adj
+             |          WHERE adj.u = p.u AND adj.v = e.v)
+             |        AND NOT EXISTS (SELECT 1 FROM d2
+             |          WHERE d2.u = p.u AND d2.v = e.v)),
+             |n1 AS (SELECT u, COUNT(*) AS c1 FROM adj GROUP BY 1),
+             |n2 AS (SELECT u, COUNT(*) AS c2 FROM d2 GROUP BY 1),
+             |n3 AS (SELECT u, COUNT(*) AS c3 FROM d3 GROUP BY 1)
+             |SELECT CAST(n1.u AS INT) AS item,
+             |  CAST(n1.c1 AS BIGINT) AS c1,
+             |  CAST(COALESCE(n2.c2, 0) AS BIGINT) AS c2,
+             |  CAST(COALESCE(n3.c3, 0) AS BIGINT) AS c3,
+             |  CAST(n1.c1 * 6 + COALESCE(n2.c2, 0) * 3 +
+             |    COALESCE(n3.c3, 0) * 2 AS BIGINT) AS h6,
+             |  round(n1.c1 + CAST(COALESCE(n2.c2, 0) AS DOUBLE) / 2 +
+             |    CAST(COALESCE(n3.c3, 0) AS DOUBLE) / 3, 6) AS harmonic
+             |FROM n1 LEFT JOIN n2 ON n2.u = n1.u
+             |LEFT JOIN n3 ON n3.u = n1.u
+             |ORDER BY h6 DESC, item LIMIT 20""".stripMargin)),
   )
 }
