@@ -303,6 +303,25 @@ class PlansSpec extends SparkSpec {
       "the 8-lane-group digest shape must not be flagged")
   }
 
+  test("x238 plan carries NO digest expressions (draw table stays materialized)") {
+    import org.apache.spark.sql.catalyst.expressions.{Conv, Md5}
+    // The round-10 x238 fix checkpoints the (bigram, seed) draw table, so
+    // the five md5+conv draws execute ONCE at materialization and the
+    // final plan contains none of them. Before the fix, physical planning
+    // broadcast the bare grid and re-evaluated the draws per SAMPLE row
+    // (|tf|*seeds, twice under the band self-join): 22.9 s vs 3.9 s at
+    // sf0.1. If the checkpoint is ever dropped, the digests reappear in
+    // this plan — that is the regression this test pins.
+    val plan = SparkEntry.queries("x238_icws_weighted_minhash")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val digests = plan.flatMap(_.expressions.flatMap(_.collect {
+      case m: Md5 => m.sql
+      case c: Conv => c.sql
+    }))
+    assert(digests.isEmpty,
+      s"x238's plan re-evaluates draw digests per joined row: $digests")
+  }
+
   test("x221 per-stratum weighted draw plans a WindowGroupLimit (rank pushdown, <= k rows shuffled)") {
     val plan = SparkEntry.queries("x221_weighted_reservoir")(spark, sfDir)
       .queryExecution.sparkPlan
