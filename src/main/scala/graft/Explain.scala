@@ -99,7 +99,9 @@ object Explain {
       "x256_t_closeness", "x257_kmv_set_ops",
       "x258_edit_distance_dedup", "x259_cronbach_alpha",
       "x260_strat_ate", "x261_overdispersion",
-      "x262_theil_decomposition", "x263_harmonic_centrality")
+      "x262_theil_decomposition", "x263_harmonic_centrality",
+      "x264_entropy_rate", "x265_group_sequential", "x266_rbo",
+      "x267_mcc_panel")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -17098,5 +17098,361 @@ object ExtensionQueries {
              |FROM n1 LEFT JOIN n2 ON n2.u = n1.u
              |LEFT JOIN n3 ON n3.u = n1.u
              |ORDER BY h6 DESC, item LIMIT 20""".stripMargin)),
+
+    // Markov entropy rate (Shannon 1948 §7; Cover & Thomas ch. 4 for
+    // H(X_{t+1}|X_t) as the first-order rate; Song, Qu, Blumm & Barabási,
+    // Science 2010 use exactly this as behavioral "predictability"): the
+    // plug-in conditional entropy of the next event type given the
+    // current one, over the x79 per-user transition sequences — the
+    // single-number read OF x79's matrix (x79 reports p_ij; this prices
+    // how much those conditionals actually buy over the marginal:
+    // predictability_gain = 1 − H_rate/H_marginal). π̂ is the empirical
+    // source-state distribution (the MLE under stationarity — no power
+    // iteration needed, unlike x239's absorbing-chain read). Per-state
+    // rows carry π̂ and the row entropy; transition counts are exact
+    // BIGINTs, each ln lands on an exact-rational argument rounded 6
+    // into DECIMAL sums (the x262 discipline).
+    QuerySpec(
+      "x264_entropy_rate",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        val tr = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // <=25 rows
+        val rh = tr.withColumn("na",
+            sum(col("n")).over(W.partitionBy("event_type")))
+          .select(col("event_type"), col("na"),
+            round((col("n").cast("double") / col("na")) *
+              log(col("n").cast("double") / col("na")), 6)
+              .cast("decimal(38,6)").as("t"))
+          .groupBy("event_type", "na")
+          .agg((-sum(col("t")).cast("double")).as("h_state"))
+        val tot = rh.agg(sum(col("na")).as("nt"))
+        val st = rh.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("na"), col("nt"),
+            round(col("na").cast("double") / col("nt"), 9).as("pi"),
+            round(col("h_state"), 6).as("h_state"))
+          .localCheckpoint() // 5 rows
+        val hr = st.agg(
+          sum(round(col("pi") * col("h_state"), 9).cast("decimal(38,9)"))
+            .cast("double").as("h_rate"),
+          (-sum(round((col("na").cast("double") / col("nt")) *
+            log(col("na").cast("double") / col("nt")), 9)
+            .cast("decimal(38,9)")).cast("double")).as("h_marg"))
+        st.crossJoin(broadcast(hr))
+          .select(col("event_type"), col("na").as("n_from"),
+            round(col("pi"), 6).as("pi"), col("h_state"),
+            round(col("h_rate"), 6).as("h_rate_nats"),
+            round(col("h_marg"), 6).as("h_marginal_nats"),
+            round(lit(1.0) - col("h_rate") / col("h_marg"), 6)
+              .as("predictability_gain"))
+          .orderBy("event_type")
+      },
+      Some("""WITH sq AS (SELECT user_id, event_type,
+             |        lead(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS next_type
+             |      FROM events),
+             |tr AS (SELECT event_type, next_type, COUNT(*) AS n FROM sq
+             |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |na AS (SELECT event_type, SUM(n) AS na FROM tr GROUP BY 1),
+             |rh AS (SELECT tr.event_type, na.na,
+             |        -CAST(SUM(CAST(round(
+             |          (CAST(tr.n AS DOUBLE) / na.na) *
+             |          ln(CAST(tr.n AS DOUBLE) / na.na), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS h_state
+             |      FROM tr JOIN na ON na.event_type = tr.event_type
+             |      GROUP BY 1, 2),
+             |tot AS (SELECT SUM(na) AS nt FROM rh),
+             |st AS (SELECT event_type, na, tot.nt,
+             |        round(CAST(na AS DOUBLE) / tot.nt, 9) AS pi,
+             |        round(h_state, 6) AS h_state
+             |      FROM rh CROSS JOIN tot),
+             |hr AS (SELECT
+             |        CAST(SUM(CAST(round(pi * h_state, 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS h_rate,
+             |        -CAST(SUM(CAST(round(
+             |          (CAST(na AS DOUBLE) / nt) *
+             |          ln(CAST(na AS DOUBLE) / nt), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS h_marg
+             |      FROM st)
+             |SELECT event_type, CAST(na AS BIGINT) AS n_from,
+             |  round(pi, 6) AS pi, h_state,
+             |  round(hr.h_rate, 6) AS h_rate_nats,
+             |  round(hr.h_marg, 6) AS h_marginal_nats,
+             |  round(1.0 - hr.h_rate / hr.h_marg, 6)
+             |    AS predictability_gain
+             |FROM st CROSS JOIN hr ORDER BY event_type""".stripMargin)),
+
+    // Group-sequential A/B monitoring (Pocock 1977 frames it; O'Brien &
+    // Fleming, Biometrics 1979 for the conservative-early boundary; the
+    // five-look two-sided 5% boundary constants 4.877/3.357/2.680/
+    // 2.290/2.031 are the published Jennison & Turnbull table 2.3): the
+    // INTERIM-analysis companion to x197's fully-sequential SPRT — five
+    // equal-calendar looks at the arm difference in purchase value,
+    // each looked at with its OBF critical value so the family-wise
+    // error stays 5% despite five peeks (the naive 1.96-per-look peek
+    // x133 would take inflates alpha to ~14%). Per-day per-arm moment
+    // partials → look assignment from the span quintiles → cumulative
+    // windows over the 5-row look grid; Welch z from exact cents sums.
+    QuerySpec(
+      "x265_group_sequential",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val p = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"), to_date(col("ts"))
+            .as("day"), expr("CAST(round(value * 100) AS BIGINT)")
+            .as("c"))
+        val span = p.agg(min(col("day")).as("a"), max(col("day")).as("b"))
+        val looks = p.crossJoin(broadcast(span))
+          .select(col("arm"), col("c"),
+            least(lit(4L), floor(datediff(col("day"), col("a"))
+              .cast("double") / (datediff(col("b"), col("a")) + 1) * 5))
+              .as("look"))
+          .groupBy("look", "arm")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"))
+        val wc = W.partitionBy("arm").orderBy("look")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val cum = looks
+          .withColumn("cn", sum(col("n")).over(wc))
+          .withColumn("cs", sum(col("sc")).over(wc))
+          .withColumn("cq", sum(col("qc")).over(wc))
+          .select(col("look"), col("arm"), col("cn"), col("cs"),
+            col("cq"))
+        val a = cum.filter(col("arm") === 0)
+          .select(col("look"), col("cn").as("n0"), col("cs").as("s0"),
+            col("cq").as("q0"))
+        val b = cum.filter(col("arm") === 1)
+          .select(col("look"), col("cn").as("n1"), col("cs").as("s1"),
+            col("cq").as("q1"))
+        val z = a.join(b, "look")
+          .select(col("look"), col("n0"), col("n1"),
+            ((col("s1").cast("double") / col("n1") -
+              col("s0").cast("double") / col("n0")) / sqrt(
+              (col("q1").cast("double") -
+                col("s1").cast("double") * col("s1") / col("n1")) /
+                (col("n1") - 1L) / col("n1") +
+              (col("q0").cast("double") -
+                col("s0").cast("double") * col("s0") / col("n0")) /
+                (col("n0") - 1L) / col("n0"))).as("z0"))
+        val bound = when(col("look") === 0, 4.877)
+          .when(col("look") === 1, 3.357)
+          .when(col("look") === 2, 2.680)
+          .when(col("look") === 3, 2.290).otherwise(2.031)
+        z.select((col("look") + 1).as("look"), col("n0"), col("n1"),
+            round(col("z0"), 6).as("z"), bound.as("obf_boundary"),
+            (abs(col("z0")) > bound).cast("long").as("reject"))
+          .orderBy("look")
+      },
+      Some("""WITH p AS (SELECT user_id % 2 AS arm, CAST(ts AS DATE)
+             |          AS day,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events WHERE event_type = 'purchase'),
+             |span AS (SELECT MIN(day) AS a, MAX(day) AS b FROM p),
+             |lk AS (SELECT arm, c,
+             |        least(4, CAST(floor(CAST(date_diff('day', span.a,
+             |          day) AS DOUBLE) /
+             |          (date_diff('day', span.a, span.b) + 1) * 5)
+             |          AS BIGINT)) AS look
+             |      FROM p CROSS JOIN span),
+             |looks AS (SELECT look, arm, COUNT(*) AS n, SUM(c) AS sc,
+             |        SUM(CAST(c * c AS DECIMAL(38,0))) AS qc
+             |      FROM lk GROUP BY 1, 2),
+             |cum AS (SELECT look, arm,
+             |        SUM(n) OVER w AS cn, SUM(sc) OVER w AS cs,
+             |        SUM(qc) OVER w AS cq
+             |      FROM looks
+             |      WINDOW w AS (PARTITION BY arm ORDER BY look
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |z AS (SELECT a.look, a.cn AS n0, b.cn AS n1,
+             |        (CAST(b.cs AS DOUBLE) / b.cn -
+             |          CAST(a.cs AS DOUBLE) / a.cn) / sqrt(
+             |          (CAST(b.cq AS DOUBLE) -
+             |            CAST(b.cs AS DOUBLE) * b.cs / b.cn) /
+             |            (b.cn - 1) / b.cn +
+             |          (CAST(a.cq AS DOUBLE) -
+             |            CAST(a.cs AS DOUBLE) * a.cs / a.cn) /
+             |            (a.cn - 1) / a.cn) AS z0
+             |      FROM (SELECT * FROM cum WHERE arm = 0) a
+             |      JOIN (SELECT * FROM cum WHERE arm = 1) b
+             |        USING (look))
+             |SELECT CAST(look + 1 AS BIGINT) AS look,
+             |  CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |  round(z0, 6) AS z,
+             |  CASE look WHEN 0 THEN 4.877 WHEN 1 THEN 3.357
+             |    WHEN 2 THEN 2.680 WHEN 3 THEN 2.290 ELSE 2.031 END
+             |    AS obf_boundary,
+             |  CAST(abs(z0) > CASE look WHEN 0 THEN 4.877
+             |    WHEN 1 THEN 3.357 WHEN 2 THEN 2.680 WHEN 3 THEN 2.290
+             |    ELSE 2.031 END AS BIGINT) AS reject
+             |FROM z ORDER BY look""".stripMargin)),
+
+    // Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010): top-
+    // weighted agreement between the two natural item-popularity
+    // rankings — by revenue vs by distinct-user reach — the
+    // INDEFINITE-ranking comparison x240's Kendall τ can't give (τ
+    // needs both rankings over the same complete set and weights every
+    // position equally; RBO weights the head geometrically, tolerates
+    // non-overlap, and is THE metric for comparing two top-k lists).
+    // Both rankings come from one events pass; overlap@d for the
+    // d-grid is a zero-filled histogram of max(rank_a, rank_b) over
+    // the joined top-20s; p = 0.9 powers go through round(pow,10) (the
+    // EwmaChart discipline) so both engines weight identically.
+    // Reported per depth with the truncated-RBO partial sum and the
+    // p^d residual (the RBO_min/RBO_max gap).
+    QuerySpec(
+      "x266_rbo",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val it = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("CAST(get_json_object(props, '$.k') AS INT)")
+              .as("item"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .filter(col("item").isNotNull)
+          .groupBy("item")
+          .agg(sum(col("c")).as("rev"),
+            countDistinct(col("user_id")).as("reach"))
+          .localCheckpoint() // item-vocab-bounded; feeds both rankings
+        val ra = it.select(col("item"), row_number()
+          .over(W.orderBy(col("rev").desc, col("item"))).as("ra"))
+          .filter(col("ra") <= 20)
+        val rb = it.select(col("item"), row_number()
+          .over(W.orderBy(col("reach").desc, col("item"))).as("rb"))
+          .filter(col("rb") <= 20)
+        val m = ra.join(rb, "item")
+          .select(greatest(col("ra"), col("rb")).as("m"))
+          .groupBy("m").agg(count(lit(1)).as("k"))
+        val grid = broadcast(s.range(1, 21).toDF("d"))
+          .join(m, col("m") <= col("d"), "left")
+          .groupBy("d").agg(coalesce(sum(col("k")), lit(0L)).as("x"))
+        val wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+        grid
+          .withColumn("term",
+            round(col("x").cast("double") / col("d") *
+              round(pow(lit(0.9), col("d") - 1), 10) * 0.1, 9))
+          .withColumn("rbo", sum(round(col("term"), 9)
+            .cast("decimal(38,9)")).over(wc).cast("double"))
+          .select(col("d"), col("x").as("overlap"),
+            round(col("x").cast("double") / col("d"), 6)
+              .as("agreement"),
+            round(col("rbo"), 6).as("rbo_trunc"),
+            round(round(pow(lit(0.9), col("d")), 10), 6)
+              .as("residual_mass"))
+          .orderBy("d")
+      },
+      Some("""WITH it AS (SELECT
+             |        CAST(json_extract_string(props, '$.k') AS INT)
+             |          AS item,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS rev,
+             |        COUNT(DISTINCT user_id) AS reach
+             |      FROM events
+             |      WHERE json_extract_string(props, '$.k') IS NOT NULL
+             |      GROUP BY 1),
+             |ra AS (SELECT item, row_number() OVER (ORDER BY rev DESC,
+             |        item) AS ra FROM it QUALIFY ra <= 20),
+             |rb AS (SELECT item, row_number() OVER (ORDER BY reach DESC,
+             |        item) AS rb FROM it QUALIFY rb <= 20),
+             |m AS (SELECT greatest(ra.ra, rb.rb) AS m, COUNT(*) AS k
+             |      FROM ra JOIN rb USING (item) GROUP BY 1),
+             |grid AS (SELECT g.d,
+             |        COALESCE(SUM(m.k), 0) AS x
+             |      FROM (SELECT unnest(range(1, 21)) AS d) g
+             |      LEFT JOIN m ON m.m <= g.d GROUP BY 1),
+             |t AS (SELECT d, x,
+             |        round(CAST(x AS DOUBLE) / d *
+             |          round(power(0.9, d - 1), 10) * 0.1, 9) AS term
+             |      FROM grid)
+             |SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS overlap,
+             |  round(CAST(x AS DOUBLE) / d, 6) AS agreement,
+             |  round(CAST(SUM(CAST(round(term, 9) AS DECIMAL(38,9)))
+             |    OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      CURRENT ROW) AS DOUBLE), 6) AS rbo_trunc,
+             |  round(round(power(0.9, d), 10), 6) AS residual_mass
+             |FROM t ORDER BY d""".stripMargin)),
+
+    // Confusion-matrix panel with Matthews correlation (Matthews 1975;
+    // Chicco & Jurman, BMC Genomics 2020 argue MCC over F1/accuracy on
+    // imbalance): the SINGLE-THRESHOLD operating point the suite's
+    // threshold-free reads skip over (x168 ROC sweeps thresholds, x165
+    // calibrates, x207 decomposes Brier) — predict the x182 high-value
+    // treatment from above-median activity and report the full panel:
+    // accuracy, precision, recall, F1, balanced accuracy, MCC. One
+    // user-grid pass, ONE bounded percentile aggregate, the four cells
+    // exact BIGINTs; MCC's four-factor denominator multiplies in
+    // DOUBLE from exact longs (cells⁴ would clear 2⁶³ at corpus scale).
+    QuerySpec(
+      "x267_mcc_panel",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            when(sum(when(col("event_type") === "purchase" &&
+              col("value") > 90.0, 1L).otherwise(0L)) >= 2, 1L)
+              .otherwise(0L).as("y"))
+        val md = u.agg(round(expr("percentile(act, 0.5)"), 6).as("m"))
+        val cells = u.crossJoin(broadcast(md))
+          .select(col("y"), (col("act") > col("m")).cast("long").as("p"))
+          .agg(sum(col("p") * col("y")).as("tp"),
+            sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+            sum((lit(1L) - col("p")) * col("y")).as("fn"),
+            sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+        cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round((col("tp") + col("tn")).cast("double") /
+              (col("tp") + col("fp") + col("fn") + col("tn")), 6)
+              .as("accuracy"),
+            round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+              .as("precision"),
+            round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+              .as("recall"),
+            round(lit(2.0) * col("tp") /
+              (lit(2.0) * col("tp") + col("fp") + col("fn")), 6)
+              .as("f1"),
+            round((col("tp").cast("double") / (col("tp") + col("fn")) +
+              col("tn").cast("double") / (col("tn") + col("fp"))) / 2, 6)
+              .as("balanced_accuracy"),
+            round((col("tp").cast("double") * col("tn") -
+              col("fp").cast("double") * col("fn")) /
+              sqrt((col("tp") + col("fp")).cast("double") *
+                (col("tp") + col("fn")) * (col("tn") + col("fp")) *
+                (col("tn") + col("fn"))), 6).as("mcc"))
+          .orderBy("tp")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS act,
+             |        CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+             |            AND value > 90.0 THEN 1 ELSE 0 END) >= 2
+             |          THEN 1 ELSE 0 END AS y
+             |      FROM events GROUP BY 1),
+             |md AS (SELECT round(quantile_cont(act, 0.5), 6) AS m FROM u),
+             |cells AS (SELECT
+             |        SUM(CASE WHEN act > m AND y = 1 THEN 1 ELSE 0 END)
+             |          AS tp,
+             |        SUM(CASE WHEN act > m AND y = 0 THEN 1 ELSE 0 END)
+             |          AS fp,
+             |        SUM(CASE WHEN act <= m AND y = 1 THEN 1 ELSE 0 END)
+             |          AS fn,
+             |        SUM(CASE WHEN act <= m AND y = 0 THEN 1 ELSE 0 END)
+             |          AS tn
+             |      FROM u CROSS JOIN md)
+             |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+             |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+             |    AS accuracy,
+             |  round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+             |  round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+             |  round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+             |  round((CAST(tp AS DOUBLE) / (tp + fn) +
+             |    CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+             |    AS balanced_accuracy,
+             |  round((CAST(tp AS DOUBLE) * tn -
+             |    CAST(fp AS DOUBLE) * fn) /
+             |    sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) *
+             |      (tn + fn)), 6) AS mcc
+             |FROM cells ORDER BY tp""".stripMargin)),
   )
 }
