@@ -101,7 +101,8 @@ object Explain {
       "x260_strat_ate", "x261_overdispersion",
       "x262_theil_decomposition", "x263_harmonic_centrality",
       "x264_entropy_rate", "x265_group_sequential", "x266_rbo",
-      "x267_mcc_panel")
+      "x267_mcc_panel", "x268_langid_eval", "x269_permutation_test",
+      "x270_bcubed_eval")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>

@@ -17454,5 +17454,364 @@ object ExtensionQueries {
              |    sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) *
              |      (tn + fn)), 6) AS mcc
              |FROM cells ORDER BY tp""".stripMargin)),
+
+    // Language-ID evaluation against the corpus's OWN lang labels —
+    // the documents table carries ground truth, so the x8 marker-vote
+    // classifier gets the full multi-class report card: per-class
+    // precision/recall/F1 over the (true ∪ predicted) class set plus
+    // overall accuracy and Cohen's κ (Cohen 1960 — the chance-corrected
+    // read; x111's κ is BETWEEN LABELERS, this is classifier-vs-truth).
+    // The structurally honest part: 'zh' exists in truth but not in the
+    // marker model's vocabulary, so its recall is 0 by construction and
+    // the 'und' row shows where that mass lands — exactly what a
+    // curation pipeline needs to see before trusting x8's routing.
+    // One corpus pass → ≤6×6 confusion grid; everything after is exact
+    // integer algebra on that grid.
+    QuerySpec(
+      "x268_langid_eval",
+      (s, dir) => {
+        val cm = Tables.documents(s, dir)
+          .select(col("lang").as("t"),
+            graft.functions.TextFunctions.langId(col("text")).as("p"))
+          .groupBy("t", "p").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // <=36 cells
+        val classes = cm.select(col("t").as("cls"))
+          .unionByName(cm.select(col("p").as("cls"))).distinct()
+        val tN = cm.groupBy(col("t").as("cls"))
+          .agg(sum(col("n")).as("n_true"))
+        val pN = cm.groupBy(col("p").as("cls"))
+          .agg(sum(col("n")).as("n_pred"))
+        val tp = cm.filter(col("t") === col("p"))
+          .select(col("t").as("cls"), col("n").as("tp"))
+        val tot = cm.agg(sum(col("n")).as("nn"),
+          sum(when(col("t") === col("p"), col("n")).otherwise(0L))
+            .as("cor"))
+        val pe = tN.join(pN, Seq("cls"), "full")
+          .na.fill(0L, Seq("n_true", "n_pred"))
+          .agg(sum(col("n_true") * col("n_pred")).as("sprod"))
+        val per = classes
+          .join(tN, Seq("cls"), "left").join(pN, Seq("cls"), "left")
+          .join(tp, Seq("cls"), "left")
+          .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+        per.crossJoin(broadcast(tot)).crossJoin(broadcast(pe))
+          .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+            when(col("n_pred") > 0,
+              round(col("tp").cast("double") / col("n_pred"), 6))
+              .otherwise(lit(0.0)).as("precision"),
+            when(col("n_true") > 0,
+              round(col("tp").cast("double") / col("n_true"), 6))
+              .otherwise(lit(0.0)).as("recall"),
+            when(col("n_pred") + col("n_true") > 0,
+              round(lit(2.0) * col("tp") /
+                (col("n_pred") + col("n_true")), 6))
+              .otherwise(lit(0.0)).as("f1"),
+            round(col("cor").cast("double") / col("nn"), 6)
+              .as("accuracy"),
+            round((col("cor").cast("double") / col("nn") -
+              col("sprod").cast("double") / col("nn") / col("nn")) /
+              (lit(1.0) - col("sprod").cast("double") / col("nn") /
+                col("nn")), 6).as("kappa"))
+          .orderBy("cls")
+      },
+      Some("""WITH t0 AS (SELECT lang AS t,
+             |        list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '') AS toks
+             |      FROM documents),
+             |v AS (SELECT t,
+             |        CAST(len(list_filter(toks, x -> x IN ('the','a',
+             |          'and','of','to','is'))) AS BIGINT) AS v_en,
+             |        CAST(len(list_filter(toks, x -> x IN ('der','die',
+             |          'das','und','ist','ein'))) AS BIGINT) AS v_de,
+             |        CAST(len(list_filter(toks, x -> x IN ('el','la',
+             |          'los','las','es','una'))) AS BIGINT) AS v_es,
+             |        CAST(len(list_filter(toks, x -> x IN ('le','la',
+             |          'les','et','est','une'))) AS BIGINT) AS v_fr
+             |      FROM t0),
+             |pr AS (SELECT t,
+             |        CASE WHEN v_en > 0 AND v_en >= greatest(v_en, v_de,
+             |            v_es, v_fr) THEN 'en'
+             |          WHEN v_de > 0 AND v_de >= greatest(v_en, v_de,
+             |            v_es, v_fr) THEN 'de'
+             |          WHEN v_es > 0 AND v_es >= greatest(v_en, v_de,
+             |            v_es, v_fr) THEN 'es'
+             |          WHEN v_fr > 0 AND v_fr >= greatest(v_en, v_de,
+             |            v_es, v_fr) THEN 'fr'
+             |          ELSE 'und' END AS p
+             |      FROM v),
+             |cm AS (SELECT t, p, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+             |classes AS (SELECT DISTINCT t AS cls FROM cm
+             |      UNION SELECT DISTINCT p FROM cm),
+             |tn AS (SELECT t AS cls, SUM(n) AS n_true FROM cm GROUP BY 1),
+             |pn AS (SELECT p AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+             |tpx AS (SELECT t AS cls, n AS tp FROM cm WHERE t = p),
+             |tot AS (SELECT SUM(n) AS nn,
+             |        SUM(CASE WHEN t = p THEN n ELSE 0 END) AS cor
+             |      FROM cm),
+             |pe AS (SELECT SUM(COALESCE(tn.n_true, 0) *
+             |          COALESCE(pn.n_pred, 0)) AS sprod
+             |      FROM tn FULL JOIN pn USING (cls)),
+             |per AS (SELECT classes.cls,
+             |        COALESCE(tn.n_true, 0) AS n_true,
+             |        COALESCE(pn.n_pred, 0) AS n_pred,
+             |        COALESCE(tpx.tp, 0) AS tp
+             |      FROM classes LEFT JOIN tn USING (cls)
+             |      LEFT JOIN pn USING (cls) LEFT JOIN tpx USING (cls))
+             |SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+             |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+             |  CASE WHEN n_pred > 0
+             |    THEN round(CAST(tp AS DOUBLE) / n_pred, 6)
+             |    ELSE 0.0 END AS precision,
+             |  CASE WHEN n_true > 0
+             |    THEN round(CAST(tp AS DOUBLE) / n_true, 6)
+             |    ELSE 0.0 END AS recall,
+             |  CASE WHEN n_pred + n_true > 0
+             |    THEN round(2.0 * tp / (n_pred + n_true), 6)
+             |    ELSE 0.0 END AS f1,
+             |  round(CAST(tot.cor AS DOUBLE) / tot.nn, 6) AS accuracy,
+             |  round((CAST(tot.cor AS DOUBLE) / tot.nn -
+             |    CAST(pe.sprod AS DOUBLE) / tot.nn / tot.nn) /
+             |    (1.0 - CAST(pe.sprod AS DOUBLE) / tot.nn / tot.nn), 6)
+             |    AS kappa
+             |FROM per CROSS JOIN tot CROSS JOIN pe
+             |ORDER BY cls""".stripMargin)),
+
+    // Permutation test on the arm spend difference (Fisher 1935
+    // randomization inference; Ernst, Statistical Science 2004 for the
+    // modern treatment): the EXACT-under-exchangeability companion to
+    // x133's Welch t and x253's effect sizes — no normality, no
+    // variance model, just the null's own reassignment distribution.
+    // 64 deterministic permutations come from ONE md5 per user split
+    // into 64 hash-lane BITS (hex-char arithmetic + shiftright — no
+    // digest under the fan-out, the x216 lane discipline rule 4
+    // enforces); per-permutation arm sums map-side-combine into a
+    // 64-row grid, so the whole test is one corpus pass + bounded
+    // algebra. p uses the add-one convention (Phipson & Smyth 2010):
+    // p = (1 + #{|diff_b| ≥ |diff_obs|}) / (B + 1).
+    QuerySpec(
+      "x269_permutation_test",
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y"))
+          .select(col("user_id"), col("y"),
+            (col("user_id") % 2).as("t"),
+            md5(concat(lit("perm:"), col("user_id").cast("string")))
+              .as("dg"))
+          .localCheckpoint() // one digest per user, reused by all lanes
+        val obs = u.agg(count(lit(1)).as("n_users"),
+          (sum(when(col("t") === 1, col("y")).otherwise(0L))
+            .cast("double") /
+            sum(when(col("t") === 1, 1L).otherwise(0L)) -
+            sum(when(col("t") === 0, col("y")).otherwise(0L))
+              .cast("double") /
+              sum(when(col("t") === 0, 1L).otherwise(0L))).as("obs"))
+        val perm = u
+          .select(col("y"), col("dg"),
+            explode(expr("sequence(0, 63)")).as("b"))
+          .withColumn("hv", expr(
+            "CASE WHEN ascii(substring(dg, CAST(b / 4 AS INT) + 1, 1))" +
+              " < 58 THEN ascii(substring(dg, CAST(b / 4 AS INT) + 1," +
+              " 1)) - 48 ELSE ascii(substring(dg, CAST(b / 4 AS INT)" +
+              " + 1, 1)) - 87 END"))
+          .withColumn("arm",
+            expr("shiftright(hv, CAST(b % 4 AS INT)) & 1"))
+          .groupBy("b").agg(
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s0"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+          .filter(col("n1") > 0 && col("n0") > 0)
+          .select((col("s1").cast("double") / col("n1") -
+            col("s0").cast("double") / col("n0")).as("d"))
+        val pd = perm.crossJoin(broadcast(obs))
+          .agg(max(col("n_users")).as("n_users"),
+            max(col("obs")).as("obs"),
+            count(lit(1)).as("n_perms"),
+            sum((abs(col("d")) >= abs(col("obs"))).cast("long"))
+              .as("n_extreme"),
+            sum(round(col("d") * col("d"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sdd"),
+            sum(round(col("d"), 6).cast("decimal(38,6)")).cast("double")
+              .as("sd1"))
+        pd.select(col("n_users"),
+            round(col("obs") / 100, 6).as("obs_diff_dollars"),
+            col("n_perms"), col("n_extreme"),
+            round((col("n_extreme") + 1).cast("double") /
+              (col("n_perms") + 1), 6).as("p_value"),
+            round(sqrt((col("sdd") - col("sd1") * col("sd1") /
+              col("n_perms")) / (col("n_perms") - 1L)) / 100, 6)
+              .as("perm_sd_dollars"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CAST(round(value * 100) AS BIGINT)) AS y,
+             |        user_id % 2 AS t,
+             |        md5('perm:' || CAST(user_id AS VARCHAR)) AS dg
+             |      FROM events WHERE event_type = 'purchase'
+             |      GROUP BY user_id),
+             |obs AS (SELECT COUNT(*) AS n_users,
+             |        CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END)
+             |          AS DOUBLE) /
+             |          SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) -
+             |        CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END)
+             |          AS DOUBLE) /
+             |          SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS obs
+             |      FROM u),
+             |lane AS (SELECT y, dg, g.b,
+             |        CASE WHEN ascii(substr(dg, CAST(g.b // 4 AS INT)
+             |            + 1, 1)) < 58
+             |          THEN ascii(substr(dg, CAST(g.b // 4 AS INT) + 1,
+             |            1)) - 48
+             |          ELSE ascii(substr(dg, CAST(g.b // 4 AS INT) + 1,
+             |            1)) - 87 END AS hv
+             |      FROM u CROSS JOIN (SELECT unnest(range(64)) AS b) g),
+             |perm AS (SELECT
+             |        CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0
+             |          AS d
+             |      FROM (SELECT b,
+             |          SUM(CASE WHEN (hv >> CAST(b % 4 AS INT)) & 1 = 1
+             |            THEN y ELSE 0 END) AS s1,
+             |          SUM(CASE WHEN (hv >> CAST(b % 4 AS INT)) & 1 = 1
+             |            THEN 1 ELSE 0 END) AS n1,
+             |          SUM(CASE WHEN (hv >> CAST(b % 4 AS INT)) & 1 = 0
+             |            THEN y ELSE 0 END) AS s0,
+             |          SUM(CASE WHEN (hv >> CAST(b % 4 AS INT)) & 1 = 0
+             |            THEN 1 ELSE 0 END) AS n0
+             |        FROM lane GROUP BY 1)
+             |      WHERE n1 > 0 AND n0 > 0),
+             |pd AS (SELECT MAX(obs.n_users) AS n_users,
+             |        MAX(obs.obs) AS obs, COUNT(*) AS n_perms,
+             |        SUM(CASE WHEN abs(d) >= abs(obs.obs) THEN 1 ELSE 0
+             |          END) AS n_extreme,
+             |        CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sdd,
+             |        CAST(SUM(CAST(round(d, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sd1
+             |      FROM perm CROSS JOIN obs)
+             |SELECT CAST(n_users AS BIGINT) AS n_users,
+             |  round(obs / 100, 6) AS obs_diff_dollars,
+             |  CAST(n_perms AS BIGINT) AS n_perms,
+             |  CAST(n_extreme AS BIGINT) AS n_extreme,
+             |  round(CAST(n_extreme + 1 AS DOUBLE) / (n_perms + 1), 6)
+             |    AS p_value,
+             |  round(sqrt((sdd - sd1 * sd1 / n_perms) / (n_perms - 1))
+             |    / 100, 6) AS perm_sd_dollars
+             |FROM pd ORDER BY n_users""".stripMargin)),
+
+    // B-cubed clustering evaluation (Bagga & Baldwin 1998; Amigó et
+    // al., Inf. Retrieval 2009 show B³ is the only common family
+    // passing all four clustering-eval constraints): score the ACTUAL
+    // dedup clustering (minhash pairs → connected components, the
+    // x2→x34 pipeline) against a planted truth — x192 measures planted
+    // PAIR recall, this scores the CLUSTERS themselves, catching the
+    // over-merge failure pair recall can't see (gluing two families
+    // into one cluster keeps recall perfect and craters B³ precision).
+    // Truth: each doc_id%10==0 doc gets TWO tail-perturbed twins
+    // (ids +off, +2·off), so truth cluster = id mod off — exact by
+    // construction. B³P = Σn²_{pc,tc}/|pc|/N, B³R = Σn²/|tc|/N on the
+    // bounded (pred, true) contingency grid; the oracle replays the
+    // components with a recursive min-label CTE (the x34 device).
+    QuerySpec(
+      "x270_bcubed_eval",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+        val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+        val twins = base.filter(col("doc_id") % 10 === 0)
+          .crossJoin(broadcast(off))
+          .select(explode(array(
+            struct((col("doc_id") + col("off")).as("doc_id"),
+              concat(col("text"), lit(" zz9 zz8 zz7")).as("text")),
+            struct((col("doc_id") + col("off") * 2).as("doc_id"),
+              concat(col("text"), lit(" qq9 qq8 qq7")).as("text"))))
+            .as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        val corpus = base.unionByName(twins).localCheckpoint()
+        val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+          k = 64, bands = 16, threshold = 0.8)
+        val cl = Dedup.dupClustersStar(pairs)
+          .select(col("doc_id"), col("cluster_id"))
+        val asg = corpus.join(broadcast(off))
+          .join(cl, Seq("doc_id"), "left")
+          .select(coalesce(col("cluster_id"), col("doc_id")).as("pc"),
+            (col("doc_id") % col("off")).as("tc"))
+          .localCheckpoint()
+        val grid = asg.groupBy("pc", "tc").agg(count(lit(1)).as("n"))
+        val pcs = asg.groupBy("pc").agg(count(lit(1)).as("np"))
+        val tcs = asg.groupBy("tc").agg(count(lit(1)).as("nt"))
+        val tot = asg.agg(count(lit(1)).as("nn"))
+        val sums = grid.join(pcs, "pc").join(tcs, "tc")
+          .agg(
+            sum(round(col("n").cast("double") * col("n") / col("np"), 9)
+              .cast("decimal(38,9)")).cast("double").as("sp"),
+            sum(round(col("n").cast("double") * col("n") / col("nt"), 9)
+              .cast("decimal(38,9)")).cast("double").as("sr"))
+        sums.crossJoin(broadcast(tot))
+          .crossJoin(broadcast(pcs.agg(count(lit(1)).as("n_pred"))))
+          .crossJoin(broadcast(tcs.agg(count(lit(1)).as("n_true"))))
+          .select(col("nn").as("n_docs"), col("n_pred"), col("n_true"),
+            round(col("sp") / col("nn"), 6).as("bcubed_precision"),
+            round(col("sr") / col("nn"), 6).as("bcubed_recall"),
+            round(lit(2.0) * (col("sp") / col("nn")) *
+              (col("sr") / col("nn")) /
+              (col("sp") / col("nn") + col("sr") / col("nn")), 6)
+              .as("bcubed_f1"))
+          .orderBy("n_docs")
+      },
+      Some("""WITH RECURSIVE off AS (SELECT MAX(doc_id) + 1 AS off
+             |      FROM documents),
+             |corpus AS (SELECT doc_id, text FROM documents
+             |      UNION ALL
+             |      SELECT d.doc_id + off.off, d.text || ' zz9 zz8 zz7'
+             |      FROM documents d CROSS JOIN off WHERE d.doc_id % 10 = 0
+             |      UNION ALL
+             |      SELECT d.doc_id + off.off * 2, d.text || ' qq9 qq8 qq7'
+             |      FROM documents d CROSS JOIN off
+             |      WHERE d.doc_id % 10 = 0),
+             |t AS (SELECT doc_id,
+             |        list_filter(regexp_split_to_array(trim(text),
+             |          '\s+'), x -> x <> '') AS toks
+             |      FROM corpus),
+             |sh AS (SELECT doc_id,
+             |        list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+             |          toks[i+2] for i in range(1, len(toks)-1)]) AS sh
+             |      FROM t),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+             |        AND round(CAST(len(list_intersect(a.sh, b.sh))
+             |          AS DOUBLE) / (len(a.sh) + len(b.sh) -
+             |          len(list_intersect(a.sh, b.sh))), 4) >= 0.8),
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+             |      UNION ALL SELECT doc_b, doc_a FROM p),
+             |reach(a, b) AS (
+             |      SELECT DISTINCT a, a AS b FROM e
+             |      UNION
+             |      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach
+             |      GROUP BY 1),
+             |asg AS (SELECT COALESCE(lab.cluster_id, corpus.doc_id)
+             |          AS pc,
+             |        corpus.doc_id % off.off AS tc
+             |      FROM corpus CROSS JOIN off
+             |      LEFT JOIN lab ON lab.doc_id = corpus.doc_id),
+             |grid AS (SELECT pc, tc, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+             |pcs AS (SELECT pc, COUNT(*) AS np FROM asg GROUP BY 1),
+             |tcs AS (SELECT tc, COUNT(*) AS nt FROM asg GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nn FROM asg),
+             |sums AS (SELECT
+             |        CAST(SUM(CAST(round(CAST(grid.n AS DOUBLE) * grid.n
+             |          / pcs.np, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sp,
+             |        CAST(SUM(CAST(round(CAST(grid.n AS DOUBLE) * grid.n
+             |          / tcs.nt, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sr
+             |      FROM grid JOIN pcs USING (pc) JOIN tcs USING (tc))
+             |SELECT CAST(tot.nn AS BIGINT) AS n_docs,
+             |  (SELECT COUNT(*) FROM pcs) AS n_pred,
+             |  (SELECT COUNT(*) FROM tcs) AS n_true,
+             |  round(sums.sp / tot.nn, 6) AS bcubed_precision,
+             |  round(sums.sr / tot.nn, 6) AS bcubed_recall,
+             |  round(2.0 * (sums.sp / tot.nn) * (sums.sr / tot.nn) /
+             |    (sums.sp / tot.nn + sums.sr / tot.nn), 6) AS bcubed_f1
+             |FROM sums CROSS JOIN tot ORDER BY n_docs""".stripMargin)),
   )
 }
