@@ -103,7 +103,8 @@ object Explain {
       "x264_entropy_rate", "x265_group_sequential", "x266_rbo",
       "x267_mcc_panel", "x268_langid_eval", "x269_permutation_test",
       "x270_bcubed_eval", "x271_pacf", "x272_mrr",
-      "x273_jarque_bera", "x274_term_burstiness")
+      "x273_jarque_bera", "x274_term_burstiness", "x275_cochran_q",
+      "x276_hubness", "x277_anisotropy", "x278_rich_club")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
