@@ -104,7 +104,9 @@ object Explain {
       "x267_mcc_panel", "x268_langid_eval", "x269_permutation_test",
       "x270_bcubed_eval", "x271_pacf", "x272_mrr",
       "x273_jarque_bera", "x274_term_burstiness", "x275_cochran_q",
-      "x276_hubness", "x277_anisotropy", "x278_rich_club")
+      "x276_hubness", "x277_anisotropy", "x278_rich_club",
+      "x279_fightin_words", "x280_youden_j", "x281_lorenz_curve",
+      "x282_durbin_watson")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
