@@ -106,7 +106,8 @@ object Explain {
       "x273_jarque_bera", "x274_term_burstiness", "x275_cochran_q",
       "x276_hubness", "x277_anisotropy", "x278_rich_club",
       "x279_fightin_words", "x280_youden_j", "x281_lorenz_curve",
-      "x282_durbin_watson")
+      "x282_durbin_watson", "x283_haar_energy", "x284_auc_ci",
+      "x285_lognormal_gaps")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
