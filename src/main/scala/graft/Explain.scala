@@ -108,7 +108,8 @@ object Explain {
       "x279_fightin_words", "x280_youden_j", "x281_lorenz_curve",
       "x282_durbin_watson", "x283_haar_energy", "x284_auc_ci",
       "x285_lognormal_gaps", "x286_risk_panel",
-      "x287_univariate_screen", "x288_page_trend")
+      "x287_univariate_screen", "x288_page_trend", "x289_delong",
+      "x290_ktruss", "x291_weibull_fit", "x292_circular_stats")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
