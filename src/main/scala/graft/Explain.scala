@@ -109,7 +109,9 @@ object Explain {
       "x282_durbin_watson", "x283_haar_energy", "x284_auc_ci",
       "x285_lognormal_gaps", "x286_risk_panel",
       "x287_univariate_screen", "x288_page_trend", "x289_delong",
-      "x290_ktruss", "x291_weibull_fit", "x292_circular_stats")
+      "x290_ktruss", "x291_weibull_fit", "x292_circular_stats",
+      "x293_binary_segmentation", "x294_session_sensitivity",
+      "x295_horvitz_thompson")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
