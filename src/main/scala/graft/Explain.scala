@@ -111,7 +111,8 @@ object Explain {
       "x287_univariate_screen", "x288_page_trend", "x289_delong",
       "x290_ktruss", "x291_weibull_fit", "x292_circular_stats",
       "x293_binary_segmentation", "x294_session_sensitivity",
-      "x295_horvitz_thompson")
+      "x295_horvitz_thompson", "x296_two_way_anova",
+      "x297_collinearity_audit", "x298_gap_model_selection")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
