@@ -113,7 +113,8 @@ object Explain {
       "x293_binary_segmentation", "x294_session_sensitivity",
       "x295_horvitz_thompson", "x296_two_way_anova",
       "x297_collinearity_audit", "x298_gap_model_selection",
-      "x299_cooks_distance", "x300_trending_items")
+      "x299_cooks_distance", "x300_trending_items",
+      "x301_bland_altman", "x302_hill_numbers")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
