@@ -114,7 +114,8 @@ object Explain {
       "x295_horvitz_thompson", "x296_two_way_anova",
       "x297_collinearity_audit", "x298_gap_model_selection",
       "x299_cooks_distance", "x300_trending_items",
-      "x301_bland_altman", "x302_hill_numbers")
+      "x301_bland_altman", "x302_hill_numbers",
+      "x303_gumbel_maxima", "x304_permanova")
     val byName = SparkEntry.queries
     val pw = new PrintWriter(new File(outFile))
     interesting.foreach { name =>
