@@ -34,9 +34,15 @@ object CusumChart {
         sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
       .select(
         round(col("sn").cast("double") / col("d"), 6).as("mu"),
-        round(sqrt((col("snn").cast("double") -
-          col("sn").cast("double") * col("sn") / col("d")) /
-          (col("d") - 1)), 6).as("sigma"))
+        // one-day guard: the sample sd divides by (d − 1), so a chart
+        // over a single observed day (a streaming first micro-batch)
+        // would carry NaN/null sigma into every s_hi/s_lo/alarm row;
+        // sigma := 0 makes the degenerate chart well-defined (dev = 0,
+        // no alarm) and leaves every multi-day chart bit-identical
+        when(col("d") > 1,
+          round(sqrt((col("snn").cast("double") -
+            col("sn").cast("double") * col("sn") / col("d")) /
+            (col("d") - 1)), 6)).otherwise(lit(0.0)).as("sigma"))
     val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     val dev = daily.crossJoin(broadcast(mom))
       .select(col("day"), col("n"), col("mu"), col("sigma"),

@@ -944,11 +944,15 @@ object Dedup {
         explode(TextFunctions.bigramsOfTokens(col("toks"))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    // (0,1] uniforms from 48-bit md5 prefixes, the established device
+    // strictly-(0,1) uniforms from 48-bit md5 prefixes: the 2^48+1
+    // divisor (the Reservoir.aesKeyed device) keeps u < 1 even at the
+    // max 48-bit value — Ioffe's ICWS draws need Uniform[0,1), and a
+    // beta of exactly 1.0 (possible under the old 2^48 divisor) puts
+    // t on the wrong side of its floor
     def u(salt: String): Column =
       (conv(substring(md5(concat(lit(s"icws:$salt:"), col("seed"),
         lit(":"), col("tok"))), 1, 12), 16, 10).cast("double") + 1.0) /
-        281474976710656.0
+        281474976710657.0
     val seedG = broadcast(df.sparkSession.range(seeds).toDF("seed"))
     // r ~ Gamma(2,1) rounded at 9 (a 6-dp round can collapse the ~1e-6
     // left tail of -ln(u1 u2) to 0 and r is a divisor); ln c at 6 is

@@ -36,9 +36,14 @@ object EwmaChart {
         sum(col("n")).as("sn"), sum(col("n") * col("n")).as("snn"))
       .select(
         round(col("sn").cast("double") / col("d"), 6).as("mu"),
-        round(sqrt((col("snn").cast("double") -
-          col("sn").cast("double") * col("sn") / col("d")) /
-          (col("d") - 1)), 6).as("sigma"))
+        // one-day guard (the CusumChart device): a single observed day
+        // (streaming first micro-batch) makes the (d − 1) sample sd
+        // degenerate; sigma := 0 keeps the chart well-defined and is
+        // bit-identical for every multi-day chart
+        when(col("d") > 1,
+          round(sqrt((col("snn").cast("double") -
+            col("sn").cast("double") * col("sn") / col("d")) /
+            (col("d") - 1)), 6)).otherwise(lit(0.0)).as("sigma"))
     val dev = daily.crossJoin(broadcast(mom))
       .withColumn("blk", expr("idx div 16"))
       .withColumn("j", col("idx") % 16)

@@ -120,6 +120,83 @@ class PlansSpec extends SparkSpec {
     offenses.toSeq
   }
 
+  /** Rule 5 — no brute nested-loop join with BOTH sides unbounded.
+    * x276 shipped green for two rounds with a `vec_id % 5 === 0` query
+    * side — 20% of the corpus, growing with it — crossJoined against the
+    * full corpus: O(n²/5) pair mass that no other rule saw (it plans as a
+    * BroadcastNestedLoopJoin, not a CartesianProduct, because Spark
+    * broadcasts one side). A nested-loop join is only scale-safe when at
+    * least one side's cardinality is bounded by construction:
+    *   - an Aggregate below it (group-count cardinality, e.g. the 1-row
+    *     moment frames every `crossJoin(broadcast(stats))` uses), or
+    *   - a limit of any flavor (Global/Local/TakeOrderedAndProject/
+    *     CollectLimit — the fixed x276 seeds via `.limit(200)`), or
+    *   - a literal relation (LocalTableScan) or a literal-bounded Range, or
+    *   - a filter comparing a BARE attribute to literals with </<=/=/IN
+    *     (x5's `vec_id < 20` exact baseline) — whether it survives as a
+    *     FilterExec or was pushed into the scan's dataFilters. A predicate
+    *     on a DERIVED expression (`vec_id % 5 === 0`) keeps a constant
+    *     FRACTION, not a constant COUNT, and does not qualify.
+    * The rule flags only PROVABLE unboundedness: both sides must descend
+    * from a file scan with no bounding device on the path. A
+    * `localCheckpoint()`ed frame surfaces as an RDD scan with its lineage
+    * (and any bounding Aggregate/limit above the original scan) truncated —
+    * x177/x187/x191/x203/x220/x231/x298 all nested-loop-join frames whose
+    * boundedness (months grid, limit(100) sample, 20-bin lattice, 5-group
+    * table, 1-row fit) was established BEFORE the checkpoint. Those sides
+    * are INDETERMINATE, not unbounded, so they don't trip the rule; the
+    * honest cost is a blind spot for a checkpointed corpus-sized frame
+    * brute-joined against another — which rule 2 (no CartesianProduct) and
+    * the per-query ScaleProbe ratios still price. */
+  private def unboundedBruteJoins(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def boundingPred(conds: Seq[Expression]): Boolean =
+      conds.exists { c =>
+        var found = false
+        c.foreach {
+          case LessThan(_: AttributeReference, _: Literal) => found = true
+          case LessThanOrEqual(_: AttributeReference, _: Literal) => found = true
+          case EqualTo(_: AttributeReference, _: Literal) => found = true
+          case EqualTo(_: Literal, _: AttributeReference) => found = true
+          case GreaterThan(_: Literal, _: AttributeReference) => found = true
+          case GreaterThanOrEqual(_: Literal, _: AttributeReference) => found = true
+          case In(_: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+            found = true
+          case InSet(_: AttributeReference, _) => found = true
+          case _ => ()
+        }
+        found
+      }
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _: LocalTableScanExec => true
+      case w: WindowGroupLimitExec => true // ≤k per partition key side
+      case r: RangeExec => r.range.numElements <= BigInt(4096)
+      case f: FilterExec =>
+        boundingPred(Seq(f.condition)) || f.children.exists(bounded)
+      case s: FileSourceScanExec =>
+        boundingPred(s.dataFilters ++ s.partitionFilters)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case other => other.children.exists(bounded)
+    }
+    def corpusScan(p: SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec => true
+      case r: ReusedExchangeExec => corpusScan(r.child)
+      case other => other.children.exists(corpusScan)
+    }
+    plan.collect {
+      case j: BroadcastNestedLoopJoinExec
+          if corpusScan(j.left) && corpusScan(j.right) &&
+            !bounded(j.left) && !bounded(j.right) =>
+        j.simpleStringWithNodeId()
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan hygiene: $name") {
       val df = fn(spark, sfDir)
@@ -132,6 +209,12 @@ class PlansSpec extends SparkSpec {
       }
       assert(cartesians(plan).isEmpty,
         s"$name plans a CartesianProduct — unbounded O(n*m) at scale")
+      val brute = unboundedBruteJoins(plan)
+      assert(brute.isEmpty,
+        s"$name plans a nested-loop join with BOTH sides unbounded — " +
+          s"O(n*m) pair mass at scale (the old-x276 shape; bound one side " +
+          s"with a limit, an aggregate, or a literal id filter):\n" +
+          brute.mkString("\n"))
       val hashFanout = hashUnderFanout(df.queryExecution.analyzed)
       assert(hashFanout.isEmpty,
         s"$name computes an expensive digest per fanned-out row " +
@@ -301,6 +384,38 @@ class PlansSpec extends SparkSpec {
           .cast("long").as("u"))
     assert(hashUnderFanout(good.queryExecution.analyzed).isEmpty,
       "the 8-lane-group digest shape must not be flagged")
+  }
+
+  test("unbounded-brute-join rule fires on the old x276 shape (regression fixture)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    // the exact pre-round-11 pattern: a corpus-FRACTION query side
+    // (vec_id % 5 keeps 20% of the corpus at any size) nested-loop-joined
+    // against the full corpus
+    val bad = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .crossJoin(e.select(col("vec_id").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+    assert(unboundedBruteJoins(bad.queryExecution.sparkPlan).nonEmpty,
+      "fixture should flag the corpus-fraction nested-loop join")
+    // the FIXED seed shape (limit 200) must pass
+    val seeds = e.select(col("vec_id"))
+      .orderBy((col("vec_id") % 1000003L * 48271L % 1000003L).asc,
+        col("vec_id").asc).limit(200)
+    val good = e.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("vec_id").as("qid"))
+      .crossJoin(e.select(col("vec_id").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+    assert(unboundedBruteJoins(good.queryExecution.sparkPlan).isEmpty,
+      "the fixed-size limit(200) seed side must not be flagged")
+    // and the literal-bound exact baselines (x5's vec_id < 20) must pass,
+    // including when the predicate is pushed into the parquet scan
+    val baseline = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"))
+      .crossJoin(e.select(col("vec_id").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+    assert(unboundedBruteJoins(baseline.queryExecution.sparkPlan).isEmpty,
+      "a literal id-bounded query side must not be flagged")
   }
 
   test("x238 plan carries NO digest expressions (draw table stays materialized)") {
