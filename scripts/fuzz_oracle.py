@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""DuckDB side of the differential fuzz gate (DifferentialFuzzSpec).
+
+Reads a spec JSON {"sfDir": ..., "outDir": ..., "queries": [{"name","sql"}]},
+executes each SQL against the parquet tables, and writes one file per query
+(<outDir>/<name>.txt) holding the canonicalized result: one row per line,
+values joined by '|', sorted lexicographically. The canonical form MUST stay
+in lock-step with DifferentialFuzzSpec.canon on the Scala side:
+  null -> U+2205, float -> %.4f (with -0.0 normalized to 0.0), int -> str.
+Dev-only tooling (like check.py) — never imported from shipped Scala code.
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = ["nation", "customer", "orders", "lineitem"]
+
+
+def fmt(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0
+        return f"{v:.4f}"
+    return str(v)
+
+
+def main():
+    spec = json.load(open(sys.argv[1]))
+    os.makedirs(spec["outDir"], exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{spec['sfDir']}/{t}.parquet')")
+    for q in spec["queries"]:
+        try:
+            rows = con.execute(q["sql"]).fetchall()
+            lines = sorted("|".join(fmt(v) for v in r) for r in rows)
+        except Exception as e:  # surface engine errors as comparable rows
+            lines = ["ERROR: " + str(e).replace("\n", " ")]
+        with open(os.path.join(spec["outDir"], q["name"] + ".txt"), "w") as f:
+            f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

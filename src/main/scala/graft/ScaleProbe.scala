@@ -20,6 +20,10 @@ object ScaleProbe {
     val names =
       if (args.length > 2) args.drop(2).toSeq
       else Seq("x27_segment_dedup", "x29_tfidf_topterm", "x31_dup_clusters")
+    // replication factor: 10x by default; the worst-10 bench queries also
+    // carry a 100x tier (SPARK_GRAFT_PROBE_REPS=100) so the 100 TB design
+    // claim rests on two decades of measured extrapolation, not one
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +41,7 @@ object ScaleProbe {
       // Replica ids offset by max(doc_id)+1, not count(): ids need not be
       // dense in [0, n), and a sparse id >= count would collide replicas.
       val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
-      docs.crossJoin(spark.range(10).toDF("rep"))
+      docs.crossJoin(spark.range(reps).toDF("rep"))
         .select(
           (col("doc_id") + col("rep") * n).as("doc_id"),
           when(col("rep") === 0, col("text"))
@@ -52,7 +56,7 @@ object ScaleProbe {
       // whose index size follows the corpus.
       val emb = Tables.embeddings(spark, baseSf)
       val m = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
-      emb.crossJoin(spark.range(10).toDF("rep"))
+      emb.crossJoin(spark.range(reps).toDF("rep"))
         .select(
           (col("vec_id") + col("rep") * m).as("vec_id"),
           expr("transform(embedding, (x, i) -> " +
@@ -74,7 +78,7 @@ object ScaleProbe {
       val ev = spark.read.parquet(s"$baseSf/events.parquet")
       val eMax = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
       val uMax = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
-      ev.crossJoin(spark.range(10).toDF("rep"))
+      ev.crossJoin(spark.range(reps).toDF("rep"))
         .select(
           (col("event_id") + col("rep") * eMax).as("event_id"),
           col("ts"),
@@ -96,12 +100,12 @@ object ScaleProbe {
       val oMax = math.max(
         li.agg(max(col("l_orderkey"))).head.getLong(0),
         ords.agg(max(col("o_orderkey"))).head.getLong(0)) + 1L
-      ords.crossJoin(spark.range(10).toDF("rep"))
+      ords.crossJoin(spark.range(reps).toDF("rep"))
         .select((col("o_orderkey") + col("rep") * oMax).as("o_orderkey") +:
           ords.columns.filterNot(_ == "o_orderkey").map(col): _*)
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
-      li.crossJoin(spark.range(10).toDF("rep"))
+      li.crossJoin(spark.range(reps).toDF("rep"))
         .select((col("l_orderkey") + col("rep") * oMax).as("l_orderkey") +:
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)
         .coalesce(4)
@@ -114,7 +118,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
       val pt = Tables.part(spark, baseSf)
       val pMax = pt.agg(max(col("p_partkey"))).head.getLong(0) + 1L
-      pt.crossJoin(spark.range(10).toDF("rep"))
+      pt.crossJoin(spark.range(reps).toDF("rep"))
         .select((col("p_partkey") + col("rep") * pMax).as("p_partkey") +:
           pt.columns.filterNot(_ == "p_partkey").map(col): _*)
         .coalesce(4)
@@ -137,7 +141,7 @@ object ScaleProbe {
       time(name, baseSf) // warm: codegen + JIT
       val base = time(name, baseSf)
       val big = time(name, bigDir)
-      println(f"[probe] $name%-24s base=$base%7.2fs big10x=$big%7.2fs ratio=${big / base}%5.2fx")
+      println(f"[probe] $name%-24s base=$base%7.2fs big${reps}%dx=$big%7.2fs ratio=${big / base}%5.2fx")
     }
     spark.stop()
   }
