@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def specs: Seq[QuerySpec] =
-    Queries.all ++ ops.ExtensionQueries.all ++ ops.AugmentQueries.all
+    Queries.all ++ ops.ExtensionQueries.all ++ ops.Extension2Queries.all ++
+      ops.AugmentQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

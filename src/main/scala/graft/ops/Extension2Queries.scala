@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{QuerySpec, Tables}
+
+/** Round-11 extension queries (x305+): the analytics tail continues —
+  * concentration indexes, spectral/robust statistics, cluster validity,
+  * and embedding-geometry reads — each oracle-checked against DuckDB and
+  * priced with a 10x scale probe in the same commit (COVERAGE.md
+  * discipline). Split from [[ExtensionQueries]] purely to keep that file's
+  * single registry `Seq` from growing without bound.
+  */
+object Extension2Queries {
+
+  def all: Seq[QuerySpec] = Seq(
+
+    // Herfindahl-Hirschman concentration index (Herfindahl 1950;
+    // Hirschman 1945/1964 AER note on who invented it first) of revenue
+    // share, by customer market segment and by customer nation — the
+    // antitrust-standard concentration read complementing x statistical
+    // dispersion (Gini/Lorenz measure inequality ACROSS units; HHI
+    // measures how few units hold the mass: sum of squared shares, 1/k
+    // at perfect balance, 1.0 at monopoly). Normalized form
+    // (HHI − 1/k)/(1 − 1/k) rescales to [0,1] across unequal group
+    // counts. Scale shape: ONE fact-dim equi-join feeds a 2x row-local
+    // fan-out (struct explode), then everything is group-bounded
+    // aggregates (|segments| + |nations| rows); shares and share² sums
+    // ride the round-6/9 DECIMAL bridge so both engines sum exactly.
+    QuerySpec(
+      "x305_herfindahl",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(explode(array(
+            struct(lit("segment").as("dim"),
+              col("c_mktsegment").as("grp")),
+            struct(lit("nation").as("dim"),
+              col("c_nationkey").cast("string").as("grp")))).as("dg"),
+            col("o_totalprice"))
+          .select(col("dg.dim").as("dim"), col("dg.grp").as("grp"),
+            col("o_totalprice"))
+        val g = base.groupBy("dim", "grp")
+          .agg(sum(round(col("o_totalprice"), 6).cast("decimal(18,6)"))
+            .cast("double").as("rev"))
+        val t = g.groupBy("dim")
+          .agg(sum(col("rev").cast("decimal(18,6)")).cast("double")
+            .as("tot"), count(lit(1)).as("k"))
+        g.join(t, "dim")
+          .groupBy("dim")
+          .agg(max(col("k")).as("n_groups"),
+            sum(round((col("rev") / col("tot")) * (col("rev") / col("tot")),
+              9).cast("decimal(18,9)")).cast("double").as("hhi0"),
+            max(round(col("rev") / col("tot"), 6)).as("top_share"))
+          .select(col("dim"), col("n_groups"),
+            round(col("hhi0"), 6).as("hhi"),
+            round((col("hhi0") - lit(1.0) / col("n_groups")) /
+              (lit(1.0) - lit(1.0) / col("n_groups")), 6).as("hhi_norm"),
+            col("top_share"))
+          .orderBy("dim")
+      },
+      Some("""WITH base AS (SELECT dg.dim, dg.grp, o.o_totalprice
+             |      FROM orders o JOIN customer c
+             |        ON o.o_custkey = c.c_custkey,
+             |      LATERAL (SELECT unnest([
+             |        {'dim': 'segment', 'grp': c.c_mktsegment},
+             |        {'dim': 'nation',
+             |         'grp': CAST(c.c_nationkey AS VARCHAR)}],
+             |        recursive := true)) dg(dim, grp)),
+             |g AS (SELECT dim, grp,
+             |        CAST(SUM(CAST(round(o_totalprice, 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             |      FROM base GROUP BY 1, 2),
+             |t AS (SELECT dim,
+             |        CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS tot,
+             |        COUNT(*) AS k
+             |      FROM g GROUP BY 1),
+             |h AS (SELECT g.dim, MAX(t.k) AS n_groups,
+             |        CAST(SUM(CAST(round((g.rev / t.tot) * (g.rev / t.tot),
+             |          9) AS DECIMAL(18,9))) AS DOUBLE) AS hhi0,
+             |        MAX(round(g.rev / t.tot, 6)) AS top_share
+             |      FROM g JOIN t ON t.dim = g.dim GROUP BY 1)
+             |SELECT dim, CAST(n_groups AS BIGINT) AS n_groups,
+             |  round(hhi0, 6) AS hhi,
+             |  round((hhi0 - 1.0 / n_groups) / (1.0 - 1.0 / n_groups), 6)
+             |    AS hhi_norm,
+             |  top_share
+             |FROM h ORDER BY dim""".stripMargin)),
+
+    // Effective rank of the embedding covariance via the participation
+    // ratio PR = tr(C)² / ‖C‖²_F = (Σλ)²/Σλ² (Roy & Vetterli, EUSIPCO
+    // 2007 call the entropy variant "effective rank"; the participation
+    // ratio is the standard closed-form proxy in the representation-
+    // collapse literature). The 100 TB insight: PR needs NO
+    // eigendecomposition — tr(C) and Σ_ij C_ij² come from the raw second
+    // moments, so the whole read is ONE linear scan. Determinism +
+    // speed come from fixed-pointing the INPUT once (4-dp integer units
+    // per coordinate — floats carry ~7 significant digits, and the read
+    // is insensitive at its own 9-dp rounding): the 64x64 outer product
+    // is then PURE LONG multiplies (row-local, codegen'd) and the grid
+    // aggregation a plain order-free long sum with map-side combine into
+    // 4096 cells — no per-element BigDecimal (the decimal-sum first cut
+    // paid 14.9 s at sf0.1; this form ~1 s). Element bound: |x|·10⁴ ≤
+    // ~5·10⁴, so a cell sum stays under 2⁶³ up to ~3·10⁹ vectors —
+    // shard the sum per partition range beyond that. PR near dim =
+    // isotropic (healthy); PR « dim = collapsed directions — the global
+    // twin of x277's mean-pairwise-cosine anisotropy read.
+    QuerySpec(
+      "x306_effective_rank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val nd = e.agg(count(lit(1)).as("n"),
+          max(size(col("embedding"))).as("dim"))
+        val ints = e.select(expr(
+          """transform(embedding,
+            |  x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT))"""
+            .stripMargin).as("iv"))
+        val q = ints.select(explode(expr(
+            """flatten(transform(iv, (x, i) -> transform(iv, (y, j) ->
+              |  named_struct('idx', i * 64 + j, 'p', x * y))))"""
+              .stripMargin)).as("s"))
+          .select(col("s.idx").as("idx"), col("s.p").as("p"))
+          .groupBy("idx").agg(sum(col("p")).as("ql"))
+          .select(expr("idx div 64").as("i"), (col("idx") % 64).as("j"),
+            (col("ql").cast("double") / 100000000.0).as("q"))
+        val sm = ints.select(posexplode(col("iv")).as(Seq("i", "v")))
+          .groupBy("i")
+          .agg((sum(col("v")).cast("double") / 10000.0).as("si"))
+        val c = q
+          .join(sm.select(col("i"), col("si")), "i")
+          .join(sm.select(col("i").as("j"), col("si").as("sj")), "j")
+          .crossJoin(broadcast(nd))
+          .select(col("i"), col("j"), col("n"), col("dim"),
+            round(col("q") / col("n") -
+              (col("si") / col("n")) * (col("sj") / col("n")), 9).as("c"))
+        c.groupBy("n", "dim")
+          .agg(
+            sum(when(col("i") === col("j"), col("c").cast("decimal(38,9)"))
+              .otherwise(lit(0).cast("decimal(38,9)"))).cast("double")
+              .as("tr"),
+            sum(round(col("c") * col("c"), 12).cast("decimal(38,12)"))
+              .cast("double").as("fro"))
+          .select(col("n").as("n_vectors"),
+            col("dim").cast("long").as("dim"),
+            round(col("tr"), 6).as("trace"),
+            round(col("tr") * col("tr") / col("fro"), 4)
+              .as("effective_rank"),
+            round(col("tr") * col("tr") / col("fro") / col("dim"), 6)
+              .as("er_ratio"))
+          .orderBy("n_vectors")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |        [CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT)
+             |          for x in embedding] AS iv
+             |      FROM embeddings),
+             |nd AS (SELECT COUNT(*) AS n, MAX(len(iv)) AS dim FROM e),
+             |q AS (SELECT r1.i, r2.j,
+             |        CAST(SUM(iv[r1.i + 1] * iv[r2.j + 1]) AS DOUBLE)
+             |          / 100000000.0 AS q
+             |      FROM e CROSS JOIN range(64) r1(i)
+             |        CROSS JOIN range(64) r2(j)
+             |      GROUP BY 1, 2),
+             |sm AS (SELECT r.i,
+             |        CAST(SUM(iv[r.i + 1]) AS DOUBLE) / 10000.0 AS si
+             |      FROM e CROSS JOIN range(64) r(i) GROUP BY 1),
+             |c AS (SELECT q.i, q.j, nd.n, nd.dim,
+             |        round(q.q / nd.n -
+             |          (a.si / nd.n) * (b.si / nd.n), 9) AS c
+             |      FROM q JOIN sm a ON a.i = q.i
+             |        JOIN sm b ON b.i = q.j
+             |        CROSS JOIN nd),
+             |f AS (SELECT n, dim,
+             |        CAST(SUM(CASE WHEN i = j
+             |          THEN CAST(c AS DECIMAL(38,9))
+             |          ELSE CAST(0 AS DECIMAL(38,9)) END) AS DOUBLE) AS tr,
+             |        CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+             |          AS DOUBLE) AS fro
+             |      FROM c GROUP BY 1, 2)
+             |SELECT CAST(n AS BIGINT) AS n_vectors,
+             |  CAST(dim AS BIGINT) AS dim,
+             |  round(tr, 6) AS trace,
+             |  round(tr * tr / fro, 4) AS effective_rank,
+             |  round(tr * tr / fro / dim, 6) AS er_ratio
+             |FROM f ORDER BY n_vectors""".stripMargin)),
+
+    // Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) over the
+    // same right-censored time-to-first-error durations as x124's
+    // Kaplan-Meier — the ADDITIVE twin of KM's product-limit curve:
+    // H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, preferred when the hazard itself (not
+    // survival) is the read, and the Fleming-Harrington survival
+    // exp(−H) it implies is the standard small-risk-set alternative to
+    // KM. Because the estimator is a SUM, no recursive product fold is
+    // needed: the whole curve is two windows over the |distinct t|
+    // aggregate (at-risk integer running sum + a DECIMAL(18,9) running
+    // sum of rounded hazard increments), both Rule-1-safe. Scale shape:
+    // subjects collapse to the duration aggregate first, same as x124.
+    QuerySpec(
+      "x307_nelson_aalen",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val span = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("f"),
+            min(when(col("event_type") === "error", to_date(col("ts"))))
+              .as("e"))
+        val gmax = span.agg(max(greatest(col("f"), col("e"))).as("gmax"))
+        val durations = span.crossJoin(broadcast(gmax))
+          .select(
+            when(col("e").isNotNull, datediff(col("e"), col("f")))
+              .otherwise(datediff(col("gmax"), col("f")))
+              .cast("long").as("t"),
+            col("e").isNotNull.cast("long").as("obs"))
+        val agg = durations.groupBy("t")
+          .agg(sum(col("obs")).as("d"),
+            sum(lit(1L) - col("obs")).as("c"))
+        val tot = durations.agg(count(lit(1)).as("n"))
+        val wPrior = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+        val wCum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+        agg.crossJoin(broadcast(tot))
+          .withColumn("n_at_risk",
+            col("n") - coalesce(sum(col("d") + col("c")).over(wPrior),
+              lit(0L)))
+          .withColumn("hinc",
+            round(col("d").cast("double") / col("n_at_risk"), 9)
+              .cast("decimal(18,9)"))
+          .withColumn("h", sum(col("hinc")).over(wCum).cast("double"))
+          .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+            round(col("h"), 6).as("cum_hazard"),
+            round(exp(-col("h")), 6).as("fh_survival"))
+          .orderBy("t")
+      },
+      Some("""WITH span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |        MIN(CASE WHEN event_type = 'error'
+             |          THEN CAST(ts AS DATE) END) AS e
+             |      FROM events GROUP BY 1),
+             |g AS (SELECT MAX(greatest(f, e)) AS gmax FROM span),
+             |u AS (SELECT CAST(CASE WHEN e IS NOT NULL
+             |          THEN datediff('day', f, e)
+             |          ELSE datediff('day', f, g.gmax) END AS BIGINT) AS t,
+             |        CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS obs
+             |      FROM span CROSS JOIN g),
+             |agg AS (SELECT t, SUM(obs) AS d, SUM(1 - obs) AS c FROM u
+             |      GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM u),
+             |r AS (SELECT t, d, c,
+             |        tot.n - COALESCE(SUM(d + c) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS n_at_risk
+             |      FROM agg CROSS JOIN tot),
+             |h AS (SELECT t, n_at_risk, d,
+             |        CAST(SUM(CAST(round(CAST(d AS DOUBLE) / n_at_risk, 9)
+             |          AS DECIMAL(18,9))) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS DOUBLE) AS h
+             |      FROM r)
+             |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             |  CAST(d AS BIGINT) AS n_events,
+             |  round(h, 6) AS cum_hazard,
+             |  round(exp(-h), 6) AS fh_survival
+             |FROM h ORDER BY t""".stripMargin)),
+  )
+}
