@@ -259,5 +259,256 @@ object Extension2Queries {
              |  round(h, 6) AS cum_hazard,
              |  round(exp(-h), 6) AS fh_survival
              |FROM h ORDER BY t""".stripMargin)),
+
+    // Schuster periodogram at candidate calendar periods (Schuster 1898;
+    // Fisher's g-test, 1929, motivates the relative-power read) of the
+    // mean-centered daily event-count series — the frequency-domain
+    // seasonality detector next to the time-domain suite (x231 trend,
+    // x227/x236 control charts, x?? dow chi-square): for period P,
+    // I(P) = (Σdev·cos(2πt/P))² + (Σdev·sin(2πt/P))², reported with its
+    // share of the tested-grid total. Determinism: the angle reduces to
+    // 2π(t mod P)/P before cos/sin (identical small-argument doubles in
+    // both engines), trig values round at 10 dp, products at 6 into
+    // DECIMAL sums — the x236 rounded-transcendental device. Scale: the
+    // corpus collapses to the calendar-bounded day grid FIRST; the
+    // (day x period) lattice is |days|·7 rows of pure row-local math.
+    QuerySpec(
+      "x308_periodogram",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
+            .as("t"), col("n"))
+        val m = d.agg(count(lit(1)).as("nd"),
+            sum(col("n")).as("sn"))
+          .select(col("nd"),
+            round(col("sn").cast("double") / col("nd"), 6).as("mu"))
+        val grid = d.crossJoin(broadcast(m))
+          .select(col("t"), col("nd"),
+            round(col("n") - col("mu"), 6).as("dev"),
+            explode(array(lit(2L), lit(3L), lit(5L), lit(7L), lit(10L),
+              lit(14L), lit(30L))).as("p"))
+          .select(col("p"), col("nd"), col("dev"),
+            (lit(6.283185307179586) * (col("t") % col("p")).cast("double") /
+              col("p").cast("double")).as("ang"))
+        val pw = grid
+          .select(col("p"), col("nd"),
+            round(col("dev") * round(cos(col("ang")), 10), 6)
+              .cast("decimal(18,6)").as("cterm"),
+            round(col("dev") * round(sin(col("ang")), 10), 6)
+              .cast("decimal(18,6)").as("sterm"))
+          .groupBy("p")
+          .agg(max(col("nd")).as("n_days"),
+            sum(col("cterm")).cast("double").as("cs"),
+            sum(col("sterm")).cast("double").as("ss"))
+          .select(col("p").as("period"), col("n_days"),
+            round((col("cs") * col("cs") + col("ss") * col("ss")) /
+              col("n_days"), 4).as("power"))
+        val tot = pw.agg(sum(col("power").cast("decimal(18,4)"))
+          .cast("double").as("tp"))
+        pw.crossJoin(broadcast(tot))
+          .select(col("period"), col("n_days"),
+            col("power"),
+            round(col("power") / col("tp"), 6).as("rel_power"))
+          .orderBy("period")
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+             |          CAST(ts AS DATE)) AS BIGINT) AS t,
+             |        COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |m AS (SELECT COUNT(*) AS nd,
+             |        round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mu
+             |      FROM d),
+             |grid AS (SELECT p.p, m.nd,
+             |        round(d.n - m.mu, 6) AS dev,
+             |        6.283185307179586 * CAST(d.t % p.p AS DOUBLE) /
+             |          CAST(p.p AS DOUBLE) AS ang
+             |      FROM d CROSS JOIN m
+             |        CROSS JOIN (SELECT unnest([2, 3, 5, 7, 10, 14, 30])
+             |          AS p) p),
+             |pw AS (SELECT p AS period, MAX(nd) AS n_days,
+             |        CAST(SUM(CAST(round(dev * round(cos(ang), 10), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS cs,
+             |        CAST(SUM(CAST(round(dev * round(sin(ang), 10), 6)
+             |          AS DECIMAL(18,6))) AS DOUBLE) AS ss
+             |      FROM grid GROUP BY 1),
+             |pp AS (SELECT period, n_days,
+             |        round((cs * cs + ss * ss) / n_days, 4) AS power
+             |      FROM pw),
+             |tot AS (SELECT CAST(SUM(CAST(power AS DECIMAL(18,4)))
+             |          AS DOUBLE) AS tp FROM pp)
+             |SELECT CAST(period AS BIGINT) AS period,
+             |  CAST(n_days AS BIGINT) AS n_days, power,
+             |  round(power / tot.tp, 6) AS rel_power
+             |FROM pp CROSS JOIN tot ORDER BY period""".stripMargin)),
+
+    // Theil's uncertainty coefficient (Theil 1970) between day-of-week
+    // and event type — the ASYMMETRIC categorical-association read the
+    // suite's Cramér's V (symmetric, chi-square-based) can't give:
+    // U(type|dow) = I(type;dow)/H(type) answers "how much does knowing
+    // the weekday reduce event-type uncertainty" and U(dow|type) the
+    // converse; both are 0 under independence and 1 under perfect
+    // prediction. Exact: the corpus collapses to the 7x5 contingency
+    // grid, entropies are Σ(c/N)·ln(N/c) with rounded-9 log terms into
+    // DECIMAL sums — bounded algebra end to end.
+    QuerySpec(
+      "x309_theils_u",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') % 7")
+            .cast("long").as("dow"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // <= 35 cells feed all four entropies
+        val n = g.agg(sum(col("c")).as("n"))
+        def ent(keyed: org.apache.spark.sql.DataFrame) = keyed
+          .crossJoin(broadcast(n))
+          .select(round((col("k").cast("double") / col("n")) *
+            log(col("n").cast("double") / col("k")), 9)
+            .cast("decimal(18,9)").as("term"))
+          .agg(sum(col("term")).cast("double").as("h"))
+        val hx = ent(g.groupBy("event_type").agg(sum(col("c")).as("k")))
+          .select(col("h").as("hx"))
+        val hy = ent(g.groupBy("dow").agg(sum(col("c")).as("k")))
+          .select(col("h").as("hy"))
+        val hxy = ent(g.select(col("c").as("k")))
+          .select(col("h").as("hxy"))
+        hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+          .crossJoin(broadcast(n))
+          .select(col("n").as("n_events"),
+            round(col("hx"), 6).as("h_type"),
+            round(col("hy"), 6).as("h_dow"),
+            round(col("hx") + col("hy") - col("hxy"), 6).as("mi"),
+            round((col("hx") + col("hy") - col("hxy")) / col("hx"), 6)
+              .as("u_type_given_dow"),
+            round((col("hx") + col("hy") - col("hxy")) / col("hy"), 6)
+              .as("u_dow_given_type"),
+            round(lit(2.0) * (col("hx") + col("hy") - col("hxy")) /
+              (col("hx") + col("hy")), 6).as("u_symmetric"))
+          .orderBy("n_events")
+      },
+      Some("""WITH g AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+             |          CAST(ts AS DATE)) % 7 AS BIGINT) AS dow,
+             |        event_type, COUNT(*) AS c
+             |      FROM events GROUP BY 1, 2),
+             |n AS (SELECT SUM(c) AS n FROM g),
+             |hx AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(k AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / k), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS hx
+             |      FROM (SELECT event_type, SUM(c) AS k FROM g GROUP BY 1)
+             |        CROSS JOIN n),
+             |hy AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(k AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / k), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS hy
+             |      FROM (SELECT dow, SUM(c) AS k FROM g GROUP BY 1)
+             |        CROSS JOIN n),
+             |hxy AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(c AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / c), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS hxy
+             |      FROM g CROSS JOIN n)
+             |SELECT CAST(n.n AS BIGINT) AS n_events,
+             |  round(hx.hx, 6) AS h_type,
+             |  round(hy.hy, 6) AS h_dow,
+             |  round(hx.hx + hy.hy - hxy.hxy, 6) AS mi,
+             |  round((hx.hx + hy.hy - hxy.hxy) / hx.hx, 6)
+             |    AS u_type_given_dow,
+             |  round((hx.hx + hy.hy - hxy.hxy) / hy.hy, 6)
+             |    AS u_dow_given_type,
+             |  round(2.0 * (hx.hx + hy.hy - hxy.hxy) / (hx.hx + hy.hy), 6)
+             |    AS u_symmetric
+             |FROM hx CROSS JOIN hy CROSS JOIN hxy CROSS JOIN n
+             |ORDER BY n_events""".stripMargin)),
+
+    // Kendall's coefficient of concordance W (Kendall & Babington Smith,
+    // Ann. Math. Stat. 1939), tie-corrected: do the m weekly "judges"
+    // agree on how they rank the 5 event types by volume? W=1 means every
+    // week ranks the types identically (a stable product), W≈0 means the
+    // weekly type ordering is noise — the multi-judge generalization of
+    // x240's two-half Kendall tau. Average ranks within each week come
+    // from rank() + (ties−1)/2 (halves are exactly representable, so the
+    // rank table is bit-identical in both engines); the tie correction
+    // Σ(t³−t) and every squared deviation are exact integers/halves until
+    // the single final division. χ² = m(n−1)W reports against the
+    // published df=4, α=0.05 critical 9.488 (the x275 constant). Scale:
+    // corpus → (week, type) counts → a ≤|weeks|x5 rank lattice.
+    QuerySpec(
+      "x310_kendall_w",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wk = Tables.events(s, dir)
+          .groupBy(expr("CAST(floor(datediff(to_date(ts), " +
+            "DATE '1970-01-01') / 7) AS BIGINT)").as("week"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = wk
+          .withColumn("rmin", rank().over(
+            W.partitionBy("week").orderBy("c")))
+          .withColumn("ties", count(lit(1)).over(
+            W.partitionBy("week", "c")))
+          .select(col("week"), col("event_type"),
+            (col("rmin").cast("double") +
+              (col("ties") - 1).cast("double") / 2.0).as("r"))
+        val rj = ranked.groupBy("event_type")
+          .agg(sum(col("r")).as("rsum"))
+        val mn = ranked.agg(
+          countDistinct(col("week")).as("m"),
+          countDistinct(col("event_type")).as("nt"))
+        val tie = wk.groupBy("week", "c").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+        val dev = rj.crossJoin(broadcast(mn))
+          .select((col("rsum") - col("m").cast("double") *
+            (col("nt") + 1).cast("double") / 2.0).as("d2v"))
+          .agg(sum(round(col("d2v") * col("d2v"), 6)
+            .cast("decimal(18,6)")).cast("double").as("ssd"))
+        dev.crossJoin(broadcast(mn)).crossJoin(broadcast(tie))
+          .select(col("m").as("n_weeks"), col("nt").as("n_types"),
+            round(lit(12.0) * col("ssd") /
+              (col("m").cast("double") * col("m") *
+                (col("nt") * col("nt") * col("nt") - col("nt")) -
+                col("m").cast("double") * col("tt")), 6).as("w"))
+          .select(col("n_weeks"), col("n_types"), col("w"),
+            round(col("n_weeks") * (col("n_types") - 1) * col("w"), 4)
+              .as("chi2"),
+            (col("n_weeks") * (col("n_types") - 1) * col("w") > 9.488)
+              .cast("long").as("concordant_sig_05"))
+          .orderBy("n_weeks")
+      },
+      Some("""WITH wk AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+             |          CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
+             |        event_type, COUNT(*) AS c
+             |      FROM events GROUP BY 1, 2),
+             |rk AS (SELECT week, event_type,
+             |        CAST(rank() OVER (PARTITION BY week ORDER BY c)
+             |          AS DOUBLE) +
+             |        CAST(COUNT(*) OVER (PARTITION BY week, c) - 1
+             |          AS DOUBLE) / 2.0 AS r
+             |      FROM wk),
+             |rj AS (SELECT event_type, SUM(r) AS rsum FROM rk GROUP BY 1),
+             |mn AS (SELECT COUNT(DISTINCT week) AS m,
+             |        COUNT(DISTINCT event_type) AS nt FROM rk),
+             |tie AS (SELECT SUM(t * t * t - t) AS tt FROM (
+             |      SELECT week, c, COUNT(*) AS t FROM wk GROUP BY 1, 2)),
+             |dev AS (SELECT CAST(SUM(CAST(round(
+             |        (rsum - CAST(mn.m AS DOUBLE) *
+             |          (mn.nt + 1) / 2.0) *
+             |        (rsum - CAST(mn.m AS DOUBLE) *
+             |          (mn.nt + 1) / 2.0), 6) AS DECIMAL(18,6)))
+             |        AS DOUBLE) AS ssd
+             |      FROM rj CROSS JOIN mn),
+             |wst AS (SELECT mn.m AS n_weeks, mn.nt AS n_types,
+             |        round(12.0 * dev.ssd /
+             |          (CAST(mn.m AS DOUBLE) * mn.m *
+             |            (mn.nt * mn.nt * mn.nt - mn.nt) -
+             |            CAST(mn.m AS DOUBLE) * tie.tt), 6) AS w
+             |      FROM dev CROSS JOIN mn CROSS JOIN tie)
+             |SELECT CAST(n_weeks AS BIGINT) AS n_weeks,
+             |  CAST(n_types AS BIGINT) AS n_types, w,
+             |  round(n_weeks * (n_types - 1) * w, 4) AS chi2,
+             |  CAST(n_weeks * (n_types - 1) * w > 9.488 AS BIGINT)
+             |    AS concordant_sig_05
+             |FROM wst ORDER BY n_weeks""".stripMargin)),
   )
 }
