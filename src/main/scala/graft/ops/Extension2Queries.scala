@@ -510,5 +510,322 @@ object Extension2Queries {
              |  CAST(n_weeks * (n_types - 1) * w > 9.488 AS BIGINT)
              |    AS concordant_sig_05
              |FROM wst ORDER BY n_weeks""".stripMargin)),
+
+    // Lag-1 Granger-causality screen (Granger, Econometrica 1969)
+    // between the daily 'view' and 'purchase' count series, BOTH
+    // directions — the predictive-precedence read the contemporaneous
+    // correlation suite can't give. The add-one-regressor F-test is
+    // computed through its PARTIAL-CORRELATION identity (F =
+    // (T−3)·r²_{y,x₁·y₁}/(1−r²)), so the whole test reduces to three
+    // pairwise Pearson r's over exact integer lag moments — no matrix
+    // solve, no per-row regression residuals. Significance reports
+    // against the conservative F(1,30) critical 4.17 (documented: exact
+    // df2 = T−3 ≥ 30 here, and F criticals fall as df2 grows, so a flag
+    // at 4.17 never overclaims). Scale: corpus → calendar day grid →
+    // (t, t−1) self-join on consecutive day index — all bounded.
+    QuerySpec(
+      "x311_granger_screen",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum((col("event_type") === "view").cast("long")).as("v"),
+            sum((col("event_type") === "purchase").cast("long")).as("p"))
+          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
+            .as("t"), col("v"), col("p"))
+          .localCheckpoint() // calendar-bounded; feeds both lag joins
+        val lagged = d.as("a").join(d.as("b"),
+            col("a.t") === col("b.t") + 1)
+          .select(col("a.v").as("v"), col("a.p").as("p"),
+            col("b.v").as("vl"), col("b.p").as("pl"))
+          .localCheckpoint()
+        def dirRow(yN: String, y1N: String, x1N: String, label: String) = {
+          val (y, y1, x1) = (col(yN), col(y1N), col(x1N))
+          lagged.agg(count(lit(1)).as("tn"),
+              sum(y).as("sy"), sum(y1).as("sy1"), sum(x1).as("sx1"),
+              sum(y * y).as("syy"), sum(y1 * y1).as("sy1y1"),
+              sum(x1 * x1).as("sx1x1"), sum(y * y1).as("syy1"),
+              sum(y * x1).as("syx1"), sum(y1 * x1).as("sy1x1"))
+            .select(col("tn"),
+              ((col("tn") * col("syy1") - col("sy") * col("sy1"))
+                .cast("double") /
+                sqrt((col("tn") * col("syy") - col("sy") * col("sy"))
+                  .cast("double") *
+                  (col("tn") * col("sy1y1") - col("sy1") * col("sy1"))
+                    .cast("double"))).as("r_yy1"),
+              ((col("tn") * col("syx1") - col("sy") * col("sx1"))
+                .cast("double") /
+                sqrt((col("tn") * col("syy") - col("sy") * col("sy"))
+                  .cast("double") *
+                  (col("tn") * col("sx1x1") - col("sx1") * col("sx1"))
+                    .cast("double"))).as("r_yx1"),
+              ((col("tn") * col("sy1x1") - col("sy1") * col("sx1"))
+                .cast("double") /
+                sqrt((col("tn") * col("sy1y1") - col("sy1") * col("sy1"))
+                  .cast("double") *
+                  (col("tn") * col("sx1x1") - col("sx1") * col("sx1"))
+                    .cast("double"))).as("r_y1x1"))
+            .select(col("tn"),
+              round((col("r_yx1") - col("r_yy1") * col("r_y1x1")) /
+                sqrt((lit(1.0) - col("r_yy1") * col("r_yy1")) *
+                  (lit(1.0) - col("r_y1x1") * col("r_y1x1"))), 9)
+                .as("pr"))
+            .select(lit(label).as("direction"),
+              col("tn").as("n_days"),
+              round(col("pr"), 6).as("partial_r"),
+              round((col("tn") - 3).cast("double") * col("pr") * col("pr") /
+                (lit(1.0) - col("pr") * col("pr")), 4).as("f_stat"),
+              ((col("tn") - 3).cast("double") * col("pr") * col("pr") /
+                (lit(1.0) - col("pr") * col("pr")) > 4.17)
+                .cast("long").as("causes_sig_05"))
+        }
+        dirRow("p", "pl", "vl", "view_causes_purchase")
+          .unionByName(dirRow("v", "vl", "pl", "purchase_causes_view"))
+          .orderBy("direction")
+      },
+      Some {
+        def dirSql(y: String, y1: String, x1: String, label: String) =
+          s"""SELECT '$label' AS direction, tn AS n_days,
+             |  round(pr, 6) AS partial_r,
+             |  round(CAST(tn - 3 AS DOUBLE) * pr * pr / (1.0 - pr * pr), 4)
+             |    AS f_stat,
+             |  CAST(CAST(tn - 3 AS DOUBLE) * pr * pr / (1.0 - pr * pr)
+             |    > 4.17 AS BIGINT) AS causes_sig_05
+             |FROM (SELECT tn,
+             |  round((r_yx1 - r_yy1 * r_y1x1) /
+             |    sqrt((1.0 - r_yy1 * r_yy1) * (1.0 - r_y1x1 * r_y1x1)), 9)
+             |    AS pr
+             |  FROM (SELECT tn,
+             |    CAST(tn * syy1 - sy * sy1 AS DOUBLE) /
+             |      sqrt(CAST(tn * syy - sy * sy AS DOUBLE) *
+             |        CAST(tn * sy1y1 - sy1 * sy1 AS DOUBLE)) AS r_yy1,
+             |    CAST(tn * syx1 - sy * sx1 AS DOUBLE) /
+             |      sqrt(CAST(tn * syy - sy * sy AS DOUBLE) *
+             |        CAST(tn * sx1x1 - sx1 * sx1 AS DOUBLE)) AS r_yx1,
+             |    CAST(tn * sy1x1 - sy1 * sx1 AS DOUBLE) /
+             |      sqrt(CAST(tn * sy1y1 - sy1 * sy1 AS DOUBLE) *
+             |        CAST(tn * sx1x1 - sx1 * sx1 AS DOUBLE)) AS r_y1x1
+             |  FROM (SELECT COUNT(*) AS tn,
+             |    SUM($y) AS sy, SUM($y1) AS sy1, SUM($x1) AS sx1,
+             |    SUM($y * $y) AS syy, SUM($y1 * $y1) AS sy1y1,
+             |    SUM($x1 * $x1) AS sx1x1, SUM($y * $y1) AS syy1,
+             |    SUM($y * $x1) AS syx1, SUM($y1 * $x1) AS sy1x1
+             |  FROM lagged)))""".stripMargin
+        s"""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+           |        CAST(ts AS DATE)) AS BIGINT) AS t,
+           |      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           |      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |        AS p
+           |    FROM events GROUP BY 1),
+           |lagged AS (SELECT a.v AS v, a.p AS p, b.v AS vl, b.p AS pl
+           |    FROM d a JOIN d b ON a.t = b.t + 1)
+           |SELECT * FROM (
+           |${dirSql("p", "pl", "vl", "view_causes_purchase")}
+           |UNION ALL
+           |${dirSql("v", "vl", "pl", "purchase_causes_view")})
+           |ORDER BY direction""".stripMargin
+      }),
+
+    // Hodges-Lehmann pseudomedian (Hodges & Lehmann, Ann. Math. Stat.
+    // 1963) of the daily event count: the median of all Walsh averages
+    // (xᵢ+xⱼ)/2, i ≤ j — the location estimator dual to the Wilcoxon
+    // signed-rank test, robust like the median but ~96% Gaussian-
+    // efficient (the median is 64%). Walsh averages are exact HALVES of
+    // integers, so the whole lattice is bit-identical across engines and
+    // the only interpolation is the final percentile (both engines share
+    // the sorted-linear-interpolation definition). Scale: the corpus
+    // collapses to the calendar day grid FIRST; the Walsh lattice is
+    // |days|²/2 over that bounded grid — never data-sized.
+    QuerySpec(
+      "x312_hodges_lehmann",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
+            .as("t"), col("n"))
+          .localCheckpoint() // calendar-bounded; both Walsh join sides
+        val walsh = d.as("a").join(d.as("b"), col("a.t") <= col("b.t"))
+          .select(((col("a.n") + col("b.n")).cast("double") / 2.0)
+            .as("w"))
+        val hl = walsh.agg(count(lit(1)).as("n_walsh"),
+          expr("percentile(w, 0.5)").as("hl"))
+        val base = d.agg(count(lit(1)).as("n_days"),
+          expr("percentile(CAST(n AS DOUBLE), 0.5)").as("med"),
+          round(sum(col("n")).cast("double") / count(lit(1)), 6)
+            .as("mean"))
+        hl.crossJoin(broadcast(base))
+          .select(col("n_days"), col("n_walsh"),
+            round(col("hl"), 6).as("hl_pseudomedian"),
+            round(col("med"), 6).as("median"),
+            col("mean"))
+          .orderBy("n_days")
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+             |        CAST(ts AS DATE)) AS BIGINT) AS t, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |walsh AS (SELECT CAST(a.n + b.n AS DOUBLE) / 2.0 AS w
+             |      FROM d a JOIN d b ON a.t <= b.t),
+             |hl AS (SELECT COUNT(*) AS n_walsh,
+             |        quantile_cont(w, 0.5) AS hl FROM walsh),
+             |base AS (SELECT COUNT(*) AS n_days,
+             |        quantile_cont(CAST(n AS DOUBLE), 0.5) AS med,
+             |        round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean
+             |      FROM d)
+             |SELECT CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(n_walsh AS BIGINT) AS n_walsh,
+             |  round(hl, 6) AS hl_pseudomedian,
+             |  round(med, 6) AS median, mean
+             |FROM hl CROSS JOIN base ORDER BY n_days""".stripMargin)),
+
+    // Paired sign test (Arbuthnott 1710 — the oldest significance test
+    // on record; Dixon & Mood 1946 for the modern form) of first-half vs
+    // second-half daily volume, matched by position within each half
+    // (day k pairs with day k+H, which aligns weekday phase whenever the
+    // span is a whole number of weeks): distribution-free — no variance,
+    // no normality, just signs of differences. z uses the continuity-
+    // corrected normal approximation (|pos − n/2| − 0.5)/√(n/4), ties
+    // dropped per Dixon-Mood. The nonparametric sibling of x313's
+    // parametric paired reads. Scale: corpus → day grid → an H-row
+    // position join — all calendar-bounded.
+    QuerySpec(
+      "x313_sign_test",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("idx", row_number().over(W.orderBy("day"))
+            .cast("long") - 1)
+          .localCheckpoint() // calendar-bounded day grid + index
+        val h = d.agg((count(lit(1)) / 2).cast("long").as("hn"))
+        val pairs = d.as("a").crossJoin(broadcast(h))
+          .filter(col("a.idx") < col("hn"))
+          .join(d.as("b"),
+            col("b.idx") === col("a.idx") + col("hn"))
+          .select((col("b.n") - col("a.n")).as("diff"))
+        pairs.agg(
+            sum((col("diff") > 0).cast("long")).as("n_pos"),
+            sum((col("diff") < 0).cast("long")).as("n_neg"),
+            sum((col("diff") === 0).cast("long")).as("n_tie"))
+          .select(col("n_pos"), col("n_neg"), col("n_tie"),
+            (col("n_pos") + col("n_neg")).as("n_eff"))
+          .select(col("n_eff").as("n_pairs_effective"),
+            col("n_pos"), col("n_neg"), col("n_tie"),
+            round((abs(col("n_pos").cast("double") -
+              col("n_eff").cast("double") / 2.0) - 0.5) /
+              sqrt(col("n_eff").cast("double") / 4.0), 6).as("z"),
+            ((abs(col("n_pos").cast("double") -
+              col("n_eff").cast("double") / 2.0) - 0.5) /
+              sqrt(col("n_eff").cast("double") / 4.0) > 1.959964)
+              .cast("long").as("shift_sig_05"))
+          .orderBy("n_pairs_effective")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |di AS (SELECT n, row_number() OVER (ORDER BY day) - 1 AS idx
+             |      FROM d),
+             |h AS (SELECT COUNT(*) // 2 AS hn FROM di),
+             |pairs AS (SELECT b.n - a.n AS diff
+             |      FROM di a CROSS JOIN h
+             |        JOIN di b ON b.idx = a.idx + h.hn
+             |      WHERE a.idx < h.hn),
+             |c AS (SELECT
+             |        SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS n_pos,
+             |        SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS n_neg,
+             |        SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS n_tie
+             |      FROM pairs)
+             |SELECT CAST(n_pos + n_neg AS BIGINT) AS n_pairs_effective,
+             |  CAST(n_pos AS BIGINT) AS n_pos,
+             |  CAST(n_neg AS BIGINT) AS n_neg,
+             |  CAST(n_tie AS BIGINT) AS n_tie,
+             |  round((abs(CAST(n_pos AS DOUBLE) -
+             |    CAST(n_pos + n_neg AS DOUBLE) / 2.0) - 0.5) /
+             |    sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0), 6) AS z,
+             |  CAST((abs(CAST(n_pos AS DOUBLE) -
+             |    CAST(n_pos + n_neg AS DOUBLE) / 2.0) - 0.5) /
+             |    sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0) > 1.959964
+             |    AS BIGINT) AS shift_sig_05
+             |FROM c ORDER BY n_pairs_effective""".stripMargin)),
+
+    // Bartlett's test of variance homogeneity (Bartlett, Proc. Roy. Soc.
+    // A 1937) of event `value` across the five event types — the
+    // homoscedasticity GATE in front of the suite's pooled-variance
+    // tests (x220 Tukey HSD and the ANOVA family assume equal variances;
+    // Bartlett is the classical check that assumption deserves).
+    // Integer-cents second moments (the x220 device) make every group
+    // variance an exact rational; the ln terms round at 9 into DECIMAL
+    // sums; Bartlett's C correction uses the exact Σ1/(nᵢ−1) harmonic
+    // term. Reports against the published χ²₄ critical 9.488, plus the
+    // max/min variance ratio (Hartley's F_max read) for effect size.
+    // Scale: one scan → 5 group moment rows → 1-row algebra.
+    QuerySpec(
+      "x314_bartlett",
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("event_type"), col("n"),
+            round(((col("scc").cast("double") -
+              col("sc").cast("double") * col("sc") / col("n")) /
+              (col("n") - 1)) / 10000.0, 9).as("s2"))
+          .localCheckpoint() // 5 rows feed pooled + per-group terms
+        val agg = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(round((col("n") - 1).cast("double") * col("s2"), 6)
+            .cast("decimal(38,6)")).cast("double").as("ssw"),
+          sum(round((col("n") - 1).cast("double") *
+            log(col("s2")), 9).cast("decimal(38,9)")).cast("double")
+            .as("slns"),
+          sum(lit(1.0) / (col("n") - 1).cast("double")).as("hinv"),
+          max(col("s2")).as("s2max"), min(col("s2")).as("s2min"))
+        agg.select(col("k").as("n_groups"), col("nn").as("n_events"),
+            round((((col("nn") - col("k")).cast("double") *
+              log(col("ssw") / (col("nn") - col("k")).cast("double")) -
+              col("slns")) /
+              (lit(1.0) + (col("hinv") - lit(1.0) /
+                (col("nn") - col("k")).cast("double")) /
+                (lit(3.0) * (col("k") - 1).cast("double")))), 4)
+              .as("bartlett_t"),
+            round(col("s2max") / col("s2min"), 4).as("fmax_ratio"))
+          .select(col("n_groups"), col("n_events"), col("bartlett_t"),
+            (col("bartlett_t") > 9.488).cast("long")
+              .as("heteroscedastic_sig_05"),
+            col("fmax_ratio"))
+          .orderBy("n_groups")
+      },
+      Some("""WITH g AS (SELECT event_type, COUNT(*) AS n,
+             |        SUM(c) AS sc, SUM(c * c) AS scc
+             |      FROM (SELECT event_type,
+             |        CAST(round(value * 100) AS BIGINT) AS c FROM events)
+             |      GROUP BY 1),
+             |v AS (SELECT event_type, n,
+             |        round(((CAST(scc AS DOUBLE) -
+             |          CAST(sc AS DOUBLE) * sc / n) / (n - 1)) /
+             |          10000.0, 9) AS s2
+             |      FROM g),
+             |a AS (SELECT COUNT(*) AS k, SUM(n) AS nn,
+             |        CAST(SUM(CAST(round(CAST(n - 1 AS DOUBLE) * s2, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
+             |        CAST(SUM(CAST(round(CAST(n - 1 AS DOUBLE) * ln(s2),
+             |          9) AS DECIMAL(38,9))) AS DOUBLE) AS slns,
+             |        SUM(1.0 / CAST(n - 1 AS DOUBLE)) AS hinv,
+             |        MAX(s2) AS s2max, MIN(s2) AS s2min
+             |      FROM v),
+             |t AS (SELECT k, nn,
+             |        round((CAST(nn - k AS DOUBLE) *
+             |          ln(ssw / CAST(nn - k AS DOUBLE)) - slns) /
+             |          (1.0 + (hinv - 1.0 / CAST(nn - k AS DOUBLE)) /
+             |            (3.0 * CAST(k - 1 AS DOUBLE))), 4) AS bt,
+             |        round(s2max / s2min, 4) AS fmax_ratio
+             |      FROM a)
+             |SELECT CAST(k AS BIGINT) AS n_groups,
+             |  CAST(nn AS BIGINT) AS n_events,
+             |  bt AS bartlett_t,
+             |  CAST(bt > 9.488 AS BIGINT) AS heteroscedastic_sig_05,
+             |  fmax_ratio
+             |FROM t ORDER BY n_groups""".stripMargin)),
   )
 }
