@@ -827,5 +827,304 @@ object Extension2Queries {
              |  CAST(bt > 9.488 AS BIGINT) AS heteroscedastic_sig_05,
              |  fmax_ratio
              |FROM t ORDER BY n_groups""".stripMargin)),
+
+    // Intrinsic-dimension estimate (Levina & Bickel, NIPS 2004 MLE): for
+    // each query point, m̂ = 1/(ln T_k − mean_{j<k} ln T_j) over its kNN
+    // Euclidean distances — the geometry read that tells you whether the
+    // 64-dim embedding actually LIVES on a much lower-dimensional
+    // manifold (it prices how aggressively the suite's JL/PQ/matryoshka
+    // compressions can cut dims before recall falls). Queries are the
+    // fixed 200-id hash-ordered sample (the x276 device — estimator is
+    // an average over query points anyway), so the score join is 200·n:
+    // linear in the corpus at any scale. Distances round at 6 before
+    // ranking and logs round at 9 into DECIMAL sums, so rank order and
+    // the MLE replay identically in SQL.
+    QuerySpec(
+      "x315_intrinsic_dim",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val seeds = e.select(col("vec_id"))
+          .orderBy((col("vec_id") % 1000003L * 48271L % 1000003L).asc,
+            col("vec_id").asc)
+          .limit(200)
+        val q = e.join(broadcast(seeds), Seq("vec_id"))
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+          .withColumn("qq", expr("float_dot(q_emb, q_emb)"))
+        val c = e.select(col("vec_id").as("cid"),
+            col("embedding").as("c_emb"))
+          .withColumn("cc", expr("float_dot(c_emb, c_emb)"))
+        val k = 8
+        val nn = q.crossJoin(c)
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            round(sqrt(greatest(col("qq") + col("cc") -
+              lit(2.0) * expr("float_dot(q_emb, c_emb)"), lit(0.0))), 6)
+              .as("d"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy("qid").orderBy(col("d").asc, col("cid"))))
+          .filter(col("rn") <= k)
+        val perSeed = nn.groupBy("qid")
+          .agg(
+            max(when(col("rn") === k,
+              round(log(greatest(col("d"), lit(1e-6))), 9))).as("lntk"),
+            sum(when(col("rn") < k,
+              round(log(greatest(col("d"), lit(1e-6))), 9)
+                .cast("decimal(18,9)"))).cast("double").as("slnj"))
+          .select(col("qid"),
+            round(lit(1.0) / greatest(col("lntk") -
+              col("slnj") / (k - 1), lit(1e-6)), 6).as("mhat"))
+        perSeed.agg(count(lit(1)).as("n_queries"),
+            sum(col("mhat").cast("decimal(18,6)")).cast("double")
+              .as("sm"),
+            expr("percentile(mhat, 0.5)").as("med"),
+            min(col("mhat")).as("mn"), max(col("mhat")).as("mx"))
+          .select(col("n_queries"), lit(k.toLong).as("k"),
+            round(col("sm") / col("n_queries"), 4).as("id_mle_mean"),
+            round(col("med"), 4).as("id_mle_median"),
+            round(col("mn"), 4).as("id_mle_min"),
+            round(col("mx"), 4).as("id_mle_max"))
+          .orderBy("n_queries")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |        [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |s AS (SELECT vec_id FROM embeddings
+             |      ORDER BY vec_id % 1000003 * 48271 % 1000003, vec_id
+             |      LIMIT 200),
+             |f AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |        unnest(q.emb) AS qv, unnest(c.emb) AS cv
+             |      FROM e q CROSS JOIN e c
+             |      WHERE q.vec_id IN (SELECT vec_id FROM s)
+             |        AND q.vec_id <> c.vec_id),
+             |d AS (SELECT qid, cid,
+             |        round(sqrt(greatest(SUM((qv - cv) * (qv - cv)),
+             |          0.0)), 6) AS d
+             |      FROM f GROUP BY 1, 2),
+             |r AS (SELECT qid, d, row_number() OVER (PARTITION BY qid
+             |        ORDER BY d, cid) AS rn FROM d),
+             |ps AS (SELECT qid,
+             |        MAX(CASE WHEN rn = 8
+             |          THEN round(ln(greatest(d, 1e-6)), 9) END) AS lntk,
+             |        CAST(SUM(CASE WHEN rn < 8
+             |          THEN CAST(round(ln(greatest(d, 1e-6)), 9)
+             |            AS DECIMAL(18,9)) END) AS DOUBLE) AS slnj
+             |      FROM r WHERE rn <= 8 GROUP BY 1),
+             |mh AS (SELECT qid,
+             |        round(1.0 / greatest(lntk - slnj / 7, 1e-6), 6)
+             |          AS mhat
+             |      FROM ps),
+             |agg AS (SELECT COUNT(*) AS n_queries,
+             |        CAST(SUM(CAST(mhat AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS sm,
+             |        quantile_cont(mhat, 0.5) AS med,
+             |        MIN(mhat) AS mn, MAX(mhat) AS mx
+             |      FROM mh)
+             |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+             |  CAST(8 AS BIGINT) AS k,
+             |  round(sm / n_queries, 4) AS id_mle_mean,
+             |  round(med, 4) AS id_mle_median,
+             |  round(mn, 4) AS id_mle_min,
+             |  round(mx, 4) AS id_mle_max
+             |FROM agg ORDER BY n_queries""".stripMargin)),
+
+    // Davies-Bouldin cluster-validity index (Davies & Bouldin, IEEE
+    // TPAMI 1979) of the embedding label partition — the centroid-based
+    // validity read between x215's silhouette (pairwise, sampled) and
+    // x304's PERMANOVA pseudo-F (variance-ratio): R_i = max_j (σᵢ+σⱼ)/dᵢⱼ
+    // penalizes cluster pairs that are wide relative to their centroid
+    // separation, per cluster, so it NAMES the worst-confused pair
+    // instead of averaging it away. Exact shapes: centroids from
+    // rounded-9 DECIMAL per-dim sums; member spreads via one broadcast
+    // join against the 640-cell centroid grid; the (i,j) ratio lattice is
+    // |labels|² — bounded algebra after two linear scans.
+    QuerySpec(
+      "x316_davies_bouldin",
+      (s, dir) => {
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("v").cast("double").as("v"))
+        val cent = ex.groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("v"), 9).cast("decimal(38,9)")).cast("double")
+              .as("sv"))
+          .select(col("label"), col("dim"), col("n"),
+            round(col("sv") / col("n"), 9).as("c"))
+          .localCheckpoint() // <= |labels| x 64 cells, read three ways
+        val sig = ex.join(broadcast(cent.select(col("label"), col("dim"),
+            col("c"))), Seq("label", "dim"))
+          .select(col("vec_id"), col("label"),
+            round((col("v") - col("c")) * (col("v") - col("c")), 9)
+              .cast("decimal(38,9)").as("sq"))
+          .groupBy("vec_id", "label")
+          .agg(round(sqrt(sum(col("sq")).cast("double")), 6).as("d"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"),
+            (sum(round(col("d"), 6).cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("sigma"))
+        val cd = cent.as("a").join(cent.as("b"),
+            col("a.dim") === col("b.dim") &&
+              col("a.label") < col("b.label"))
+          .select(col("a.label").as("li"), col("b.label").as("lj"),
+            round((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")), 9)
+              .cast("decimal(38,9)").as("sq"))
+          .groupBy("li", "lj")
+          .agg(round(sqrt(sum(col("sq")).cast("double")), 6).as("dij"))
+        val ratios = cd
+          .unionByName(cd.select(col("lj").as("li"), col("li").as("lj"),
+            col("dij")))
+          .join(sig.select(col("label").as("li"),
+            col("sigma").as("si")), Seq("li"))
+          .join(sig.select(col("label").as("lj"),
+            col("sigma").as("sj")), Seq("lj"))
+          .select(col("li"), col("lj"),
+            round((col("si") + col("sj")) / col("dij"), 6).as("r"))
+        val W = org.apache.spark.sql.expressions.Window
+        val ri = ratios
+          .withColumn("rn", row_number().over(W.partitionBy("li")
+            .orderBy(col("r").desc, col("lj"))))
+          .filter(col("rn") === 1)
+          .select(col("li").as("label"), col("lj").as("worst_other"),
+            col("r").as("r_i"))
+        val db = ri.agg(round(sum(col("r_i").cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)), 6).as("db_index"))
+        ri.join(sig, "label")
+          .crossJoin(broadcast(db))
+          .select(col("label").cast("long").as("label"),
+            col("n_members"), round(col("sigma"), 6).as("sigma"),
+            col("worst_other").cast("long").as("worst_other"),
+            col("r_i"), col("db_index"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, r.i AS dim,
+             |        CAST(embedding[r.i + 1] AS DOUBLE) AS v
+             |      FROM embeddings CROSS JOIN range(64) r(i)),
+             |cent AS (SELECT label, dim, COUNT(*) AS n,
+             |        round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE) / COUNT(*), 9) AS c
+             |      FROM ex GROUP BY 1, 2),
+             |md AS (SELECT ex.vec_id, ex.label,
+             |        round(sqrt(CAST(SUM(CAST(round(
+             |          (ex.v - cent.c) * (ex.v - cent.c), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE)), 6) AS d
+             |      FROM ex JOIN cent ON cent.label = ex.label
+             |        AND cent.dim = ex.dim
+             |      GROUP BY 1, 2),
+             |sig AS (SELECT label, COUNT(*) AS n_members,
+             |        CAST(SUM(CAST(round(d, 6) AS DECIMAL(18,6)))
+             |          AS DOUBLE) / COUNT(*) AS sigma
+             |      FROM md GROUP BY 1),
+             |cd0 AS (SELECT a.label AS li, b.label AS lj,
+             |        round(sqrt(CAST(SUM(CAST(round(
+             |          (a.c - b.c) * (a.c - b.c), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE)), 6) AS dij
+             |      FROM cent a JOIN cent b ON a.dim = b.dim
+             |        AND a.label < b.label
+             |      GROUP BY 1, 2),
+             |cd AS (SELECT li, lj, dij FROM cd0
+             |      UNION ALL SELECT lj, li, dij FROM cd0),
+             |ratios AS (SELECT cd.li, cd.lj,
+             |        round((si.sigma + sj.sigma) / cd.dij, 6) AS r
+             |      FROM cd JOIN sig si ON si.label = cd.li
+             |        JOIN sig sj ON sj.label = cd.lj),
+             |ri AS (SELECT li AS label, lj AS worst_other, r AS r_i
+             |      FROM (SELECT li, lj, r, row_number() OVER (
+             |        PARTITION BY li ORDER BY r DESC, lj) AS rn
+             |        FROM ratios) WHERE rn = 1),
+             |db AS (SELECT round(CAST(SUM(CAST(r_i AS DECIMAL(18,6)))
+             |        AS DOUBLE) / COUNT(*), 6) AS db_index FROM ri)
+             |SELECT CAST(ri.label AS BIGINT) AS label,
+             |  CAST(sig.n_members AS BIGINT) AS n_members,
+             |  round(sig.sigma, 6) AS sigma,
+             |  CAST(ri.worst_other AS BIGINT) AS worst_other,
+             |  ri.r_i, db.db_index
+             |FROM ri JOIN sig ON sig.label = ri.label CROSS JOIN db
+             |ORDER BY label""".stripMargin)),
+
+    // Diagonal-Mahalanobis embedding outliers (the variance-scaled twin
+    // of Quantized's Euclidean centroid-outlier read): score every
+    // vector by Σ_d ((v_d − μ_d)/σ_d)² — under near-Gaussian coordinates
+    // the score is ~χ²₆₄, so the published 0.99 quantile 93.217 gives a
+    // calibrated tail flag no Euclidean threshold can. One 64-cell
+    // moment pass (exact DECIMAL sums), one broadcast join back, one
+    // row-local score — linear at any corpus size. Top-10 named
+    // outliers ride with the global tail share.
+    QuerySpec(
+      "x317_mahalanobis_outliers",
+      (s, dir) => {
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim"),
+            col("v").cast("double").as("v"))
+        val st = ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("v"), 9).cast("decimal(38,9)")).cast("double")
+              .as("sv"),
+            sum(round(col("v") * col("v"), 9).cast("decimal(38,9)"))
+              .cast("double").as("svv"))
+          .select(col("dim"),
+            round(col("sv") / col("n"), 9).as("mu"),
+            round(sqrt(greatest(col("svv") / col("n") -
+              (col("sv") / col("n")) * (col("sv") / col("n")),
+              lit(1e-12))), 9).as("sd"))
+        val scored = ex.join(broadcast(st), "dim")
+          .select(col("vec_id"),
+            round(((col("v") - col("mu")) / col("sd")) *
+              ((col("v") - col("mu")) / col("sd")), 9)
+              .cast("decimal(38,9)").as("z2"))
+          .groupBy("vec_id")
+          .agg(round(sum(col("z2")).cast("double"), 4).as("score"))
+          .localCheckpoint() // corpus-row-bounded score table
+        val glob = scored.agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("score").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)), 4).as("mean_score"),
+          round(sum((col("score") > 93.217).cast("long"))
+            .cast("double") / count(lit(1)), 6).as("tail_share_chi2_99"))
+        scored.orderBy(col("score").desc, col("vec_id")).limit(10)
+          .crossJoin(broadcast(glob))
+          .select(col("vec_id").as("outlier_vec_id"), col("score"),
+            col("n_vectors"), col("mean_score"),
+            col("tail_share_chi2_99"))
+          .orderBy(col("score").desc, col("outlier_vec_id"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, r.i AS dim,
+             |        CAST(embedding[r.i + 1] AS DOUBLE) AS v
+             |      FROM embeddings CROSS JOIN range(64) r(i)),
+             |st AS (SELECT dim,
+             |        round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE) / COUNT(*), 9) AS mu,
+             |        round(sqrt(greatest(
+             |          CAST(SUM(CAST(round(v * v, 9) AS DECIMAL(38,9)))
+             |            AS DOUBLE) / COUNT(*) -
+             |          (CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
+             |            AS DOUBLE) / COUNT(*)) *
+             |          (CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
+             |            AS DOUBLE) / COUNT(*)), 1e-12)), 9) AS sd
+             |      FROM ex GROUP BY 1),
+             |sc AS (SELECT ex.vec_id,
+             |        round(CAST(SUM(CAST(round(
+             |          ((ex.v - st.mu) / st.sd) *
+             |          ((ex.v - st.mu) / st.sd), 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE), 4) AS score
+             |      FROM ex JOIN st ON st.dim = ex.dim GROUP BY 1),
+             |gstats AS (SELECT COUNT(*) AS n_vectors,
+             |        round(CAST(SUM(CAST(score AS DECIMAL(18,4)))
+             |          AS DOUBLE) / COUNT(*), 4) AS mean_score,
+             |        round(CAST(SUM(CASE WHEN score > 93.217 THEN 1
+             |          ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             |          AS tail_share_chi2_99
+             |      FROM sc),
+             |top AS (SELECT vec_id, score FROM sc
+             |      ORDER BY score DESC, vec_id LIMIT 10)
+             |SELECT CAST(top.vec_id AS BIGINT) AS outlier_vec_id,
+             |  top.score,
+             |  CAST(gstats.n_vectors AS BIGINT) AS n_vectors,
+             |  gstats.mean_score, gstats.tail_share_chi2_99
+             |FROM top CROSS JOIN gstats
+             |ORDER BY score DESC, outlier_vec_id""".stripMargin)),
   )
 }
