@@ -266,53 +266,18 @@ object Extension2Queries {
     // seasonality detector next to the time-domain suite (x231 trend,
     // x227/x236 control charts, x?? dow chi-square): for period P,
     // I(P) = (Σdev·cos(2πt/P))² + (Σdev·sin(2πt/P))², reported with its
-    // share of the tested-grid total. Determinism: the angle reduces to
-    // 2π(t mod P)/P before cos/sin (identical small-argument doubles in
-    // both engines), trig values round at 10 dp, products at 6 into
-    // DECIMAL sums — the x236 rounded-transcendental device. Scale: the
+    // share of the tested-grid total. Determinism devices live in the
+    // shared [[Periodogram]] core (angle reduced mod-period, trig rounded
+    // at 10 dp, DECIMAL sums — the x236 rounded-transcendental device),
+    // which the PeriodogramStream twin consumes verbatim. Scale: the
     // corpus collapses to the calendar-bounded day grid FIRST; the
     // (day x period) lattice is |days|·7 rows of pure row-local math.
     QuerySpec(
       "x308_periodogram",
-      (s, dir) => {
-        val d = Tables.events(s, dir)
+      (s, dir) => Periodogram.fromCounts(
+        Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-          .select(expr("datediff(day, DATE '1970-01-01')").cast("long")
-            .as("t"), col("n"))
-        val m = d.agg(count(lit(1)).as("nd"),
-            sum(col("n")).as("sn"))
-          .select(col("nd"),
-            round(col("sn").cast("double") / col("nd"), 6).as("mu"))
-        val grid = d.crossJoin(broadcast(m))
-          .select(col("t"), col("nd"),
-            round(col("n") - col("mu"), 6).as("dev"),
-            explode(array(lit(2L), lit(3L), lit(5L), lit(7L), lit(10L),
-              lit(14L), lit(30L))).as("p"))
-          .select(col("p"), col("nd"), col("dev"),
-            (lit(6.283185307179586) * (col("t") % col("p")).cast("double") /
-              col("p").cast("double")).as("ang"))
-        val pw = grid
-          .select(col("p"), col("nd"),
-            round(col("dev") * round(cos(col("ang")), 10), 6)
-              .cast("decimal(18,6)").as("cterm"),
-            round(col("dev") * round(sin(col("ang")), 10), 6)
-              .cast("decimal(18,6)").as("sterm"))
-          .groupBy("p")
-          .agg(max(col("nd")).as("n_days"),
-            sum(col("cterm")).cast("double").as("cs"),
-            sum(col("sterm")).cast("double").as("ss"))
-          .select(col("p").as("period"), col("n_days"),
-            round((col("cs") * col("cs") + col("ss") * col("ss")) /
-              col("n_days"), 4).as("power"))
-        val tot = pw.agg(sum(col("power").cast("decimal(18,4)"))
-          .cast("double").as("tp"))
-        pw.crossJoin(broadcast(tot))
-          .select(col("period"), col("n_days"),
-            col("power"),
-            round(col("power") / col("tp"), 6).as("rel_power"))
-          .orderBy("period")
-      },
+          .agg(count(lit(1)).as("n"))),
       Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
              |          CAST(ts AS DATE)) AS BIGINT) AS t,
              |        COUNT(*) AS n
