@@ -1091,5 +1091,336 @@ object Extension2Queries {
              |  gstats.mean_score, gstats.tail_share_chi2_99
              |FROM top CROSS JOIN gstats
              |ORDER BY score DESC, outlier_vec_id""".stripMargin)),
+
+    // Jonckheere-Terpstra ordered-alternative trend test (Terpstra 1952;
+    // Jonckheere, Biometrika 1954): does per-user purchase spend rise
+    // MONOTONICALLY across activity terciles? Kruskal-Wallis (x204) asks
+    // "any difference"; JT asks the a-priori-ORDERED question and buys
+    // power for it: J = Σ_{g<g'} U_{gg'}, each U from the combined
+    // average-rank identity U = R_hi − n_hi(n_hi+1)/2 (ties counted as
+    // halves, exact — the x135 rank-grid device, windows PARTITIONED by
+    // group pair). The normal approximation uses the classical no-tie
+    // variance (n²(2n+3) − Σnⱼ²(2nⱼ+3))/72, documented (cent-valued
+    // spend makes ties sparse; the tie-corrected variance differs in the
+    // 4th decimal here). Scale: users → (tercile, spend) counts → a
+    // 3-pair x |distinct spend| lattice.
+    QuerySpec(
+      "x318_jonckheere",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val u0 = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("act"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("y"))
+        val cuts = u0.agg(
+          round(expr("percentile(act, CAST(1 AS DOUBLE) / 3)"), 6).as("c1"),
+          round(expr("percentile(act, CAST(2 AS DOUBLE) / 3)"), 6).as("c2"))
+        val u = u0.crossJoin(broadcast(cuts))
+          .select(((col("act") > col("c1")).cast("long") +
+            (col("act") > col("c2")).cast("long")).as("g"), col("y"))
+        val cnt = u.groupBy("g", "y").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // (tercile, spend) grid feeds pairs + sizes
+        val pc = cnt.select(col("g"), col("y"), col("c"),
+            explode(array(
+              struct(lit(0L).as("pl"), lit(1L).as("ph")),
+              struct(lit(0L).as("pl"), lit(2L).as("ph")),
+              struct(lit(1L).as("pl"), lit(2L).as("ph")))).as("pr"))
+          .filter(col("g") === col("pr.pl") || col("g") === col("pr.ph"))
+          .select(concat(col("pr.pl"), lit("-"), col("pr.ph")).as("pair"),
+            (col("g") === col("pr.ph")).cast("long").as("hi"),
+            col("y"), col("c"))
+        val py = pc.groupBy("pair", "y")
+          .agg(sum(col("c")).as("ct"),
+            sum(when(col("hi") === 1, col("c")).otherwise(0L)).as("chi"))
+        val wp = W.partitionBy("pair").orderBy("y")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val ranked = py
+          .withColumn("cumprev", coalesce(sum(col("ct")).over(wp), lit(0L)))
+          .select(col("pair"), col("chi"),
+            (col("cumprev").cast("double") +
+              (col("ct") + 1).cast("double") / 2.0).as("ravg"))
+        val upair = ranked.groupBy("pair")
+          .agg(sum(round(col("chi") * col("ravg"), 6)
+            .cast("decimal(38,6)")).cast("double").as("rhi"))
+          .join(pc.groupBy("pair").agg(
+            sum(when(col("hi") === 1, col("c")).otherwise(0L)).as("nhi")),
+            "pair")
+          .select(col("pair"),
+            (col("rhi") - col("nhi").cast("double") *
+              (col("nhi") + 1).cast("double") / 2.0).as("u"))
+        val j = upair.agg(sum(round(col("u"), 6).cast("decimal(38,6)"))
+          .cast("double").as("j"))
+        val sizes = u.groupBy("g").agg(count(lit(1)).as("ng"))
+          .agg(sum(col("ng")).as("n"),
+            sum(col("ng") * col("ng")).as("sn2"),
+            sum(col("ng") * col("ng") * (col("ng") * 2 + 3)).as("sv"))
+        j.crossJoin(broadcast(sizes))
+          .select(col("n").as("n_users"),
+            round(col("j"), 2).as("j_stat"),
+            round((col("n") * col("n") - col("sn2")).cast("double") / 4.0,
+              2).as("j_expected"),
+            round((col("j") - (col("n") * col("n") - col("sn2"))
+              .cast("double") / 4.0) /
+              sqrt((col("n") * col("n") * (col("n") * 2 + 3) - col("sv"))
+                .cast("double") / 72.0), 6).as("z"),
+            (abs((col("j") - (col("n") * col("n") - col("sn2"))
+              .cast("double") / 4.0) /
+              sqrt((col("n") * col("n") * (col("n") * 2 + 3) - col("sv"))
+                .cast("double") / 72.0)) > 1.959964).cast("long")
+              .as("trend_sig_05"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u0 AS (SELECT user_id, COUNT(*) AS act,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS y
+             |      FROM events GROUP BY 1),
+             |cuts AS (SELECT
+             |        round(quantile_cont(act, CAST(1 AS DOUBLE) / 3), 6)
+             |          AS c1,
+             |        round(quantile_cont(act, CAST(2 AS DOUBLE) / 3), 6)
+             |          AS c2 FROM u0),
+             |u AS (SELECT CAST(act > c1 AS BIGINT) +
+             |        CAST(act > c2 AS BIGINT) AS g, y
+             |      FROM u0 CROSS JOIN cuts),
+             |cnt AS (SELECT g, y, COUNT(*) AS c FROM u GROUP BY 1, 2),
+             |pc AS (SELECT CAST(pr.pl AS VARCHAR) || '-' ||
+             |          CAST(pr.ph AS VARCHAR) AS pair,
+             |        CAST(cnt.g = pr.ph AS BIGINT) AS hi, cnt.y, cnt.c
+             |      FROM cnt, LATERAL (SELECT unnest([
+             |          {'pl': 0, 'ph': 1}, {'pl': 0, 'ph': 2},
+             |          {'pl': 1, 'ph': 2}], recursive := true))
+             |        pr(pl, ph)
+             |      WHERE cnt.g = pr.pl OR cnt.g = pr.ph),
+             |py AS (SELECT pair, y, SUM(c) AS ct,
+             |        SUM(CASE WHEN hi = 1 THEN c ELSE 0 END) AS chi
+             |      FROM pc GROUP BY 1, 2),
+             |rk AS (SELECT pair, chi,
+             |        CAST(COALESCE(SUM(ct) OVER (PARTITION BY pair
+             |          ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |          1 PRECEDING), 0) AS DOUBLE) +
+             |        CAST(ct + 1 AS DOUBLE) / 2.0 AS ravg
+             |      FROM py),
+             |up AS (SELECT rk.pair,
+             |        CAST(SUM(CAST(round(rk.chi * rk.ravg, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) -
+             |        CAST(sz.nhi AS DOUBLE) * (sz.nhi + 1) / 2.0 AS u
+             |      FROM rk JOIN (SELECT pair,
+             |          SUM(CASE WHEN hi = 1 THEN c ELSE 0 END) AS nhi
+             |        FROM pc GROUP BY 1) sz ON sz.pair = rk.pair
+             |      GROUP BY rk.pair, sz.nhi),
+             |j AS (SELECT CAST(SUM(CAST(round(u, 6) AS DECIMAL(38,6)))
+             |        AS DOUBLE) AS j FROM up),
+             |sizes AS (SELECT SUM(ng) AS n, SUM(ng * ng) AS sn2,
+             |        SUM(ng * ng * (ng * 2 + 3)) AS sv
+             |      FROM (SELECT g, COUNT(*) AS ng FROM u GROUP BY 1))
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  round(j.j, 2) AS j_stat,
+             |  round(CAST(n * n - sn2 AS DOUBLE) / 4.0, 2) AS j_expected,
+             |  round((j.j - CAST(n * n - sn2 AS DOUBLE) / 4.0) /
+             |    sqrt(CAST(n * n * (n * 2 + 3) - sv AS DOUBLE) / 72.0), 6)
+             |    AS z,
+             |  CAST(abs((j.j - CAST(n * n - sn2 AS DOUBLE) / 4.0) /
+             |    sqrt(CAST(n * n * (n * 2 + 3) - sv AS DOUBLE) / 72.0))
+             |    > 1.959964 AS BIGINT) AS trend_sig_05
+             |FROM j CROSS JOIN sizes ORDER BY n_users""".stripMargin)),
+
+    // Hellinger / Bhattacharyya / total-variation distances (Hellinger
+    // 1909; Bhattacharyya 1943) between the first-half and second-half
+    // event-value distributions over the x203 20-bin grid — the
+    // f-divergence corner of the drift suite: x?? Wasserstein prices
+    // HOW FAR mass moved, PSI is unbounded and asymmetric-binned, KS
+    // reads only the worst CDF gap; Hellinger is a bounded [0,1] metric
+    // and BC feeds the classical Bhattacharyya error bound. Exact bin
+    // counts; √(pq) terms round at 9 into DECIMAL sums; one scan to the
+    // 20-bin grid.
+    QuerySpec(
+      "x319_hellinger_drift",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val mid = ev.agg(min(to_date(col("ts"))).as("a"),
+            max(to_date(col("ts"))).as("b"))
+          .select(expr("date_add(a, CAST(datediff(b, a) div 2 AS INT))")
+            .as("mid"))
+        val mx = ev.agg(max(col("value")).as("mx"))
+        val bins = ev.crossJoin(broadcast(mid)).crossJoin(broadcast(mx))
+          .select(least(floor(col("value") / col("mx") * 20), lit(19L))
+            .as("bin"),
+            (to_date(col("ts")) <= col("mid")).cast("long").as("fh"))
+          .groupBy("bin")
+          .agg(sum(col("fh")).as("c1"),
+            sum(lit(1L) - col("fh")).as("c2"))
+        val tot = bins.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val terms = bins.crossJoin(broadcast(tot))
+          .select(
+            round(sqrt((col("c1").cast("double") / col("n1")) *
+              (col("c2").cast("double") / col("n2"))), 9)
+              .cast("decimal(18,9)").as("bct"),
+            round(abs(col("c1").cast("double") / col("n1") -
+              col("c2").cast("double") / col("n2")), 9)
+              .cast("decimal(18,9)").as("tvt"),
+            col("n1"), col("n2"))
+        terms.groupBy("n1", "n2")
+          .agg(count(lit(1)).as("n_bins"),
+            sum(col("bct")).cast("double").as("bc"),
+            sum(col("tvt")).cast("double").as("tvs"))
+          .select(col("n_bins"), col("n1").as("n_first"),
+            col("n2").as("n_second"),
+            round(col("bc"), 6).as("bhattacharyya_coef"),
+            round(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))), 6)
+              .as("hellinger"),
+            round(col("tvs") / 2.0, 6).as("total_variation"))
+          .orderBy("n_bins")
+      },
+      Some("""WITH mid AS (SELECT MIN(CAST(ts AS DATE)) +
+             |          CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+             |            MAX(CAST(ts AS DATE))) // 2 AS INT) AS mid
+             |      FROM events),
+             |mx AS (SELECT MAX(value) AS mx FROM events),
+             |bins AS (SELECT least(CAST(floor(value / mx.mx * 20)
+             |          AS BIGINT), 19) AS bin,
+             |        CASE WHEN CAST(ts AS DATE) <= mid.mid THEN 1
+             |          ELSE 0 END AS fh
+             |      FROM events CROSS JOIN mid CROSS JOIN mx),
+             |g AS (SELECT bin, SUM(fh) AS c1, SUM(1 - fh) AS c2
+             |      FROM bins GROUP BY 1),
+             |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
+             |terms AS (SELECT
+             |        CAST(round(sqrt((CAST(c1 AS DOUBLE) / n1) *
+             |          (CAST(c2 AS DOUBLE) / n2)), 9) AS DECIMAL(18,9))
+             |          AS bct,
+             |        CAST(round(abs(CAST(c1 AS DOUBLE) / n1 -
+             |          CAST(c2 AS DOUBLE) / n2), 9) AS DECIMAL(18,9))
+             |          AS tvt,
+             |        n1, n2
+             |      FROM g CROSS JOIN tot)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             |  CAST(n1 AS BIGINT) AS n_first,
+             |  CAST(n2 AS BIGINT) AS n_second,
+             |  round(CAST(SUM(bct) AS DOUBLE), 6) AS bhattacharyya_coef,
+             |  round(sqrt(greatest(1.0 - CAST(SUM(bct) AS DOUBLE), 0.0)),
+             |    6) AS hellinger,
+             |  round(CAST(SUM(tvt) AS DOUBLE) / 2.0, 6)
+             |    AS total_variation
+             |FROM terms GROUP BY n1, n2 ORDER BY n_bins""".stripMargin)),
+
+    // Ansari-Bradley scale test (Ansari & Bradley, Ann. Math. Stat.
+    // 1960): do the two experiment arms (user parity) differ in the
+    // SPREAD of purchase value, location aside — the nonparametric
+    // companion to x314's Bartlett (which assumes normality). Scores
+    // a(r) = min(r, N+1−r) fold inward from both ends; ties take the
+    // EXACT average score over each tie run, computed in closed form
+    // (the run's ranks are consecutive integers, so Σmin(r, N+1−r)
+    // splits into two arithmetic series at ⌊(N+1)/2⌋ — all BIGINT until
+    // one division per run). The z uses the exact conditional variance
+    // mn(NΣa² − (Σa)²)/(N²(N−1)) over the tie-averaged scores. Scale:
+    // purchases → |distinct cents| grid, one global window over it.
+    QuerySpec(
+      "x320_ansari_bradley",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val v = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("arm"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val g = v.groupBy("c")
+          .agg(count(lit(1)).as("ct"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("cx"))
+        val tot = v.agg(count(lit(1)).as("nn"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("m"))
+        val wc = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+        // tie-run rank span [a, b]; Σ f(r) over the run in closed form
+        val runs = g.crossJoin(broadcast(tot))
+          .withColumn("cumprev", coalesce(sum(col("ct")).over(wc), lit(0L)))
+          .withColumn("ra", col("cumprev") + 1)
+          .withColumn("rb", col("cumprev") + col("ct"))
+          .withColumn("mm", expr("(nn + 1) div 2"))
+          .withColumn("lowb", least(col("rb"), col("mm")))
+          .withColumn("s1", when(col("lowb") >= col("ra"),
+            expr("(ra + lowb) * (lowb - ra + 1) div 2")).otherwise(lit(0L)))
+          .withColumn("higha", greatest(col("ra"), col("mm") + 1))
+          .withColumn("s2", when(col("rb") >= col("higha"),
+            expr("(nn + 1) * (rb - higha + 1) - " +
+              "(higha + rb) * (rb - higha + 1) div 2")).otherwise(lit(0L)))
+          .withColumn("srun", col("s1") + col("s2"))
+          .withColumn("abar",
+            round(col("srun").cast("double") / col("ct"), 9))
+        val agg = runs.agg(
+          max(col("nn")).as("nn"), max(col("m")).as("m"),
+          sum(col("srun")).as("sa"),
+          sum(round(col("ct") * col("abar") * col("abar"), 6)
+            .cast("decimal(38,6)")).cast("double").as("sa2"),
+          sum(round(col("cx") * col("abar"), 6).cast("decimal(38,6)"))
+            .cast("double").as("abx"))
+        agg.select(col("nn").as("n_purchases"), col("m").as("n_arm0"),
+            round(col("abx"), 2).as("ab_stat"),
+            round(col("m").cast("double") * col("sa") / col("nn"), 2)
+              .as("ab_expected"),
+            round((col("abx") - col("m").cast("double") * col("sa") /
+              col("nn")) /
+              sqrt(col("m").cast("double") * (col("nn") - col("m")) *
+                (col("nn") * col("sa2") - col("sa").cast("double") *
+                  col("sa")) /
+                (col("nn").cast("double") * col("nn") * (col("nn") - 1))),
+              6).as("z"))
+          .select(col("n_purchases"), col("n_arm0"), col("ab_stat"),
+            col("ab_expected"), col("z"),
+            (abs(col("z")) > 1.959964).cast("long")
+              .as("scale_diff_sig_05"))
+          .orderBy("n_purchases")
+      },
+      Some("""WITH v AS (SELECT user_id % 2 AS arm,
+             |        CAST(round(value * 100) AS BIGINT) AS c
+             |      FROM events WHERE event_type = 'purchase'),
+             |g AS (SELECT c, COUNT(*) AS ct,
+             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS cx
+             |      FROM v GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nn,
+             |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS m
+             |      FROM v),
+             |runs AS (SELECT g.ct, g.cx, tot.nn, tot.m,
+             |        COALESCE(SUM(g.ct) OVER (ORDER BY g.c
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) + 1 AS ra,
+             |        COALESCE(SUM(g.ct) OVER (ORDER BY g.c
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) + g.ct AS rb,
+             |        (tot.nn + 1) // 2 AS mm
+             |      FROM g CROSS JOIN tot),
+             |sc AS (SELECT ct, cx, nn, m,
+             |        (CASE WHEN least(rb, mm) >= ra
+             |          THEN (ra + least(rb, mm)) *
+             |            (least(rb, mm) - ra + 1) // 2 ELSE 0 END) +
+             |        (CASE WHEN rb >= greatest(ra, mm + 1)
+             |          THEN (nn + 1) * (rb - greatest(ra, mm + 1) + 1) -
+             |            (greatest(ra, mm + 1) + rb) *
+             |              (rb - greatest(ra, mm + 1) + 1) // 2
+             |          ELSE 0 END) AS srun
+             |      FROM runs),
+             |sc2 AS (SELECT ct, cx, nn, m, srun,
+             |        round(CAST(srun AS DOUBLE) / ct, 9) AS abar
+             |      FROM sc),
+             |agg AS (SELECT MAX(nn) AS nn, MAX(m) AS m,
+             |        SUM(srun) AS sa,
+             |        CAST(SUM(CAST(round(ct * abar * abar, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS sa2,
+             |        CAST(SUM(CAST(round(cx * abar, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS abx
+             |      FROM sc2)
+             |SELECT CAST(nn AS BIGINT) AS n_purchases,
+             |  CAST(m AS BIGINT) AS n_arm0,
+             |  round(abx, 2) AS ab_stat,
+             |  round(CAST(m AS DOUBLE) * sa / nn, 2) AS ab_expected,
+             |  round((abx - CAST(m AS DOUBLE) * sa / nn) /
+             |    sqrt(CAST(m AS DOUBLE) * (nn - m) *
+             |      (nn * sa2 - CAST(sa AS DOUBLE) * sa) /
+             |      (CAST(nn AS DOUBLE) * nn * (nn - 1))), 6) AS z,
+             |  CAST(abs((abx - CAST(m AS DOUBLE) * sa / nn) /
+             |    sqrt(CAST(m AS DOUBLE) * (nn - m) *
+             |      (nn * sa2 - CAST(sa AS DOUBLE) * sa) /
+             |      (CAST(nn AS DOUBLE) * nn * (nn - 1)))) > 1.959964
+             |    AS BIGINT) AS scale_diff_sig_05
+             |FROM agg ORDER BY n_purchases""".stripMargin)),
   )
 }
