@@ -1422,5 +1422,289 @@ object Extension2Queries {
              |      (CAST(nn AS DOUBLE) * nn * (nn - 1)))) > 1.959964
              |    AS BIGINT) AS scale_diff_sig_05
              |FROM agg ORDER BY n_purchases""".stripMargin)),
+
+    // Box-Cox transform selection by profile log-likelihood (Box & Cox,
+    // JRSS-B 1964) over the positive event values: for each λ on the
+    // standard grid, ℓ(λ) = −n/2·ln(σ̂²_λ) + (λ−1)Σln y — the principled
+    // answer to "should this heavy-tailed metric be logged, square-
+    // rooted, or left alone" that the suite's normality-assuming tests
+    // (x314, x220, ANOVA family) quietly depend on. One scan fans each
+    // row into the 6-λ lattice (row-local pow), transformed moments ride
+    // rounded-6 DECIMAL sums and Σln y a rounded-9 sum shared across λ.
+    // Scale: |grid| = 6 groups, map-side combined.
+    QuerySpec(
+      "x321_boxcox",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val y = Tables.events(s, dir)
+          .filter(col("value") > 0)
+          .select(col("value").cast("double").as("y"))
+        val lam = y.select(col("y"),
+            explode(array(lit(-1.0), lit(-0.5), lit(0.0), lit(0.5),
+              lit(1.0), lit(2.0))).as("lam"))
+          .select(col("lam"),
+            round(log(col("y")), 9).cast("decimal(18,9)").as("lny"),
+            when(col("lam") === 0.0, round(log(col("y")), 6))
+              .otherwise(round((pow(col("y"), col("lam")) - 1.0) /
+                col("lam"), 6)).as("t"))
+        val mom = lam.groupBy("lam")
+          .agg(count(lit(1)).as("n"),
+            sum(col("lny")).cast("double").as("slny"),
+            sum(round(col("t"), 6).cast("decimal(38,6)")).cast("double")
+              .as("st"),
+            sum(round(col("t") * col("t"), 6).cast("decimal(38,6)"))
+              .cast("double").as("stt"))
+          .select(col("lam"), col("n"),
+            round(lit(-0.5) * col("n") *
+              log((col("stt") - col("st") * col("st") / col("n")) /
+                col("n")) +
+              (col("lam") - 1.0) * col("slny"), 4).as("loglik"))
+        mom.withColumn("best", max(col("loglik")).over(
+            W.partitionBy())) // 6-row aggregate below: Rule-1-safe
+          .select(col("lam").as("lambda"), col("n").as("n_values"),
+            col("loglik"),
+            (col("loglik") === col("best")).cast("long").as("is_best"))
+          .orderBy("lambda")
+      },
+      Some("""WITH y AS (SELECT CAST(value AS DOUBLE) AS y FROM events
+             |      WHERE value > 0),
+             |lam AS (SELECT l.lam,
+             |        CAST(round(ln(y), 9) AS DECIMAL(18,9)) AS lny,
+             |        CASE WHEN l.lam = 0.0 THEN round(ln(y), 6)
+             |          ELSE round((pow(y, l.lam) - 1.0) / l.lam, 6)
+             |          END AS t
+             |      FROM y CROSS JOIN (SELECT unnest(
+             |        [-1.0, -0.5, 0.0, 0.5, 1.0, 2.0]) AS lam) l),
+             |mom AS (SELECT lam, COUNT(*) AS n,
+             |        CAST(SUM(lny) AS DOUBLE) AS slny,
+             |        CAST(SUM(CAST(round(t, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS st,
+             |        CAST(SUM(CAST(round(t * t, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS stt
+             |      FROM lam GROUP BY 1),
+             |ll AS (SELECT lam, n,
+             |        round(-0.5 * n * ln((stt - st * st / n) / n) +
+             |          (lam - 1.0) * slny, 4) AS loglik
+             |      FROM mom),
+             |b AS (SELECT MAX(loglik) AS best FROM ll)
+             |SELECT lam AS lambda, CAST(n AS BIGINT) AS n_values,
+             |  loglik,
+             |  CAST(loglik = b.best AS BIGINT) AS is_best
+             |FROM ll CROSS JOIN b ORDER BY lambda""".stripMargin)),
+
+    // Breusch-Pagan heteroscedasticity screen (Breusch & Pagan,
+    // Econometrica 1979; Koenker's 1981 studentized LM form, the one
+    // statistical practice defaults to) on the per-user spend ~ activity
+    // regression: does residual VARIANCE grow with activity? If yes, the
+    // x299 Cook's-distance influence reads and plain OLS standard errors
+    // on this pair are understated — this is the gate in front of them.
+    // LM = n·R² of the e²-on-x auxiliary regression, all from exact
+    // integer/rounded moments in two passes (fit broadcast, residuals
+    // row-local), vs the published χ²₁ critical 3.841.
+    QuerySpec(
+      "x322_breusch_pagan",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("y"))
+          .localCheckpoint() // fit pass + residual pass share one frame
+        val fit = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")).as("b"),
+            col("sx"), col("sy"))
+          .select(col("n"), round(col("b"), 9).as("b"),
+            round((col("sy").cast("double") - round(col("b"), 9) *
+              col("sx")) / col("n"), 9).as("a"))
+        val e2 = u.crossJoin(broadcast(fit))
+          .select(col("x"),
+            round((col("y") - col("a") - col("b") * col("x")) *
+              (col("y") - col("a") - col("b") * col("x")) / 10000.0, 6)
+              .as("e2"))
+        val aux = e2.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+            sum(round(col("e2"), 6).cast("decimal(38,6)")).cast("double")
+              .as("se"),
+            sum(round(col("e2") * col("e2"), 6).cast("decimal(38,6)"))
+              .cast("double").as("see"),
+            sum(round(col("x") * col("e2"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sxe"))
+        aux.select(col("n").as("n_users"),
+            round((col("n") * col("sxe") - col("sx") * col("se")) *
+              (col("n") * col("sxe") - col("sx") * col("se")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n") * col("see") - col("se") * col("se"))), 6)
+              .as("r2_aux"))
+          .select(col("n_users"), col("r2_aux"),
+            round(col("n_users") * col("r2_aux"), 4).as("lm_stat"),
+            (col("n_users") * col("r2_aux") > 3.841).cast("long")
+              .as("heteroscedastic_sig_05"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id, COUNT(*) AS x,
+             |        SUM(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS y
+             |      FROM events GROUP BY 1),
+             |f0 AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |        SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM u),
+             |fit AS (SELECT n,
+             |        round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |          CAST(n * sxx - sx * sx AS DOUBLE), 9) AS b,
+             |        sx, sy FROM f0),
+             |fit2 AS (SELECT n, b,
+             |        round((CAST(sy AS DOUBLE) - b * sx) / n, 9) AS a
+             |      FROM fit),
+             |e2 AS (SELECT u.x,
+             |        round((u.y - fit2.a - fit2.b * u.x) *
+             |          (u.y - fit2.a - fit2.b * u.x) / 10000.0, 6) AS e2
+             |      FROM u CROSS JOIN fit2),
+             |aux AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+             |        SUM(x * x) AS sxx,
+             |        CAST(SUM(CAST(round(e2, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS se,
+             |        CAST(SUM(CAST(round(e2 * e2, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS see,
+             |        CAST(SUM(CAST(round(x * e2, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sxe
+             |      FROM e2)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  round((n * sxe - sx * se) * (n * sxe - sx * se) /
+             |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+             |      (n * see - se * se)), 6) AS r2_aux,
+             |  round(n * ((n * sxe - sx * se) * (n * sxe - sx * se) /
+             |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+             |      (n * see - se * se))), 4) AS lm_stat,
+             |  CAST(n * ((n * sxe - sx * se) * (n * sxe - sx * se) /
+             |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+             |      (n * see - se * se))) > 3.841 AS BIGINT)
+             |    AS heteroscedastic_sig_05
+             |FROM aux ORDER BY n_users""".stripMargin)),
+
+    // HyperBall / ANF: the approximate neighborhood function N(h) and
+    // effective diameter of the item graph via HLL register propagation
+    // (Palmer, Gibbons & Faloutsos, ANF, KDD 2002; Boldi, Rosa & Vigna,
+    // HyperBall, WWW 2011) — THE way distance distributions are computed
+    // on graphs too big for all-pairs BFS: each node carries a 64-register
+    // HLL of its h-ball, and one round is ONE edge equi-join + a
+    // (node, bucket) max — registers are per-bucket maxima, so rounds
+    // merge map-side and replay under any partitioning. x139's k-hop
+    // reach is the exact-BFS read for chosen sources; this is the
+    // all-sources sketch whose cost stays |nodes|·64 state rows at any
+    // graph size. Registers use the repo's HLL arithmetic (48-bit md5
+    // key, bucket = h mod 64, rank = 43 − bitlen, linear counting when
+    // zeros remain — every step integer, SQL-replayable); estimates
+    // round at 6 and sum DECIMAL. Effective diameter = smallest h with
+    // N(h) ≥ 0.9·N(4).
+    QuerySpec(
+      "x323_hyperball_anf",
+      (s, dir) => {
+        val edges = ExtensionQueries.itemEdges(s, dir, 3)
+          .select("src", "dst").localCheckpoint()
+        val init = edges.select(col("src").as("node")).distinct()
+          .select(col("node"),
+            conv(substring(md5(concat(lit("anf:"),
+              col("node").cast("string"))), 1, 12), 16, 10)
+              .cast("long").as("h"))
+          .select(col("node"), (col("h") % 64).cast("int").as("bucket"),
+            expr("CAST(43 - CASE WHEN h div 64 = 0 THEN 0 ELSE " +
+              "length(conv(h div 64, 10, 2)) END AS INT)").as("rank"))
+          .localCheckpoint()
+        def estimate(st: org.apache.spark.sql.DataFrame, h: Int) =
+          st.groupBy("node")
+            .agg(count(lit(1)).as("c"),
+              sum(round(pow(lit(0.5), col("rank")), 14)
+                .cast("decimal(18,14)")).cast("double").as("sp"))
+            .select(
+              when((lit(64) - col("c")) > 0 &&
+                lit(0.709 * 4096.0) /
+                  (col("sp") + (lit(64) - col("c"))) <= 160.0,
+                round(lit(64.0) *
+                  log(lit(64.0) / (lit(64) - col("c"))), 6))
+                .otherwise(round(lit(0.709 * 4096.0) /
+                  (col("sp") + (lit(64) - col("c"))), 6)).as("est"))
+            .agg(round(sum(col("est").cast("decimal(18,6)"))
+              .cast("double"), 2).as("nf_est"))
+            .select(lit(h.toLong).as("h"), col("nf_est"))
+        var st = init
+        val rounds = scala.collection.mutable.ArrayBuffer(estimate(st, 0))
+        for (h <- 1 to 4) {
+          st = st
+            .unionByName(edges
+              .join(st.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node"), col("bucket"), col("rank")))
+            .groupBy("node", "bucket").agg(max(col("rank")).as("rank"))
+            .localCheckpoint() // |nodes| x 64 rows, bounded per round
+          rounds += estimate(st, h)
+        }
+        val all = rounds.reduce(_ unionByName _)
+        val last = all.filter(col("h") === 4)
+          .select(col("nf_est").as("nf_max"))
+        all.crossJoin(broadcast(last))
+          .select(col("h"), col("nf_est"),
+            round(col("nf_est") / col("nf_max"), 6).as("coverage"),
+            (col("nf_est") >= lit(0.9) * col("nf_max")).cast("long")
+              .as("reached_90pct"))
+          .orderBy("h")
+      },
+      Some {
+        def estSql(r: String, h: Int): String =
+          s"""SELECT $h AS h, round(CAST(SUM(CAST(est AS DECIMAL(18,6)))
+             |    AS DOUBLE), 2) AS nf_est FROM (
+             |  SELECT CASE WHEN 64 - COUNT(*) > 0 AND
+             |      0.709 * 4096.0 / (CAST(SUM(CAST(round(pow(0.5, rank),
+             |        14) AS DECIMAL(18,14))) AS DOUBLE) +
+             |        (64 - COUNT(*))) <= 160.0
+             |    THEN round(64.0 * ln(64.0 / (64 - COUNT(*))), 6)
+             |    ELSE round(0.709 * 4096.0 /
+             |      (CAST(SUM(CAST(round(pow(0.5, rank), 14)
+             |        AS DECIMAL(18,14))) AS DOUBLE) +
+             |        (64 - COUNT(*))), 6) END AS est
+             |  FROM $r GROUP BY node)""".stripMargin
+        def roundSql(prev: String, cur: String): String =
+          s"""$cur AS MATERIALIZED (SELECT node, bucket, MAX(rank) AS rank
+             |  FROM (SELECT node, bucket, rank FROM $prev
+             |    UNION ALL SELECT e.dst AS node, $prev.bucket, $prev.rank
+             |    FROM e JOIN $prev ON $prev.node = e.src)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+           |      CAST(json_extract_string(props, '$$.k') AS INT) AS item
+           |    FROM events),
+           |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+           |    FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+           |      AND a.day = b.day AND a.item < b.item
+           |    GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           |e AS (SELECT ia AS src, ib AS dst FROM pc
+           |    UNION ALL SELECT ib, ia FROM pc),
+           |r0 AS MATERIALIZED (SELECT node,
+           |    CAST(h % 64 AS INT) AS bucket,
+           |    CAST(43 - CASE WHEN h // 64 = 0 THEN 0
+           |      ELSE length(printf('%b', h // 64)) END AS INT) AS rank
+           |  FROM (SELECT node, CAST(('0x' || substr(md5('anf:' ||
+           |      CAST(node AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+           |    FROM (SELECT DISTINCT src AS node FROM e))),
+           |${roundSql("r0", "r1")},
+           |${roundSql("r1", "r2")},
+           |${roundSql("r2", "r3")},
+           |${roundSql("r3", "r4")},
+           |nf AS (${estSql("r0", 0)}
+           |  UNION ALL ${estSql("r1", 1)}
+           |  UNION ALL ${estSql("r2", 2)}
+           |  UNION ALL ${estSql("r3", 3)}
+           |  UNION ALL ${estSql("r4", 4)}),
+           |mx AS (SELECT nf_est AS nf_max FROM nf WHERE h = 4)
+           |SELECT CAST(nf.h AS BIGINT) AS h, nf.nf_est,
+           |  round(nf.nf_est / mx.nf_max, 6) AS coverage,
+           |  CAST(nf.nf_est >= 0.9 * mx.nf_max AS BIGINT)
+           |    AS reached_90pct
+           |FROM nf CROSS JOIN mx ORDER BY h""".stripMargin
+      }),
   )
 }
