@@ -9,6 +9,9 @@ import graft.SparkSpec
 
 /** Randomized differential testing (round-10 judge ask): a seeded generator
   * of random relational plans — project / filter / equi-join / aggregate,
+  * set ops (UNION ALL / INTERSECT / EXCEPT over two filtered copies),
+  * HAVING-shaped post-aggregate filters, and scalar functions (length,
+  * substr, upper-family CASE, coalesce over left-join nulls, year),
   * depth ≤ 4 — over the TPC-H tables, rendered BOTH as DataFrame operations
   * and as ANSI SQL, executed on Spark and DuckDB respectively, and compared
   * row-for-row after shared canonicalization. The fixed 355-query registry
@@ -154,6 +157,29 @@ class DifferentialFuzzSpec extends SparkSpec {
       }
     }
 
+    // ---- set-op stage (two filtered copies of the same frame) ----
+    if (rng.nextDouble() < 0.2) {
+      val keep = rng.shuffle(cols.filter(_.t != 't')).take(1 + rng.nextInt(3))
+      val (pa, pb) = (pred(), pred())
+      if (keep.nonEmpty && pa.isDefined && pb.isDefined) {
+        val selCols = keep.map(c => col(c.name))
+        val dfA = df.filter(pa.get._1).select(selCols: _*)
+        val dfB = df.filter(pb.get._1).select(selCols: _*)
+        val colList = keep.map(_.name).mkString(", ")
+        val (df2, opSql) = rng.nextInt(3) match {
+          case 0 => (dfA.unionAll(dfB), "UNION ALL")
+          case 1 => (dfA.intersect(dfB), "INTERSECT")
+          case _ => (dfA.except(dfB), "EXCEPT")
+        }
+        df = df2
+        depth += 1
+        sql = s"(SELECT $colList FROM ($sql) sa$depth " +
+          s"WHERE ${pa.get._2}) $opSql (SELECT $colList FROM ($sql) " +
+          s"sb$depth WHERE ${pb.get._2})"
+        cols = keep
+      }
+    }
+
     // ---- filter stage ----
     if (rng.nextDouble() < 0.75) {
       val ps = (0 until 1 + rng.nextInt(2)).flatMap(_ => pred())
@@ -173,12 +199,13 @@ class DifferentialFuzzSpec extends SparkSpec {
       if (keep.nonEmpty) {
         val longs = cols.filter(_.t == 'l')
         val strs = cols.filter(_.t == 's')
+        val tss = cols.filter(_.t == 't')
         val computed = scala.collection.mutable.ArrayBuffer
           .empty[(String, Column, String, Char)]
         val nComp = rng.nextInt(3)
         for (i <- 1 to nComp) {
           val name = s"c$i"
-          val choice = rng.nextInt(4)
+          val choice = rng.nextInt(7)
           if (choice == 0 && longs.nonEmpty) {
             val a = longs(rng.nextInt(longs.length))
             val b = longs(rng.nextInt(longs.length))
@@ -191,6 +218,20 @@ class DifferentialFuzzSpec extends SparkSpec {
           } else if (choice == 2 && strs.nonEmpty) {
             val a = strs(rng.nextInt(strs.length))
             computed += ((name, length(col(a.name)), s"length(${a.name})", 'l'))
+          } else if (choice == 3 && strs.nonEmpty) {
+            val a = strs(rng.nextInt(strs.length))
+            val len = 1 + rng.nextInt(3)
+            computed += ((name, substring(col(a.name), 1, len),
+              s"substr(${a.name}, 1, $len)", 's'))
+          } else if (choice == 4 && longs.nonEmpty) {
+            val a = longs(rng.nextInt(longs.length))
+            val k = rng.nextInt(100)
+            computed += ((name, coalesce(col(a.name), lit(k.toLong)),
+              s"coalesce(${a.name}, $k)", 'l'))
+          } else if (choice == 5 && tss.nonEmpty) {
+            val a = tss(rng.nextInt(tss.length))
+            computed += ((name, year(col(a.name)).cast("long"),
+              s"CAST(year(${a.name}) AS BIGINT)", 'l'))
           } else if (longs.nonEmpty) {
             val a = longs(rng.nextInt(longs.length))
             computed += ((name,
@@ -237,6 +278,12 @@ class DifferentialFuzzSpec extends SparkSpec {
         aggs.map { case (n, _, e, _) => s"$e AS $n" }).mkString(", "),
         group = keys.map(_.name).mkString(", "))
       cols = keys ++ aggs.map { case (n, _, _, t) => FCol(n, t) }
+      // HAVING-shaped post-aggregate filter on the count
+      if (rng.nextDouble() < 0.4) {
+        val k = 1 + rng.nextInt(5)
+        df = df.filter(col("cnt") > k)
+        wrap(cols.map(_.name).mkString(", "), where = s"cnt > $k")
+      }
     }
 
     // ---- never emit timestamps (canonical form is l/d/s only) ----
