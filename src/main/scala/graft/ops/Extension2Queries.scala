@@ -1706,5 +1706,310 @@ object Extension2Queries {
            |    AS reached_90pct
            |FROM nf CROSS JOIN mx ORDER BY h""".stripMargin
       }),
+
+    // Moran's I and Geary's C (Moran, Biometrika 1950; Geary 1954) of
+    // per-item purchase volume over the item co-occurrence graph — GRAPH
+    // autocorrelation: do high-volume items sit NEXT TO high-volume
+    // items (I > E[I] = −1/(n−1)), and is the local read (C, more
+    // sensitive to neighbor-pair differences) consistent with the global
+    // one? The spatial-statistics pair every geo stack ships, here on
+    // the co-purchase topology where "space" is the basket graph. One
+    // |edges|-row join against the broadcast volume table; every z
+    // product/difference rides rounded-6 DECIMAL sums; weights are the
+    // co-occurrence counts w.
+    QuerySpec(
+      "x324_morans_i",
+      (s, dir) => {
+        val edges = ExtensionQueries.itemEdges(s, dir, 3).localCheckpoint()
+        val vol = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(expr("variant_get(parse_json(props), '$.k', 'int')")
+            .as("item"))
+          .filter(col("item").isNotNull)
+          .groupBy("item").agg(count(lit(1)).as("v"))
+        val nodes = edges.select(col("src").as("item")).distinct()
+          .join(vol, Seq("item"), "left").na.fill(0L, Seq("v"))
+          .localCheckpoint() // graph-bounded volume table
+        val m = nodes.agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sv"))
+          .select(col("n"),
+            round(col("sv").cast("double") / col("n"), 6).as("mu"))
+        val z = nodes.crossJoin(broadcast(m))
+          .select(col("item"), col("n"),
+            round(col("v") - col("mu"), 6).as("z"))
+        val den = z.agg(max(col("n")).as("n"),
+          sum(round(col("z") * col("z"), 6).cast("decimal(38,6)"))
+            .cast("double").as("szz"))
+        val cross = edges
+          .join(z.select(col("item").as("src"), col("z").as("zi")), "src")
+          .join(z.select(col("item").as("dst"), col("z").as("zj")), "dst")
+          .agg(sum(col("w")).as("wtot"),
+            sum(round(col("w") * col("zi") * col("zj"), 6)
+              .cast("decimal(38,6)")).cast("double").as("swzz"),
+            sum(round(col("w") * (col("zi") - col("zj")) *
+              (col("zi") - col("zj")), 6).cast("decimal(38,6)"))
+              .cast("double").as("swdd"))
+        cross.crossJoin(broadcast(den))
+          .select(col("n").as("n_items"), col("wtot").as("w_total"),
+            round(col("n").cast("double") / col("wtot") *
+              col("swzz") / col("szz"), 6).as("morans_i"),
+            round(lit(-1.0) / (col("n") - 1), 6).as("e_i"),
+            round((col("n") - 1).cast("double") /
+              (lit(2.0) * col("wtot")) * col("swdd") / col("szz"), 6)
+              .as("gearys_c"))
+          .orderBy("n_items")
+      },
+      Some("""WITH ctx AS (SELECT DISTINCT user_id, CAST(ts AS DATE)
+             |          AS day,
+             |        CAST(json_extract_string(props, '$.k') AS INT)
+             |          AS item
+             |      FROM events),
+             |pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS w
+             |      FROM ctx a JOIN ctx b ON a.user_id = b.user_id
+             |        AND a.day = b.day AND a.item < b.item
+             |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |e AS (SELECT ia AS src, ib AS dst, w FROM pc
+             |      UNION ALL SELECT ib, ia, w FROM pc),
+             |vol AS (SELECT CAST(json_extract_string(props, '$.k')
+             |          AS INT) AS item, COUNT(*) AS v
+             |      FROM events WHERE event_type = 'purchase'
+             |        AND json_extract_string(props, '$.k') IS NOT NULL
+             |      GROUP BY 1),
+             |nodes AS (SELECT n.item, COALESCE(vol.v, 0) AS v
+             |      FROM (SELECT DISTINCT src AS item FROM e) n
+             |      LEFT JOIN vol ON vol.item = n.item),
+             |m AS (SELECT COUNT(*) AS n,
+             |        round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mu
+             |      FROM nodes),
+             |z AS (SELECT item, m.n, round(v - m.mu, 6) AS z
+             |      FROM nodes CROSS JOIN m),
+             |den AS (SELECT MAX(n) AS n,
+             |        CAST(SUM(CAST(round(z * z, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS szz
+             |      FROM z),
+             |crs AS (SELECT SUM(e.w) AS wtot,
+             |        CAST(SUM(CAST(round(e.w * zi.z * zj.z, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swzz,
+             |        CAST(SUM(CAST(round(e.w * (zi.z - zj.z) *
+             |          (zi.z - zj.z), 6) AS DECIMAL(38,6))) AS DOUBLE)
+             |          AS swdd
+             |      FROM e JOIN z zi ON zi.item = e.src
+             |        JOIN z zj ON zj.item = e.dst)
+             |SELECT CAST(den.n AS BIGINT) AS n_items,
+             |  CAST(crs.wtot AS BIGINT) AS w_total,
+             |  round(CAST(den.n AS DOUBLE) / crs.wtot *
+             |    crs.swzz / den.szz, 6) AS morans_i,
+             |  round(-1.0 / (den.n - 1), 6) AS e_i,
+             |  round(CAST(den.n - 1 AS DOUBLE) / (2.0 * crs.wtot) *
+             |    crs.swdd / den.szz, 6) AS gearys_c
+             |FROM crs CROSS JOIN den ORDER BY n_items""".stripMargin)),
+
+    // External cluster-agreement panel — adjusted Rand index (Hubert &
+    // Arabie, J. Classification 1985), sqrt-normalized mutual
+    // information (Strehl & Ghosh, JMLR 2002) and Fowlkes-Mallows (JASA
+    // 1983) — between the embedding labels and a fully SQL-replayable
+    // partition: nearest of the 8 seed vectors (corpus rows vec_id 0–7,
+    // the x13 seed-vector device) by rounded Euclidean distance. This is
+    // the external-validity companion to the internal panel
+    // (x215 silhouette / x316 Davies-Bouldin / x304 pseudo-F): does the
+    // geometry RECOVER the labels? ARI/FM are exact pair combinatorics
+    // over the ≤80-cell contingency table; NMI rides rounded-9 p·ln
+    // sums. Scale: one 8-way broadcast score join (bounded side is 8
+    // literal-bounded rows), then bounded-grid algebra.
+    QuerySpec(
+      "x325_cluster_agreement",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        val W = org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
+          .withColumn("ss", expr("float_dot(s_emb, s_emb)"))
+        val asg = e.select(col("vec_id"), col("label"),
+            col("embedding").as("v_emb"))
+          .withColumn("vv", expr("float_dot(v_emb, v_emb)"))
+          .crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("label"), col("sid"),
+            round(sqrt(greatest(col("vv") + col("ss") -
+              lit(2.0) * expr("float_dot(v_emb, s_emb)"), lit(0.0))), 6)
+              .as("d"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy("vec_id").orderBy(col("d").asc, col("sid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"), col("sid").as("cell"))
+        val ct = asg.groupBy("label", "cell").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // <= 80 cells feed all three indexes
+        val n = ct.agg(sum(col("c")).as("n"))
+        val a = ct.groupBy("label").agg(sum(col("c")).as("ai"))
+          .agg(sum(expr("ai * (ai - 1) div 2")).as("sa"))
+        val b = ct.groupBy("cell").agg(sum(col("c")).as("bj"))
+          .agg(sum(expr("bj * (bj - 1) div 2")).as("sb"))
+        val nij = ct.agg(sum(expr("c * (c - 1) div 2")).as("sn"))
+        // entropies for NMI
+        def ent(keyed: org.apache.spark.sql.DataFrame) = keyed
+          .crossJoin(broadcast(n))
+          .select(round((col("k").cast("double") / col("n")) *
+            log(col("n").cast("double") / col("k")), 9)
+            .cast("decimal(18,9)").as("term"))
+          .agg(sum(col("term")).cast("double").as("h"))
+        val ha = ent(ct.groupBy("label").agg(sum(col("c")).as("k")))
+          .select(col("h").as("ha"))
+        val hb = ent(ct.groupBy("cell").agg(sum(col("c")).as("k")))
+          .select(col("h").as("hb"))
+        val hab = ent(ct.select(col("c").as("k")))
+          .select(col("h").as("hab"))
+        nij.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+          .crossJoin(broadcast(hab))
+          .select(col("n").as("n_vectors"),
+            round((col("sn").cast("double") -
+              col("sa").cast("double") * col("sb") /
+                expr("CAST(n * (n - 1) div 2 AS DOUBLE)")) /
+              ((col("sa") + col("sb")).cast("double") / 2.0 -
+                col("sa").cast("double") * col("sb") /
+                  expr("CAST(n * (n - 1) div 2 AS DOUBLE)")), 6)
+              .as("ari"),
+            round((col("ha") + col("hb") - col("hab")) /
+              sqrt(col("ha") * col("hb")), 6).as("nmi_sqrt"),
+            round(col("sn").cast("double") /
+              sqrt(col("sa").cast("double") * col("sb")), 6)
+              .as("fowlkes_mallows"))
+          .orderBy("n_vectors")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |        [CAST(x AS DOUBLE) for x in embedding] AS emb
+             |      FROM embeddings),
+             |sd AS (SELECT vec_id AS sid, emb AS s_emb FROM e
+             |      WHERE vec_id < 8),
+             |f AS (SELECT e.vec_id, e.label, sd.sid,
+             |        unnest(e.emb) AS ev, unnest(sd.s_emb) AS sv
+             |      FROM e CROSS JOIN sd),
+             |d AS (SELECT vec_id, label, sid,
+             |        round(sqrt(greatest(SUM((ev - sv) * (ev - sv)),
+             |          0.0)), 6) AS d
+             |      FROM f GROUP BY 1, 2, 3),
+             |asg AS (SELECT vec_id, label, sid AS cell FROM (
+             |      SELECT vec_id, label, sid, row_number() OVER (
+             |        PARTITION BY vec_id ORDER BY d, sid) AS rn FROM d)
+             |      WHERE rn = 1),
+             |ct AS (SELECT label, cell, COUNT(*) AS c FROM asg
+             |      GROUP BY 1, 2),
+             |n AS (SELECT SUM(c) AS n FROM ct),
+             |a AS (SELECT SUM(ai * (ai - 1) // 2) AS sa FROM (
+             |      SELECT label, SUM(c) AS ai FROM ct GROUP BY 1)),
+             |b AS (SELECT SUM(bj * (bj - 1) // 2) AS sb FROM (
+             |      SELECT cell, SUM(c) AS bj FROM ct GROUP BY 1)),
+             |nij AS (SELECT SUM(c * (c - 1) // 2) AS sn FROM ct),
+             |ha AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(k AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / k), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS ha
+             |      FROM (SELECT label, SUM(c) AS k FROM ct GROUP BY 1)
+             |        CROSS JOIN n),
+             |hb AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(k AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / k), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS hb
+             |      FROM (SELECT cell, SUM(c) AS k FROM ct GROUP BY 1)
+             |        CROSS JOIN n),
+             |hab AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(c AS DOUBLE) / n.n) *
+             |        ln(CAST(n.n AS DOUBLE) / c), 9) AS DECIMAL(18,9)))
+             |        AS DOUBLE) AS hab
+             |      FROM ct CROSS JOIN n)
+             |SELECT CAST(n.n AS BIGINT) AS n_vectors,
+             |  round((CAST(nij.sn AS DOUBLE) -
+             |    CAST(a.sa AS DOUBLE) * b.sb /
+             |      CAST(n.n * (n.n - 1) // 2 AS DOUBLE)) /
+             |    (CAST(a.sa + b.sb AS DOUBLE) / 2.0 -
+             |      CAST(a.sa AS DOUBLE) * b.sb /
+             |        CAST(n.n * (n.n - 1) // 2 AS DOUBLE)), 6) AS ari,
+             |  round((ha.ha + hb.hb - hab.hab) /
+             |    sqrt(ha.ha * hb.hb), 6) AS nmi_sqrt,
+             |  round(CAST(nij.sn AS DOUBLE) /
+             |    sqrt(CAST(a.sa AS DOUBLE) * b.sb), 6)
+             |    AS fowlkes_mallows
+             |FROM nij CROSS JOIN a CROSS JOIN b CROSS JOIN n
+             |  CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab
+             |ORDER BY n_vectors""".stripMargin)),
+
+    // Own-price demand elasticity (the Marshall 1890 textbook read,
+    // estimated as the log-log OLS slope — Working 1943 for the
+    // double-log demand specification): across parts, regress
+    // ln(total quantity) on ln(mean unit price) — the one number a
+    // pricing read wants from the lineitem fact. Parts aggregate first
+    // (map-side combined), so the regression runs over the |parts|-
+    // bounded grid; quantities are integral (BIGINT-exact), prices ride
+    // the round-6 DECIMAL bridge, lns round at 9 into DECIMAL moments.
+    QuerySpec(
+      "x326_price_elasticity",
+      (s, dir) => {
+        val pg = Tables.lineitem(s, dir)
+          .groupBy("l_partkey")
+          .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"),
+            sum(round(col("l_extendedprice") / col("l_quantity"), 6)
+              .cast("decimal(18,6)")).cast("double").as("sp"),
+            count(lit(1)).as("cnt"))
+          .filter(col("q") > 0)
+          .select(
+            round(log(col("sp") / col("cnt")), 9).as("x"),
+            round(log(col("q").cast("double")), 9).as("y"))
+        val mom = pg.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,9)")).cast("double").as("sx"),
+          sum(col("y").cast("decimal(18,9)")).cast("double").as("sy"),
+          sum(round(col("x") * col("x"), 9).cast("decimal(38,9)"))
+            .cast("double").as("sxx"),
+          sum(round(col("y") * col("y"), 9).cast("decimal(38,9)"))
+            .cast("double").as("syy"),
+          sum(round(col("x") * col("y"), 9).cast("decimal(38,9)"))
+            .cast("double").as("sxy"))
+        mom.select(col("n").as("n_parts"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("elasticity"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") *
+              col("sy")) / (col("n") * col("sxx") - col("sx") *
+              col("sx")) * col("sx")) / col("n"), 6).as("intercept"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("r2"))
+          .select(col("n_parts"), col("elasticity"), col("intercept"),
+            col("r2"),
+            (col("elasticity") < -1.0).cast("long").as("is_elastic"))
+          .orderBy("n_parts")
+      },
+      Some("""WITH pg AS (SELECT l_partkey,
+             |        SUM(CAST(round(l_quantity) AS BIGINT)) AS q,
+             |        CAST(SUM(CAST(round(l_extendedprice / l_quantity,
+             |          6) AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+             |        COUNT(*) AS cnt
+             |      FROM lineitem GROUP BY 1 HAVING
+             |        SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+             |xy AS (SELECT round(ln(sp / cnt), 9) AS x,
+             |        round(ln(CAST(q AS DOUBLE)), 9) AS y
+             |      FROM pg),
+             |mom AS (SELECT COUNT(*) AS n,
+             |        CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             |        CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             |        CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE) AS sxx,
+             |        CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE) AS syy,
+             |        CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9)))
+             |          AS DOUBLE) AS sxy
+             |      FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_parts,
+             |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             |    AS elasticity,
+             |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             |    * sx) / n, 6) AS intercept,
+             |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+             |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+             |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) < -1.0
+             |    AS BIGINT) AS is_elastic
+             |FROM mom ORDER BY n_parts""".stripMargin)),
   )
 }
