@@ -2011,5 +2011,243 @@ object Extension2Queries {
              |  CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) < -1.0
              |    AS BIGINT) AS is_elastic
              |FROM mom ORDER BY n_parts""".stripMargin)),
+
+    // Peaks-over-threshold GPD tail fit by probability-weighted moments
+    // (Pickands 1975 for the GPD limit; Hosking & Wallis, Technometrics
+    // 1987 for the CLOSED-FORM PWM estimators ξ = 2 − b0/(b0−2b1),
+    // σ = 2·b0·b1/(b0−2b1) — no iteration, so the whole fit is exact
+    // algebra over two weighted moments): how heavy is the event-value
+    // tail ABOVE the 95th percentile, and what value does the fitted
+    // tail put at P99.9 — the extreme-value read between x186's Hill
+    // exponent (assumes pure power law) and x303's Gumbel block maxima
+    // (weekly maxima, not exceedances). b1's plotting weights use
+    // average ranks over tie runs (exact halves); exceedances ride
+    // rounded-6 DECIMAL sums. One scan + windows over the bounded
+    // exceedance-value grid.
+    QuerySpec(
+      "x327_gpd_tail",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("value").cast("double").as("v"))
+        val thr = ev.agg(
+          round(expr("percentile(v, 0.95)"), 6).as("u"),
+          count(lit(1)).as("ntot"))
+        val exc = ev.crossJoin(broadcast(thr))
+          .filter(col("v") > col("u"))
+          .select(col("u"), col("ntot"),
+            round(col("v") - col("u"), 6).as("y"))
+        val g = exc.groupBy("u", "ntot", "y").agg(count(lit(1)).as("ct"))
+        val wc = W.partitionBy("u").orderBy("y")
+          .rowsBetween(W.unboundedPreceding, -1)
+        val ranked = g
+          .withColumn("cumprev", coalesce(sum(col("ct")).over(wc), lit(0L)))
+          .withColumn("ravg", col("cumprev").cast("double") +
+            (col("ct") + 1).cast("double") / 2.0)
+        val mom = ranked.groupBy("u", "ntot")
+          .agg(sum(col("ct")).as("k"),
+            sum(round(col("ct") * col("y"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sy"),
+            sum(round(col("ct") * col("y") * (col("ravg") - 1.0), 6)
+              .cast("decimal(38,6)")).cast("double").as("syr"))
+          .select(col("u"), col("ntot"), col("k"),
+            round(col("sy") / col("k"), 9).as("b0"),
+            round(col("syr") / (col("k").cast("double") *
+              (col("k") - 1)), 9).as("b1"))
+        mom.select(col("u").as("threshold"),
+            col("k").as("n_exceedances"),
+            round(lit(2.0) - col("b0") / (col("b0") - col("b1") * 2.0), 6)
+              .as("xi_shape"),
+            round(lit(2.0) * col("b0") * col("b1") /
+              (col("b0") - col("b1") * 2.0), 6).as("sigma_scale"),
+            col("ntot"), col("b0"), col("b1"))
+          .select(col("threshold"), col("n_exceedances"),
+            col("xi_shape"), col("sigma_scale"),
+            round(col("threshold") + col("sigma_scale") / col("xi_shape") *
+              (pow(col("ntot").cast("double") * 0.001 /
+                col("n_exceedances"), -col("xi_shape")) - 1.0), 4)
+              .as("p999_value"))
+          .orderBy("threshold")
+      },
+      Some("""WITH ev AS (SELECT CAST(value AS DOUBLE) AS v FROM events),
+             |thr AS (SELECT round(quantile_cont(v, 0.95), 6) AS u,
+             |        COUNT(*) AS ntot FROM ev),
+             |exc AS (SELECT thr.u, thr.ntot, round(v - thr.u, 6) AS y
+             |      FROM ev CROSS JOIN thr WHERE v > thr.u),
+             |g AS (SELECT u, ntot, y, COUNT(*) AS ct FROM exc
+             |      GROUP BY 1, 2, 3),
+             |rk AS (SELECT u, ntot, y, ct,
+             |        CAST(COALESCE(SUM(ct) OVER (PARTITION BY u
+             |          ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |          1 PRECEDING), 0) AS DOUBLE) +
+             |          CAST(ct + 1 AS DOUBLE) / 2.0 AS ravg
+             |      FROM g),
+             |mom AS (SELECT u, ntot, SUM(ct) AS k,
+             |        round(CAST(SUM(CAST(round(ct * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) / SUM(ct), 9) AS b0,
+             |        round(CAST(SUM(CAST(round(ct * y * (ravg - 1.0), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) /
+             |          (CAST(SUM(ct) AS DOUBLE) * (SUM(ct) - 1)), 9)
+             |          AS b1
+             |      FROM rk GROUP BY 1, 2),
+             |fit AS (SELECT u AS threshold, k AS n_exceedances,
+             |        round(2.0 - b0 / (b0 - 2.0 * b1), 6) AS xi_shape,
+             |        round(2.0 * b0 * b1 / (b0 - 2.0 * b1), 6)
+             |          AS sigma_scale,
+             |        ntot
+             |      FROM mom)
+             |SELECT threshold, CAST(n_exceedances AS BIGINT)
+             |    AS n_exceedances,
+             |  xi_shape, sigma_scale,
+             |  round(threshold + sigma_scale / xi_shape *
+             |    (pow(CAST(ntot AS DOUBLE) * 0.001 / n_exceedances,
+             |      -xi_shape) - 1.0), 4) AS p999_value
+             |FROM fit ORDER BY threshold""".stripMargin)),
+
+    // Deming regression (Adcock 1878; Deming 1943 popularized it) with
+    // λ = 1 between per-user view and purchase counts — the errors-in-
+    // BOTH-variables line OLS gets wrong whenever the x-axis is itself a
+    // noisy measurement (OLS attenuates the slope toward 0; Deming's
+    // closed form slope = (s_yy − s_xx + √((s_yy−s_xx)² + 4s_xy²))/(2s_xy)
+    // is the TLS fix). The method-comparison read next to x311's
+    // predictive screen. Integer count moments are BIGINT-exact; the fit
+    // is one 1-row closed-form expression.
+    QuerySpec(
+      "x328_deming",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+            sum((col("event_type") === "purchase").cast("long")).as("y"))
+        val mom = u.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        val c = mom.select(col("n"),
+          (col("sx").cast("double") / col("n")).as("mx"),
+          (col("sy").cast("double") / col("n")).as("my"),
+          ((col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx") / col("n")) / col("n")).as("vxx"),
+          ((col("syy").cast("double") - col("sy").cast("double") *
+            col("sy") / col("n")) / col("n")).as("vyy"),
+          ((col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy") / col("n")) / col("n")).as("vxy"))
+        c.select(col("n").as("n_users"),
+            round((col("vyy") - col("vxx") +
+              sqrt((col("vyy") - col("vxx")) * (col("vyy") - col("vxx")) +
+                col("vxy") * col("vxy") * 4.0)) / (col("vxy") * 2.0), 6)
+              .as("deming_slope"),
+            round(col("vxy") / col("vxx"), 6).as("ols_slope"),
+            col("mx"), col("my"))
+          .select(col("n_users"), col("deming_slope"), col("ols_slope"),
+            round(col("my") - col("deming_slope") * col("mx"), 6)
+              .as("deming_intercept"),
+            round(col("deming_slope") / col("ols_slope"), 6)
+              .as("attenuation_ratio"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+             |          END) AS x,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1
+             |          ELSE 0 END) AS y
+             |      FROM events GROUP BY 1),
+             |mom AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |        SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             |        SUM(x * y) AS sxy FROM u),
+             |c AS (SELECT n,
+             |        CAST(sx AS DOUBLE) / n AS mx,
+             |        CAST(sy AS DOUBLE) / n AS my,
+             |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             |          / n AS vxx,
+             |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+             |          / n AS vyy,
+             |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             |          / n AS vxy
+             |      FROM mom),
+             |f AS (SELECT n,
+             |        round((vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) +
+             |          4.0 * vxy * vxy)) / (2.0 * vxy), 6)
+             |          AS deming_slope,
+             |        round(vxy / vxx, 6) AS ols_slope, mx, my
+             |      FROM c)
+             |SELECT CAST(n AS BIGINT) AS n_users, deming_slope,
+             |  ols_slope,
+             |  round(my - deming_slope * mx, 6) AS deming_intercept,
+             |  round(deming_slope / ols_slope, 6) AS attenuation_ratio
+             |FROM f ORDER BY n_users""".stripMargin)),
+
+    // Empirical upper-tail dependence (the λ_U read from copula theory —
+    // Sibuya 1960 defined it; Joe 1997 ch. 2 is the standard reference):
+    // GIVEN a heavy view day, how likely is a heavy purchase day —
+    // λ̂_U(t) = P(Y > q_y(t) | X > q_x(t)) at t ∈ {0.75, 0.9}, the
+    // dependence-in-extremes number that Pearson/Kendall correlations
+    // (which average over the whole distribution) structurally cannot
+    // see. Quantiles round at 6; everything after is exact counting over
+    // the calendar-bounded day grid, one row per t.
+    QuerySpec(
+      "x329_tail_dependence",
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum((col("event_type") === "view").cast("long")).as("x"),
+            sum((col("event_type") === "purchase").cast("long")).as("y"))
+          .localCheckpoint() // day grid feeds quantiles + counting
+        val q = d.agg(
+          round(expr("percentile(CAST(x AS DOUBLE), 0.75)"), 6).as("qx75"),
+          round(expr("percentile(CAST(y AS DOUBLE), 0.75)"), 6).as("qy75"),
+          round(expr("percentile(CAST(x AS DOUBLE), 0.9)"), 6).as("qx90"),
+          round(expr("percentile(CAST(y AS DOUBLE), 0.9)"), 6).as("qy90"))
+        val j = d.crossJoin(broadcast(q))
+          .select(explode(array(
+            struct(lit(0.75).as("t"),
+              (col("x") > col("qx75")).cast("long").as("hx"),
+              (col("y") > col("qy75")).cast("long").as("hy")),
+            struct(lit(0.9).as("t"),
+              (col("x") > col("qx90")).cast("long").as("hx"),
+              (col("y") > col("qy90")).cast("long").as("hy")))).as("r"))
+          .select(col("r.t").as("t"), col("r.hx").as("hx"),
+            col("r.hy").as("hy"))
+        j.groupBy("t")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("hx")).as("n_hx"),
+            sum(col("hx") * col("hy")).as("n_both"))
+          .select(col("t").as("quantile_t"), col("n_days"),
+            col("n_hx").as("n_heavy_view_days"),
+            col("n_both").as("n_joint_heavy_days"),
+            round(col("n_both").cast("double") / col("n_hx"), 6)
+              .as("lambda_u_hat"))
+          .orderBy("quantile_t")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             |        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+             |          END) AS x,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1
+             |          ELSE 0 END) AS y
+             |      FROM events GROUP BY 1),
+             |q AS (SELECT
+             |        round(quantile_cont(CAST(x AS DOUBLE), 0.75), 6)
+             |          AS qx75,
+             |        round(quantile_cont(CAST(y AS DOUBLE), 0.75), 6)
+             |          AS qy75,
+             |        round(quantile_cont(CAST(x AS DOUBLE), 0.9), 6)
+             |          AS qx90,
+             |        round(quantile_cont(CAST(y AS DOUBLE), 0.9), 6)
+             |          AS qy90
+             |      FROM d),
+             |j AS (SELECT r.t,
+             |        CASE r.t WHEN 0.75 THEN CAST(d.x > q.qx75 AS BIGINT)
+             |          ELSE CAST(d.x > q.qx90 AS BIGINT) END AS hx,
+             |        CASE r.t WHEN 0.75 THEN CAST(d.y > q.qy75 AS BIGINT)
+             |          ELSE CAST(d.y > q.qy90 AS BIGINT) END AS hy
+             |      FROM d CROSS JOIN q
+             |        CROSS JOIN (SELECT unnest([0.75, 0.9]) AS t) r)
+             |SELECT t AS quantile_t, CAST(COUNT(*) AS BIGINT) AS n_days,
+             |  CAST(SUM(hx) AS BIGINT) AS n_heavy_view_days,
+             |  CAST(SUM(hx * hy) AS BIGINT) AS n_joint_heavy_days,
+             |  round(CAST(SUM(hx * hy) AS DOUBLE) / SUM(hx), 6)
+             |    AS lambda_u_hat
+             |FROM j GROUP BY 1 ORDER BY quantile_t""".stripMargin)),
   )
 }
