@@ -2249,5 +2249,97 @@ object Extension2Queries {
              |  round(CAST(SUM(hx * hy) AS DOUBLE) / SUM(hx), 6)
              |    AS lambda_u_hat
              |FROM j GROUP BY 1 ORDER BY quantile_t""".stripMargin)),
+
+    // Theil-T inequality with exact between/within decomposition (Theil
+    // 1967) + Atkinson ε=1 (Atkinson, JET 1970) of per-customer revenue
+    // by nation — the decomposable complement to the suite's Gini/Lorenz
+    // read: Gini CANNOT split into between-group + within-group parts
+    // (its decomposition leaves a residual); Theil splits EXACTLY,
+    // T = Σ_g s_g·T_g + Σ_g s_g·ln((s_g)/(n_g/n)), so "how much revenue
+    // inequality is ACROSS nations vs WITHIN them" is a well-posed
+    // number. Atkinson(1) = 1 − geomean/mean rides the same rounded-9
+    // ln sums. Customers with zero revenue are excluded (both indexes
+    // need x > 0), count reported. One fact-dim join, then group-grid
+    // algebra; cents are BIGINT-exact.
+    QuerySpec(
+      "x330_theil_decomposition",
+      (s, dir) => {
+        val cust = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_nationkey").as("nation"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("x"))
+          .filter(col("x") > 0)
+          .localCheckpoint() // per-customer revenue feeds all three sums
+        val tot = cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val base = cust.crossJoin(broadcast(tot))
+        val tTotal = base
+          .select(round((col("x").cast("double") / col("sx")) *
+            log(col("x").cast("double") * col("n") / col("sx")), 9)
+            .cast("decimal(18,9)").as("term"))
+          .agg(sum(col("term")).cast("double").as("t_total"))
+        val grp = base.groupBy("nation")
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sxg"),
+            max(col("n")).as("n"), max(col("sx")).as("sx"))
+        val between = grp
+          .select(round((col("sxg").cast("double") / col("sx")) *
+            log((col("sxg").cast("double") / col("sx")) *
+              (col("n").cast("double") / col("ng"))), 9)
+            .cast("decimal(18,9)").as("bterm"))
+          .agg(count(lit(1)).as("n_nations"),
+            sum(col("bterm")).cast("double").as("t_between"))
+        val lnsum = base
+          .select(round(log(col("x").cast("double")), 9)
+            .cast("decimal(18,9)").as("lnx"))
+          .agg(sum(col("lnx")).cast("double").as("slnx"))
+        tTotal.crossJoin(broadcast(between))
+          .crossJoin(broadcast(lnsum)).crossJoin(broadcast(tot))
+          .select(col("n").as("n_customers"), col("n_nations"),
+            round(col("t_total"), 6).as("theil_total"),
+            round(col("t_between"), 6).as("theil_between"),
+            round(col("t_total") - col("t_between"), 6)
+              .as("theil_within"),
+            round(col("t_between") / col("t_total"), 6)
+              .as("between_share"),
+            round(lit(1.0) - exp(col("slnx") / col("n")) /
+              (col("sx").cast("double") / col("n")), 6).as("atkinson_1"))
+          .orderBy("n_customers")
+      },
+      Some("""WITH cust AS (SELECT o.o_custkey, c.c_nationkey AS nation,
+             |        SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+             |          AS x
+             |      FROM orders o JOIN customer c
+             |        ON o.o_custkey = c.c_custkey
+             |      GROUP BY 1, 2 HAVING
+             |        SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) > 0),
+             |tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM cust),
+             |tt AS (SELECT CAST(SUM(CAST(round(
+             |        (CAST(x AS DOUBLE) / tot.sx) *
+             |        ln(CAST(x AS DOUBLE) * tot.n / tot.sx), 9)
+             |        AS DECIMAL(18,9))) AS DOUBLE) AS t_total
+             |      FROM cust CROSS JOIN tot),
+             |grp AS (SELECT nation, COUNT(*) AS ng, SUM(x) AS sxg,
+             |        MAX(tot.n) AS n, MAX(tot.sx) AS sx
+             |      FROM cust CROSS JOIN tot GROUP BY 1),
+             |btw AS (SELECT COUNT(*) AS n_nations,
+             |        CAST(SUM(CAST(round(
+             |          (CAST(sxg AS DOUBLE) / sx) *
+             |          ln((CAST(sxg AS DOUBLE) / sx) *
+             |            (CAST(n AS DOUBLE) / ng)), 9)
+             |          AS DECIMAL(18,9))) AS DOUBLE) AS t_between
+             |      FROM grp),
+             |ls AS (SELECT CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE)), 9)
+             |        AS DECIMAL(18,9))) AS DOUBLE) AS slnx FROM cust)
+             |SELECT CAST(tot.n AS BIGINT) AS n_customers,
+             |  CAST(btw.n_nations AS BIGINT) AS n_nations,
+             |  round(tt.t_total, 6) AS theil_total,
+             |  round(btw.t_between, 6) AS theil_between,
+             |  round(tt.t_total - btw.t_between, 6) AS theil_within,
+             |  round(btw.t_between / tt.t_total, 6) AS between_share,
+             |  round(1.0 - exp(ls.slnx / tot.n) /
+             |    (CAST(tot.sx AS DOUBLE) / tot.n), 6) AS atkinson_1
+             |FROM tt CROSS JOIN btw CROSS JOIN ls CROSS JOIN tot
+             |ORDER BY n_customers""".stripMargin)),
   )
 }
