@@ -2341,5 +2341,135 @@ object Extension2Queries {
              |    (CAST(tot.sx AS DOUBLE) / tot.n), 6) AS atkinson_1
              |FROM tt CROSS JOIN btw CROSS JOIN ls CROSS JOIN tot
              |ORDER BY n_customers""".stripMargin)),
+
+    // Competing-risks cumulative incidence (Aalen & Johansen, Scand. J.
+    // Stat. 1978; Kalbfleisch & Prentice ch. 8): per user, time from
+    // first event to the FIRST of {error, purchase} — two risks that
+    // COMPETE, where the x124 per-cause Kaplan-Meier is the textbook
+    // mistake (censoring error times by purchases treats purchases as
+    // non-informative and overstates both curves; 1−KM_error + 1−KM_buy
+    // can exceed 1). CIF_k(t) = Σ_{t'≤t} S(t'−)·d_k(t')/n(t') with the
+    // ALL-CAUSE survival S — estimated here via exp(Σ ln((n−d)/n))
+    // (rounded-9 ln terms into DECIMAL window sums, the x307 additive
+    // device — no recursion), so both CIFs and their sum ≤ 1 replay
+    // bit-identically. Date ties between the two causes resolve to
+    // 'error' (documented). Subjects collapse to the |distinct t| grid
+    // first; everything serial runs on that bounded table.
+    QuerySpec(
+      "x331_cumulative_incidence",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val gmax = ev.agg(max(to_date(col("ts"))).as("gmax"))
+        val span = ev.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("f"),
+            min(when(col("event_type") === "error", to_date(col("ts"))))
+              .as("e"),
+            min(when(col("event_type") === "purchase",
+              to_date(col("ts")))).as("p"))
+        val dur = span.crossJoin(broadcast(gmax))
+          .withColumn("m", expr(
+            """CASE WHEN e IS NULL THEN p WHEN p IS NULL THEN e
+              |WHEN e <= p THEN e ELSE p END""".stripMargin))
+          .select(
+            when(col("m").isNotNull, datediff(col("m"), col("f")))
+              .otherwise(datediff(col("gmax"), col("f")))
+              .cast("long").as("t"),
+            when(col("m").isNotNull && col("e").isNotNull &&
+              (col("p").isNull || col("e") <= col("p")), 1L)
+              .otherwise(0L).as("de"),
+            when(col("m").isNotNull && (col("e").isNull ||
+              (col("p").isNotNull && col("p") < col("e"))), 1L)
+              .otherwise(0L).as("dp"))
+        val agg = dur.groupBy("t")
+          .agg(sum(col("de")).as("d_err"), sum(col("dp")).as("d_pur"),
+            sum(lit(1L) - col("de") - col("dp")).as("c"))
+        val tot = dur.agg(count(lit(1)).as("n"))
+        val wPrior = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+        val wCum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+        agg.crossJoin(broadcast(tot))
+          .withColumn("n_at_risk",
+            col("n") - coalesce(sum(col("d_err") + col("d_pur") +
+              col("c")).over(wPrior), lit(0L)))
+          .withColumn("lnterm",
+            when(col("n_at_risk") - col("d_err") - col("d_pur") > 0,
+              round(log((col("n_at_risk") - col("d_err") - col("d_pur"))
+                .cast("double") / col("n_at_risk")), 9))
+              .otherwise(lit(0.0)).cast("decimal(18,9)"))
+          .withColumn("s_prev",
+            round(exp(coalesce(sum(col("lnterm")).over(wPrior),
+              lit(0).cast("decimal(18,9)")).cast("double")), 6))
+          .withColumn("ie", round(col("s_prev") *
+            col("d_err").cast("double") / col("n_at_risk"), 9)
+            .cast("decimal(18,9)"))
+          .withColumn("ip", round(col("s_prev") *
+            col("d_pur").cast("double") / col("n_at_risk"), 9)
+            .cast("decimal(18,9)"))
+          .select(col("t"), col("n_at_risk"),
+            col("d_err").as("d_error"), col("d_pur").as("d_purchase"),
+            round(sum(col("ie")).over(wCum).cast("double"), 6)
+              .as("cif_error"),
+            round(sum(col("ip")).over(wCum).cast("double"), 6)
+              .as("cif_purchase"))
+          .orderBy("t")
+      },
+      Some("""WITH g AS (SELECT MAX(CAST(ts AS DATE)) AS gmax
+             |      FROM events),
+             |span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+             |        MIN(CASE WHEN event_type = 'error'
+             |          THEN CAST(ts AS DATE) END) AS e,
+             |        MIN(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(ts AS DATE) END) AS p
+             |      FROM events GROUP BY 1),
+             |dur AS (SELECT
+             |        CAST(CASE WHEN m IS NOT NULL
+             |          THEN datediff('day', f, m)
+             |          ELSE datediff('day', f, g.gmax) END AS BIGINT)
+             |          AS t,
+             |        CASE WHEN m IS NOT NULL AND e IS NOT NULL AND
+             |          (p IS NULL OR e <= p) THEN 1 ELSE 0 END AS de,
+             |        CASE WHEN m IS NOT NULL AND (e IS NULL OR
+             |          (p IS NOT NULL AND p < e)) THEN 1 ELSE 0 END AS dp
+             |      FROM (SELECT *, CASE WHEN e IS NULL THEN p
+             |          WHEN p IS NULL THEN e
+             |          WHEN e <= p THEN e ELSE p END AS m
+             |        FROM span) CROSS JOIN g),
+             |agg AS (SELECT t, SUM(de) AS d_err, SUM(dp) AS d_pur,
+             |        SUM(1 - de - dp) AS c
+             |      FROM dur GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM dur),
+             |r AS (SELECT t, d_err, d_pur,
+             |        tot.n - COALESCE(SUM(d_err + d_pur + c) OVER (
+             |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |          1 PRECEDING), 0) AS n_at_risk
+             |      FROM agg CROSS JOIN tot),
+             |lt AS (SELECT t, d_err, d_pur, n_at_risk,
+             |        CAST(CASE WHEN n_at_risk - d_err - d_pur > 0
+             |          THEN round(ln(CAST(n_at_risk - d_err - d_pur
+             |            AS DOUBLE) / n_at_risk), 9)
+             |          ELSE 0.0 END AS DECIMAL(18,9)) AS lnterm
+             |      FROM r),
+             |sp AS (SELECT t, d_err, d_pur, n_at_risk,
+             |        round(exp(CAST(COALESCE(SUM(lnterm) OVER (
+             |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |          1 PRECEDING), CAST(0 AS DECIMAL(18,9)))
+             |          AS DOUBLE)), 6) AS s_prev
+             |      FROM lt),
+             |inc AS (SELECT t, n_at_risk, d_err, d_pur,
+             |        CAST(round(s_prev * CAST(d_err AS DOUBLE) /
+             |          n_at_risk, 9) AS DECIMAL(18,9)) AS ie,
+             |        CAST(round(s_prev * CAST(d_pur AS DOUBLE) /
+             |          n_at_risk, 9) AS DECIMAL(18,9)) AS ip
+             |      FROM sp)
+             |SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+             |  CAST(d_err AS BIGINT) AS d_error,
+             |  CAST(d_pur AS BIGINT) AS d_purchase,
+             |  round(CAST(SUM(ie) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE), 6) AS cif_error,
+             |  round(CAST(SUM(ip) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE), 6) AS cif_purchase
+             |FROM inc ORDER BY t""".stripMargin)),
   )
 }
