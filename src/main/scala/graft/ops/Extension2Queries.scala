@@ -2471,5 +2471,183 @@ object Extension2Queries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS DOUBLE), 6) AS cif_purchase
              |FROM inc ORDER BY t""".stripMargin)),
+
+    // Median (LAD) regression of per-user spend on activity via THREE
+    // fixed IRLS steps (Schlossmacher, JASA 1973 — IRLS with weights
+    // 1/max(|e|, δ) converges to the L1 line; the fixed step count +
+    // rounded weights make the whole trajectory deterministic, the
+    // x121 fixed-iteration discipline): the robust companion to x322's
+    // OLS-based screens — LAD slope ignores the heavy spender tail that
+    // drags the OLS line (both slopes report, plus mean |residual| for
+    // each, so the robustness gain is measured, not asserted). Each
+    // step is one weighted-moment aggregate over the |users| frame with
+    // the coefficient pair broadcast back — 3 bounded passes, no
+    // windows, no joins wider than a 1-row broadcast.
+    QuerySpec(
+      "x332_lad_regression",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("x"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+              .as("yc"))
+          .select(col("x"), (col("yc").cast("double") / 100.0).as("y"))
+          .localCheckpoint() // 3 IRLS passes + 2 residual reads
+        // OLS start (step 0)
+        val ols = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(round(col("y"), 6).cast("decimal(38,6)")).cast("double")
+              .as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(round(col("x") * col("y"), 6).cast("decimal(38,6)"))
+              .cast("double").as("sxy"))
+          .select(
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 9).as("b"),
+            col("n"), col("sx"), col("sy"))
+          .select(col("b"),
+            round((col("sy") - col("b") * col("sx")) / col("n"), 9)
+              .as("a"))
+        var fit = ols.localCheckpoint()
+        for (_ <- 1 to 3) {
+          val wmom = u.crossJoin(broadcast(fit))
+            .select(col("x"), col("y"),
+              round(lit(1.0) / greatest(
+                abs(col("y") - col("a") - col("b") * col("x")),
+                lit(0.01)), 9).as("w"))
+            .agg(
+              sum(round(col("w"), 9).cast("decimal(38,9)"))
+                .cast("double").as("sw"),
+              sum(round(col("w") * col("x"), 9).cast("decimal(38,9)"))
+                .cast("double").as("swx"),
+              sum(round(col("w") * col("y"), 6).cast("decimal(38,6)"))
+                .cast("double").as("swy"),
+              sum(round(col("w") * col("x") * col("x"), 6)
+                .cast("decimal(38,6)")).cast("double").as("swxx"),
+              sum(round(col("w") * col("x") * col("y"), 6)
+                .cast("decimal(38,6)")).cast("double").as("swxy"))
+          fit = wmom.select(
+              round((col("sw") * col("swxy") - col("swx") * col("swy")) /
+                (col("sw") * col("swxx") - col("swx") * col("swx")), 9)
+                .as("b"),
+              col("sw"), col("swx"), col("swy"))
+            .select(col("b"),
+              round((col("swy") - col("b") * col("swx")) / col("sw"), 9)
+                .as("a"))
+            .localCheckpoint() // 1-row coefficient state per step
+        }
+        val olsN = ols.select(col("a").as("a0"), col("b").as("b0"))
+        val resid = u.crossJoin(broadcast(fit)).crossJoin(broadcast(olsN))
+          .agg(count(lit(1)).as("n_users"),
+            sum(round(abs(col("y") - col("a") - col("b") * col("x")), 6)
+              .cast("decimal(38,6)")).cast("double").as("sad_lad"),
+            sum(round(abs(col("y") - col("a0") - col("b0") * col("x")), 6)
+              .cast("decimal(38,6)")).cast("double").as("sad_ols"),
+            max(col("a")).as("a"), max(col("b")).as("b"),
+            max(col("a0")).as("a0"), max(col("b0")).as("b0"))
+        resid.select(col("n_users"),
+            round(col("b"), 6).as("lad_slope"),
+            round(col("a"), 6).as("lad_intercept"),
+            round(col("b0"), 6).as("ols_slope"),
+            round(col("sad_lad") / col("n_users"), 4)
+              .as("mean_abs_resid_lad"),
+            round(col("sad_ols") / col("n_users"), 4)
+              .as("mean_abs_resid_ols"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT COUNT(*) AS x,
+             |        CAST(SUM(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS DOUBLE) / 100.0 AS y
+             |      FROM events GROUP BY user_id),
+             |m0 AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+             |        CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sy,
+             |        SUM(x * x) AS sxx,
+             |        CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS sxy
+             |      FROM u),
+             |f0 AS (SELECT round((n * sxy - sx * sy) /
+             |          CAST(n * sxx - sx * sx AS DOUBLE), 9) AS b,
+             |        n, sx, sy FROM m0),
+             |g0 AS (SELECT b, round((sy - b * sx) / n, 9) AS a FROM f0),
+             |w1 AS (SELECT COUNT(*) AS cn,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g0.a - g0.b * x), 0.01), 9), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g0.a - g0.b * x), 0.01), 9) * x, 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS swx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g0.a - g0.b * x), 0.01), 9) * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g0.a - g0.b * x), 0.01), 9) * x * x, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g0.a - g0.b * x), 0.01), 9) * x * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxy
+             |      FROM u CROSS JOIN g0),
+             |g1 AS (SELECT b, round((swy - b * swx) / sw, 9) AS a FROM (
+             |      SELECT round((sw * swxy - swx * swy) /
+             |        (sw * swxx - swx * swx), 9) AS b, sw, swx, swy
+             |      FROM w1)),
+             |w2 AS (SELECT
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g1.a - g1.b * x), 0.01), 9), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g1.a - g1.b * x), 0.01), 9) * x, 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS swx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g1.a - g1.b * x), 0.01), 9) * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g1.a - g1.b * x), 0.01), 9) * x * x, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g1.a - g1.b * x), 0.01), 9) * x * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxy
+             |      FROM u CROSS JOIN g1),
+             |g2 AS (SELECT b, round((swy - b * swx) / sw, 9) AS a FROM (
+             |      SELECT round((sw * swxy - swx * swy) /
+             |        (sw * swxx - swx * swx), 9) AS b, sw, swx, swy
+             |      FROM w2)),
+             |w3 AS (SELECT
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g2.a - g2.b * x), 0.01), 9), 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g2.a - g2.b * x), 0.01), 9) * x, 9)
+             |          AS DECIMAL(38,9))) AS DOUBLE) AS swx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g2.a - g2.b * x), 0.01), 9) * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g2.a - g2.b * x), 0.01), 9) * x * x, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxx,
+             |        CAST(SUM(CAST(round(round(1.0 / greatest(
+             |          abs(y - g2.a - g2.b * x), 0.01), 9) * x * y, 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS swxy
+             |      FROM u CROSS JOIN g2),
+             |g3 AS (SELECT b, round((swy - b * swx) / sw, 9) AS a FROM (
+             |      SELECT round((sw * swxy - swx * swy) /
+             |        (sw * swxx - swx * swx), 9) AS b, sw, swx, swy
+             |      FROM w3)),
+             |res AS (SELECT COUNT(*) AS n_users,
+             |        CAST(SUM(CAST(round(abs(y - g3.a - g3.b * x), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS sad_lad,
+             |        CAST(SUM(CAST(round(abs(y - g0.a - g0.b * x), 6)
+             |          AS DECIMAL(38,6))) AS DOUBLE) AS sad_ols,
+             |        MAX(g3.a) AS a, MAX(g3.b) AS b,
+             |        MAX(g0.b) AS b0
+             |      FROM u CROSS JOIN g3 CROSS JOIN g0)
+             |SELECT CAST(n_users AS BIGINT) AS n_users,
+             |  round(b, 6) AS lad_slope,
+             |  round(a, 6) AS lad_intercept,
+             |  round(b0, 6) AS ols_slope,
+             |  round(sad_lad / n_users, 4) AS mean_abs_resid_lad,
+             |  round(sad_ols / n_users, 4) AS mean_abs_resid_ols
+             |FROM res ORDER BY n_users""".stripMargin)),
   )
 }
