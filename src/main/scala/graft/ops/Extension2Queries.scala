@@ -2649,5 +2649,186 @@ object Extension2Queries {
              |  round(sad_lad / n_users, 4) AS mean_abs_resid_lad,
              |  round(sad_ols / n_users, 4) AS mean_abs_resid_ols
              |FROM res ORDER BY n_users""".stripMargin)),
+
+    // Poisson bootstrap (Chamandy, Muralidharan, Najmi & Naidu, Google
+    // tech report 2012; Kleiner et al's BLB is the academic sibling) of
+    // the mean per-user spend: THE bootstrap that works at 100 TB —
+    // independent Poisson(1) replicate weights per (row, replicate) need
+    // no global resample index, so B replicate means are B weighted
+    // map-side sums over ONE scan. Weights are deterministic: one md5
+    // per (user, digest-half) BEFORE the lane fan-out (the x216 8-lane
+    // discipline — PlansSpec rule 4 bans the per-replicate-digest
+    // shape), 16-bit lanes inverse-CDF'd through the literal Poisson(1)
+    // breakpoint ladder (e⁻¹-derived constants, 5-capped). Output: the
+    // point mean, the bootstrap SE, and the percentile CI over B=32
+    // replicate means — all SQL-replayable.
+    QuerySpec(
+      "x333_poisson_bootstrap",
+      (s, dir) => {
+        val u = Tables.events(s, dir).groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("yc"))
+          .select(col("user_id"),
+            (col("yc").cast("double") / 100.0).as("y"))
+        // four digests per user (one per 8-lane group: 32 hex chars = 8
+        // independent 16-bit lanes each), fan-out 8 per digest — the
+        // x216 lane discipline, under PlansSpec rule 4's threshold
+        val lanes = u.select(col("user_id"), col("y"),
+            explode(array(lit(0), lit(1), lit(2), lit(3))).as("half"))
+          .withColumn("dg", md5(concat(lit("pboot:"), col("user_id"),
+            lit(":"), col("half"))))
+          .select(col("user_id"), col("y"), col("half"), col("dg"),
+            explode(expr("sequence(0, 7)")).as("lane"))
+          .select(col("y"), (col("half") * 8 + col("lane")).as("b"),
+            conv(expr("substring(dg, lane * 4 + 1, 4)"), 16, 10)
+              .cast("long").as("u16"))
+          .select(col("y"), col("b"),
+            (col("u16").cast("double") / 65536.0).as("uu"))
+          .select(col("y"), col("b"),
+            when(col("uu") < 0.367879441, 0L)
+              .when(col("uu") < 0.735758882, 1L)
+              .when(col("uu") < 0.919698603, 2L)
+              .when(col("uu") < 0.981011843, 3L)
+              .when(col("uu") < 0.996340153, 4L)
+              .otherwise(5L).as("w"))
+        val reps = lanes.groupBy("b")
+          .agg(sum(col("w")).as("nw"),
+            sum(round(col("w") * col("y"), 6).cast("decimal(38,6)"))
+              .cast("double").as("swy"))
+          .select(col("b"), round(col("swy") / col("nw"), 6).as("rm"))
+        val base = u.agg(count(lit(1)).as("n"),
+          round(sum(round(col("y"), 6).cast("decimal(38,6)"))
+            .cast("double") / count(lit(1)), 6).as("mean"))
+        val boot = reps.agg(count(lit(1)).as("nb"),
+          sum(col("rm").cast("decimal(18,6)")).cast("double").as("srm"),
+          sum(round(col("rm") * col("rm"), 6).cast("decimal(38,6)"))
+            .cast("double").as("srm2"),
+          round(expr("percentile(rm, 0.025)"), 6).as("lo"),
+          round(expr("percentile(rm, 0.975)"), 6).as("hi"))
+        base.crossJoin(broadcast(boot))
+          .select(col("n").as("n_users"), col("mean").as("mean_spend"),
+            col("nb").as("n_replicates"),
+            round(sqrt((col("srm2") - col("srm") * col("srm") /
+              col("nb")) / (col("nb") - 1)), 6).as("bootstrap_se"),
+            col("lo").as("ci_lo_pct"), col("hi").as("ci_hi_pct"))
+          .orderBy("n_users")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |        CAST(SUM(CASE WHEN event_type = 'purchase'
+             |          THEN CAST(round(value * 100) AS BIGINT)
+             |          ELSE 0 END) AS DOUBLE) / 100.0 AS y
+             |      FROM events GROUP BY 1),
+             |hl AS (SELECT user_id, y, h.half,
+             |        md5('pboot:' || CAST(user_id AS VARCHAR) || ':' ||
+             |          CAST(h.half AS VARCHAR)) AS dg
+             |      FROM u CROSS JOIN (SELECT unnest([0, 1, 2, 3])
+             |        AS half) h),
+             |ln AS (SELECT y, half * 8 + l.lane AS b,
+             |        CAST(('0x' || substr(dg, l.lane * 4 + 1, 4))
+             |          AS BIGINT) AS u16
+             |      FROM hl CROSS JOIN (SELECT unnest(range(8)) AS lane)
+             |        l),
+             |w AS (SELECT y, b,
+             |        CASE WHEN CAST(u16 AS DOUBLE) / 65536.0
+             |            < 0.367879441 THEN 0
+             |          WHEN CAST(u16 AS DOUBLE) / 65536.0
+             |            < 0.735758882 THEN 1
+             |          WHEN CAST(u16 AS DOUBLE) / 65536.0
+             |            < 0.919698603 THEN 2
+             |          WHEN CAST(u16 AS DOUBLE) / 65536.0
+             |            < 0.981011843 THEN 3
+             |          WHEN CAST(u16 AS DOUBLE) / 65536.0
+             |            < 0.996340153 THEN 4
+             |          ELSE 5 END AS w
+             |      FROM ln),
+             |reps AS (SELECT b, round(
+             |        CAST(SUM(CAST(round(w * y, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) / SUM(w), 6) AS rm
+             |      FROM w GROUP BY 1),
+             |base AS (SELECT COUNT(*) AS n,
+             |        round(CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) / COUNT(*), 6) AS mean FROM u),
+             |boot AS (SELECT COUNT(*) AS nb,
+             |        CAST(SUM(CAST(rm AS DECIMAL(18,6))) AS DOUBLE)
+             |          AS srm,
+             |        CAST(SUM(CAST(round(rm * rm, 6) AS DECIMAL(38,6)))
+             |          AS DOUBLE) AS srm2,
+             |        round(quantile_cont(rm, 0.025), 6) AS lo,
+             |        round(quantile_cont(rm, 0.975), 6) AS hi
+             |      FROM reps)
+             |SELECT CAST(base.n AS BIGINT) AS n_users,
+             |  base.mean AS mean_spend,
+             |  CAST(boot.nb AS BIGINT) AS n_replicates,
+             |  round(sqrt((boot.srm2 - boot.srm * boot.srm / boot.nb) /
+             |    (boot.nb - 1)), 6) AS bootstrap_se,
+             |  boot.lo AS ci_lo_pct, boot.hi AS ci_hi_pct
+             |FROM base CROSS JOIN boot ORDER BY n_users""".stripMargin)),
+
+    // Chatterjee's xi rank correlation (Chatterjee, JASA 2021 — "A new
+    // coefficient of correlation"): ξ(X→Y) = 1 − 3Σ|r_{i+1} − r_i| /
+    // (n² − 1) over Y-ranks taken in X-sorted order — 0 iff independent,
+    // 1 iff Y is a measurable FUNCTION of X, and deliberately ASYMMETRIC
+    // (ξ(view→purchase) ≠ ξ(purchase→view)) — it detects nonmonotone
+    // dependence that Pearson/Spearman/Kendall (all ≈ for monotone) are
+    // blind to. Over the calendar-bounded daily (view, purchase) series,
+    // both directions; Y-ranks are max-ranks (right-continuous CDF, the
+    // paper's definition), ties in the X order break by day (documented
+    // deterministic stand-in for the paper's random tie-break). Lag
+    // windows over the day grid only.
+    QuerySpec(
+      "x334_chatterjee_xi",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        // NOT checkpointed: the global rank/lead windows are Rule-1-legal
+        // only because the bounding day-grid aggregate sits visibly below
+        // them (a checkpoint would truncate that evidence; the grid is
+        // cheap enough to recompute per direction)
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum((col("event_type") === "view").cast("long")).as("v"),
+            sum((col("event_type") === "purchase").cast("long")).as("p"))
+        def xi(xN: String, yN: String, label: String) = {
+          val ranked = d
+            .withColumn("r", count(lit(1)).over(
+              W.orderBy(col(yN)).rangeBetween(W.unboundedPreceding, 0)))
+            .withColumn("rn", lead(col("r"), 1).over(
+              W.orderBy(col(xN), col("day"))))
+          ranked.agg(count(lit(1)).as("n"),
+              sum(when(col("rn").isNotNull,
+                abs(col("rn") - col("r"))).otherwise(lit(0L))).as("sd"))
+            .select(lit(label).as("direction"), col("n").as("n_days"),
+              round(lit(1.0) - lit(3.0) * col("sd").cast("double") /
+                (col("n") * col("n") - 1).cast("double"), 6).as("xi"))
+        }
+        xi("v", "p", "view_to_purchase")
+          .unionByName(xi("p", "v", "purchase_to_view"))
+          .orderBy("direction")
+      },
+      Some {
+        def dirSql(x: String, y: String, label: String) =
+          s"""SELECT '$label' AS direction, COUNT(*) AS n_days,
+             |  round(1.0 - 3.0 * CAST(SUM(CASE WHEN rn IS NOT NULL
+             |      THEN abs(rn - r) ELSE 0 END) AS DOUBLE) /
+             |    CAST(COUNT(*) * COUNT(*) - 1 AS DOUBLE), 6) AS xi
+             |FROM (SELECT r, lead(r) OVER (ORDER BY $x, day) AS rn
+             |  FROM (SELECT day, $x,
+             |    COUNT(*) OVER (ORDER BY $y
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS r
+             |    FROM d))""".stripMargin
+        s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
+           |      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           |        AS v,
+           |      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           |        END) AS p
+           |    FROM events GROUP BY 1)
+           |SELECT CAST(n_days AS BIGINT) AS n_days, direction, xi
+           |FROM (${dirSql("v", "p", "view_to_purchase")}
+           |UNION ALL
+           |${dirSql("p", "v", "purchase_to_view")})
+           |ORDER BY direction""".stripMargin
+      }),
   )
 }
