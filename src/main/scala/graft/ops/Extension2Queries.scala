@@ -2830,5 +2830,76 @@ object Extension2Queries {
            |${dirSql("p", "v", "purchase_to_view")})
            |ORDER BY direction""".stripMargin
       }),
+
+    // Anytime-valid confidence sequence for the running conversion rate
+    // (Hoeffding 1963 bound, stitched across looks by the union-bound
+    // α_t = α/(t(t+1)) device — Σ α_t = α, so coverage holds at EVERY
+    // day simultaneously; Howard-Ramdas-McAuliffe-Sekhon 2021 is the
+    // modern treatment this approximates from first principles): the
+    // "peeking-proof" monitor the fixed-n z-interval gets wrong — a team
+    // that checks the rate daily and stops on significance inflates its
+    // error unless the band is valid at all times. Per day: cumulative
+    // purchases/events, the running rate, and the sequence bound
+    // ε_t = √(ln(2t(t+1)/α)/(2nₜ)); the `excluded_half` flag records
+    // whether 0.5 has ever been outside the band (a decision that, with
+    // this band, is safe to act on at first crossing). Cumulative sums
+    // over the calendar day grid; ln rounds at 9, output at 6.
+    QuerySpec(
+      "x335_confidence_sequence",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("event_type") === "purchase").cast("long")).as("k"))
+        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        val seq0 = d
+          .withColumn("t", row_number().over(W.orderBy("day"))
+            .cast("long"))
+          .withColumn("cn", sum(col("n")).over(wc))
+          .withColumn("ck", sum(col("k")).over(wc))
+          .select(col("day"), col("t"), col("cn"), col("ck"),
+            round(col("ck").cast("double") / col("cn"), 6).as("rate"),
+            round(sqrt(round(log(lit(2.0) *
+              (col("t") * (col("t") + 1)).cast("double") / 0.05), 9) /
+              (lit(2.0) * col("cn"))), 6).as("eps"))
+          .select(col("day"), col("t"), col("cn").as("n_events"),
+            col("rate"),
+            round(greatest(col("rate") - col("eps"), lit(0.0)), 6)
+              .as("cs_lo"),
+            round(least(col("rate") + col("eps"), lit(1.0)), 6)
+              .as("cs_hi"),
+            ((col("rate") + col("eps") < 0.5) ||
+              (col("rate") - col("eps") > 0.5)).cast("long")
+              .as("excludes_half"))
+        seq0.withColumn("excluded_half_ever",
+            max(col("excludes_half")).over(wc))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1
+             |          ELSE 0 END) AS k
+             |      FROM events GROUP BY 1),
+             |c AS (SELECT day,
+             |        CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             |          AS t,
+             |        SUM(n) OVER w AS cn, SUM(k) OVER w AS ck
+             |      FROM d WINDOW w AS (ORDER BY day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |b AS (SELECT day, t, CAST(cn AS BIGINT) AS n_events,
+             |        round(CAST(ck AS DOUBLE) / cn, 6) AS rate,
+             |        round(sqrt(round(ln(2.0 *
+             |          CAST(t * (t + 1) AS DOUBLE) / 0.05), 9) /
+             |          (2.0 * cn)), 6) AS eps
+             |      FROM c)
+             |SELECT day, t, n_events, rate,
+             |  round(greatest(rate - eps, 0.0), 6) AS cs_lo,
+             |  round(least(rate + eps, 1.0), 6) AS cs_hi,
+             |  CAST(rate + eps < 0.5 OR rate - eps > 0.5 AS BIGINT)
+             |    AS excludes_half,
+             |  MAX(CAST(rate + eps < 0.5 OR rate - eps > 0.5 AS BIGINT))
+             |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS excluded_half_ever
+             |FROM b ORDER BY day""".stripMargin)),
   )
 }
