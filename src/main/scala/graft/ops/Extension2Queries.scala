@@ -2901,5 +2901,145 @@ object Extension2Queries {
              |    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
              |      AND CURRENT ROW) AS excluded_half_ever
              |FROM b ORDER BY day""".stripMargin)),
+
+    // Depth-2 binary segmentation (Scott & Knott 1974; Vostrikova 1981
+    // proved consistency) over daily volume — the MULTIPLE-changepoint
+    // read x143's single-split CUSUM can't give: find the best split of
+    // the whole series, then the best split WITHIN each side, ranking
+    // all three by their between-segment SSE gain
+    // n_l·n_r/(n_l+n_r)·(mean_l − mean_r)² (the classical decomposition;
+    // at fixed depth this is binseg exactly, and the greedy recursion is
+    // the standard scalable alternative to O(n²) PELT-style DP). Every
+    // candidate's gain comes from prefix sums over the calendar-bounded
+    // day grid (windows over an aggregate, Rule-1-safe); winners are
+    // 1-row TakeOrdered broadcasts; integers exact, gains rounded 6 with
+    // day tie-breaks so both engines pick identical splits.
+    QuerySpec(
+      "x336_binseg_changepoints",
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        val tot = d.agg(count(lit(1)).as("nd"), sum(col("n")).as("st"))
+        val base = d
+          .withColumn("cnt", row_number().over(W.orderBy("day"))
+            .cast("long"))
+          .withColumn("cum", sum(col("n")).over(wc))
+          .crossJoin(broadcast(tot))
+          .localCheckpoint() // day grid + prefix sums, feeds both stages
+        def gain(cntC: org.apache.spark.sql.Column,
+            cumC: org.apache.spark.sql.Column,
+            ndC: org.apache.spark.sql.Column,
+            stC: org.apache.spark.sql.Column) = {
+          val ml = cumC.cast("double") / cntC
+          val mr = (stC - cumC).cast("double") / (ndC - cntC)
+          round((ml - mr) * (ml - mr) *
+            (cntC * (ndC - cntC)).cast("double") / ndC, 6)
+        }
+        val s1 = base.filter(col("cnt") < col("nd"))
+          .select(col("day"), col("cnt"), col("cum"), col("nd"),
+            col("st"),
+            gain(col("cnt"), col("cum"), col("nd"), col("st")).as("g"),
+            round(col("cum").cast("double") / col("cnt"), 6).as("ml"),
+            round((col("st") - col("cum")).cast("double") /
+              (col("nd") - col("cnt")), 6).as("mr"))
+          .orderBy(col("g").desc, col("day")).limit(1)
+          .localCheckpoint() // stage-1 winner, 1 row
+        val seg = base.crossJoin(broadcast(
+            s1.select(col("day").as("cp1"))))
+          .withColumn("seg", (col("day") > col("cp1")).cast("int"))
+        val segTot = seg.groupBy("seg")
+          .agg(count(lit(1)).as("snd"), sum(col("n")).as("sst"))
+        val ws = W.partitionBy("seg").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val s2 = seg
+          .withColumn("scnt", row_number().over(
+            W.partitionBy("seg").orderBy("day")).cast("long"))
+          .withColumn("scum", sum(col("n")).over(ws))
+          .join(segTot, "seg")
+          .filter(col("scnt") < col("snd"))
+          .select(col("seg"), col("day"),
+            gain(col("scnt"), col("scum"), col("snd"), col("sst"))
+              .as("g"),
+            round(col("scum").cast("double") / col("scnt"), 6).as("ml"),
+            round((col("sst") - col("scum")).cast("double") /
+              (col("snd") - col("scnt")), 6).as("mr"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy("seg").orderBy(col("g").desc, col("day"))))
+          .filter(col("rn") === 1)
+        s1.select(lit("all").as("segment"), col("day").as("split_day"),
+            col("g").as("gain"), col("ml").as("mean_left"),
+            col("mr").as("mean_right"))
+          .unionByName(s2.select(
+            when(col("seg") === 0, "left").otherwise("right")
+              .as("segment"),
+            col("day").as("split_day"), col("g").as("gain"),
+            col("ml").as("mean_left"), col("mr").as("mean_right")))
+          .orderBy(col("gain").desc, col("split_day"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nd, SUM(n) AS st FROM d),
+             |base AS (SELECT day, n,
+             |        CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             |          AS cnt,
+             |        SUM(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+             |          PRECEDING AND CURRENT ROW) AS cum,
+             |        tot.nd, tot.st
+             |      FROM d CROSS JOIN tot),
+             |s1 AS (SELECT day, g, ml, mr FROM (
+             |      SELECT day,
+             |        round((CAST(cum AS DOUBLE) / cnt -
+             |          CAST(st - cum AS DOUBLE) / (nd - cnt)) *
+             |          (CAST(cum AS DOUBLE) / cnt -
+             |          CAST(st - cum AS DOUBLE) / (nd - cnt)) *
+             |          CAST(cnt * (nd - cnt) AS DOUBLE) / nd, 6) AS g,
+             |        round(CAST(cum AS DOUBLE) / cnt, 6) AS ml,
+             |        round(CAST(st - cum AS DOUBLE) / (nd - cnt), 6)
+             |          AS mr
+             |      FROM base WHERE cnt < nd)
+             |      ORDER BY g DESC, day LIMIT 1),
+             |seg AS (SELECT base.day, base.n,
+             |        CAST(base.day > s1.day AS INT) AS seg
+             |      FROM base CROSS JOIN s1),
+             |st2 AS (SELECT seg, COUNT(*) AS snd, SUM(n) AS sst
+             |      FROM seg GROUP BY 1),
+             |sb AS (SELECT seg.seg, seg.day,
+             |        CAST(row_number() OVER (PARTITION BY seg.seg
+             |          ORDER BY seg.day) AS BIGINT) AS scnt,
+             |        SUM(seg.n) OVER (PARTITION BY seg.seg
+             |          ORDER BY seg.day ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND CURRENT ROW) AS scum,
+             |        st2.snd, st2.sst
+             |      FROM seg JOIN st2 ON st2.seg = seg.seg),
+             |s2 AS (SELECT seg, day, g, ml, mr FROM (
+             |      SELECT seg, day,
+             |        round((CAST(scum AS DOUBLE) / scnt -
+             |          CAST(sst - scum AS DOUBLE) / (snd - scnt)) *
+             |          (CAST(scum AS DOUBLE) / scnt -
+             |          CAST(sst - scum AS DOUBLE) / (snd - scnt)) *
+             |          CAST(scnt * (snd - scnt) AS DOUBLE) / snd, 6)
+             |          AS g,
+             |        round(CAST(scum AS DOUBLE) / scnt, 6) AS ml,
+             |        round(CAST(sst - scum AS DOUBLE) / (snd - scnt), 6)
+             |          AS mr,
+             |        row_number() OVER (PARTITION BY seg
+             |          ORDER BY round((CAST(scum AS DOUBLE) / scnt -
+             |            CAST(sst - scum AS DOUBLE) / (snd - scnt)) *
+             |            (CAST(scum AS DOUBLE) / scnt -
+             |            CAST(sst - scum AS DOUBLE) / (snd - scnt)) *
+             |            CAST(scnt * (snd - scnt) AS DOUBLE) / snd, 6)
+             |            DESC, day) AS rn
+             |      FROM sb WHERE scnt < snd) WHERE rn = 1)
+             |SELECT segment, split_day, gain, mean_left, mean_right
+             |FROM (
+             |  SELECT 'all' AS segment, day AS split_day, g AS gain,
+             |    ml AS mean_left, mr AS mean_right FROM s1
+             |  UNION ALL
+             |  SELECT CASE WHEN seg = 0 THEN 'left' ELSE 'right' END,
+             |    day, g, ml, mr FROM s2)
+             |ORDER BY gain DESC, split_day""".stripMargin)),
   )
 }
