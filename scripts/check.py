@@ -41,6 +41,11 @@ def canon_value(v):
     (that asymmetry vs float is exactly what the driver's hash sees)."""
     if v is None:
         return "NULL"
+    if v is pd.NaT:
+        # must precede the Timestamp/datetime branches: NaTType subclasses
+        # datetime, and .isoformat() would stringify as 'NaT' (surfaced by
+        # AdversarialDataSpec's null-timestamp rows in q31's day column)
+        return "NULL"
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, (float, np.floating)):

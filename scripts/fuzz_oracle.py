@@ -24,7 +24,10 @@ def fmt(v):
     if isinstance(v, float):
         if v == 0.0:
             v = 0.0
-        return f"{v:.4f}"
+        s = f"{v:.4f}"
+        # negative-but-rounds-to-zero: keep in lock-step with the Scala
+        # side's BigDecimal HALF_EVEN (which emits unsigned zero)
+        return "0.0000" if s == "-0.0000" else s
     return str(v)
 
 

@@ -69,6 +69,9 @@ object Bench {
     // ---- shared mutable record (timing loop + shutdown hook) ----
     val lock = new Object
     val mins = scala.collection.mutable.HashMap.empty[String, Double]
+    // queries that got at least a 2nd timed rep (slowest-first pass 2+) —
+    // reported so the artifact shows how much of the record is min-of-N
+    val reppedTwice = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     @volatile var passesDone = 0
     def record(name: String, dt: Double): Unit = lock.synchronized {
       mins(name) = math.min(dt, mins.getOrElse(name, Double.MaxValue))
@@ -84,7 +87,7 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = all.map(_._2).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes_done":$passesDone$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes_done":$passesDone,"multi_rep":${reppedTwice.size}$extra,"sf":"$sfDir"}"""
     }
     // The complete per-query record lands in a file after EVERY query —
     // a kill at any point leaves at most one in-flight timing unrecorded.
@@ -153,7 +156,21 @@ object Bench {
     while (pass <= reps && !outOfBudget) {
       val mandatory = pass == 1 // pass 1 always completes: full coverage
       var completedAll = true
-      val it = selected.iterator
+      // Pass 2+ runs SLOWEST-FIRST by the current min (round-11 lesson: the
+      // registry outgrew the budget and pass 2 died mid-alphabet, leaving
+      // the expensive tail — exactly where single-pass noise hurts most —
+      // with one sample). Ordering by descending cost spends whatever
+      // budget remains on the queries where a second rep buys the most
+      // noise rejection; the sub-second majority loses least from staying
+      // single-sample. Reps stay separated by a whole pass, preserving the
+      // stall-decorrelation property of interleaved passes.
+      val order =
+        if (mandatory) selected
+        else {
+          val snap = lock.synchronized(mins.toMap)
+          selected.sortBy { case (n, _) => -snap.getOrElse(n, Double.MaxValue) }
+        }
+      val it = order.iterator
       while (it.hasNext && !outOfBudget) {
         val (name, fn) = it.next()
         if (!mandatory && elapsedS >= budgetS) {
@@ -161,6 +178,7 @@ object Bench {
           completedAll = false
         } else {
           record(name, timeOnce(name, fn))
+          if (!mandatory) reppedTwice.add(name)
           writeArtifact()
         }
       }

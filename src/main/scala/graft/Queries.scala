@@ -40,9 +40,17 @@ object Queries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  // Same bridge, oracle side.
+  // Same bridge, oracle side. The DOUBLE conversion goes THROUGH VARCHAR:
+  // DuckDB's direct CAST(DECIMAL AS DOUBLE) divides int128 by 10^scale in
+  // double (two roundings — off by 1 ULP once the unscaled value passes
+  // 2^53, e.g. sums over 1e9-scale values: 10000000010.707965 → …964),
+  // while Spark's Decimal.toDouble and DuckDB's VARCHAR→DOUBLE parse are
+  // both correctly rounded (→ …966). Found by AdversarialDataSpec's
+  // hostile magnitudes; identical in the sf domain (unscaled < 2^53
+  // converts correctly either way).
   private def SQLDEC(e: String) = s"CAST($e AS DECIMAL(18,6))"
-  private def SQLSUM(e: String) = s"CAST(SUM(${SQLDEC(e)}) AS DOUBLE)"
+  private def SQLSUM(e: String) =
+    s"CAST(CAST(SUM(${SQLDEC(e)}) AS VARCHAR) AS DOUBLE)"
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -68,8 +76,8 @@ object Queries {
       Some(s"""SELECT l_returnflag, l_linestatus,
               |  ${SQLSUM("l_quantity")} AS sum_qty,
               |  ${SQLSUM("l_extendedprice")} AS sum_base_price,
-              |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+              |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
               |  COUNT(*) AS count_order
               |FROM lineitem
               |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -86,11 +94,14 @@ object Queries {
             col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
             floor(col("l_quantity")).as("qty_int"),
-            round(col("l_extendedprice"), 0).as("price_round"))
+            // + 0.0 folds IEEE -0.0 to +0.0 (Spark round HALF_UPs through
+            // BigDecimal to unsigned zero, DuckDB keeps the sign —
+            // AdversarialDataSpec finding on -0.001 inputs)
+            (round(col("l_extendedprice"), 0) + 0.0).as("price_round"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(floor(l_quantity) AS BIGINT) AS qty_int,
-             |  round(l_extendedprice, 0) AS price_round
+             |  round(l_extendedprice, 0) + 0.0 AS price_round
              |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
@@ -113,7 +124,7 @@ object Queries {
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              |  COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders   ON l_orderkey  = o_orderkey
@@ -183,9 +194,14 @@ object Queries {
             count(lit(1)).as("n_lines"))
           .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-             |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+             |  COALESCE(string_agg(CAST(l_linenumber AS VARCHAR), ','
+             |    ORDER BY l_linenumber), '') AS line_numbers,
              |  COUNT(*) AS n_lines
              |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+      // ^ COALESCE(…, ''): an all-NULL group aggregates to '' on the Spark
+      // side (collect_list drops nulls → empty array → array_join '') but
+      // NULL under string_agg — AdversarialDataSpec finding; identical on
+      // data with non-null line numbers.
 
     // SURVEY §2.4 A4 — distinct counts (exact; approx_count_distinct is the
     // 100 TB path, exercised in tests since the oracle can't match a sketch).
@@ -207,8 +223,12 @@ object Queries {
     QuerySpec(
       "q9_window_topk",
       (s, dir) => {
+        // null placement is EXPLICIT on both sides: Spark defaults asc to
+        // NULLS FIRST, DuckDB to NULLS LAST — under null order keys the
+        // implicit defaults silently disagree (AdversarialDataSpec finding)
         val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .orderBy(col("o_totalprice").desc_nulls_last,
+            col("o_orderkey").asc_nulls_first)
         Tables.orders(s, dir)
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
@@ -218,7 +238,8 @@ object Queries {
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
              |  SELECT o_custkey, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_custkey
-             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |                       ORDER BY o_totalprice DESC NULLS LAST,
+             |                                o_orderkey ASC NULLS FIRST) AS rn
              |  FROM orders) WHERE rn <= 3
              |ORDER BY o_custkey, rn""".stripMargin)),
 
@@ -229,11 +250,17 @@ object Queries {
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
             col("l_extendedprice"))
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          // explicit null placement: the LIMIT boundary must cut the same
+          // rows in both engines even when sort keys are null
+          .orderBy(col("l_extendedprice").desc_nulls_last,
+            col("l_orderkey").asc_nulls_first,
+            col("l_linenumber").asc_nulls_first)
           .limit(100),
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
              |FROM lineitem
-             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+             |ORDER BY l_extendedprice DESC NULLS LAST,
+             |  l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
+             |LIMIT 100""".stripMargin)),
 
     // ---------------------------------------------------------------- set ops (§2.5 O3 + declared)
     QuerySpec(
@@ -300,13 +327,17 @@ object Queries {
             col("p_partkey"),
             regexp_replace(col("p_name"), " ", "_").as("name_underscored"),
             upper(col("p_brand")).as("brand_upper"),
+            // concat_ws (null-skipping) on BOTH sides: '||' nulls the whole
+            // concatenation under a null operand while concat_ws drops it —
+            // AdversarialDataSpec finding; DuckDB's concat_ws matches
+            // Spark's ('' when every operand is null)
             concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
             col("p_type").endsWith("STEEL").cast("long").as("is_steel"),
             length(col("p_name")).cast("long").as("name_len"))
           .orderBy("p_partkey"),
       Some("""SELECT p_partkey, replace(p_name, ' ', '_') AS name_underscored,
              |  upper(p_brand) AS brand_upper,
-             |  p_brand || '-' || p_type AS brand_type,
+             |  concat_ws('-', p_brand, p_type) AS brand_type,
              |  CAST(p_type LIKE '%STEEL' AS BIGINT) AS is_steel,
              |  CAST(length(p_name) AS BIGINT) AS name_len
              |FROM part ORDER BY p_partkey""".stripMargin)),
@@ -392,8 +423,12 @@ object Queries {
     QuerySpec(
       "q21_running_window",
       (s, dir) => {
+        // explicit NULLS FIRST (Spark's asc default, spelled out so the
+        // oracle's DuckDB default of NULLS LAST can't silently diverge
+        // under null order keys — AdversarialDataSpec finding)
         val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .orderBy(col("o_orderdate").asc_nulls_first,
+            col("o_orderkey").asc_nulls_first)
         Tables.orders(s, dir)
           .select(
             col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
@@ -409,7 +444,9 @@ object Queries {
               |  lag(o_totalprice, 1) OVER w AS prev_price,
               |  CAST(row_number() OVER w AS BIGINT) AS rn
               |FROM orders
-              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              |WINDOW w AS (PARTITION BY o_custkey
+              |             ORDER BY o_orderdate ASC NULLS FIRST,
+              |                      o_orderkey ASC NULLS FIRST
               |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               |ORDER BY o_custkey, rn""".stripMargin)),
 
@@ -587,6 +624,9 @@ object Queries {
       "q30_scalar_subquery",
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        // Spark side keeps the direct decimal→double cast: Spark's
+        // Decimal.toDouble is correctly rounded already; only the DuckDB
+        // oracle needs the VARCHAR bridge (see SQLSUM)
         s.sql("""SELECT o.o_orderkey, o.o_totalprice
                 |FROM orders_v o
                 |WHERE o.o_totalprice > 2 * (
@@ -597,7 +637,7 @@ object Queries {
       Some("""SELECT o.o_orderkey, o.o_totalprice
              |FROM orders o
              |WHERE o.o_totalprice > 2 * (
-             |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
              |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
              |ORDER BY o.o_orderkey""".stripMargin)),
 
@@ -625,8 +665,10 @@ object Queries {
     QuerySpec(
       "q32_lead_ntile",
       (s, dir) => {
+        // explicit NULLS FIRST — same null-placement discipline as q21
         val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .orderBy(col("o_orderdate").asc_nulls_first,
+            col("o_orderkey").asc_nulls_first)
         Tables.orders(s, dir).select(
           col("o_custkey"), col("o_orderkey"),
           lead(col("o_orderkey"), 1).over(w).as("next_key"),
@@ -637,7 +679,9 @@ object Queries {
              |  lead(o_orderkey, 1) OVER w AS next_key,
              |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
              |FROM orders
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate ASC NULLS FIRST,
+             |                      o_orderkey ASC NULLS FIRST)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // Higher-order array functions over the embedding column.
@@ -806,10 +850,13 @@ object Queries {
       "q47_grouping_sets",
       (s, dir) => {
         Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v47")
+        // direct decimal→double cast on the Spark side (correctly rounded
+        // there; SQLSUM's VARCHAR bridge is DuckDB-only — Spark has no
+        // bare VARCHAR type)
         s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                  |  COALESCE(l_linestatus, 'ALL') AS ls,
                  |  COUNT(*) AS n,
-                 |  ${SQLSUM("l_quantity")} AS sum_qty
+                 |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
                  |FROM lineitem_v47
                  |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                  |ORDER BY rf, ls""".stripMargin)
@@ -829,15 +876,18 @@ object Queries {
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"))
           .agg(
-            expr("round(percentile(l_quantity, 0.5), 4)").as("median_qty"),
-            expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90_price"),
-            min(col("l_quantity")).as("min_qty"),
-            max(col("l_quantity")).as("max_qty"))
+            // + 0.0 folds IEEE -0.0 to +0.0: the engines' interpolation /
+            // extremum paths keep the zero sign differently on -0.0 inputs
+            // (AdversarialDataSpec finding); identity on every other value
+            expr("round(percentile(l_quantity, 0.5), 4) + 0.0").as("median_qty"),
+            expr("round(percentile(l_extendedprice, 0.9), 4) + 0.0").as("p90_price"),
+            (min(col("l_quantity")) + 0.0).as("min_qty"),
+            (max(col("l_quantity")) + 0.0).as("max_qty"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+             |  round(quantile_cont(l_quantity, 0.5), 4) + 0.0 AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) + 0.0 AS p90_price,
+             |  MIN(l_quantity) + 0.0 AS min_qty, MAX(l_quantity) + 0.0 AS max_qty
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Bounded range join: clicks within the 5 minutes before each purchase.
@@ -925,9 +975,15 @@ object Queries {
           .orderBy("event_id"),
       Some("""SELECT event_id,
              |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-             |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |  CASE WHEN props IS NULL THEN NULL
+             |    ELSE COALESCE(array_to_string(list_sort(json_keys(props)),
+             |      ','), '') END AS keys,
              |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
              |FROM events ORDER BY event_id""".stripMargin)),
+      // ^ the CASE/COALESCE mirrors Spark on an EMPTY '{}' props object:
+      // DuckDB's array_to_string([]) is NULL where Spark's array_join of an
+      // empty map's keys is '' (AdversarialDataSpec finding); NULL props
+      // stays NULL on both sides.
 
     // Composite: join chain + agg + window rank — top customer per nation.
     QuerySpec(
@@ -948,7 +1004,7 @@ object Queries {
       },
       Some("""WITH spend AS (
              |  SELECT n_name, c_custkey, c_name,
-             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+             |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_spend
              |  FROM orders
              |  JOIN customer ON o_custkey = c_custkey
              |  JOIN nation ON c_nationkey = n_nationkey
@@ -992,10 +1048,15 @@ object Queries {
           .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"))
             .cast("double").as("lost_revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          // tiebreak over EVERY emitted column: duplicate c_custkey rows
+          // (legal input) otherwise leave the LIMIT boundary free to pick
+          // either engine's group order (AdversarialDataSpec finding)
+          .orderBy(col("lost_revenue").desc_nulls_last,
+            col("c_custkey").asc_nulls_first, col("c_name").asc_nulls_first,
+            col("c_mktsegment").asc_nulls_first)
           .limit(20),
       Some("""SELECT c_custkey, c_name, c_mktsegment,
-             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              |    AS lost_revenue,
              |  COUNT(*) AS n_items
              |FROM lineitem
@@ -1003,7 +1064,10 @@ object Queries {
              |JOIN customer ON o_custkey = c_custkey
              |WHERE l_returnflag = 'R'
              |GROUP BY c_custkey, c_name, c_mktsegment
-             |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+             |ORDER BY lost_revenue DESC NULLS LAST,
+             |  c_custkey ASC NULLS FIRST, c_name ASC NULLS FIRST,
+             |  c_mktsegment ASC NULLS FIRST
+             |LIMIT 20""".stripMargin)),
 
     // TPC-H Q6-shaped: tight-predicate forecast aggregate (pushdown-heavy).
     QuerySpec(
@@ -1020,7 +1084,7 @@ object Queries {
             count(lit(1)).as("n_rows"))
           .orderBy("revenue"),
       Some("""SELECT
-             |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
              |  COUNT(*) AS n_rows
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -403,11 +403,23 @@ object Extension2Queries {
       "x310_kendall_w",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val wk = Tables.events(s, dir)
+        val wk0 = Tables.events(s, dir)
           .groupBy(expr("CAST(floor(datediff(to_date(ts), " +
             "DATE '1970-01-01') / 7) AS BIGINT)").as("week"),
             col("event_type"))
           .agg(count(lit(1)).as("c"))
+        // COMPLETE WEEKS ONLY (the x303 device; round-11 advice): a week
+        // missing an event type would rank only the k<nt types present,
+        // while the deviation term below assumes the global expectation
+        // m(nt+1)/2 — silently skewing rsum and letting W leave [0,1] on
+        // sparse spans. Restricting the judge panel to weeks that rank
+        // ALL types keeps the Kendall-W identity exact.
+        val ntAll = wk0.agg(countDistinct(col("event_type")).as("ntall"))
+        val complete = wk0.groupBy("week")
+          .agg(countDistinct(col("event_type")).as("k"))
+          .crossJoin(broadcast(ntAll))
+          .filter(col("k") === col("ntall")).select("week")
+        val wk = wk0.join(broadcast(complete), Seq("week"))
         val ranked = wk
           .withColumn("rmin", rank().over(
             W.partitionBy("week").orderBy("c")))
@@ -441,10 +453,14 @@ object Extension2Queries {
               .cast("long").as("concordant_sig_05"))
           .orderBy("n_weeks")
       },
-      Some("""WITH wk AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+      Some("""WITH wk0 AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
              |          CAST(ts AS DATE)) // 7 AS BIGINT) AS week,
              |        event_type, COUNT(*) AS c
              |      FROM events GROUP BY 1, 2),
+             |cw AS (SELECT week FROM wk0 GROUP BY week
+             |      HAVING COUNT(DISTINCT event_type) =
+             |        (SELECT COUNT(DISTINCT event_type) FROM wk0)),
+             |wk AS (SELECT wk0.* FROM wk0 JOIN cw USING (week)),
              |rk AS (SELECT week, event_type,
              |        CAST(rank() OVER (PARTITION BY week ORDER BY c)
              |          AS DOUBLE) +
@@ -1238,14 +1254,23 @@ object Extension2Queries {
     QuerySpec(
       "x319_hellinger_drift",
       (s, dir) => {
-        val ev = Tables.events(s, dir)
+        // null-ts rows are EXCLUDED on both sides: the Spark half-flag
+        // `(to_date(ts) <= mid)::long` nulls out on a null timestamp
+        // (dropped by both SUMs) while the oracle's CASE lands in ELSE 0
+        // (counted as second half) — an asymmetry AdversarialDataSpec
+        // exposed; an event with no timestamp belongs to neither half
+        val ev = Tables.events(s, dir).filter(col("ts").isNotNull)
         val mid = ev.agg(min(to_date(col("ts"))).as("a"),
             max(to_date(col("ts"))).as("b"))
           .select(expr("date_add(a, CAST(datediff(b, a) div 2 AS INT))")
             .as("mid"))
         val mx = ev.agg(max(col("value")).as("mx"))
+        // both-ends clamp (round-11 advice): `least(..., 19)` alone lets a
+        // negative value (or mx <= 0) mint bin ids below 0 and silently
+        // grow the promised 20-bin grid — greatest(..., 0) pins the floor
         val bins = ev.crossJoin(broadcast(mid)).crossJoin(broadcast(mx))
-          .select(least(floor(col("value") / col("mx") * 20), lit(19L))
+          .select(greatest(
+            least(floor(col("value") / col("mx") * 20), lit(19L)), lit(0L))
             .as("bin"),
             (to_date(col("ts")) <= col("mid")).cast("long").as("fh"))
           .groupBy("bin")
@@ -1273,16 +1298,17 @@ object Extension2Queries {
             round(col("tvs") / 2.0, 6).as("total_variation"))
           .orderBy("n_bins")
       },
-      Some("""WITH mid AS (SELECT MIN(CAST(ts AS DATE)) +
+      Some("""WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+             |mid AS (SELECT MIN(CAST(ts AS DATE)) +
              |          CAST(date_diff('day', MIN(CAST(ts AS DATE)),
              |            MAX(CAST(ts AS DATE))) // 2 AS INT) AS mid
-             |      FROM events),
-             |mx AS (SELECT MAX(value) AS mx FROM events),
-             |bins AS (SELECT least(CAST(floor(value / mx.mx * 20)
-             |          AS BIGINT), 19) AS bin,
+             |      FROM e),
+             |mx AS (SELECT MAX(value) AS mx FROM e),
+             |bins AS (SELECT greatest(least(CAST(floor(value / mx.mx * 20)
+             |          AS BIGINT), 19), 0) AS bin,
              |        CASE WHEN CAST(ts AS DATE) <= mid.mid THEN 1
              |          ELSE 0 END AS fh
-             |      FROM events CROSS JOIN mid CROSS JOIN mx),
+             |      FROM e CROSS JOIN mid CROSS JOIN mx),
              |g AS (SELECT bin, SUM(fh) AS c1, SUM(1 - fh) AS c2
              |      FROM bins GROUP BY 1),
              |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
@@ -2774,8 +2800,13 @@ object Extension2Queries {
     // blind to. Over the calendar-bounded daily (view, purchase) series,
     // both directions; Y-ranks are max-ranks (right-continuous CDF, the
     // paper's definition), ties in the X order break by day (documented
-    // deterministic stand-in for the paper's random tie-break). Lag
-    // windows over the day grid only.
+    // deterministic stand-in for the paper's random tie-break). Because
+    // daily counts DO tie, the denominator is the paper's tie-robust form
+    // 2·Σ lᵢ(n−lᵢ) (lᵢ = #{j: Yⱼ ≥ Yᵢ}) rather than the no-ties constant
+    // n(n²−1)/3 — with ties the latter biases ξ low and caps it below 1
+    // for exact functional dependence (round-11 advice). Σ lᵢ(n−lᵢ) is
+    // computed as n·Σl − Σl², all exact integers until the single final
+    // division. Lag windows over the day grid only.
     QuerySpec(
       "x334_chatterjee_xi",
       (s, dir) => {
@@ -2793,14 +2824,21 @@ object Extension2Queries {
           val ranked = d
             .withColumn("r", count(lit(1)).over(
               W.orderBy(col(yN)).rangeBetween(W.unboundedPreceding, 0)))
+            .withColumn("l", count(lit(1)).over(
+              W.orderBy(col(yN).desc).rangeBetween(W.unboundedPreceding, 0)))
             .withColumn("rn", lead(col("r"), 1).over(
               W.orderBy(col(xN), col("day"))))
           ranked.agg(count(lit(1)).as("n"),
               sum(when(col("rn").isNotNull,
-                abs(col("rn") - col("r"))).otherwise(lit(0L))).as("sd"))
+                abs(col("rn") - col("r"))).otherwise(lit(0L))).as("sd"),
+              sum(col("l")).as("sl"),
+              sum(col("l") * col("l")).as("sl2"))
             .select(lit(label).as("direction"), col("n").as("n_days"),
-              round(lit(1.0) - lit(3.0) * col("sd").cast("double") /
-                (col("n") * col("n") - 1).cast("double"), 6).as("xi"))
+              round(lit(1.0) -
+                col("n").cast("double") * col("sd").cast("double") /
+                (lit(2.0) * (col("n").cast("double") *
+                  col("sl").cast("double") -
+                  col("sl2").cast("double"))), 6).as("xi"))
         }
         xi("v", "p", "view_to_purchase")
           .unionByName(xi("p", "v", "purchase_to_view"))
@@ -2809,14 +2847,20 @@ object Extension2Queries {
       Some {
         def dirSql(x: String, y: String, label: String) =
           s"""SELECT '$label' AS direction, COUNT(*) AS n_days,
-             |  round(1.0 - 3.0 * CAST(SUM(CASE WHEN rn IS NOT NULL
-             |      THEN abs(rn - r) ELSE 0 END) AS DOUBLE) /
-             |    CAST(COUNT(*) * COUNT(*) - 1 AS DOUBLE), 6) AS xi
-             |FROM (SELECT r, lead(r) OVER (ORDER BY $x, day) AS rn
+             |  round(1.0 -
+             |    CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CASE WHEN rn IS
+             |      NOT NULL THEN abs(rn - r) ELSE 0 END) AS DOUBLE) /
+             |    (2.0 * (CAST(COUNT(*) AS DOUBLE) *
+             |      CAST(SUM(l) AS DOUBLE) -
+             |      CAST(SUM(l * l) AS DOUBLE))), 6) AS xi
+             |FROM (SELECT r, l, lead(r) OVER (ORDER BY $x, day) AS rn
              |  FROM (SELECT day, $x,
              |    COUNT(*) OVER (ORDER BY $y
              |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS r
+             |      AS r,
+             |    COUNT(*) OVER (ORDER BY $y DESC
+             |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS l
              |    FROM d))""".stripMargin
         s"""WITH d AS (SELECT CAST(ts AS DATE) AS day,
            |      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -2843,39 +2887,18 @@ object Extension2Queries {
     // ε_t = √(ln(2t(t+1)/α)/(2nₜ)); the `excluded_half` flag records
     // whether 0.5 has ever been outside the band (a decision that, with
     // this band, is safe to act on at first crossing). Cumulative sums
-    // over the calendar day grid; ln rounds at 9, output at 6.
+    // over the calendar day grid; ln rounds at 9, output at 6. The math
+    // lives in the shared ConfSeq core — ConfSeqStream (the monitor is
+    // inherently a streaming object) reports through the same code, and
+    // ConfSeqStreamSpec proves stream == batch == this registry entry.
     QuerySpec(
       "x335_confidence_sequence",
-      (s, dir) => {
-        val W = org.apache.spark.sql.expressions.Window
-        val d = Tables.events(s, dir)
+      (s, dir) => ConfSeq.fromCounts(
+        Tables.events(s, dir)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"),
-            sum((col("event_type") === "purchase").cast("long")).as("k"))
-        val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
-        val seq0 = d
-          .withColumn("t", row_number().over(W.orderBy("day"))
-            .cast("long"))
-          .withColumn("cn", sum(col("n")).over(wc))
-          .withColumn("ck", sum(col("k")).over(wc))
-          .select(col("day"), col("t"), col("cn"), col("ck"),
-            round(col("ck").cast("double") / col("cn"), 6).as("rate"),
-            round(sqrt(round(log(lit(2.0) *
-              (col("t") * (col("t") + 1)).cast("double") / 0.05), 9) /
-              (lit(2.0) * col("cn"))), 6).as("eps"))
-          .select(col("day"), col("t"), col("cn").as("n_events"),
-            col("rate"),
-            round(greatest(col("rate") - col("eps"), lit(0.0)), 6)
-              .as("cs_lo"),
-            round(least(col("rate") + col("eps"), lit(1.0)), 6)
-              .as("cs_hi"),
-            ((col("rate") + col("eps") < 0.5) ||
-              (col("rate") - col("eps") > 0.5)).cast("long")
-              .as("excludes_half"))
-        seq0.withColumn("excluded_half_ever",
-            max(col("excludes_half")).over(wc))
-          .orderBy("day")
-      },
+            sum((col("event_type") === "purchase").cast("long"))
+              .as("k"))),
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
              |        SUM(CASE WHEN event_type = 'purchase' THEN 1
              |          ELSE 0 END) AS k

@@ -100,8 +100,15 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(n), new ExpressionInfo(cls, n), builder)
+      // registerFunction REPLACES and warns on every repeat call (the bench
+      // loop calls register once per query plan build) — skip when the name
+      // already resolves so the log stays clean and registration is truly
+      // idempotent
+      val id = FunctionIdentifier(n)
+      if (!spark.sessionState.functionRegistry.functionExists(id)) {
+        spark.sessionState.functionRegistry.registerFunction(
+          id, new ExpressionInfo(cls, n), builder)
+      }
     }
 
   private[plans] def all = functions
