@@ -1006,18 +1006,39 @@ object Dedup {
         col("a.bkey") === col("b.bkey") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("da"), col("b.doc").as("db"))
       .distinct()
-    val tot = tf.groupBy("doc").agg(sum(col("w")).as("tw"))
+    // exact weighted-Jaccard verify, shuffle-free (round-12): the old form
+    // re-joined tf token-level on both candidate sides — |cand|·|doc| rows
+    // through a shuffle + min/sum aggregate, the measured hot stage on
+    // this (deliberately near-quadratic-output) corpus. Instead each doc's
+    // term vector collapses once to a sorted dense-id array + aligned
+    // weights, and candidates evaluate Σ min(w_a, w_b) in-row with the
+    // codegen'd sorted_weighted_intersect_min merge. Ids come from a
+    // distinct-JOIN (bijective, collision-free; monotonically_increasing_id
+    // is stable only within one materialization — the checkpoint freezes
+    // the mapping before both consumers read it), so the numerator is the
+    // same exact integer as the token-level join's.
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val tokIds = tf.select("tok").distinct()
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+    val docVec = tf.join(broadcast(tokIds), Seq("tok"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("tid"), col("w")))).as("p"),
+        sum(col("w")).as("tw"))
+      .select(col("doc"),
+        expr("transform(p, x -> x.tid)").as("ids"),
+        expr("transform(p, x -> x.w)").as("ws"),
+        col("tw"))
     val m = cand
-      .join(tf.select(col("doc").as("da"), col("tok"), col("w").as("wa")),
-        Seq("da"))
-      .join(tf.select(col("doc").as("db"), col("tok"), col("w").as("wb")),
-        Seq("db", "tok"))
-      .groupBy("da", "db").agg(sum(least(col("wa"), col("wb"))).as("m"))
+      .join(docVec.select(col("doc").as("da"), col("ids").as("ida"),
+        col("ws").as("wsa"), col("tw").as("ta")), Seq("da"))
+      .join(docVec.select(col("doc").as("db"), col("ids").as("idb"),
+        col("ws").as("wsb"), col("tw").as("tb")), Seq("db"))
+      .select(col("da"), col("db"), col("ta"), col("tb"),
+        expr("sorted_weighted_intersect_min(ida, wsa, idb, wsb)").as("m"))
     val wjac = round(col("m").cast("double") /
       (col("ta") + col("tb") - col("m")), 4)
-    m.join(tot.select(col("doc").as("da"), col("tw").as("ta")), Seq("da"))
-      .join(tot.select(col("doc").as("db"), col("tw").as("tb")), Seq("db"))
-      .filter(wjac >= threshold)
+    m.filter(wjac >= threshold)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         wjac.as("wjac"))
   }

@@ -96,7 +96,11 @@ object GraftFunctions {
     ("lcp_chars", classOf[LcpChars].getName,
       (c: Seq[Expression]) => LcpChars(c(0), c(1))),
     ("rolling_fingerprint", classOf[RollingFingerprint].getName,
-      (c: Seq[Expression]) => RollingFingerprint(c(0))))
+      (c: Seq[Expression]) => RollingFingerprint(c(0))),
+    ("sorted_weighted_intersect_min",
+      classOf[SortedWeightedIntersectMin].getName,
+      (c: Seq[Expression]) =>
+        SortedWeightedIntersectMin(c(0), c(1), c(2), c(3))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (n, cls, builder) =>
