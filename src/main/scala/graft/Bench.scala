@@ -156,19 +156,26 @@ object Bench {
     while (pass <= reps && !outOfBudget) {
       val mandatory = pass == 1 // pass 1 always completes: full coverage
       var completedAll = true
-      // Pass 2+ runs SLOWEST-FIRST by the current min (round-11 lesson: the
+      // Pass 2+ prioritizes the SLOWEST queries (round-11 lesson: the
       // registry outgrew the budget and pass 2 died mid-alphabet, leaving
       // the expensive tail — exactly where single-pass noise hurts most —
-      // with one sample). Ordering by descending cost spends whatever
-      // budget remains on the queries where a second rep buys the most
-      // noise rejection; the sub-second majority loses least from staying
-      // single-sample. Reps stay separated by a whole pass, preserving the
-      // stall-decorrelation property of interleaved passes.
+      // with one sample), but INTERLEAVES them with the fastest: a strict
+      // slowest-first order ran every multi-second query back-to-back and
+      // the mutual GC/page-cache pressure inflated exactly the numbers the
+      // extra reps were meant to clean (measured round 12: x306 4.19 s in
+      // the slowest-first pass vs 2.54 s isolated; x323 3.75 vs 2.22).
+      // Pairing rank i from the heavy half with rank i from the light end
+      // keeps every heavy query inside the first 2k slots (budget-death
+      // still can't starve them) while giving each a sub-second spacer.
       val order =
         if (mandatory) selected
         else {
           val snap = lock.synchronized(mins.toMap)
-          selected.sortBy { case (n, _) => -snap.getOrElse(n, Double.MaxValue) }
+          val ranked = selected
+            .sortBy { case (n, _) => -snap.getOrElse(n, Double.MaxValue) }
+          val (heavy, light) = ranked.splitAt(ranked.size / 2)
+          heavy.map(Some(_)).zipAll(light.reverse.map(Some(_)), None, None)
+            .flatMap { case (a, b) => Seq(a, b).flatten }
         }
       val it = order.iterator
       while (it.hasNext && !outOfBudget) {
