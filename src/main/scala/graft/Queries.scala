@@ -1120,6 +1120,66 @@ object Queries {
              |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
              |        / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
              |FROM j
-             |ORDER BY promo_pct""".stripMargin))
+             |ORDER BY promo_pct""".stripMargin)),
+
+    // SURVEY §2.1 S12 sibling (round 12) — ORC sink + scan roundtrip: the
+    // second columnar format Spark ships natively (the warehouse
+    // interchange case: a downstream Hive/Trino consumer hands data back).
+    // The oracle reads the SAME rows off the original parquet — the claim
+    // under test is that the ORC roundtrip is value-lossless, with the
+    // scan going through Spark's vectorized ORC reader (column-pruned and
+    // predicate-pushed exactly like parquet at scale).
+    QuerySpec(
+      "q48_orc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_orc_lineitem").toString
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("l_quantity") >= 25) // pushed into the ORC scan
+          .groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, ${SQLSUM("l_quantity")} AS sum_qty,
+              |  ${SQLSUM("l_extendedprice")} AS sum_price,
+              |  COUNT(*) AS n_rows
+              |FROM lineitem WHERE l_quantity >= 25
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // SURVEY §2.1 (round 12) — partitioned sink + partition-PRUNED scan:
+    // the 100 TB layout primitive. events lands partitioned by event_type;
+    // the reader's equality filter must resolve at PLANNING time against
+    // the directory layout (PartitionFilters in the scan node — zero bytes
+    // of the other four partitions are opened, the difference between
+    // reading 20 TB and 100 TB for this query shape). Values round-trip
+    // through the partition-column path (directory names + type
+    // inference), not the columnar path — a distinct codepath worth its
+    // own oracle. Null event_type rows land in the Hive default partition
+    // and are excluded by the equality filter on BOTH engines.
+    QuerySpec(
+      "q49_partition_pruned_scan",
+      (s, dir) => {
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_events_parts").toString
+        Tables.events(s, dir)
+          .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY day""".stripMargin))
   )
 }

@@ -61,11 +61,15 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(bpePreTokens(text)).cast("long")
 
-  /** Mean token length, rounded to 4 decimals (deterministic across engines). */
+  /** Mean token length, rounded to 4 decimals (deterministic across
+    * engines). ZERO tokens → NULL, matching the oracle dialect where x/0 is
+    * NULL — the unguarded division ANSI-threw DIVIDE_BY_ZERO on
+    * empty/whitespace-only documents (AdversarialDataSpec finding). */
   def avgTokenLen(text: Column): Column = {
     val t = tokens(text)
-    round(
-      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t), 4)
+    when(size(t) > 0, round(
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") /
+        size(t), 4))
   }
 
   /** Share of characters that are sentence punctuation, rounded 4. */
@@ -73,11 +77,13 @@ object TextFunctions {
     round(size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double") /
       greatest(length(text), lit(1)), 4)
 
-  /** Share of tokens drawn from a stopword list, rounded to 4 decimals. */
+  /** Share of tokens drawn from a stopword list, rounded to 4 decimals.
+    * ZERO tokens → NULL (same divide-by-zero contract as avgTokenLen). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = tokens(text)
-    round(
-      size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t), 4)
+    when(size(t) > 0, round(
+      size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") /
+        size(t), 4))
   }
 
   /** Quality score in [0,1]: penalizes extreme doc length, very short/long

@@ -59,7 +59,9 @@ object Dedup {
     * tokenizer ran ~240x per row in the HOF formulation — measured). Hash is
     * MurmurHash3 (JVM-stable, deterministic). */
   val wordShingleUdf = udf { toks: Seq[String] =>
-    if (toks.length < 3) Array.empty[Long]
+    // null toks (null text upstream) = empty shingle set, like the SQL
+    // oracles' unnest(NULL) — was an NPE, caught by AdversarialDataSpec
+    if (toks == null || toks.length < 3) Array.empty[Long]
     else {
       val seen = new java.util.LinkedHashSet[Long]()
       var i = 0
@@ -81,7 +83,7 @@ object Dedup {
     * jaccard over the raw string sets is hash-free, so an external oracle
     * recomputes it from the text alone. */
   val wordShingleStrUdf = udf { toks: Seq[String] =>
-    if (toks.length < 3) Array.empty[String]
+    if (toks == null || toks.length < 3) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
@@ -194,7 +196,8 @@ object Dedup {
     // sentinel Long.MaxValue per slot; such docs are excluded from
     // near-dup search.
     val family = hashFamily(k).toArray
-    val sigUdf = udf { hashes: Seq[Long] =>
+    val sigUdf = udf { hashes0: Seq[Long] =>
+      val hashes = if (hashes0 == null) Seq.empty[Long] else hashes0
       val out = new Array[Long](family.length)
       var i = 0
       while (i < family.length) {
@@ -302,9 +305,18 @@ object Dedup {
     * the shared base hash of [[simhashUdf]], [[contamination]] and the DSIR
     * hashed-feature buckets (ExtensionQueries x41). */
   private[ops] def poly31(s: String): Long = {
+    // iterate Unicode CODEPOINTS, not UTF-16 chars: the SQL replay is
+    // [ord(c) for c in string_split(s, '')] and DuckDB's ord() yields the
+    // codepoint — charAt() would feed surrogate HALVES for non-BMP input
+    // (emoji), diverging the sketch (AdversarialDataSpec finding; identical
+    // on BMP-only corpora like the sf fixtures)
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % 2147483647L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -312,7 +324,7 @@ object Dedup {
     * SQL-replayable hash the oracle recomputes from raw text). Shared by
     * [[contamination]] (ExtensionQueries x21). */
   def wordGramHashUdf(n: Int) = udf { toks: Seq[String] =>
-    if (toks.length < n) Array.empty[Long]
+    if (toks == null || toks.length < n) Array.empty[Long]
     else {
       val seen = new java.util.LinkedHashSet[Long]()
       var i = 0
@@ -377,7 +389,8 @@ object Dedup {
     *    pairs true dups at j >= 0.9);
     *  - bit i is set iff strictly more shingles vote odd than even.
     * Row-local compiled kernel (see withMinhash for why not HOFs). */
-  val simhashUdf = udf { shingles: Seq[String] =>
+  val simhashUdf = udf { shingles0: Seq[String] =>
+    val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
     val votes = new Array[Int](64)
     shingles.foreach { s =>
       val h = poly31(s)
@@ -504,7 +517,8 @@ object Dedup {
     * deletions elsewhere in the doc leave the other chunks byte-identical
     * (the property fixed-width segmenting lacks; DedupSpec asserts it).
     * Row-local compiled kernel; expected chunk length = `modulus` tokens. */
-  def cdcChunksUdf(modulus: Long = 8L) = udf { toks: Seq[String] =>
+  def cdcChunksUdf(modulus: Long = 8L) = udf { toks0: Seq[String] =>
+    val toks = if (toks0 == null) Seq.empty[String] else toks0
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var cur = new StringBuilder
     toks.foreach { w =>
