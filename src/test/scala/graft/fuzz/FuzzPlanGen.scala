@@ -71,34 +71,10 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
   def gen(seed: Int): (DataFrame, String, Seq[FCol], Set[String]) = {
     val rng = new scala.util.Random(seed)
     val feats = scala.collection.mutable.Set.empty[String]
-    // ---- join tree ----
-    val tree = joinTrees(rng.nextInt(joinTrees.length))
-    var df: DataFrame = spark.read.parquet(s"$dir/${tree.head}.parquet")
-    var cols: Seq[FCol] = tableCols(tree.head)
-    var from = tree.head
-    for (i <- 1 until tree.length) {
-      val (lk, rk) = fk((tree(i - 1), tree(i)))
-      val left = rng.nextInt(4) == 0
-      val right = spark.read.parquet(s"$dir/${tree(i)}.parquet")
-      df = df.join(right, col(lk) === col(rk), if (left) "left" else "inner")
-      from = s"$from ${if (left) "LEFT JOIN" else "JOIN"} ${tree(i)} " +
-        s"ON $lk = $rk"
-      cols = cols ++ tableCols(tree(i))
-    }
-    var sql = s"SELECT ${cols.map(_.name).mkString(", ")} FROM $from"
-    var depth = 1
 
-    def wrap(select: String, where: String = "", group: String = "",
-        tail: String = ""): Unit = {
-      depth += 1
-      val w = if (where.isEmpty) "" else s" WHERE $where"
-      val g = if (group.isEmpty) "" else s" GROUP BY $group"
-      sql = s"SELECT $select FROM ($sql) t$depth$w$g$tail"
-    }
-
-    // ---- one random predicate over the current columns ----
-    def pred(): Option[(Column, String)] = {
-      val c = cols(rng.nextInt(cols.length))
+    // ---- one random predicate over a given column set ----
+    def predFor(pcols: Seq[FCol]): Option[(Column, String)] = {
+      val c = pcols(rng.nextInt(pcols.length))
       c.t match {
         case 'l' =>
           if (rng.nextBoolean()) {
@@ -137,6 +113,59 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
         case _ => None
       }
     }
+
+    // ---- join tree ----
+    val tree = joinTrees(rng.nextInt(joinTrees.length))
+    var df: DataFrame = spark.read.parquet(s"$dir/${tree.head}.parquet")
+    var cols: Seq[FCol] = tableCols(tree.head)
+    var from = tree.head
+    var semiWhere = "" // EXISTS/NOT EXISTS predicate, applied at the tree's top
+    for (i <- 1 until tree.length) {
+      val (lk, rk) = fk((tree(i - 1), tree(i)))
+      val right = spark.read.parquet(s"$dir/${tree(i)}.parquet")
+      val kind = rng.nextInt(8)
+      if (kind >= 6 && i == tree.length - 1) {
+        // ---- semi/anti on the LAST edge (round-12): Spark's
+        // left_semi/left_anti vs the oracle's EXISTS / NOT EXISTS — the
+        // null-key semantics (a null key matches nothing, so anti KEEPS
+        // it) must agree; the child side optionally carries its own
+        // predicate inside the subquery ----
+        val anti = kind == 7
+        feats += (if (anti) "anti" else "semi")
+        val childPred = if (rng.nextBoolean()) predFor(tableCols(tree(i)))
+          else None
+        val childDf = childPred match {
+          case Some((c, _)) => right.filter(c)
+          case None => right
+        }
+        df = df.join(childDf, col(lk) === col(rk),
+          if (anti) "left_anti" else "left_semi")
+        val predSql = childPred.map { case (_, p) => s" AND $p" }.getOrElse("")
+        semiWhere = s"${if (anti) "NOT " else ""}EXISTS " +
+          s"(SELECT 1 FROM ${tree(i)} WHERE $lk = $rk$predSql)"
+        // child columns do NOT join the frame
+      } else {
+        val left = kind >= 4 && kind < 6
+        df = df.join(right, col(lk) === col(rk), if (left) "left" else "inner")
+        from = s"$from ${if (left) "LEFT JOIN" else "JOIN"} ${tree(i)} " +
+          s"ON $lk = $rk"
+        cols = cols ++ tableCols(tree(i))
+      }
+    }
+    val semiW = if (semiWhere.isEmpty) "" else s" WHERE $semiWhere"
+    var sql = s"SELECT ${cols.map(_.name).mkString(", ")} FROM $from$semiW"
+    var depth = 1
+
+    def wrap(select: String, where: String = "", group: String = "",
+        tail: String = ""): Unit = {
+      depth += 1
+      val w = if (where.isEmpty) "" else s" WHERE $where"
+      val g = if (group.isEmpty) "" else s" GROUP BY $group"
+      sql = s"SELECT $select FROM ($sql) t$depth$w$g$tail"
+    }
+
+    // ---- one random predicate over the current columns ----
+    def pred(): Option[(Column, String)] = predFor(cols)
 
     // ---- set-op stage (two filtered copies of the same frame) ----
     if (rng.nextDouble() < 0.2) {
@@ -369,19 +398,45 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
         }
       }
       val aggExprs = aggs.map { case (n, c, _, _) => c.as(n) }
-      df =
-        if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail.toSeq: _*)
-        else df.groupBy(keys.map(k => col(k.name)): _*)
-          .agg(aggExprs.head, aggExprs.tail.toSeq: _*)
-      wrap((keys.map(_.name) ++
-        aggs.map { case (n, _, e, _) => s"$e AS $n" }).mkString(", "),
-        group = keys.map(_.name).mkString(", "))
-      cols = keys ++ aggs.map { case (n, _, _, t) => FCol(n, t) }
-      // HAVING-shaped post-aggregate filter on the count
-      if (rng.nextDouble() < 0.4) {
-        val k = 1 + rng.nextInt(5)
-        df = df.filter(col("cnt") > k)
-        wrap(cols.map(_.name).mkString(", "), where = s"cnt > $k")
+      if (keys.nonEmpty && rng.nextDouble() < 0.3) {
+        // ---- ROLLUP class (round-12): grouping-set expansion with the
+        // standard GROUPING bit vector emitted so a data-NULL key is
+        // distinguishable from a rolled-up one. The trailing `cnt > 0`
+        // guard is LOAD-BEARING: on ZERO input rows Spark's rollup emits
+        // nothing while the standard (DuckDB) emits the grand-total row
+        // with cnt 0 — a pinned fixture divergence
+        // (AdversarialDataSpec) — and the guard is a no-op on every
+        // non-empty group (count(*) >= 1), so the two engines agree on
+        // ALL inputs including the adversarial empty tables ----
+        feats += "rollup"
+        df = df.rollup(keys.map(k => col(k.name)): _*)
+          .agg(aggExprs.head,
+            (aggExprs.tail.toSeq :+ grouping_id().cast("long").as("gid")): _*)
+          .filter(col("cnt") > 0)
+        wrap((keys.map(_.name) ++
+          aggs.map { case (n, _, e, _) => s"$e AS $n" } :+
+          s"CAST(GROUPING(${keys.map(_.name).mkString(", ")}) AS BIGINT) AS gid")
+          .mkString(", "),
+          group = s"ROLLUP (${keys.map(_.name).mkString(", ")})")
+        depth += 1
+        sql = s"SELECT * FROM ($sql) r$depth WHERE cnt > 0"
+        cols = keys ++ aggs.map { case (n, _, _, t) => FCol(n, t) } :+
+          FCol("gid", 'l')
+      } else {
+        df =
+          if (keys.isEmpty) df.agg(aggExprs.head, aggExprs.tail.toSeq: _*)
+          else df.groupBy(keys.map(k => col(k.name)): _*)
+            .agg(aggExprs.head, aggExprs.tail.toSeq: _*)
+        wrap((keys.map(_.name) ++
+          aggs.map { case (n, _, e, _) => s"$e AS $n" }).mkString(", "),
+          group = keys.map(_.name).mkString(", "))
+        cols = keys ++ aggs.map { case (n, _, _, t) => FCol(n, t) }
+        // HAVING-shaped post-aggregate filter on the count
+        if (rng.nextDouble() < 0.4) {
+          val k = 1 + rng.nextInt(5)
+          df = df.filter(col("cnt") > k)
+          wrap(cols.map(_.name).mkString(", "), where = s"cnt > $k")
+        }
       }
     }
 
