@@ -673,7 +673,12 @@ object Extension2Queries {
       "x313_sign_test",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
+        // ts IS NOT NULL (round-12, AdversarialDataSpec): a null timestamp
+        // has no day — and the null DAY GRID ROW would otherwise sit at a
+        // different end of the row_number index in each engine (Spark
+        // orders nulls first, DuckDB last), shifting every half-spaced pair
         val d = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
           .withColumn("idx", row_number().over(W.orderBy("day"))
@@ -703,7 +708,7 @@ object Extension2Queries {
           .orderBy("n_pairs_effective")
       },
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-             |      FROM events GROUP BY 1),
+             |      FROM events WHERE ts IS NOT NULL GROUP BY 1),
              |di AS (SELECT n, row_number() OVER (ORDER BY day) - 1 AS idx
              |      FROM d),
              |h AS (SELECT COUNT(*) // 2 AS hn FROM di),
@@ -749,10 +754,17 @@ object Extension2Queries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
             sum(col("c") * col("c")).as("scc"))
+          // DOMAIN (round-12, surfaced by AdversarialDataSpec's singleton
+          // hostile event types): Bartlett is defined only over groups
+          // that can contribute a variance — n ≥ 2 (the (n−1) divisor)
+          // and s² > 0 (the ln term); degenerate groups are excluded on
+          // both engine sides, the textbook treatment
+          .filter(col("n") >= 2)
           .select(col("event_type"), col("n"),
             round(((col("scc").cast("double") -
               col("sc").cast("double") * col("sc") / col("n")) /
               (col("n") - 1)) / 10000.0, 9).as("s2"))
+          .filter(col("s2") > 0)
           .localCheckpoint() // 5 rows feed pooled + per-group terms
         val agg = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
           sum(round((col("n") - 1).cast("double") * col("s2"), 6)
@@ -762,7 +774,8 @@ object Extension2Queries {
             .as("slns"),
           sum(lit(1.0) / (col("n") - 1).cast("double")).as("hinv"),
           max(col("s2")).as("s2max"), min(col("s2")).as("s2min"))
-        agg.select(col("k").as("n_groups"), col("nn").as("n_events"),
+        agg.filter(col("k") >= 2) // comparing variances needs >= 2 groups
+          .select(col("k").as("n_groups"), col("nn").as("n_events"),
             round((((col("nn") - col("k")).cast("double") *
               log(col("ssw") / (col("nn") - col("k")).cast("double")) -
               col("slns")) /
@@ -786,7 +799,8 @@ object Extension2Queries {
              |        round(((CAST(scc AS DOUBLE) -
              |          CAST(sc AS DOUBLE) * sc / n) / (n - 1)) /
              |          10000.0, 9) AS s2
-             |      FROM g),
+             |      FROM g WHERE n >= 2),
+             |v2 AS (SELECT * FROM v WHERE s2 > 0),
              |a AS (SELECT COUNT(*) AS k, SUM(n) AS nn,
              |        CAST(SUM(CAST(round(CAST(n - 1 AS DOUBLE) * s2, 6)
              |          AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
@@ -794,7 +808,7 @@ object Extension2Queries {
              |          9) AS DECIMAL(38,9))) AS DOUBLE) AS slns,
              |        SUM(1.0 / CAST(n - 1 AS DOUBLE)) AS hinv,
              |        MAX(s2) AS s2max, MIN(s2) AS s2min
-             |      FROM v),
+             |      FROM v2),
              |t AS (SELECT k, nn,
              |        round((CAST(nn - k AS DOUBLE) *
              |          ln(ssw / CAST(nn - k AS DOUBLE)) - slns) /
@@ -807,7 +821,7 @@ object Extension2Queries {
              |  bt AS bartlett_t,
              |  CAST(bt > 9.488 AS BIGINT) AS heteroscedastic_sig_05,
              |  fmax_ratio
-             |FROM t ORDER BY n_groups""".stripMargin)),
+             |FROM t WHERE k >= 2 ORDER BY n_groups""".stripMargin)),
 
     // Intrinsic-dimension estimate (Levina & Bickel, NIPS 2004 MLE): for
     // each query point, m̂ = 1/(ln T_k − mean_{j<k} ln T_j) over its kNN
@@ -825,7 +839,11 @@ object Extension2Queries {
       (s, dir) => {
         graft.plans.GraftFunctions.register(s)
         val W = org.apache.spark.sql.expressions.Window
+        // a missing vector has no geometry: null embeddings are excluded
+        // on both sides — a null distance would otherwise sort nulls-first
+        // into Spark's top-k where DuckDB's unnest emits no row (round-12)
         val e = Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull)
         val seeds = e.select(col("vec_id"))
           .orderBy((col("vec_id") % 1000003L * 48271L % 1000003L).asc,
             col("vec_id").asc)
@@ -870,8 +888,9 @@ object Extension2Queries {
       },
       Some("""WITH e AS (SELECT vec_id,
              |        [CAST(x AS DOUBLE) for x in embedding] AS emb
-             |      FROM embeddings),
+             |      FROM embeddings WHERE embedding IS NOT NULL),
              |s AS (SELECT vec_id FROM embeddings
+             |      WHERE embedding IS NOT NULL
              |      ORDER BY vec_id % 1000003 * 48271 % 1000003, vec_id
              |      LIMIT 200),
              |f AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -923,7 +942,11 @@ object Extension2Queries {
     QuerySpec(
       "x316_davies_bouldin",
       (s, dir) => {
+        // null embeddings excluded on both sides (round-12): Spark's
+        // posexplode silently drops them while the oracle's range(64)
+        // cross join kept them in every COUNT(*) denominator
         val ex = Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("vec_id"), col("label"), col("dim"),
@@ -982,7 +1005,8 @@ object Extension2Queries {
       },
       Some("""WITH ex AS (SELECT vec_id, label, r.i AS dim,
              |        CAST(embedding[r.i + 1] AS DOUBLE) AS v
-             |      FROM embeddings CROSS JOIN range(64) r(i)),
+             |      FROM embeddings CROSS JOIN range(64) r(i)
+             |      WHERE embedding IS NOT NULL),
              |cent AS (SELECT label, dim, COUNT(*) AS n,
              |        round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
              |          AS DOUBLE) / COUNT(*), 9) AS c
@@ -1036,7 +1060,9 @@ object Extension2Queries {
     QuerySpec(
       "x317_mahalanobis_outliers",
       (s, dir) => {
+        // null embeddings excluded on both sides (same x316 asymmetry)
         val ex = Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull)
           .select(col("vec_id"), posexplode(col("embedding"))
             .as(Seq("dim", "v")))
           .select(col("vec_id"), col("dim"),
@@ -1074,7 +1100,8 @@ object Extension2Queries {
       },
       Some("""WITH ex AS (SELECT vec_id, r.i AS dim,
              |        CAST(embedding[r.i + 1] AS DOUBLE) AS v
-             |      FROM embeddings CROSS JOIN range(64) r(i)),
+             |      FROM embeddings CROSS JOIN range(64) r(i)
+             |      WHERE embedding IS NOT NULL),
              |st AS (SELECT dim,
              |        round(CAST(SUM(CAST(round(v, 9) AS DECIMAL(38,9)))
              |          AS DOUBLE) / COUNT(*), 9) AS mu,
@@ -1346,8 +1373,13 @@ object Extension2Queries {
       "x320_ansari_bradley",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
+        // a two-sample scale test needs a KNOWN arm and a RECORDED value:
+        // null user/value rows are excluded on both sides — a null cents
+        // run would otherwise sit at a different end of the rank window
+        // per engine (round-12, AdversarialDataSpec)
         val v = Tables.events(s, dir)
-          .filter(col("event_type") === "purchase")
+          .filter(col("event_type") === "purchase" &&
+            col("user_id").isNotNull && col("value").isNotNull)
           .select((col("user_id") % 2).as("arm"),
             expr("CAST(round(value * 100) AS BIGINT)").as("c"))
         val g = v.groupBy("c")
@@ -1398,7 +1430,8 @@ object Extension2Queries {
       },
       Some("""WITH v AS (SELECT user_id % 2 AS arm,
              |        CAST(round(value * 100) AS BIGINT) AS c
-             |      FROM events WHERE event_type = 'purchase'),
+             |      FROM events WHERE event_type = 'purchase'
+             |        AND user_id IS NOT NULL AND value IS NOT NULL),
              |g AS (SELECT c, COUNT(*) AS ct,
              |        SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS cx
              |      FROM v GROUP BY 1),
@@ -1848,6 +1881,7 @@ object Extension2Queries {
         graft.plans.GraftFunctions.register(s)
         val W = org.apache.spark.sql.expressions.Window
         val e = Tables.embeddings(s, dir)
+          .filter(col("embedding").isNotNull) // no geometry, no cluster
         val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
           .withColumn("ss", expr("float_dot(s_emb, s_emb)"))
@@ -1905,7 +1939,7 @@ object Extension2Queries {
       },
       Some("""WITH e AS (SELECT vec_id, label,
              |        [CAST(x AS DOUBLE) for x in embedding] AS emb
-             |      FROM embeddings),
+             |      FROM embeddings WHERE embedding IS NOT NULL),
              |sd AS (SELECT vec_id AS sid, emb AS s_emb FROM e
              |      WHERE vec_id < 8),
              |f AS (SELECT e.vec_id, e.label, sd.sid,
@@ -1971,13 +2005,20 @@ object Extension2Queries {
     QuerySpec(
       "x326_price_elasticity",
       (s, dir) => {
+        // DOMAIN (round-12, AdversarialDataSpec): quantity is a unit
+        // COUNT ≥ 1 (also keeps the per-row unit price inside the
+        // DECIMAL(18,6) domain — a near-zero divisor overflowed it), and
+        // the log-log regression needs a positive mean unit price —
+        // without the sp > 0 guard Spark's ln(negative) is silently NULL
+        // while DuckDB's errors, a cross-engine semantics trap
         val pg = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") >= 1)
           .groupBy("l_partkey")
           .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("q"),
             sum(round(col("l_extendedprice") / col("l_quantity"), 6)
               .cast("decimal(18,6)")).cast("double").as("sp"),
             count(lit(1)).as("cnt"))
-          .filter(col("q") > 0)
+          .filter(col("q") > 0 && col("sp") > 0)
           .select(
             round(log(col("sp") / col("cnt")), 9).as("x"),
             round(log(col("q").cast("double")), 9).as("y"))
@@ -2012,8 +2053,10 @@ object Extension2Queries {
              |        CAST(SUM(CAST(round(l_extendedprice / l_quantity,
              |          6) AS DECIMAL(18,6))) AS DOUBLE) AS sp,
              |        COUNT(*) AS cnt
-             |      FROM lineitem GROUP BY 1 HAVING
-             |        SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+             |      FROM lineitem WHERE l_quantity >= 1 GROUP BY 1 HAVING
+             |        SUM(CAST(round(l_quantity) AS BIGINT)) > 0
+             |        AND CAST(SUM(CAST(round(l_extendedprice / l_quantity,
+             |          6) AS DECIMAL(18,6))) AS DOUBLE) > 0),
              |xy AS (SELECT round(ln(sp / cnt), 9) AS x,
              |        round(ln(CAST(q AS DOUBLE)), 9) AS y
              |      FROM pg),
@@ -2815,11 +2858,21 @@ object Extension2Queries {
         // only because the bounding day-grid aggregate sits visibly below
         // them (a checkpoint would truncate that evidence; the grid is
         // cheap enough to recompute per direction)
+        // ts IS NOT NULL: the day grid's X-order tie-break is BY DAY, and
+        // a null day would take a different position per engine (round-12)
         val d = Tables.events(s, dir)
+          .filter(col("ts").isNotNull)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(
-            sum((col("event_type") === "view").cast("long")).as("v"),
-            sum((col("event_type") === "purchase").cast("long")).as("p"))
+            // when/otherwise, not boolean-cast: a day whose every event
+            // has a NULL type must count 0 like the oracle's CASE…ELSE 0 —
+            // the cast form yields NULL, which then rides the engines'
+            // opposite null placement through the rank windows (round-12;
+            // the x319 asymmetry, resurfacing one level up)
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("v"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p"))
         def xi(xN: String, yN: String, label: String) = {
           val ranked = d
             .withColumn("r", count(lit(1)).over(
@@ -2867,7 +2920,7 @@ object Extension2Queries {
            |        AS v,
            |      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
            |        END) AS p
-           |    FROM events GROUP BY 1)
+           |    FROM events WHERE ts IS NOT NULL GROUP BY 1)
            |SELECT CAST(n_days AS BIGINT) AS n_days, direction, xi
            |FROM (${dirSql("v", "p", "view_to_purchase")}
            |UNION ALL
@@ -2895,6 +2948,7 @@ object Extension2Queries {
       "x335_confidence_sequence",
       (s, dir) => ConfSeq.fromCounts(
         Tables.events(s, dir)
+          .filter(col("ts").isNotNull) // null ts has no day (round-12)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"),
             sum((col("event_type") === "purchase").cast("long"))
@@ -2902,7 +2956,7 @@ object Extension2Queries {
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
              |        SUM(CASE WHEN event_type = 'purchase' THEN 1
              |          ELSE 0 END) AS k
-             |      FROM events GROUP BY 1),
+             |      FROM events WHERE ts IS NOT NULL GROUP BY 1),
              |c AS (SELECT day,
              |        CAST(row_number() OVER (ORDER BY day) AS BIGINT)
              |          AS t,
@@ -2942,6 +2996,7 @@ object Extension2Queries {
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
         val d = Tables.events(s, dir)
+          .filter(col("ts").isNotNull) // null ts has no day (round-12)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
         val wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
@@ -3003,7 +3058,7 @@ object Extension2Queries {
           .orderBy(col("gain").desc, col("split_day"))
       },
       Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
-             |      FROM events GROUP BY 1),
+             |      FROM events WHERE ts IS NOT NULL GROUP BY 1),
              |tot AS (SELECT COUNT(*) AS nd, SUM(n) AS st FROM d),
              |base AS (SELECT day, n,
              |        CAST(row_number() OVER (ORDER BY day) AS BIGINT)

@@ -25,10 +25,13 @@ import graft.ops.ConfSeq
   */
 object ConfSeqStream {
 
-  /** One micro-batch's contribution: per-day (n, k) partials. */
+  /** One micro-batch's contribution: per-day (n, k) partials. Null-ts
+    * events are excluded (they have no day — same round-12 contract as
+    * the batch x335). */
   def accumulateBatch(batch: DataFrame, stateDir: String,
       batchId: Long): Unit =
-    batch.groupBy(to_date(col("ts")).as("day"))
+    batch.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum((col("event_type") === "purchase").cast("long")).as("k"))
       .withColumn("batch_id", lit(batchId))

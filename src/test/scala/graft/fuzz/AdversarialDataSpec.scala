@@ -111,6 +111,27 @@ class AdversarialDataSpec extends SparkSpec {
     0.0, -0.0, 1.0, -1.0, 2.0, -2.0, 0.5, -0.001, 1e-300,
     java.lang.Double.MIN_VALUE, 0.11)
 
+  /** events.value pool: the statistics tail (x305–x336) runs value through
+    * SQUARES, POWER LADDERS, and the x306 long fixed-point outer product
+    * (v·10⁶ as a long ⇒ |v·10⁶|² must fit 2⁶³ ⇒ |v| ≲ 3e3) — that is the
+    * suite's documented numeric domain, and outside it both engines fail
+    * LOUDLY (ANSI overflow / DECIMAL out-of-range, the same contract the
+    * q-tranche fixture pins; first observed here as x306/x314/x321/x322/
+    * x326 rejecting ±1e9 inputs). The sf fixtures keep value in [0, ~560];
+    * this pool stays inside ±2e3 while keeping the SEMANTIC hostility —
+    * negatives (the fixtures never go below 0), ±0.0, small magnitudes,
+    * and nulls. Two bounds, both loud-failure-backed: no |v| > 2e3 (the
+    * x306 fixed-point device) and no |v| < 1e-3 among POSITIVE values —
+    * the tail's log/power/ratio statistics (x321 Box-Cox λ<0 powers, x326
+    * elasticity log-ratios) legitimately explode past the DECIMAL(38,6)
+    * representable range on denormal inputs (observed: 1e-300 →
+    * v^−λ ~ 1e158, ANSI-rejected identically by both engines). Magnitude
+    * and denormal extremes stay covered by the q-tranche via the
+    * lineitem/customer pools. */
+  private val hostileEventValues: IndexedSeq[Double] = IndexedSeq(
+    0.0, -0.0, 1.0, -1.0, 3.141592653589793, 0.001, -0.001,
+    2000.0, -2000.0, 560.21, 0.5, 42.0, -7.25)
+
   private val hostileTs: IndexedSeq[LocalDateTime] = IndexedSeq(
     LocalDateTime.of(1900, 1, 1, 0, 0, 0),
     LocalDateTime.of(1970, 1, 1, 0, 0, 0),
@@ -208,7 +229,8 @@ class AdversarialDataSpec extends SparkSpec {
               .plusDays(day).plusSeconds(rng.nextInt(86400))),
             nullable(0.08, rng.nextInt(40).toLong),
             pool("view", "purchase", "click", "signup"),
-            hd(),
+            nullable(0.12,
+              hostileEventValues(rng.nextInt(hostileEventValues.length))),
             nullable(0.3, jsonPool(rng.nextInt(jsonPool.length))))
         },
         // duplicate texts on purpose: dedup queries must agree with the
@@ -228,11 +250,24 @@ class AdversarialDataSpec extends SparkSpec {
             pool("web", "book", "wiki"),
             t match { case s: String => s.length.toLong; case _ => null })
         },
-        "embeddings" -> (0 until 60).map(i =>
-          Row(key(80, 0.05),
-            nullable(0.1, Seq.fill(embDim)(
-              hostileDoubles(rng.nextInt(hostileDoubles.length)).toFloat)),
-            ikey(5))))
+        // embedding components stay UNIT-SCALE (±2): real embeddings are
+        // normalized, and the x306 long fixed-point outer product
+        // (x·10⁶ as long) documents that domain — ±1e9 components
+        // ANSI-overflowed it, loudly (same numeric-domain contract as the
+        // fixtures below). vec_id stays a UNIQUE NON-NULL primary key
+        // (same contract as documents.doc_id): under duplicate ids the
+        // oracles' GROUP BY vec_id merges duplicate rows into one blended
+        // vector while Spark's per-row pipelines keep them apart —
+        // structurally different outputs from an input-contract violation
+        // (first observed as x325's 212-vs-74-row distance table).
+        // Hostility: negatives, ±0.0, tiny components, null vectors.
+        "embeddings" -> (0 until 60).map { i =>
+          val unitPool = IndexedSeq(0.0f, -0.0f, 1.0f, -1.0f, 0.5f, -0.5f,
+            0.25f, 2.0f, -2.0f, 0.001f, 0.7853982f)
+          Row(i.toLong,
+            nullable(0.1, Seq.fill(embDim)(unitPool(rng.nextInt(unitPool.length)))),
+            ikey(5))
+        })
       case other => fail(s"unknown variant $other")
     }
     schemas.foreach { case (table, schema) =>
@@ -345,7 +380,23 @@ class AdversarialDataSpec extends SparkSpec {
     "x2_dedup_minhash", "x3_dedup_simhash", "x22_clean_corpus",
     "x27_segment_dedup", "x29_tfidf_topterm", "x44_bigram_lm",
     "x60_bow_dedup", "x99_suffix_dedup", "x201_allpairs_prefix",
-    "x238_icws_weighted_minhash")
+    "x238_icws_weighted_minhash",
+    // round-12 third tranche: the statistics tail over hostile events —
+    // negative/extreme/null values, null timestamps, null user ids.
+    // Adversarially validates this round's x310 (complete weeks), x334
+    // (tie-robust denominator), and x319 (both-ends clamp + null-ts) fixes
+    // along with their 29 siblings.
+    "x305_herfindahl", "x306_effective_rank", "x307_nelson_aalen",
+    "x308_periodogram", "x309_theils_u", "x310_kendall_w",
+    "x311_granger_screen", "x312_hodges_lehmann", "x313_sign_test",
+    "x314_bartlett", "x315_intrinsic_dim", "x316_davies_bouldin",
+    "x317_mahalanobis_outliers", "x318_jonckheere", "x320_ansari_bradley",
+    "x321_boxcox", "x322_breusch_pagan", "x323_hyperball_anf",
+    "x324_morans_i", "x325_cluster_agreement", "x326_price_elasticity",
+    "x327_gpd_tail", "x328_deming", "x329_tail_dependence",
+    "x330_theil_decomposition", "x331_cumulative_incidence",
+    "x332_lad_regression", "x333_poisson_bootstrap", "x334_chatterjee_xi",
+    "x335_confidence_sequence", "x336_binseg_changepoints")
 
   test("adversarial data: registry subset on hostile tables matches DuckDB") {
     assume(pyOk, "python3 + duckdb unavailable — skipped")
