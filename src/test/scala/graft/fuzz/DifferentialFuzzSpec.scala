@@ -89,7 +89,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(empties < seeds.size / 2,
       s"$empties/${seeds.size} plans returned zero rows")
     val featCount = Seq("window", "limit", "dbl_arith", "dbl_div", "setop",
-      "semi", "anti", "rollup")
+      "semi", "anti", "rollup", "full")
       .map(f => f -> plans.count(_._2._4.contains(f))).toMap
     featCount.foreach { case (f, n) =>
       assert(n >= 10, s"plan class '$f' under-covered: only $n/${seeds.size}")

@@ -145,10 +145,17 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
           s"(SELECT 1 FROM ${tree(i)} WHERE $lk = $rk$predSql)"
         // child columns do NOT join the frame
       } else {
-        val left = kind >= 4 && kind < 6
-        df = df.join(right, col(lk) === col(rk), if (left) "left" else "inner")
-        from = s"$from ${if (left) "LEFT JOIN" else "JOIN"} ${tree(i)} " +
-          s"ON $lk = $rk"
+        // inner (kind 0-3), left (4), or FULL OUTER (5) — full outer
+        // nulls BOTH sides' columns (unmatched parents AND unmatched
+        // children), the widest null fan-out the downstream stages see
+        val (how, kw) = kind match {
+          case 4 => ("left", "LEFT JOIN")
+          case 5 => ("full", "FULL JOIN")
+          case _ => ("inner", "JOIN")
+        }
+        if (how == "full") feats += "full"
+        df = df.join(right, col(lk) === col(rk), how)
+        from = s"$from $kw ${tree(i)} ON $lk = $rk"
         cols = cols ++ tableCols(tree(i))
       }
     }
