@@ -48,7 +48,9 @@ import graft.SparkSpec
   *     rows tied at the LIMIT boundary are full duplicates and the result
   *     multiset is engine-independent;
   *   - timestamps may be FILTERED on (as dates, the oracle-proven
-  *     `to_date`/`CAST(ts AS DATE)` bridge) but never emitted;
+  *     `to_date`/`CAST(ts AS DATE)` bridge) and EMITTED as DATE rendered
+  *     through the string bridge (both engines print 'yyyy-MM-dd'); raw
+  *     timestamp values still never reach the canonical form;
   *   - results are canonicalized per row and SORTED as strings on both
   *     sides, so neither engine's ORDER BY null placement matters.
   *
@@ -89,7 +91,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(empties < seeds.size / 2,
       s"$empties/${seeds.size} plans returned zero rows")
     val featCount = Seq("window", "limit", "dbl_arith", "dbl_div", "setop",
-      "semi", "anti", "rollup", "full")
+      "semi", "anti", "rollup", "full", "date_emit")
       .map(f => f -> plans.count(_._2._4.contains(f))).toMap
     featCount.foreach { case (f, n) =>
       assert(n >= 10, s"plan class '$f' under-covered: only $n/${seeds.size}")

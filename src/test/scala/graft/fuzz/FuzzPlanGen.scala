@@ -224,7 +224,7 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
         val nComp = rng.nextInt(3)
         for (i <- 1 to nComp) {
           val name = s"c$i"
-          val choice = rng.nextInt(11)
+          val choice = rng.nextInt(12)
           if (choice == 0 && longs.nonEmpty) {
             val a = longs(rng.nextInt(longs.length))
             val b = longs(rng.nextInt(longs.length))
@@ -288,6 +288,14 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
             val a = dbls(rng.nextInt(dbls.length))
             feats += "dbl_arith"
             computed += ((name, negate(col(a.name)), s"(- ${a.name})", 'd'))
+          } else if (choice == 10 && tss.nonEmpty) {
+            // DATE EMISSION through the string bridge: both engines render
+            // a DATE as 'yyyy-MM-dd' text, so the calendar value itself —
+            // not just filters over it — finally reaches the compare
+            val a = tss(rng.nextInt(tss.length))
+            feats += "date_emit"
+            computed += ((name, to_date(col(a.name)).cast("string"),
+              s"CAST(CAST(${a.name} AS DATE) AS VARCHAR)", 's'))
           } else if (longs.nonEmpty) {
             val a = longs(rng.nextInt(longs.length))
             computed += ((name,
