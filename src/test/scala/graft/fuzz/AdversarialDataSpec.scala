@@ -15,27 +15,33 @@ import graft.{SparkEntry, SparkSpec}
   * against the well-behaved synthetic sf tables, whose value distributions
   * are never hostile. This spec regenerates ALL TEN tables with the same
   * schemas but degenerate content, then replays (a) a slice of the
-  * FuzzPlanGen plan space and (b) a ~35-query registry subset against
-  * DuckDB on the same files, via the same comparison plumbing the real
-  * gates use (fuzz_oracle.py / check.py).
+  * FuzzPlanGen plan space and (b) an 80+-query registry subset (the
+  * `hostileSubset` list below is the source of truth for its exact
+  * membership) against DuckDB on the same files, via the same comparison
+  * plumbing the real gates use (fuzz_oracle.py / check.py).
   *
-  * Three variants, all seeded and deterministic:
+  * Four variants, all seeded and deterministic:
   *   - `hostile`: ~100-300 rows/table mixing NULLs in every column
   *     (including join keys), empty and whitespace strings, unicode
   *     (CJK, combining marks, emoji, zero-width), mojibake, embedded
   *     quotes/backslashes/tabs, 500-char strings, duplicate rows,
   *     extreme numerics (±1e15, ±1e-300, the denormal 5e-324, -0.0),
   *     and timestamps from 1900 to 2199;
+  *   - `nan` (round-13): the hostile generator with the NON-FINITE and
+  *     FRAMING-HOSTILE pools switched in — NaN/±Infinity in every double
+  *     column, and strings carrying the canonical form's own frame
+  *     characters ('|', '\n', '\r', bare '∅'). Replayed through the fuzz
+  *     plan space only (the registry's DECIMAL(18,6) monetary contract
+  *     rejects non-finite input by design — both engines fail loudly, the
+  *     numeric-domain fixture below); the canonical form escapes strings
+  *     and renders NaN/Inf as specials (FuzzPlanGen.escapeString /
+  *     fmtDouble, lock-step with fuzz_oracle.py);
   *   - `one`: exactly one row per table (joins mostly hit);
   *   - `empty`: zero rows per table (schema-only parquet).
   *
-  * Exclusions, so a mismatch is a real divergence: no NaN/Infinity (the
-  * shared canonical form rejects them, and generated plans can't create
-  * them from finite input), no '\n'/'\r'/'|'/'∅' inside strings (they are
-  * the canonical row/field framing of the fuzz compare — check.py's
-  * pandas compare has no such restriction, but the fuzz plans use the
-  * line-oriented oracle), and events timestamps stay in 1995..2005 so
-  * calendar-grid queries keep bounded day grids.
+  * Remaining exclusion, so a mismatch is a real divergence: events
+  * timestamps stay in 1995..2005 so calendar-grid queries keep bounded
+  * day grids.
   *
   * Like the other oracle gates, requires python3+duckdb (else canceled).
   */
@@ -77,7 +83,21 @@ class AdversarialDataSpec extends SparkSpec {
       "embedding" -> ArrayType(FloatType, containsNull = true),
       "label" -> IntegerType))
 
-  // ---- hostile value pools (no \n \r | ∅ — canonical framing chars) ----
+  // ---- hostile value pools ----
+  // The base pools avoid \n \r | ∅ and non-finite doubles so the SAME
+  // tables can feed the registry subset (whose DECIMAL monetary contract
+  // rejects NaN/Inf loudly); the `nan` variant swaps in the extended pools
+  // below for the fuzz-plan replay, where the round-13 binary-safe
+  // canonical form carries them.
+
+  /** Frame characters of the fuzz compare's line-oriented canonical form,
+    * now legal INSIDE values (escaped per value on both sides). */
+  private val framingStrings: IndexedSeq[String] = IndexedSeq(
+    "pipe|inside", "line\nbreak", "cr\rreturn", "crlf\r\nboth",
+    "∅ bare null marker", "back\\slash|mix\nall∅", "|", "\n", "∅", "\\n")
+
+  private val nonFinite: IndexedSeq[Double] = IndexedSeq(
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
 
   private val hostileStrings: IndexedSeq[String] = IndexedSeq(
     "", " ", "  \t ", "héllo wörld", "日本語テキスト", "ÅÄÖ üñïçôdé",
@@ -165,11 +185,18 @@ class AdversarialDataSpec extends SparkSpec {
   private def makeVariant(variant: String): String = {
     val dir = Files.createTempDirectory(s"graft_adv_$variant")
     val rng = new scala.util.Random(20260815)
+    // the `nan` variant swaps the extended pools into the hostile generator
+    val strPool =
+      if (variant == "nan") hostileStrings ++ framingStrings else hostileStrings
+    val dblPool =
+      if (variant == "nan") hostileDoubles ++ nonFinite else hostileDoubles
+    val ratePool =
+      if (variant == "nan") hostileRates ++ nonFinite else hostileRates
     def nullable[T](p: Double, v: => T): Any =
       if (rng.nextDouble() < p) null else v
-    def hs(): Any = nullable(0.12, hostileStrings(rng.nextInt(hostileStrings.length)))
-    def hd(): Any = nullable(0.12, hostileDoubles(rng.nextInt(hostileDoubles.length)))
-    def hr(): Any = nullable(0.12, hostileRates(rng.nextInt(hostileRates.length)))
+    def hs(): Any = nullable(0.12, strPool(rng.nextInt(strPool.length)))
+    def hd(): Any = nullable(0.12, dblPool(rng.nextInt(dblPool.length)))
+    def hr(): Any = nullable(0.12, ratePool(rng.nextInt(ratePool.length)))
     def ht(): Any = nullable(0.12, hostileTs(rng.nextInt(hostileTs.length)))
     def key(hi: Int, pNull: Double = 0.08): Any =
       nullable(pNull, rng.nextInt(hi).toLong)
@@ -198,7 +225,7 @@ class AdversarialDataSpec extends SparkSpec {
           42L, "view", 1.5, null)),
         "documents" -> Seq(Row(1L, "", "en", "web", 0L)),
         "embeddings" -> Seq(Row(1L, Seq.fill(embDim)(0.0f), 0)))
-      case "hostile" => Map(
+      case "hostile" | "nan" => Map(
         "region" -> (0 until 6).map(i =>
           Row(ikey(5, 0.1), hs())),
         "nation" -> (0 until 30).map(i =>
@@ -284,10 +311,10 @@ class AdversarialDataSpec extends SparkSpec {
     catch { case _: Throwable => false }
   }
 
-  test("adversarial data: fuzz plans over hostile/one/empty tables match DuckDB") {
+  test("adversarial data: fuzz plans over hostile/nan/one/empty tables match DuckDB") {
     assume(pyOk, "python3 + duckdb unavailable — adversarial fuzz skipped")
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (variant <- Seq("hostile", "one", "empty")) {
+    for (variant <- Seq("hostile", "nan", "one", "empty")) {
       val dir = makeVariant(variant)
       val gen = new FuzzPlanGen(spark, dir)
       val plans = (1 to 120).map(s => s -> gen.gen(s))
@@ -301,8 +328,8 @@ class AdversarialDataSpec extends SparkSpec {
       val nonEmpty = rowCounts.values.count(_ > 0L)
       // non-vacuity: hostile tables must actually exercise the plans
       // (global aggregates keep even the empty variant above zero rows)
-      if (variant == "hostile")
-        assert(nonEmpty > 60, s"hostile corpus too thin: $nonEmpty/120 non-empty")
+      if (variant == "hostile" || variant == "nan")
+        assert(nonEmpty > 60, s"$variant corpus too thin: $nonEmpty/120 non-empty")
       report += s"$variant: 120 plans, ${rowCounts.values.sum} rows, $nonEmpty non-empty"
     }
     info("adversarial fuzz: " + report.mkString("; "))

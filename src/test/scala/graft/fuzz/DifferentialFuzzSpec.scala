@@ -11,10 +11,16 @@ import graft.SparkSpec
   * new this round — DOUBLE ARITHMETIC AND DIVISION, WINDOW FUNCTIONS
   * (rank / dense_rank / row_number / windowed count/sum/max),
   * ORDER BY + LIMIT, SEMI/ANTI JOINS (left_semi/left_anti vs the oracle's
-  * EXISTS / NOT EXISTS — null keys match nothing, so anti KEEPS them), and
+  * EXISTS / NOT EXISTS — null keys match nothing, so anti KEEPS them),
   * ROLLUP with the standard GROUPING bit vector (guarded by a no-op-on-
   * non-empty `cnt > 0` so the pinned empty-input grand-total divergence
-  * cannot fire) — over the TPC-H tables, rendered BOTH as DataFrame
+  * cannot fire), and — round-13 — NaN/±INFINITY INJECTION (a CASE keyed on
+  * a long column emits NaN/Inf/-Inf, which then flows through grouping,
+  * sorting, min/max, windows, set ops and division; doubles are also
+  * group- and window-partition-key candidates now, proving both engines
+  * share the floating-point total order NaN = NaN, NaN > +Inf > finite,
+  * and unify -0.0/0.0 under grouping) — over the TPC-H tables, rendered
+  * BOTH as DataFrame
   * operations and as ANSI SQL, executed on Spark and DuckDB respectively,
   * and compared row-for-row after shared canonicalization. The fixed
   * oracle-checked registry (size = SparkEntry.oracleSql.size — the single
@@ -91,7 +97,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(empties < seeds.size / 2,
       s"$empties/${seeds.size} plans returned zero rows")
     val featCount = Seq("window", "limit", "dbl_arith", "dbl_div", "setop",
-      "semi", "anti", "rollup", "full", "date_emit")
+      "semi", "anti", "rollup", "full", "date_emit", "nan")
       .map(f => f -> plans.count(_._2._4.contains(f))).toMap
     featCount.foreach { case (f, n) =>
       assert(n >= 10, s"plan class '$f' under-covered: only $n/${seeds.size}")
@@ -136,5 +142,13 @@ class DifferentialFuzzSpec extends SparkSpec {
     // and the sign-of-zero edge both sides normalize identically
     assert(FuzzPlanGen.fmtDouble(-1e-300) == "0.0000")
     assert(FuzzPlanGen.fmtDouble(-0.0) == "0.0000")
+    // round-13: the non-finite specials and the binary-safe string escapes
+    // (both in lock-step with fuzz_oracle.py — NaN/Inf would throw in
+    // BigDecimal, and bare frame chars would shear rows/fields apart)
+    assert(FuzzPlanGen.fmtDouble(Double.NaN) == "NaN")
+    assert(FuzzPlanGen.fmtDouble(Double.PositiveInfinity) == "Inf")
+    assert(FuzzPlanGen.fmtDouble(Double.NegativeInfinity) == "-Inf")
+    assert(FuzzPlanGen.escapeString("a|b\nc\rd\\e∅f") == "a\\pb\\nc\\rd\\\\e\\0f")
+    assert(FuzzPlanGen.escapeString("∅") != "∅") // never collides with null
   }
 }

@@ -224,7 +224,7 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
         val nComp = rng.nextInt(3)
         for (i <- 1 to nComp) {
           val name = s"c$i"
-          val choice = rng.nextInt(12)
+          val choice = rng.nextInt(13)
           if (choice == 0 && longs.nonEmpty) {
             val a = longs(rng.nextInt(longs.length))
             val b = longs(rng.nextInt(longs.length))
@@ -288,6 +288,28 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
             val a = dbls(rng.nextInt(dbls.length))
             feats += "dbl_arith"
             computed += ((name, negate(col(a.name)), s"(- ${a.name})", 'd'))
+          } else if (choice == 11 && longs.nonEmpty && dbls.nonEmpty) {
+            // NaN/±Infinity injection (round-13): keyed on a long column so
+            // both engines derive the identical non-finite value per row,
+            // which then flows through grouping, sorting, min/max, windows,
+            // set ops and the division stage. Spark and DuckDB share the
+            // same floating-point TOTAL ORDER (NaN = NaN is true, NaN sorts
+            // and compares greater than everything incl. +Inf) — this
+            // injector is what proves that equivalence differentially.
+            // A NULL key falls through to the finite ELSE on both engines
+            // (null % 5 matches no branch).
+            val k = longs(rng.nextInt(longs.length))
+            val d = dbls(rng.nextInt(dbls.length))
+            feats += "nan"
+            computed += ((name,
+              when(col(k.name) % 5 === 0, lit(Double.NaN))
+                .when(col(k.name) % 5 === 1, lit(Double.PositiveInfinity))
+                .when(col(k.name) % 5 === 2, lit(Double.NegativeInfinity))
+                .otherwise(col(d.name)),
+              s"CASE WHEN ${k.name} % 5 = 0 THEN CAST('NaN' AS DOUBLE) " +
+                s"WHEN ${k.name} % 5 = 1 THEN CAST('Infinity' AS DOUBLE) " +
+                s"WHEN ${k.name} % 5 = 2 THEN CAST('-Infinity' AS DOUBLE) " +
+                s"ELSE ${d.name} END", 'd'))
           } else if (choice == 10 && tss.nonEmpty) {
             // DATE EMISSION through the string bridge: both engines render
             // a DATE as 'yyyy-MM-dd' text, so the calendar value itself —
@@ -312,9 +334,13 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
       }
     }
 
-    // ---- window stage (round-12): deterministic window functions only ----
+    // ---- window stage (round-12): deterministic window functions only.
+    // Round-13: doubles join the partition-key candidates — partitioning
+    // hashes on grouping equality, where both engines unify NaNs and
+    // -0.0/0.0, so a non-finite (or signed-zero) partition key is exactly
+    // the semantics the nan injector needs exercised ----
     if (rng.nextDouble() < 0.4 && cols.exists(_.t != 't')) {
-      val partCands = cols.filter(c => c.t == 'l' || c.t == 's')
+      val partCands = cols.filter(c => c.t == 'l' || c.t == 's' || c.t == 'd')
       val part = if (partCands.nonEmpty && rng.nextBoolean())
         Some(partCands(rng.nextInt(partCands.length))) else None
       val orderCands = cols.filter(_.t != 't')
@@ -391,9 +417,12 @@ class FuzzPlanGen(spark: SparkSession, dir: String) {
       }
     }
 
-    // ---- aggregate stage ----
+    // ---- aggregate stage. Round-13: doubles are group-key candidates too
+    // (grouping equality unifies all NaN payloads and the zero signs on
+    // both engines; the emitted representative's zero sign is erased by
+    // fmtDouble's -0.0 normalization) ----
     if (rng.nextDouble() < 0.55) {
-      val keyCands = cols.filter(c => c.t == 'l' || c.t == 's')
+      val keyCands = cols.filter(c => c.t == 'l' || c.t == 's' || c.t == 'd')
       val keys = rng.shuffle(keyCands).take(rng.nextInt(3))
       val aggCands = cols.filter(_.t != 't')
       val aggs = scala.collection.mutable.ArrayBuffer
@@ -491,13 +520,30 @@ object FuzzPlanGen {
     * f"{v:.4f}" in scripts/fuzz_oracle.py. String.format("%.4f") is WRONG
     * here (HALF_UP over the shortest decimal repr — see the formatting
     * fixture test in DifferentialFuzzSpec). Negative values that round to
-    * zero normalize to unsigned zero on both sides. */
+    * zero normalize to unsigned zero on both sides. NaN/±Infinity render
+    * as the specials NaN / Inf / -Inf (round-13: the non-finite domain
+    * entered the differential surface — BigDecimal would throw on them). */
   def fmtDouble(v0: Double): String = {
-    val v = if (v0 == 0.0) 0.0 else v0 // normalize -0.0 (python side too)
-    val s = new java.math.BigDecimal(v)
-      .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
-    if (s == "-0.0000") "0.0000" else s
+    if (v0.isNaN) "NaN"
+    else if (v0 == Double.PositiveInfinity) "Inf"
+    else if (v0 == Double.NegativeInfinity) "-Inf"
+    else {
+      val v = if (v0 == 0.0) 0.0 else v0 // normalize -0.0 (python side too)
+      val s = new java.math.BigDecimal(v)
+        .setScale(4, java.math.RoundingMode.HALF_EVEN).toPlainString
+      if (s == "-0.0000") "0.0000" else s
+    }
   }
+
+  /** Binary-safe string escaping for the '|'-framed line-oriented canonical
+    * form (round-13): the frame characters themselves may now appear INSIDE
+    * string values (AdversarialDataSpec's framing-hostile pools), so they
+    * are escaped per value — backslash first, then newline/CR/pipe, and the
+    * null marker U+2205 (escaped so a literal '∅' string can never collide
+    * with the bare null marker). Lock-step with fuzz_oracle.py's esc(). */
+  def escapeString(s: String): String =
+    s.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+      .replace("|", "\\p").replace("∅", "\\0")
 
   /** Canonical result: one string per row, values '|'-joined, sorted.
     * MUST stay in lock-step with scripts/fuzz_oracle.py's fmt(). */
@@ -507,6 +553,7 @@ object FuzzPlanGen {
         if (r.isNullAt(i)) "∅"
         else c.t match {
           case 'd' => fmtDouble(r.getDouble(i))
+          case 's' => escapeString(r.getString(i))
           case _ => r.get(i).toString
         }
       }.mkString("|")
