@@ -397,6 +397,7 @@ class AdversarialDataSpec extends SparkSpec {
     "q32_lead_ntile", "q33_array_hof", "q36_percentile", "q37_range_join",
     "q39_map_funcs", "q40_top_customer_per_nation", "q41_late_ship_check",
     "q42_returned_revenue", "q44_promo_share", "q47_grouping_sets",
+    "q50_nan_stats",
     "x1_dedup_exact", "x16_normalized_dedup", "x40_unigram_lm",
     "x319_hellinger_drift",
     // round-12 second tranche: the LLM-pipeline dedup/LSH/text surface on
