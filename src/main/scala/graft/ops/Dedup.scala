@@ -101,7 +101,7 @@ object Dedup {
   /** Exact jaccard over the distinct word-shingle STRING sets, attached to
     * candidate pairs by two equi-joins on doc id. Payload arrays never ride
     * through candidate generation — only through this final small join. */
-  private def verifyWithStringJaccard(cand: DataFrame, docs: DataFrame,
+  private[ops] def verifyWithStringJaccard(cand: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
     val strs = docs
       .select(col(idCol), wordShingleStrings(col(textCol)).as("shs"))
@@ -297,6 +297,44 @@ object Dedup {
       .unionByName(index.select(col(idCol), col(textCol)))
     verifyWithStringJaccard(cand, texts, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Near-dup pairs over (base ∪ extra) where the BASE side's LSH bands
+    * and verified pairs are precomputed ([[SharedStages]]): base-internal
+    * pairs are `basePairs` verbatim, and only candidates involving an
+    * `extra` doc are banded and verified fresh (the extra-vs-all band
+    * equi-join). Exact-equivalent to `minhashNearDups(base ∪ extra)`
+    * because banding is per-doc deterministic (a pair collides in a band
+    * independent of what else is in the corpus) and verification jaccard
+    * is pair-local. Requires `extra` ids disjoint from base ids. Scale
+    * shape: this IS the production incremental form — the index bands are
+    * a materialized table, the batch equi-joins into it (same contract as
+    * [[minhashNearDupsAgainst]], plus the batch-internal pairs). */
+  def minhashNearDupsWithBase(extra: DataFrame, base: DataFrame,
+      baseBands: DataFrame, basePairs: DataFrame, idCol: String,
+      textCol: String, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    val extraBands = lshBands(
+      withMinhash(extra, textCol, k)
+        .filter(size(col("shingle_hashes")) > 0)
+        .select(col(idCol), col("sig")),
+      idCol, bands, rowsPerBand)
+    val allBands = baseBands.select(col(idCol), col("band"), col("bucket"))
+      .unionByName(extraBands)
+    val cand = extraBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
+      .distinct()
+    val texts = base.select(col(idCol), col(textCol))
+      .unionByName(extra.select(col(idCol), col(textCol)))
+    verifyWithStringJaccard(cand, texts, idCol, textCol, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .unionByName(basePairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
   }
 
   // --------------------------------------------------------- contamination

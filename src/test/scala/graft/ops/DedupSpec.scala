@@ -404,4 +404,41 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty,
       s"planted twins missed by banding (min-wise independence broken): $missing")
   }
+
+  // ---- round-13 shared-stage decomposition (SharedStages / judge ask #3):
+  // the memoized candidate stage must be EXACTLY equivalent to the direct
+  // operators it replaces inside x22/x167/x270 ----
+
+  test("minhashNearDupsWithBase == minhashNearDups over the union") {
+    val base = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val off = base.agg(max($"doc_id")).as[Long].head() + 1L
+    val extra = base.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + off).as("doc_id"),
+        concat($"text", lit(" zz9 zz8 zz7")).as("text"))
+    val union = base.unionByName(extra)
+    val direct = Dedup.minhashNearDups(union, "doc_id", "text",
+        k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaBase = Dedup.minhashNearDupsWithBase(extra, base,
+        SharedStages.docBands(spark, sfDir),
+        SharedStages.docNearDupPairs(spark, sfDir),
+        "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty, "fixture produced no pairs — vacuous")
+    assert(viaBase === direct)
+  }
+
+  test("SharedStages.cleanDeduped == dedupCorpus over the quality-filtered corpus") {
+    val clean = graft.Tables.documents(spark, sfDir)
+      .filter(graft.functions.TextFunctions.qualityScore($"text",
+        Seq("a", "the")) >= 0.9999)
+    val direct = Dedup.dedupCorpus(clean, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val shared = SharedStages.cleanDeduped(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(direct.nonEmpty, "fixture kept no docs — vacuous")
+    assert(shared === direct)
+  }
 }

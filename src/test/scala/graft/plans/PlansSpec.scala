@@ -250,9 +250,12 @@ class PlansSpec extends SparkSpec {
     * a filtering query is wrong at 100 TB). */
   private val mustPushFilters = Seq(
     "q2_filter_project", "q5_semi_join",
-    "q42_returned_revenue", "x13_ann_ivf", "x22_clean_corpus",
+    "q42_returned_revenue", "x13_ann_ivf",
     "x94_hybrid_rrf", "x98_next_event_eval", "x108_scd2_history",
     "x112_dim_lookup_asof", "x128_negative_samples")
+  // x22_clean_corpus now reads the SharedStages memo (its final plan is a
+  // bare scan of the materialized survivors); the pushed-filter claim
+  // moved to the shared BUILD plan — asserted in its own test below.
   // x110_bitext_margin also filters its scans (lang = 'en'/'de') but
   // localCheckpoints the pair table, which truncates lineage — the final
   // plan can't surface the pre-checkpoint PushedFilters for this gate.
@@ -264,6 +267,14 @@ class PlansSpec extends SparkSpec {
       assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined,
         s"$name shows no non-empty PushedFilters in its formatted plan")
     }
+  }
+
+  test("pushed filters: SharedStages.cleanDeduped build (x22/x167's shared stage)") {
+    val s = graft.ops.SharedStages.cleanDedupedBuild(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined,
+      "the shared cleaning stage's build shows no non-empty PushedFilters " +
+        "— the quality gate's scan would read every row's every column at 100 TB")
   }
 
   test("x154 month filter prunes at the DIRECTORY level (PartitionFilters)") {
