@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container's POSIX locale makes the JVM's filename encoding
+// (sun.jnu.encoding, fixed natively at JVM start from the locale)
+// ASCII-only, so any non-ASCII FILENAME — e.g. a unicode value in a
+// Hive-style partition directory name — throws InvalidPathException at
+// write (a -Dsun.jnu.encoding override is ignored by the JNI layer).
+// Production clusters run UTF-8 locales; give the forked JVMs the same
+// (found by the q49 adversarial partition tranche).
+Test / envVars += "LC_ALL" -> "C.utf8"
+run / envVars += "LC_ALL" -> "C.utf8"
 // Forked run output defaults to LoggedOutput, which prefixes every stdout
 // line with "[info] " — that breaks line-oriented JSON parsing of the
 // Bench/Verify output downstream. StdoutOutput passes the child's stdout
@@ -31,6 +40,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   // 72 bench queries incl. cached pixel pipelines need headroom; the
   // machine has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

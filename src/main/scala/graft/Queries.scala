@@ -52,6 +52,18 @@ object Queries {
   private def SQLSUM(e: String) =
     s"CAST(CAST(SUM(${SQLDEC(e)}) AS VARCHAR) AS DOUBLE)"
 
+  /** Per-run sink root for the roundtrip queries (q48/q49): a fixed path
+    * under java.io.tmpdir let two concurrent harness invocations (bench +
+    * verify on one machine) race on the same sink — one process reading
+    * while the other overwrites (round-12 ADVICE). One temp directory per
+    * JVM, plus a per-source-dir subdirectory so replays over different
+    * table directories (the adversarial variants) cannot collide either. */
+  private lazy val sinkRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_sinks_")
+  private def sinkDir(sfDir: String, name: String): String =
+    sinkRoot.resolve(
+      s"${name}_${Integer.toHexString(sfDir.hashCode)}").toString
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---------------------------------------------------------------- scans + agg
@@ -566,7 +578,7 @@ object Queries {
     QuerySpec(
       "q27_csv_scan",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        val tmp = sinkDir(dir, "csv_nation")
         Tables.nation(s, dir).coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(tmp)
         val sch = StructType(Seq(
@@ -610,8 +622,7 @@ object Queries {
         val lines = Tables.nation(s, dir)
           .select(concat_ws(" ", col("n_name"), col("n_nationkey")))
           .collect().map(_.getString(0))
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_examples.txt")
+        val tmp = java.nio.file.Paths.get(sinkDir(dir, "examples") + ".txt")
         java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
         s.read.text(tmp.toString)
           .select(split(col("value"), " ").getItem(0).as("id"))
@@ -1132,8 +1143,7 @@ object Queries {
     QuerySpec(
       "q48_orc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_orc_lineitem").toString
+        val tmp = sinkDir(dir, "orc_lineitem")
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_returnflag"))
@@ -1165,12 +1175,16 @@ object Queries {
     QuerySpec(
       "q49_partition_pruned_scan",
       (s, dir) => {
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_events_parts").toString
-        Tables.events(s, dir)
+        val tmp = sinkDir(dir, "events_parts")
+        val staged = Tables.events(s, dir)
           .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        s.read.parquet(tmp)
+        staged.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        // explicit read schema — the production contract for reading a
+        // partitioned layout you own: no inference scan over the footer
+        // of every partition at 100 TB, and a ZERO-ROW corpus (which lays
+        // out no directories at all) still reads back as an empty frame
+        // instead of UNABLE_TO_INFER_SCHEMA (adversarial empty variant)
+        s.read.schema(staged.schema).parquet(tmp)
           .filter(col("event_type") === "purchase")
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n_purchases"),

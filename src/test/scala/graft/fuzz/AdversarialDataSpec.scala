@@ -204,6 +204,19 @@ class AdversarialDataSpec extends SparkSpec {
       nullable(pNull, rng.nextInt(hi))
     def pool(xs: String*): Any = // pooled value 2/3, hostile 1/3
       if (rng.nextInt(3) < 2) xs(rng.nextInt(xs.length)) else hs()
+    // events.event_type is ALSO a PARTITION KEY (q49 lays its sink out
+    // Hive-style by it), so its hostile values stay inside the one hard
+    // filesystem limit a partition value has: the escaped directory name
+    // must fit NAME_MAX (255 bytes; the 500-char pool entry is capped to
+    // 80 — still hostile, pinned by the name-too-long fixture below).
+    // Everything else stays: tabs, backslashes, Hive metachars, quotes,
+    // unicode, emoji, zero-width, empty (→ Hive default partition), null.
+    def ppool(xs: String*): Any =
+      if (rng.nextInt(3) < 2) xs(rng.nextInt(xs.length))
+      else hs() match {
+        case s: String if s.length > 80 => s.take(80)
+        case other => other
+      }
 
     val embDim = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -255,7 +268,7 @@ class AdversarialDataSpec extends SparkSpec {
             nullable(0.08, LocalDateTime.of(1995, 1, 1, 0, 0, 0)
               .plusDays(day).plusSeconds(rng.nextInt(86400))),
             nullable(0.08, rng.nextInt(40).toLong),
-            pool("view", "purchase", "click", "signup"),
+            ppool("view", "purchase", "click", "signup"),
             nullable(0.12,
               hostileEventValues(rng.nextInt(hostileEventValues.length))),
             nullable(0.3, jsonPool(rng.nextInt(jsonPool.length))))
@@ -398,6 +411,10 @@ class AdversarialDataSpec extends SparkSpec {
     "q39_map_funcs", "q40_top_customer_per_nation", "q41_late_ship_check",
     "q42_returned_revenue", "q44_promo_share", "q47_grouping_sets",
     "q50_nan_stats",
+    // round-13: q48/q49 stage their OWN sinks from the adversarial tables
+    // (ORC value roundtrip; Hive partition directory-name escaping over
+    // tabs/backslashes/metachars/unicode/emoji event_type values)
+    "q48_orc_roundtrip", "q49_partition_pruned_scan",
     "x1_dedup_exact", "x16_normalized_dedup", "x40_unigram_lm",
     "x319_hellinger_drift",
     // round-12 second tranche: the LLM-pipeline dedup/LSH/text surface on
@@ -466,6 +483,53 @@ class AdversarialDataSpec extends SparkSpec {
     assert(out == "1",
       s"DuckDB rollup on empty input returned $out rows (expected the " +
         "standard's grand-total row) — divergence class changed?")
+  }
+
+  /** Positive fixture for the q49 partition-value escaping claim: every
+    * escaping dimension a hostile event_type exercises — tab, backslash,
+    * Hive metachars (= / % :), quotes, unicode, emoji — must survive a
+    * partitionBy write AND read back value-identical. Requires a UTF-8
+    * filename locale (sun.jnu.encoding): the container's POSIX default
+    * makes non-ASCII directory names throw InvalidPathException, so
+    * build.sbt pins LC_ALL=C.utf8 for forked JVMs — if that regresses,
+    * this fails loudly. */
+  test("fixture: hostile partition values round-trip through Hive directory escaping") {
+    import spark.implicits._
+    val vals = Seq("tab\there", "emo🦆ji", "back\\slash", "a/b=c%d:e",
+      "it's a 'quote'", "日本語テキスト", "​zero​width​")
+    val tmp = Files.createTempDirectory("graft_partesc").toString
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val back = spark.read.parquet(tmp)
+      .select("id", "event_type").as[(Long, String)].collect().toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(back.get(i.toLong).contains(v),
+        s"partition value '$v' did not round-trip: got ${back.get(i.toLong)}")
+    }
+  }
+
+  /** Loud-failure fixture for the one hard partition-value limit: the
+    * escaped value becomes a directory NAME, and the filesystem's
+    * NAME_MAX (255 bytes on ext4 — the same bound on any production
+    * cluster's local dirs and most DFS implementations) rejects longer
+    * ones at write. The adversarial event_type pool caps its values at 80
+    * chars because of exactly this bound (ppool above). */
+  test("fixture: a partition value past the filesystem's NAME_MAX fails loudly at write") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_namemax").toString
+    val e = intercept[Throwable] {
+      Seq((1L, "a" * 500)).toDF("id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" <- ")
+    // Hadoop's RawLocalFileSystem surfaces the ENAMETOOLONG mkdir errno as
+    // a boolean-false mkdirs → "Mkdirs failed to create" IOException
+    assert(chain.toLowerCase.contains("too long") ||
+      chain.contains("ENAMETOOLONG") || chain.contains("InvalidPath") ||
+      chain.contains("Mkdirs failed to create"),
+      s"expected a name-length failure, got: ${chain.take(400)}")
   }
 
   /** Fixture for the numeric-domain contract: a derived monetary value at

@@ -288,6 +288,30 @@ class PlansSpec extends SparkSpec {
         "scan would read every month's directory at 100 TB")
   }
 
+  test("q48's ORC scan carries the pushed l_quantity filter (round-13 ask #4)") {
+    // the oracle reads the ORIGINAL parquet, so it can never notice a
+    // pushdown regression on the ORC sink's read path — only this can
+    val s = SparkEntry.queries("q48_orc_roundtrip")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(s.toLowerCase.contains("orc"),
+      "q48's read side no longer scans ORC — the roundtrip claim is void")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined,
+      "q48's l_quantity predicate did not push into the ORC scan — a full " +
+        "read of the sink at 100 TB")
+  }
+
+  test("q49's event_type equality binds as a planning-time PartitionFilter (round-13 ask #4)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = SparkEntry.queries("q49_partition_pruned_scan")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "q49 shows no FileSourceScanExec")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.references.exists(_.name == "event_type"))),
+      "q49's event_type predicate did not become a partition filter — the " +
+        "scan would open every event_type directory at 100 TB")
+  }
+
   test("x142 bucketed join consumes table partitioning: zero Exchange under the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
