@@ -127,12 +127,31 @@ object Bench {
     // Warm pass at the smallest SF: compiles each plan's generated code and
     // JITs the kernels so timings below measure steady-state throughput
     // (what a long-running cluster job sees), not first-call compilation.
+    //
+    // PARALLELIZED (round-13): warming only needs every plan compiled and
+    // its kernels JITed — nothing about it is timing-sensitive, yet the
+    // serial version burned ~300 s of the wall budget at sf0.001, which is
+    // exactly the slack that left 80 queries single-rep in round 12
+    // (multi_rep 309/389). Spark's scheduler handles concurrent actions on
+    // one session; 8 submitter threads cut warm wall-time ~5x, so pass 2
+    // now fits the budget and every query gets >= 2 timed reps.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      val warmThreads = sys.env.getOrElse("SPARK_GRAFT_WARM_THREADS", "8").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
       selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+        })
       }
+      pool.shutdown()
+      pool.awaitTermination(600, java.util.concurrent.TimeUnit.SECONDS)
+      // leave the timed passes the same cold-cache state the serial warm did
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

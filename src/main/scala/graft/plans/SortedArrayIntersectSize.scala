@@ -107,11 +107,21 @@ object GraftFunctions {
       // registerFunction REPLACES and warns on every repeat call (the bench
       // loop calls register once per query plan build) — skip when the name
       // already resolves so the log stays clean and registration is truly
-      // idempotent
+      // idempotent. The skip VERIFIES the existing registration is ours:
+      // silently riding a same-named foreign function (an earlier session
+      // registration, or a future Spark builtin claiming the name) would
+      // run the wrong implementation with no signal (round-12 ADVICE).
       val id = FunctionIdentifier(n)
-      if (!spark.sessionState.functionRegistry.functionExists(id)) {
-        spark.sessionState.functionRegistry.registerFunction(
-          id, new ExpressionInfo(cls, n), builder)
+      spark.sessionState.functionRegistry.lookupFunction(id) match {
+        case Some(info) if info.getClassName == cls => () // ours already
+        case Some(info) =>
+          throw new IllegalStateException(
+            s"function '$n' is already registered as ${info.getClassName}, " +
+              s"expected $cls — a name collision would silently run the " +
+              "wrong implementation")
+        case None =>
+          spark.sessionState.functionRegistry.registerFunction(
+            id, new ExpressionInfo(cls, n), builder)
       }
     }
 

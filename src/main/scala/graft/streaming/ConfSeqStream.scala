@@ -1,8 +1,11 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
 
 import graft.ops.ConfSeq
 
@@ -17,19 +20,33 @@ import graft.ops.ConfSeq
   * (any micro-batch split sums to the same daily counts) — written into
   * batch_id partitions with dynamic overwrite so an at-least-once
   * re-delivery REPLACES its contribution (the [[VolumeStream]] /
-  * [[PeriodogramStream]] idempotency discipline). The report recomputes
-  * the band from the |days|-row count table through the SHARED
+  * [[PeriodogramStream]] idempotency discipline). Once the partition
+  * count passes `compactAfter`, every batch EXCEPT the current one folds
+  * into the consolidated partition (batch_id = -1) — safe because
+  * foreachBatch can only re-deliver the most recent uncommitted batch, so
+  * older partitions are immutable history; total state is then bounded at
+  * ~2 × |day grid| rows regardless of how long the monitor runs
+  * (round-12 ADVICE: it was O(batches × days) before). The report
+  * recomputes the band from the |days|-row count table through the SHARED
   * [[graft.ops.ConfSeq]] core, so the streaming path inherits x335's
   * oracle-checked semantics verbatim. ConfSeqStreamSpec proves
-  * stream == one-shot == registry x335.
+  * stream == one-shot == registry x335, re-delivery idempotency, the
+  * state bound across many batches, and the empty-state read.
   */
 object ConfSeqStream {
+
+  /** x335 count-table input schema — used to give a pre-first-commit
+    * report the right (empty) shape instead of an AnalysisException. */
+  private val countsSchema = StructType(Seq(
+    StructField("day", DateType),
+    StructField("n", LongType),
+    StructField("k", LongType)))
 
   /** One micro-batch's contribution: per-day (n, k) partials. Null-ts
     * events are excluded (they have no day — same round-12 contract as
     * the batch x335). */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch.filter(col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
@@ -38,6 +55,36 @@ object ConfSeqStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    compactIfNeeded(batch.sparkSession, stateDir, batchId, compactAfter)
+  }
+
+  /** Folds every batch partition EXCEPT `currentBatchId` into the
+    * consolidated partition (batch_id = -1) once more than `compactAfter`
+    * partitions exist. The current batch stays in its own partition so an
+    * at-least-once re-delivery still replaces it cleanly (foreachBatch
+    * never re-delivers anything older). The state is day-bounded, so the
+    * rewrite collects at most ~2 × |day grid| rows to the driver. */
+  private def compactIfNeeded(spark: SparkSession, stateDir: String,
+      currentBatchId: Long, compactAfter: Int): Unit = {
+    val st = spark.read.parquet(stateDir)
+    val nParts = st.select("batch_id").distinct().count()
+    if (nParts > compactAfter) {
+      val compacted = st.filter(col("batch_id") =!= currentBatchId)
+        .groupBy("day")
+        .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(st.filter(col("batch_id") === currentBatchId)
+          .select(col("day"), col("n"), col("k"), col("batch_id")))
+      val rows = compacted.collect().toSeq
+      val schema = compacted.schema
+      // full (non-dynamic) overwrite: the data is already on the driver,
+      // so reading-while-overwriting cannot deadlock; the brief
+      // non-atomicity window is the same one the per-batch dynamic
+      // overwrite always had
+      spark.createDataFrame(rows.asJava, schema)
+        .write.mode("overwrite").partitionBy("batch_id").parquet(stateDir)
+    }
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying `ts` and `event_type` columns. */
@@ -54,10 +101,23 @@ object ConfSeqStream {
     * EXACT x335 output contract (day, t, n_events, rate, cs_lo, cs_hi,
     * excludes_half, excluded_half_ever). A monitor acts on the LAST row's
     * excluded_half_ever: with an anytime-valid band, stopping at the
-    * first crossing is safe. */
-  def report(spark: SparkSession, stateDir: String): DataFrame =
-    ConfSeq.fromCounts(
-      spark.read.parquet(stateDir)
-        .groupBy("day")
-        .agg(sum(col("n")).as("n"), sum(col("k")).as("k")))
+    * first crossing is safe. Polling BEFORE the first micro-batch commits
+    * returns an empty band of the same shape (round-12 ADVICE: it used to
+    * throw UNABLE_TO_INFER_SCHEMA on the empty state directory). */
+  def report(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = new java.io.File(stateDir)
+    val hasState = dir.isDirectory &&
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    val counts =
+      if (hasState)
+        spark.read.parquet(stateDir)
+          .groupBy("day")
+          .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
+      else
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          countsSchema)
+    ConfSeq.fromCounts(counts)
+  }
 }

@@ -57,6 +57,47 @@ class ConfSeqStreamSpec extends SparkSpec {
     assert(once === twice)
   }
 
+  test("state stays bounded across MANY batches: compaction folds history to the day grid") {
+    val rows = eventRows()
+    val state = java.nio.file.Files.createTempDirectory("confseq_many").toString
+    // 30 micro-batches with compactAfter=6: without compaction the state
+    // would hold 30 batch partitions (O(batches x days) rows — the
+    // round-12 ADVICE defect); with it, at most compactAfter+1 partitions
+    // (consolidated -1 + the recent tail) ever exist
+    val chunks = rows.grouped(math.max(1, rows.size / 30)).toSeq
+    chunks.zipWithIndex.foreach { case (b, i) =>
+      ConfSeqStream.accumulateBatch(b.toDF("ts", "event_type"), state,
+        i.toLong, compactAfter = 6)
+    }
+    val parts = spark.read.parquet(state)
+      .select("batch_id").distinct().count()
+    assert(parts <= 7, s"compaction did not bound state: $parts partitions")
+    val days = graft.Tables.events(spark, sfDir)
+      .selectExpr("CAST(ts AS DATE)").distinct().count()
+    val stateRows = spark.read.parquet(state).count()
+    assert(stateRows <= (parts + 1) * days,
+      s"state has $stateRows rows for $days days across $parts partitions")
+    // and the band off the compacted state equals the registry batch
+    val fromStream = ConfSeqStream.report(spark, state).collect().toSeq
+    val fromRegistry = graft.SparkEntry
+      .queries("x335_confidence_sequence")(spark, sfDir).collect().toSeq
+    assert(fromStream === fromRegistry)
+    // re-delivery of the LAST batch after a compaction still replaces
+    // (older history is folded, but the current batch keeps its partition)
+    ConfSeqStream.accumulateBatch(chunks.last.toDF("ts", "event_type"),
+      state, (chunks.size - 1).toLong, compactAfter = 6)
+    val replayed = ConfSeqStream.report(spark, state).collect().toSeq
+    assert(replayed === fromRegistry)
+  }
+
+  test("report before the first commit: empty band with the x335 schema, no throw") {
+    val state = java.nio.file.Files.createTempDirectory("confseq_empty").toString
+    val rep = ConfSeqStream.report(spark, state)
+    assert(rep.columns.toSeq === Seq("day", "t", "n_events", "rate",
+      "cs_lo", "cs_hi", "excludes_half", "excluded_half_ever"))
+    assert(rep.count() === 0L)
+  }
+
   test("per-batch state is bounded at the day grid, not batch size") {
     val rows = eventRows()
     val state = java.nio.file.Files.createTempDirectory("confseq_bound").toString
