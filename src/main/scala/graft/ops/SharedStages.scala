@@ -46,20 +46,34 @@ object SharedStages {
   private val STOPWORDS = Seq("a", "the")
 
   private lazy val root = Files.createTempDirectory("graft_shared_")
-  private val entries = new ConcurrentHashMap[String, (String, StructType)]()
+  private val entries = new ConcurrentHashMap[String, Memo]()
   private val ctr = new AtomicInteger(0)
+
+  /** Per-key lazy holder: registration (putIfAbsent) is cheap and never
+    * runs user code inside a ConcurrentHashMap bin lock, so a build that
+    * depends on ANOTHER memoized stage (docNearDupPairs → docBands) can
+    * recurse freely. computeIfAbsent could not: when the two keys hash to
+    * the same bin, the nested call hits the outer ReservationNode and
+    * throws IllegalStateException("Recursive update") — a crash determined
+    * by the dir string's hash. The lazy val serializes duplicate builders
+    * per key (Scala lazy init is synchronized on the holder instance). */
+  private final class Memo(build: () => (String, StructType)) {
+    lazy val value: (String, StructType) = build()
+  }
 
   /** Parquet-backed per-JVM memo: the first call per key computes `build`
     * and writes it; every call returns a fresh scan of the sink (with the
     * recorded schema, so a zero-row result — which writes no part files —
     * still reads back as an empty frame of the right shape). */
   def materialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val (path, schema) = entries.computeIfAbsent(key, _ => {
+    val memo = new Memo(() => {
       val df = build
       val p = root.resolve(s"stage_${ctr.incrementAndGet()}").toString
       df.write.mode("overwrite").parquet(p)
       (p, df.schema)
     })
+    val prior = entries.putIfAbsent(key, memo)
+    val (path, schema) = (if (prior != null) prior else memo).value
     s.read.schema(schema).parquet(path)
   }
 

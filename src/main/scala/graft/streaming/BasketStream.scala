@@ -20,7 +20,7 @@ object BasketStream {
 
   /** One micro-batch's contribution: distinct item-bearing baskets. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch
       .select(col("user_id"), to_date(col("ts")).as("day"),
         expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
@@ -29,6 +29,11 @@ object BasketStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    // roster fold: the report distincts (user_id, day, item) anyway, so
+    // the consolidated partition keeps one row per basket cell
+    StateCompaction.compactDistinct(batch.sparkSession, stateDir, batchId,
+      compactAfter)
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying (user_id, ts, props). */
@@ -46,7 +51,7 @@ object BasketStream {
   def report(spark: SparkSession, stateDir: String,
       minSup: Int = 3): DataFrame =
     graft.ops.AssocRules.rules(
-      spark.read.parquet(stateDir)
+      StateCompaction.read(spark, stateDir)
         .select(col("user_id"), col("day"), col("item")).distinct()
         .localCheckpoint(),
       minSup)

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -55,35 +53,11 @@ object ConfSeqStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
-    compactIfNeeded(batch.sparkSession, stateDir, batchId, compactAfter)
-  }
-
-  /** Folds every batch partition EXCEPT `currentBatchId` into the
-    * consolidated partition (batch_id = -1) once more than `compactAfter`
-    * partitions exist. The current batch stays in its own partition so an
-    * at-least-once re-delivery still replaces it cleanly (foreachBatch
-    * never re-delivers anything older). The state is day-bounded, so the
-    * rewrite collects at most ~2 × |day grid| rows to the driver. */
-  private def compactIfNeeded(spark: SparkSession, stateDir: String,
-      currentBatchId: Long, compactAfter: Int): Unit = {
-    val st = spark.read.parquet(stateDir)
-    val nParts = st.select("batch_id").distinct().count()
-    if (nParts > compactAfter) {
-      val compacted = st.filter(col("batch_id") =!= currentBatchId)
-        .groupBy("day")
-        .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
-        .withColumn("batch_id", lit(-1L))
-        .unionByName(st.filter(col("batch_id") === currentBatchId)
-          .select(col("day"), col("n"), col("k"), col("batch_id")))
-      val rows = compacted.collect().toSeq
-      val schema = compacted.schema
-      // full (non-dynamic) overwrite: the data is already on the driver,
-      // so reading-while-overwriting cannot deadlock; the brief
-      // non-atomicity window is the same one the per-batch dynamic
-      // overwrite always had
-      spark.createDataFrame(rows.asJava, schema)
-        .write.mode("overwrite").partitionBy("batch_id").parquet(stateDir)
-    }
+    // day-keyed (n, k) sum-monoid fold through the shared crash-safe
+    // swap (round-13 ADVICE: the old in-place full overwrite here could
+    // lose the entire state to a crash mid-rewrite)
+    StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
+      compactAfter, Seq("day"), Seq("n", "k"))
   }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
@@ -105,13 +79,12 @@ object ConfSeqStream {
     * returns an empty band of the same shape (round-12 ADVICE: it used to
     * throw UNABLE_TO_INFER_SCHEMA on the empty state directory). */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val dir = new java.io.File(stateDir)
-    val hasState = dir.isDirectory &&
-      java.nio.file.Files.walk(dir.toPath).iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet"))
+    // existence probed through StateCompaction (Hadoop FS, heals any
+    // interrupted compaction swap; the old java.nio Files.walk here also
+    // leaked its directory stream — round-13 ADVICE)
     val counts =
-      if (hasState)
-        spark.read.parquet(stateDir)
+      if (StateCompaction.hasState(spark, stateDir))
+        StateCompaction.read(spark, stateDir)
           .groupBy("day")
           .agg(sum(col("n")).as("n"), sum(col("k")).as("k"))
       else

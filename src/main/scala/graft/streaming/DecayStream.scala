@@ -22,7 +22,7 @@ object DecayStream {
 
   /** One micro-batch's contribution: (item, day) count cells. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch
       .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("item"),
         to_date(col("ts")).as("day"))
@@ -32,6 +32,9 @@ object DecayStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
+      compactAfter, Seq("item", "day"), Seq("cnt"))
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying (ts, props). */
@@ -49,5 +52,5 @@ object DecayStream {
     * batch partials to the (item, day) grain before scoring). */
   def report(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.Decay.decayedPopularity(
-      spark.read.parquet(stateDir).select("item", "day", "cnt"))
+      StateCompaction.read(spark, stateDir).select("item", "day", "cnt"))
 }

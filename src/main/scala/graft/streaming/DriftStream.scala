@@ -24,7 +24,7 @@ object DriftStream {
 
   /** One micro-batch's contribution to the drift state. */
   def accumulateBatch(batch: DataFrame, embCol: String, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch.select(posexplode(col(embCol)).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("x").cast("double")).as("s"))
@@ -33,6 +33,9 @@ object DriftStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(stateDir)
+    StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
+      compactAfter, Seq("dim"), Seq("n", "s"))
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an embedding
     * stream. */
@@ -54,7 +57,7 @@ object DriftStream {
     * standing corpus. */
   def report(spark: SparkSession, stateDir: String, reference: DataFrame,
       embCol: String): DataFrame = {
-    val cur = spark.read.parquet(stateDir)
+    val cur = StateCompaction.read(spark, stateDir)
       .groupBy("dim")
       .agg(round(sum(col("s")) / sum(col("n")), 6).as("m1"))
     val ref = reference

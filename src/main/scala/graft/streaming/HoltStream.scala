@@ -20,13 +20,16 @@ object HoltStream {
 
   /** One micro-batch's contribution: per-(type, day) counts. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
+      compactAfter, Seq("event_type", "day"), Seq("n"))
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying `event_type` and `ts` columns. */
@@ -42,7 +45,7 @@ object HoltStream {
   /** Holt report off the accumulated state — the exact x122 output
     * contract (event_type, n_days, level, trend, forecast, sse). */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val daily = spark.read.parquet(stateDir)
+    val daily = StateCompaction.read(spark, stateDir)
       .groupBy("event_type", "day").agg(sum(col("n")).as("y"))
     graft.ops.Forecast.holt(daily, "event_type").orderBy("event_type")
   }

@@ -25,13 +25,16 @@ object PeriodogramStream {
 
   /** One micro-batch's contribution: per-day counts. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
+      compactAfter, Seq("day"), Seq("n"))
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying a `ts` column. */
@@ -48,6 +51,6 @@ object PeriodogramStream {
     * output contract (period, n_days, power, rel_power). */
   def report(spark: SparkSession, stateDir: String): DataFrame =
     Periodogram.fromCounts(
-      spark.read.parquet(stateDir)
+      StateCompaction.read(spark, stateDir)
         .groupBy("day").agg(sum(col("n")).as("n")))
 }

@@ -34,22 +34,28 @@ object PmiStream {
       expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
       .distinct()
 
-  /** One micro-batch's contribution to items + pair-count state. */
-  def ingestBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+  /** One micro-batch's contribution to items + pair-count state. Past
+    * `compactAfter` partitions each sub-state folds into its consolidated
+    * partition: pair counts are a sum monoid (groupBy + sum), item rows
+    * are globally distinct by construction (the left_anti gate admits a
+    * context row exactly once), so an identity re-tag keeps the "already
+    * seen" set byte-identical while bounding the PARTITION count a
+    * long-lived monitor's every ingest must list and union. Re-delivery
+    * stays safe: only the current batch can replay, and its partitions
+    * are never folded. */
+  def ingestBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      compactAfter: Int = 12): Unit = {
     val spark = batch.sparkSession
     val b = ctxItems(batch)
     val itemsPath = s"$stateDir/items"
-    // Resolve existence through the session's Hadoop FileSystem, not
-    // java.io.File: stateDir may be an HDFS/S3 URI at scale, where a
-    // local-FS check would silently report "absent", treat all prior
-    // state as empty, and double-count pairs.
-    val hPath = new org.apache.hadoop.fs.Path(itemsPath)
-    val itemsExist = hPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(hPath)
+    // hasState resolves through the session's Hadoop FileSystem (not
+    // java.io.File — stateDir may be an HDFS/S3 URI at scale) and heals
+    // any interrupted compaction swap BEFORE probing, so neither a remote
+    // state dir nor a crash between the swap's two renames can read as
+    // "no prior state" (which would double-count every pair on restart)
     val existing =
-      if (itemsExist)
-        spark.read.parquet(itemsPath)
+      if (StateCompaction.hasState(spark, itemsPath))
+        StateCompaction.read(spark, itemsPath)
           .filter(col("batch_id") =!= batchId)
           .select("user_id", "day", "item")
       else b.limit(0)
@@ -73,6 +79,10 @@ object PmiStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(itemsPath)
+    StateCompaction.compactSums(spark, s"$stateDir/pairs", batchId,
+      compactAfter, Seq("item_a", "item_b"), Seq("n"))
+    StateCompaction.compactIfNeeded(spark, itemsPath, batchId,
+      compactAfter)(identity)
   }
 
   /** Wire [[ingestBatch]] into a foreachBatch sink over an events stream
@@ -91,12 +101,12 @@ object PmiStream {
     * path inherits the oracle-checked semantics. Reads only state: the
     * events corpus is never rescanned. */
   def report(spark: SparkSession, stateDir: String): DataFrame = {
-    val items = spark.read.parquet(s"$stateDir/items")
+    val items = StateCompaction.read(spark, s"$stateDir/items")
       .select("user_id", "day", "item")
     val nCtx = items.select("user_id", "day").distinct()
       .agg(count(lit(1)).as("n_ctx"))
     val ic = items.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-    val pairs = spark.read.parquet(s"$stateDir/pairs")
+    val pairs = StateCompaction.read(spark, s"$stateDir/pairs")
       .groupBy("item_a", "item_b").agg(sum(col("n")).as("n_ab"))
       .filter(col("n_ab") >= 3)
     pairs

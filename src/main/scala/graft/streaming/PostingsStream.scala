@@ -31,7 +31,8 @@ object PostingsStream {
   /** One micro-batch of (doc_id, text) rows → its postings + roster
     * partitions. Documents are atomic (a doc's text never splits across
     * batches), so per-batch cost is the batch's own token mass. */
-  def ingestBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+  def ingestBatch(batch: DataFrame, stateDir: String, batchId: Long,
+      compactAfter: Int = 12): Unit = {
     graft.ops.Bm25.termFreqs(batch)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -42,6 +43,15 @@ object PostingsStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$stateDir/docs")
+    // postings are per-doc atomic (no cross-batch aggregation), so the
+    // fold is an identity re-tag: rows unchanged, but a years-long
+    // monitor's state stops accreting one directory per micro-batch —
+    // the small-files listing cost every ingest and serve pays. The doc
+    // roster dedups (the report distincts it for N anyway).
+    StateCompaction.compactIfNeeded(batch.sparkSession,
+      s"$stateDir/postings", batchId, compactAfter)(identity)
+    StateCompaction.compactDistinct(batch.sparkSession,
+      s"$stateDir/docs", batchId, compactAfter)
   }
 
   /** Wire [[ingestBatch]] into a foreachBatch sink over a document stream
@@ -59,9 +69,9 @@ object PostingsStream {
     * [[graft.ops.Bm25]] expressions as registry x106 — the incremental
     * path inherits the oracle-checked semantics by construction. */
   def report(spark: SparkSession, stateDir: String, k: Int = 10): DataFrame = {
-    val tf = spark.read.parquet(s"$stateDir/postings")
+    val tf = StateCompaction.read(spark, s"$stateDir/postings")
       .select("doc_id", "term", "tf")
-    val nDocs = spark.read.parquet(s"$stateDir/docs")
+    val nDocs = StateCompaction.read(spark, s"$stateDir/docs")
       .select("doc_id").distinct()
       .agg(count(lit(1)).as("n_docs"))
     graft.ops.Bm25.topK(tf, nDocs, k)

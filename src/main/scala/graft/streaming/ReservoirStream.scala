@@ -29,13 +29,24 @@ object ReservoirStream {
 
   /** One micro-batch's contribution: its own k survivors per stratum. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     Reservoir.topKPerStratum(Reservoir.aesKeyed(batch), K)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    // re-rank fold: keys are a deterministic function of doc_id, so the
+    // global top-K per stratum is contained in the top-K of any subset
+    // that covers it — folding history through the SAME topKPerStratum
+    // keeps the report identical while bounding state at K rows per
+    // stratum (plus the current batch's partition)
+    StateCompaction.compactIfNeeded(batch.sparkSession, stateDir, batchId,
+      compactAfter) { df =>
+      Reservoir.topKPerStratum(Reservoir.aesKeyed(df), K)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over a document
     * stream carrying (doc_id, source, n_chars). */
@@ -52,7 +63,7 @@ object ReservoirStream {
     * the shared core — the EXACT x221 output contract. */
   def report(spark: SparkSession, stateDir: String): DataFrame =
     Reservoir.sample(
-      spark.read.parquet(stateDir)
+      StateCompaction.read(spark, stateDir)
         .select("doc_id", "source", "n_chars")
         .dropDuplicates("source", "doc_id"), K)
 }

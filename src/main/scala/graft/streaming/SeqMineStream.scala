@@ -27,7 +27,7 @@ object SeqMineStream {
 
   /** One micro-batch's contribution: per-user earliest ≤8 events. */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, compactAfter: Int = 12): Unit = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
       col("event_id"))
     batch.select(col("user_id"), col("ts"), col("event_id"),
@@ -38,6 +38,16 @@ object SeqMineStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    // prefix fold: an event globally among a user's first 8 ranks <= 8 in
+    // every subset containing it, so re-applying the report's own
+    // dedup + first-8 window to the folded history loses nothing the
+    // report would keep — and bounds state at 8 rows per user
+    StateCompaction.compactIfNeeded(batch.sparkSession, stateDir, batchId,
+      compactAfter) { df =>
+      df.dropDuplicates("user_id", "event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8).drop("rn")
+    }
   }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
@@ -60,7 +70,7 @@ object SeqMineStream {
       minSupFrac: Double = 0.5, maxLen: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
       col("event_id"))
-    val first8 = spark.read.parquet(stateDir)
+    val first8 = StateCompaction.read(spark, stateDir)
       .dropDuplicates("user_id", "event_id")
       .withColumn("rn0", row_number().over(w))
       .filter(col("rn0") <= 8)

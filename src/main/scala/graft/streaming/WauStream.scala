@@ -20,12 +20,17 @@ object WauStream {
 
   /** One micro-batch's contribution: distinct (user, day). */
   def accumulateBatch(batch: DataFrame, stateDir: String,
-      batchId: Long): Unit =
+      batchId: Long, compactAfter: Int = 12): Unit = {
     batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(stateDir)
+    // roster fold: the report distincts (user_id, day) anyway, so the
+    // consolidated partition keeps one row per active (user, day) cell
+    StateCompaction.compactDistinct(batch.sparkSession, stateDir, batchId,
+      compactAfter)
+  }
 
   /** Wire [[accumulateBatch]] into a foreachBatch sink over an events
     * stream carrying (user_id, ts). */
@@ -43,6 +48,6 @@ object WauStream {
     * definition in [[graft.ops.Wau]]. */
   def report(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.Wau.rollingReport(
-      spark.read.parquet(stateDir)
+      StateCompaction.read(spark, stateDir)
         .select(col("user_id"), col("day")).distinct())
 }
