@@ -64,6 +64,20 @@ object Queries {
     sinkRoot.resolve(
       s"${name}_${Integer.toHexString(sfDir.hashCode)}").toString
 
+  /** Entity-escape for XML element text (& first, then < >): what any
+    * real XML serializer emits, so q35/q35b's staged documents stay
+    * well-formed on the full hostile string domain. */
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** from_xml options for exact text roundtrips: by default Spark trims
+    * surrounding whitespace and reads an empty element as null; with the
+    * trim off, '<name></name>' parses as '' and ' padded ' survives —
+    * null is then representable as an ABSENT element (see q35). */
+  private val xmlReadOpts: java.util.Map[String, String] =
+    java.util.Collections.singletonMap("ignoreSurroundingSpaces", "false")
+
   val all: Seq[QuerySpec] = Seq(
 
     // ---------------------------------------------------------------- scans + agg
@@ -619,16 +633,44 @@ object Queries {
     QuerySpec(
       "q29_examples_list",
       (s, dir) => {
+        // Domain-clamping writer (round-14): the examples-list format's id
+        // is the first space-delimited token of each line, so a raw name
+        // containing whitespace cannot be staged verbatim. Percent-escape
+        // the five characters the line format reserves (%, space, tab, LF,
+        // CR) at WRITE time — every non-null name becomes a valid token —
+        // and decode after the scan, so the roundtrip holds on the full
+        // string domain (the adversarial replay now includes this query).
+        // NULL stays unrepresentable (the reference's line format has no
+        // null id concept, dataset_util.py:41-56) and is filtered on both
+        // sides of the oracle.
+        def escLine(name: String, key: String): String = {
+          val tok = name.replace("%", "%25").replace(" ", "%20")
+            .replace("\t", "%09").replace("\n", "%0A").replace("\r", "%0D")
+          if (key == null) tok else s"$tok $key"
+        }
         val lines = Tables.nation(s, dir)
-          .select(concat_ws(" ", col("n_name"), col("n_nationkey")))
-          .collect().map(_.getString(0))
+          .filter(col("n_name").isNotNull)
+          .select(col("n_name"), col("n_nationkey").cast("string"))
+          .collect().map(r => escLine(r.getString(0), r.getString(1)))
         val tmp = java.nio.file.Paths.get(sinkDir(dir, "examples") + ".txt")
-        java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+        // POSIX trailing newline: without it a final EMPTY line (empty
+        // name + null key) would vanish — "a\n" reads as one line, but
+        // "a\n\n" reads as ("a", "")
+        val body = if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
+        java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+        // decode order matters only for %25: after encoding, '%' is always
+        // followed by "25", so the specific codes can never match inside
+        // an escaped escape — decode them first, then %25 -> '%'
+        val tok = split(col("value"), " ").getItem(0)
+        val id = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(tok,
+            "%20", " "), "%09", "\t"), "%0A", "\n"), "%0D", "\r"),
+          "%25", "%")
         s.read.text(tmp.toString)
-          .select(split(col("value"), " ").getItem(0).as("id"))
+          .select(id.as("id"))
           .orderBy("id")
       },
-      Some("SELECT n_name AS id FROM nation ORDER BY id")),
+      Some("SELECT n_name AS id FROM nation WHERE n_name IS NOT NULL ORDER BY id")),
 
     // Correlated scalar subquery (Catalyst decorrelation; spark.sql surface).
     QuerySpec(
@@ -769,11 +811,25 @@ object Queries {
         val sch = StructType(Seq(
           StructField("name", StringType),
           StructField("regionkey", IntegerType)))
+        // Round-14 full-domain staging: the XML writer entity-escapes
+        // & < > (what any real XML serializer does) and OMITS the element
+        // for NULL — an absent element parses back as null, while an
+        // EMPTY element parses as '' under ignoreSurroundingSpaces=false
+        // (the option also preserves leading/trailing whitespace), so the
+        // roundtrip distinguishes null from '' and covers every hostile
+        // string; the adversarial replay now includes this query.
         Tables.nation(s, dir)
           .select(col("n_nationkey"),
-            format_string("<nation><name>%s</name><regionkey>%d</regionkey></nation>",
-              col("n_name"), col("n_regionkey")).as("xml"))
-          .select(col("n_nationkey"), from_xml(col("xml"), sch).as("x"))
+            concat(lit("<nation>"),
+              when(col("n_name").isNotNull,
+                concat(lit("<name>"), xmlEscape(col("n_name")), lit("</name>")))
+                .otherwise(lit("")),
+              when(col("n_regionkey").isNotNull,
+                concat(lit("<regionkey>"), col("n_regionkey").cast("string"),
+                  lit("</regionkey>"))).otherwise(lit("")),
+              lit("</nation>")).as("xml"))
+          .select(col("n_nationkey"),
+            from_xml(col("xml"), sch, xmlReadOpts).as("x"))
           .select(col("n_nationkey"), col("x.name").as("name"),
             col("x.regionkey").as("regionkey"))
           .orderBy("n_nationkey")
@@ -792,29 +848,43 @@ object Queries {
         val objSchema = StructType(Seq(StructField("object", ArrayType(StructType(Seq(
           StructField("name", StringType),
           StructField("key", IntegerType)))))))
+        // Round-14 full-domain staging (same device as q35): fragments
+        // entity-escape names and OMIT the element for NULL name/key, and
+        // the sort key is the RAW (key, name) pair — null-first, matching
+        // the oracle's NULLS FIRST — so ties and nulls order identically
+        // in both engines even on hostile duplicate/null keys.
+        val frag = concat(lit("<object>"),
+          when(col("n_name").isNotNull,
+            concat(lit("<name>"), xmlEscape(col("n_name")), lit("</name>")))
+            .otherwise(lit("")),
+          when(col("n_nationkey").isNotNull,
+            concat(lit("<key>"), col("n_nationkey").cast("string"),
+              lit("</key>"))).otherwise(lit("")),
+          lit("</object>"))
         Tables.nation(s, dir)
           .groupBy(col("n_regionkey"))
           .agg(concat(lit("<region>"),
             array_join(
-              // sort_array on struct(key, frag) orders fragments by key
               transform(
                 sort_array(collect_list(struct(col("n_nationkey").as("k"),
-                  format_string("<object><name>%s</name><key>%d</key></object>",
-                    col("n_name"), col("n_nationkey")).as("frag")))),
+                  col("n_name").as("nm"), frag.as("frag")))),
                 _.getField("frag")),
               ""),
             lit("</region>")).as("xml"))
-          .select(col("n_regionkey"), from_xml(col("xml"), objSchema).as("x"))
+          .select(col("n_regionkey"),
+            from_xml(col("xml"), objSchema, xmlReadOpts).as("x"))
           .select(col("n_regionkey"),
             size(col("x.object")).cast("long").as("n_objects"),
             col("x.object").getItem(0).getField("name").as("first_name"),
             array_join(col("x.object.name"), ",").as("all_names"))
           .orderBy("n_regionkey")
       },
+      // DuckDB: list()/first() keep NULL values and honor ORDER BY;
+      // string_agg skips NULLs — exactly array_join's semantics
       Some("""SELECT n_regionkey,
              |  COUNT(*) AS n_objects,
-             |  min_by(n_name, n_nationkey) AS first_name,
-             |  string_agg(n_name, ',' ORDER BY n_nationkey) AS all_names
+             |  first(n_name ORDER BY n_nationkey NULLS FIRST, n_name NULLS FIRST) AS first_name,
+             |  string_agg(n_name, ',' ORDER BY n_nationkey NULLS FIRST, n_name NULLS FIRST) AS all_names
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
     // Sketch surface: HyperLogLog++ distinct-count and approx quantile,

@@ -384,12 +384,35 @@ class AdversarialDataSpec extends SparkSpec {
     val json = chosen.map(n => s"${q(n)}: ${q(oracles(n))}")
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
-    val rc = Process(Seq("python3", "scripts/check.py", outDir.toString,
-      dir) ++ chosen).!(ProcessLogger(logLines += _, logLines += _))
+    // Flake-proofing (round-13: one unreproducible red in 680 traced to
+    // this subprocess dying under full-suite load): a check.py run that
+    // exits nonzero WITHOUT printing any per-query FAIL line is an
+    // environmental subprocess death, not a value mismatch — retry it
+    // once; value mismatches are deterministic and are never retried.
+    // Either way the assertion names the failing queries (the FAIL lines)
+    // or the subprocess's own stderr, so a future red is attributable.
+    def runCheck(): (Int, Seq[String]) = {
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rc = Process(Seq("python3", "scripts/check.py", outDir.toString,
+        dir) ++ chosen).!(ProcessLogger(log += _, log += "[stderr] " + _))
+      (rc, log.toSeq)
+    }
+    var (rc, logLines) = runCheck()
+    if (rc != 0 && !logLines.exists(_.startsWith("FAIL"))) {
+      info(s"[$dirLabel] check.py died environmentally (rc=$rc, no FAIL " +
+        s"lines) — retrying once. Tail: ${logLines.takeRight(5).mkString(" | ")}")
+      val retried = runCheck()
+      rc = retried._1; logLines = retried._2
+    }
+    val failLines = logLines.filter(_.startsWith("FAIL"))
     assert(rc == 0,
-      s"[$dirLabel] check.py reported oracle mismatches:\n" +
-        logLines.filter(_.startsWith("FAIL")).mkString("\n"))
+      if (failLines.nonEmpty)
+        s"[$dirLabel] check.py reported oracle mismatches:\n" +
+          failLines.mkString("\n")
+      else
+        s"[$dirLabel] check.py exited $rc twice with no per-query FAIL " +
+          "(environmental). Last output:\n" +
+          logLines.takeRight(30).mkString("\n"))
     info(s"$dirLabel: ${chosen.size} registry queries oracle-identical " +
       "on adversarial data")
   }
@@ -399,17 +422,13 @@ class AdversarialDataSpec extends SparkSpec {
     * whose value semantics degenerate input could plausibly bend — plus
     * (round 13) the queries that STAGE THEIR OWN sidecar files from the
     * adversarial tables: q27 (CSV write→read roundtrip over hostile
-    * nation), q28 (JSON), q48 (ORC), q49 (partitioned parquet). Still
-    * excluded, each for a VALUE-DOMAIN reason rather than a staging one
-    * (the reader surface itself is adversarially covered by
-    * ReaderAdversarialSpec):
-    *   - q29: its oracle contract (first whitespace token == n_name)
-    *     only holds for whitespace-free names — hostile names contain
-    *     spaces, an input-contract violation of the staged format, not
-    *     an engine divergence;
-    *   - q35/q35b: names are interpolated into XML text, whose domain
-    *     excludes ''/'&'/'<' (an empty <name></name> parses as null on
-    *     the Spark side where the oracle keeps '') — same class. */
+    * nation), q28 (JSON), q48 (ORC), q49 (partitioned parquet); plus
+    * (round 14, closing the last exclusions) q29 — its examples-list
+    * writer now percent-escapes the line format's reserved characters so
+    * every non-null name is a valid id token — and q35/q35b, whose XML
+    * staging now entity-escapes &/</> and represents NULL as an ABSENT
+    * element while ignoreSurroundingSpaces=false preserves ''/padding.
+    * The exclusion list is empty. */
   private val hostileSubset: Seq[String] = Seq(
     "q1_pricing_summary", "q2_filter_project", "q3_regional_revenue",
     "q4_left_outer_default", "q5_semi_join", "q6_anti_join",
@@ -417,7 +436,8 @@ class AdversarialDataSpec extends SparkSpec {
     "q10_sort_limit", "q11_union", "q12_intersect", "q13_except",
     "q14_case_dispatch", "q15_string_funcs", "q16_hash_funcs",
     "q18_date_trunc", "q19_rollup", "q20_cube", "q21_running_window",
-    "q27_csv_scan", "q28_json_roundtrip",
+    "q27_csv_scan", "q28_json_roundtrip", "q29_examples_list",
+    "q35_xml_roundtrip", "q35b_xml_repeated_tags",
     "q25_bbox_normalize", "q30_scalar_subquery", "q31_pivot",
     "q32_lead_ntile", "q33_array_hof", "q36_percentile", "q37_range_join",
     "q39_map_funcs", "q40_top_customer_per_nation", "q41_late_ship_check",

@@ -587,9 +587,26 @@ object FuzzPlanGen {
       }.mkString(", ") + "]}"
     val specPath = dir.resolve("spec.json")
     Files.writeString(specPath, spec)
-    val rc = Process(Seq("python3", "scripts/fuzz_oracle.py",
-      specPath.toString)).!
-    require(rc == 0, s"fuzz_oracle.py exited $rc")
+    // Environmental-failure discipline (round-13 flake adjudication): a
+    // DuckDB subprocess can die for host reasons (OOM killer, tmp-dir
+    // pressure) that say nothing about value correctness. Capture its
+    // output, retry ONCE on a nonzero exit, and if it fails twice raise
+    // with the stderr tail so the red names the actual cause instead of
+    // reading as an unattributed correctness failure.
+    def runOnce(): (Int, Seq[String]) = {
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      val rc = Process(Seq("python3", "scripts/fuzz_oracle.py",
+        specPath.toString)).!(ProcessLogger(log += _, log += "[stderr] " + _))
+      (rc, log.toSeq)
+    }
+    val (rc1, log1) = runOnce()
+    if (rc1 != 0) {
+      val (rc2, log2) = runOnce()
+      require(rc2 == 0,
+        s"fuzz_oracle.py exited $rc1 then $rc2 on retry (environmental " +
+          "subprocess failure, not a value mismatch). Last output:\n" +
+          (log1 ++ log2).takeRight(30).mkString("\n"))
+    }
     Some(outDir)
   }
 
@@ -603,6 +620,11 @@ object FuzzPlanGen {
       val mine = canon(df, cols)
       rowCounts(s) = mine.size.toLong
       val oracleFile = outDir.resolve(s"q$s.txt")
+      // attribute a missing dump to its seed instead of letting a raw
+      // NoSuchFileException read as an anonymous suite error
+      if (!Files.exists(oracleFile))
+        return Seq(s"seed $s: oracle dump $oracleFile missing — " +
+          s"fuzz_oracle.py died mid-run (environmental)?\n  SQL: $sql")
       val theirs0 = new String(Files.readAllBytes(oracleFile), "UTF-8")
       val theirs = if (theirs0.isEmpty) Seq.empty[String]
         else theirs0.split("\n", -1).toSeq
