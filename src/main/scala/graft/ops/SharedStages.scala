@@ -134,4 +134,13 @@ object SharedStages {
     * documents table — all original columns, one row per kept doc. */
   def cleanDeduped(s: SparkSession, dir: String): DataFrame =
     materialized(s, s"cleanDeduped|$dir")(cleanDedupedBuild(s, dir))
+
+  /** Bench hook: drop every memo entry so the next consumer (or the
+    * bench's x0_shared_stage_build pseudo-query) rebuilds from scratch.
+    * Without this, only the first consumer's first rep ever pays the
+    * shingle→minhash→band→verify cost and min-of-reps discards even that
+    * (round-13 ADVICE) — the build must be timeable on demand. Old sink
+    * directories are left behind in the per-JVM temp root; they are tiny
+    * and the JVM's lifetime is a bench/test run. */
+  def reset(): Unit = entries.clear()
 }
