@@ -1205,10 +1205,16 @@ object ExtensionAnnQueries {
     // k-NN lists, and the margin algebra is unchanged from the paper —
     // nothing anywhere is |X|·|Y| (SimilaritySpec cross-checks this form
     // against the brute baseline under a covering probe). Per-side
-    // coarse seeds = the 8 lowest doc_ids of the side (bounded
-    // TakeOrdered; SQL-replayable); codebook = embeddings rows 0–15 (the
-    // x57 device). k-NN sums accumulate round-4 sims as DECIMAL(18,6) —
-    // exact, order-free — then one fixed-order division.
+    // coarse seeds = the lowest ⌈√n⌉ doc_ids of the side (round-14: the
+    // 100x probe caught the earlier FIXED 8-cell quantizer going
+    // quadratic — per-cell occupancy grew with the corpus, so the
+    // probed-cell candidate join was |X|·|Y|·nProbe/8; √n cells is the
+    // FAISS nlist≈√n discipline: occupancy and assign fan-out both stay
+    // √n, total serve work n^1.5, per-query √n). Still a bounded
+    // TakeOrdered and SQL-replayable — the oracle's LIMIT takes the same
+    // ⌈√count⌉ as a scalar subquery. Codebook = embeddings rows 0–15
+    // (the x57 device). k-NN sums accumulate round-4 sims as
+    // DECIMAL(18,6) — exact, order-free — then one fixed-order division.
     QuerySpec(
       "x110_bitext_margin",
       (s, dir) => {
@@ -1218,16 +1224,18 @@ object ExtensionAnnQueries {
         val emb = embFull.withColumnRenamed("vec_id", "doc_id")
         def side(lang: String) =
           docs.filter(col("lang") === lang).select("doc_id").join(emb, "doc_id")
-        def low8(d: org.apache.spark.sql.DataFrame): Seq[Long] =
-          d.select(col("doc_id").cast("long")).orderBy("doc_id").limit(8)
-            .as[Long].collect().toSeq
+        def lowSqrtN(d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+          val nCells = math.ceil(math.sqrt(d.count().toDouble)).toInt.max(1)
+          d.select(col("doc_id").cast("long")).orderBy("doc_id")
+            .limit(nCells).as[Long].collect().toSeq
+        }
         val en = side("en")
         val de = side("de")
         val codebook = Similarity
           .seedVectors(embFull, "vec_id", "embedding", (0L to 15L))
           .map(_.map(_.toDouble).toArray).toArray
         Similarity.bitextMarginPairsAnn(en, de, "doc_id", "embedding",
-            k = 4, nProbe = 3, srcSeeds = low8(en), tgtSeeds = low8(de),
+            k = 4, nProbe = 3, srcSeeds = lowSqrtN(en), tgtSeeds = lowSqrtN(de),
             m = 8, codebook)
           .orderBy("src_id")
       },
@@ -1254,9 +1262,11 @@ object ExtensionAnnQueries {
              |lutx AS (SELECT id, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dx),
              |luty AS (SELECT id, s, c, CAST(round(d2, 6) AS DECIMAL(18,6)) AS d2 FROM dy),
              |ivx AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS cemb
-             |        FROM (SELECT id, emb FROM xs ORDER BY id LIMIT 8)),
+             |        FROM (SELECT id, emb FROM xs ORDER BY id
+             |              LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM xs))),
              |ivy AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, emb AS cemb
-             |        FROM (SELECT id, emb FROM ys ORDER BY id LIMIT 8)),
+             |        FROM (SELECT id, emb FROM ys ORDER BY id
+             |              LIMIT (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM ys))),
              |dvxx AS (SELECT x.id, ivx.cell,
              |         list_sum([(x.emb[i]-ivx.cemb[i])*(x.emb[i]-ivx.cemb[i]) for i in range(1,65)]) AS d2
              |        FROM xs x CROSS JOIN ivx),
