@@ -593,13 +593,28 @@ object Queries {
       "q27_csv_scan",
       (s, dir) => {
         val tmp = sinkDir(dir, "csv_nation")
+        // Faithful CSV roundtrip config (round-14, caught by the hostile
+        // replay): Spark's WRITE defaults trim leading/trailing
+        // whitespace and emit '' unquoted, so ''/' '/'  \t ' all read
+        // back as NULL. quoteAll preserves whitespace and empties; an
+        // explicit null marker ('\N', the MySQL/Hive convention)
+        // separates NULL from ''. The marker is the format's one
+        // RESERVED word: a literal field value '\N' is indistinguishable
+        // from NULL by construction (every delimited-text format needs a
+        // reserved null spelling) — the same input-domain contract class
+        // as q29's unrepresentable-null id.
         Tables.nation(s, dir).coalesce(1)
-          .write.mode("overwrite").option("header", "true").csv(tmp)
+          .write.mode("overwrite").option("header", "true")
+          .option("quoteAll", "true").option("nullValue", "\\N")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(tmp)
         val sch = StructType(Seq(
           StructField("n_nationkey", IntegerType),
           StructField("n_name", StringType),
           StructField("n_regionkey", IntegerType)))
-        s.read.option("header", "true").schema(sch).csv(tmp)
+        s.read.option("header", "true").schema(sch)
+          .option("nullValue", "\\N").csv(tmp)
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .select(col("n_nationkey"), col("n_name"), col("r_name"))
           .orderBy("n_nationkey")
@@ -1076,8 +1091,14 @@ object Queries {
           .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
           .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,6))")).cast("double")
             .as("total_spend"))
+        // total order (round-14, caught by the hostile replay): duplicate
+        // c_custkey rows with DIFFERENT c_name join the same orders, so
+        // (total_spend, c_custkey) can tie exactly and the engines picked
+        // different names — c_name completes the key (NULLS FIRST spelled
+        // on both sides: Spark's asc default vs DuckDB's NULLS LAST)
         val w = Window.partitionBy(col("n_name"))
-          .orderBy(col("total_spend").desc, col("c_custkey"))
+          .orderBy(col("total_spend").desc, col("c_custkey"),
+            col("c_name").asc_nulls_first)
         spend.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") === 1)
           .select(col("n_name"), col("c_custkey"), col("c_name"), col("total_spend"))
@@ -1092,7 +1113,7 @@ object Queries {
              |  GROUP BY n_name, c_custkey, c_name)
              |SELECT n_name, c_custkey, c_name, total_spend FROM (
              |  SELECT *, row_number() OVER (PARTITION BY n_name
-             |    ORDER BY total_spend DESC, c_custkey) AS rn
+             |    ORDER BY total_spend DESC, c_custkey, c_name NULLS FIRST) AS rn
              |  FROM spend) WHERE rn = 1
              |ORDER BY n_name""".stripMargin)),
 

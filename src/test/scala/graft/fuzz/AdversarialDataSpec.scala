@@ -105,7 +105,11 @@ class AdversarialDataSpec extends SparkSpec {
     "🦆🔥 emoji", "​zero​width​",
     "it's a 'quote'", "back\\slash\\\\double", "tab\there\tagain",
     "MiXeD CaSe AbC", "UPPER lower 0123456789", "a" * 500,
-    "the the the repeated repeated words words", "ID-00042")
+    "the the the repeated repeated words words", "ID-00042",
+    // round-14: raw percent sequences that COLLIDE with q29's
+    // percent-escape codes — "50%20 off" must decode back to itself
+    // (its '%' encodes to %25, so the %20 code can never false-match)
+    "50%20 off", "%25 literal", "100% %%done%")
 
   /** Magnitude extremes stay INSIDE the engine's documented numeric
     * domain: derived monetary terms pass through round(x, 6) CAST

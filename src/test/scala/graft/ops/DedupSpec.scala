@@ -430,6 +430,39 @@ class DedupSpec extends SparkSpec {
     assert(viaBase === direct)
   }
 
+  test("SharedStages: memo builds once, reset forces a rebuild, content stable") {
+    import org.apache.spark.sql.functions.lit
+    var builds = 0
+    val key = s"resetSpec|${System.nanoTime()}"
+    def build = { builds += 1; spark.range(5).withColumn("tag", lit("v")) }
+    val first = SharedStages.materialized(spark, key)(build).collect().toSet
+    SharedStages.materialized(spark, key)(build)
+    assert(builds === 1, "second consumer must hit the memo, not rebuild")
+    SharedStages.reset()
+    val rebuilt = SharedStages.materialized(spark, key)(build).collect().toSet
+    assert(builds === 2,
+      "reset must force the next consumer to rebuild (the bench's " +
+        "x0_shared_stage_build contract)")
+    assert(rebuilt === first)
+  }
+
+  test("SharedStages: dependent memo builds do not deadlock or crash (nested keys)") {
+    // regression for the round-13 ADVICE recursive-update crash: a build
+    // that itself calls materialized() on ANOTHER key must complete even
+    // when both keys land in the same hash bin — exercised here by many
+    // nested registrations (old computeIfAbsent crashed 1-in-16 per pair)
+    import org.apache.spark.sql.functions.lit
+    (0 until 24).foreach { i =>
+      val inner = s"nestSpec|inner$i|${System.nanoTime()}"
+      val outer = s"nestSpec|outer$i|${System.nanoTime()}"
+      val out = SharedStages.materialized(spark, outer) {
+        SharedStages.materialized(spark, inner)(
+          spark.range(3).withColumn("tag", lit(i)))
+      }
+      assert(out.count() === 3L)
+    }
+  }
+
   test("SharedStages.cleanDeduped == dedupCorpus over the quality-filtered corpus") {
     val clean = graft.Tables.documents(spark, sfDir)
       .filter(graft.functions.TextFunctions.qualityScore($"text",
