@@ -19,9 +19,11 @@ import graft.ops.DailySeries
 object MonitorStream {
 
   /** The |days|-row daily table off the accumulated state (merging
-    * micro-batch partials — the only streaming-specific step). */
+    * micro-batch partials — the only streaming-specific step). Read
+    * through [[StateCompaction]] so a poll mid-crash-recovery heals the
+    * writer's interrupted compaction swap, like every sibling report. */
   private def daily(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+    StateCompaction.read(spark, stateDir)
       .groupBy("day").agg(sum(col("n")).as("n"))
 
   /** x143 contract off the state: binary-segmentation first split. */
