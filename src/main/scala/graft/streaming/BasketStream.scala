@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -25,10 +27,7 @@ object BasketStream {
       .select(col("user_id"), to_date(col("ts")).as("day"),
         expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
       .filter(col("item").isNotNull).distinct()
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     // roster fold: the report distincts (user_id, day, item) anyway, so
     // the consolidated partition keeps one row per basket cell
     StateCompaction.compactDistinct(batch.sparkSession, stateDir, batchId,

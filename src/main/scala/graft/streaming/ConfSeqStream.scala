@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -49,10 +51,7 @@ object ConfSeqStream {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum((col("event_type") === "purchase").cast("long")).as("k"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     // day-keyed (n, k) sum-monoid fold through the shared crash-safe
     // swap (round-13 ADVICE: the old in-place full overwrite here could
     // lose the entire state to a crash mid-rewrite)

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -28,10 +30,7 @@ object DecayStream {
         to_date(col("ts")).as("day"))
       .filter(col("item").isNotNull)
       .groupBy("item", "day").agg(count(lit(1)).as("cnt"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
       compactAfter, Seq("item", "day"), Seq("cnt"))
   }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -28,11 +30,7 @@ object DriftStream {
     batch.select(posexplode(col(embCol)).as(Seq("pos", "x")))
       .groupBy((col("pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n"), sum(col("x").cast("double")).as("s"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
       compactAfter, Seq("dim"), Seq("n", "s"))
   }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -28,10 +30,7 @@ object PeriodogramStream {
       batchId: Long, compactAfter: Int = 12): Unit = {
     batch.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     StateCompaction.compactSums(batch.sparkSession, stateDir, batchId,
       compactAfter, Seq("day"), Seq("n"))
   }

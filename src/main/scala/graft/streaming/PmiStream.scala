@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -71,14 +73,8 @@ object PmiStream {
       .select(col("a.item").as("item_a"), col("b.item").as("item_b"))
     crossPairs.union(newPairs)
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("n"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$stateDir/pairs")
-    newRows.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(itemsPath)
+      .pipe(StateCompaction.writeBatchPartition(_, s"$stateDir/pairs", batchId))
+    newRows.pipe(StateCompaction.writeBatchPartition(_, itemsPath, batchId))
     StateCompaction.compactSums(spark, s"$stateDir/pairs", batchId,
       compactAfter, Seq("item_a", "item_b"), Seq("n"))
     StateCompaction.compactIfNeeded(spark, itemsPath, batchId,

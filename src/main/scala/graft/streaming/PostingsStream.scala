@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -34,15 +36,9 @@ object PostingsStream {
   def ingestBatch(batch: DataFrame, stateDir: String, batchId: Long,
       compactAfter: Int = 12): Unit = {
     graft.ops.Bm25.termFreqs(batch)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$stateDir/postings")
+      .pipe(StateCompaction.writeBatchPartition(_, s"$stateDir/postings", batchId))
     batch.select("doc_id")
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$stateDir/docs")
+      .pipe(StateCompaction.writeBatchPartition(_, s"$stateDir/docs", batchId))
     // postings are per-doc atomic (no cross-batch aggregation), so the
     // fold is an identity re-tag: rows unchanged, but a years-long
     // monitor's state stops accreting one directory per micro-batch —

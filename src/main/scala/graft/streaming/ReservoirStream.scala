@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -32,18 +34,21 @@ object ReservoirStream {
       batchId: Long, compactAfter: Int = 12): Unit = {
     Reservoir.topKPerStratum(Reservoir.aesKeyed(batch), K)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     // re-rank fold: keys are a deterministic function of doc_id, so the
     // global top-K per stratum is contained in the top-K of any subset
     // that covers it — folding history through the SAME topKPerStratum
     // keeps the report identical while bounding state at K rows per
-    // stratum (plus the current batch's partition)
+    // stratum (plus the current batch's partition). Dedup FIRST
+    // (round-14 ADVICE): a doc re-ingested in two folded batches carries
+    // identical (source, doc_id) and would occupy two of the K
+    // row_number slots, evicting the K-th DISTINCT doc from the
+    // consolidated partition — the report dedups before ranking, so the
+    // fold must too or it stops being report-preserving.
     StateCompaction.compactIfNeeded(batch.sparkSession, stateDir, batchId,
       compactAfter) { df =>
-      Reservoir.topKPerStratum(Reservoir.aesKeyed(df), K)
+      Reservoir.topKPerStratum(
+          Reservoir.aesKeyed(df.dropDuplicates("source", "doc_id")), K)
         .select(col("doc_id"), col("source"), col("n_chars"))
     }
   }

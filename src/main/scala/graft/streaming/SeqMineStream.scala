@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,10 +36,7 @@ object SeqMineStream {
         col("event_type"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 8).drop("rn")
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     // prefix fold: an event globally among a user's first 8 ranks <= 8 in
     // every subset containing it, so re-applying the report's own
     // dedup + first-8 window to the folded history loses nothing the

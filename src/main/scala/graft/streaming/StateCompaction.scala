@@ -51,28 +51,72 @@ object StateCompaction {
   private def backupPath(stateDir: String) = new Path(stateDir + ".pre_compact")
   private def tmpPath(stateDir: String) = new Path(stateDir + ".compact_tmp")
 
+  /** Per-state-dir swap/recover serialization (round-14 ADVICE): recover()
+    * is destructive (it renames the backup back), so a reader polling in
+    * the window between a LIVE compaction's two renames used to see
+    * backup-present/target-missing and restore the backup out from under
+    * the writer — the writer's promote rename then landed inside the
+    * restored dir (HDFS semantics: duplicated rows) or failed with the
+    * backup already consumed (local FS: crashed query). Two concurrent
+    * pollers could likewise race each other's heal. Keyed on the
+    * FileSystem-qualified path so every spelling of the same dir maps to
+    * one monitor. A JVM-wide lock covers every consumer the streams have
+    * (the foreachBatch writer and in-process pollers share the session
+    * JVM); coordinating writers across PROCESSES would need a marker file
+    * on the state filesystem — out of contract here: each stream owns its
+    * state dir exclusively via its checkpointed query. */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(spark: SparkSession, stateDir: String): Object = {
+    val p = new Path(stateDir)
+    val key = fsOf(spark, p).makeQualified(p).toString
+    swapLocks.computeIfAbsent(key, _ => new Object)
+  }
+
   /** Heal a crash inside the swap window: if the backup exists and the
     * live dir is missing, the crash hit between the two renames — restore
     * the backup; if both exist, the swap completed — drop the stale
     * backup. Idempotent and cheap (one existence probe) when no crash
-    * happened. */
-  def recover(spark: SparkSession, stateDir: String): Unit = {
-    val target = new Path(stateDir)
-    val fs = fsOf(spark, target)
-    val backup = backupPath(stateDir)
-    if (fs.exists(backup)) {
-      if (!fs.exists(target)) {
-        if (!fs.rename(backup, target))
-          sys.error(s"state recovery failed: cannot restore $backup -> $target")
-      } else fs.delete(backup, true)
+    * happened. Serialized per state dir with [[compactIfNeeded]]'s swap,
+    * so a poll can never observe (and destructively "heal") the
+    * mid-rename state of a live compaction. */
+  def recover(spark: SparkSession, stateDir: String): Unit =
+    lockFor(spark, stateDir).synchronized {
+      val target = new Path(stateDir)
+      val fs = fsOf(spark, target)
+      val backup = backupPath(stateDir)
+      if (fs.exists(backup)) {
+        if (!fs.exists(target)) {
+          if (!fs.rename(backup, target))
+            sys.error(s"state recovery failed: cannot restore $backup -> $target")
+        } else fs.delete(backup, true)
+      }
     }
-  }
 
   /** Read the state directory after healing any interrupted swap — the
     * one entry point every report should use. */
   def read(spark: SparkSession, stateDir: String): DataFrame = {
     recover(spark, stateDir)
     spark.read.parquet(stateDir)
+  }
+
+  /** The one WRITE path for a micro-batch's state partition: heal any
+    * interrupted swap BEFORE writing. Ordering is load-bearing (caught by
+    * StateCompactionSpec's mid-swap-kill next-write test): a crash between
+    * the swap's two renames leaves the target missing and the whole
+    * history in the backup; writing first would RECREATE the target
+    * holding only this batch, and the subsequent recover would then read
+    * backup-present/target-present as "swap completed, backup stale" and
+    * delete the history. Recovering first restores the backup, so the
+    * dynamic-overwrite write lands this batch's partition alongside the
+    * intact history. */
+  def writeBatchPartition(df: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
+    recover(df.sparkSession, stateDir)
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
   }
 
   /** True iff the (healed) state directory holds at least one parquet
@@ -117,17 +161,22 @@ object StateCompaction {
       val fs = fsOf(spark, target)
       val tmp = tmpPath(stateDir)
       fs.delete(tmp, true)
+      // the distributed fold runs OUTSIDE the lock (it can take seconds
+      // and only touches the reader-invisible tmp dir); only the rename
+      // dance below must exclude concurrent recover() calls
       folded.unionByName(keep)
         .write.mode("overwrite").partitionBy("batch_id").parquet(tmp.toString)
-      val backup = backupPath(stateDir)
-      fs.delete(backup, true)
-      if (!fs.rename(target, backup))
-        sys.error(s"compaction swap failed: cannot move $target aside")
-      if (!fs.rename(tmp, target)) {
-        fs.rename(backup, target)
-        sys.error(s"compaction swap failed: cannot promote $tmp; state restored")
+      lockFor(spark, stateDir).synchronized {
+        val backup = backupPath(stateDir)
+        fs.delete(backup, true)
+        if (!fs.rename(target, backup))
+          sys.error(s"compaction swap failed: cannot move $target aside")
+        if (!fs.rename(tmp, target)) {
+          fs.rename(backup, target)
+          sys.error(s"compaction swap failed: cannot promote $tmp; state restored")
+        }
+        fs.delete(backup, true)
       }
-      fs.delete(backup, true)
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -22,10 +24,7 @@ object WauStream {
   def accumulateBatch(batch: DataFrame, stateDir: String,
       batchId: Long, compactAfter: Int = 12): Unit = {
     batch.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(stateDir)
+      .pipe(StateCompaction.writeBatchPartition(_, stateDir, batchId))
     // roster fold: the report distincts (user_id, day) anyway, so the
     // consolidated partition keeps one row per active (user, day) cell
     StateCompaction.compactDistinct(batch.sparkSession, stateDir, batchId,
