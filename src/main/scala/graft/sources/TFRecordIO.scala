@@ -207,8 +207,18 @@ object TFRecordIO {
   }
 
   /** Read all records of one TFRecord file, verifying both CRCs. */
-  def readFile(path: String): Iterator[Array[Byte]] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
+  def readFile(path: String): Iterator[Array[Byte]] =
+    readRecords(new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16)), path)
+
+  /** Read all records of one shard's raw bytes (e.g. the `content` column
+    * of a binaryFile scan row), verifying both CRCs — the executor-side
+    * reader behind [[TFRecordSink.scan]]. Same framing core as
+    * [[readFile]]; `what` labels CRC errors with the source shard. */
+  def readBytes(data: Array[Byte], what: String): Iterator[Array[Byte]] =
+    readRecords(new DataInputStream(new java.io.ByteArrayInputStream(data)), what)
+
+  private def readRecords(in: DataInputStream, what: String): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private var nextRec: Array[Byte] = advance()
       private def advance(): Array[Byte] = {
@@ -218,12 +228,12 @@ object TFRecordIO {
         lenBuf(0) = first.toByte
         in.readFully(lenBuf, 1, 7)
         val lenCrc = readIntLE()
-        require(lenCrc == maskedCrc32c(lenBuf), s"length crc mismatch in $path")
+        require(lenCrc == maskedCrc32c(lenBuf), s"length crc mismatch in $what")
         val len = ByteBuffer.wrap(lenBuf).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
         val data = new Array[Byte](len)
         in.readFully(data)
         val dataCrc = readIntLE()
-        require(dataCrc == maskedCrc32c(data), s"data crc mismatch in $path")
+        require(dataCrc == maskedCrc32c(data), s"data crc mismatch in $what")
         data
       }
       private def readIntLE(): Int = {
@@ -238,5 +248,18 @@ object TFRecordIO {
         r
       }
     }
-  }
+
+  // ------------------------------------------------- feature map accessors
+
+  /** First int64 of feature `k`, or None when absent/empty — absence is
+    * the format's null spelling (tf.Example has no null concept; q29's
+    * unrepresentable-null contract class). */
+  def int64Opt(m: Map[String, Feature], k: String): Option[Long] =
+    m.get(k).collect { case Int64Feature(vs) if vs.nonEmpty => vs.head }
+
+  /** First bytes value of feature `k` decoded as UTF-8, or None. */
+  def strOpt(m: Map[String, Feature], k: String): Option[String] =
+    m.get(k).collect {
+      case BytesFeature(vs) if vs.nonEmpty => new String(vs.head, "UTF-8")
+    }
 }

@@ -109,7 +109,15 @@ class AdversarialDataSpec extends SparkSpec {
     // round-14: raw percent sequences that COLLIDE with q29's
     // percent-escape codes — "50%20 off" must decode back to itself
     // (its '%' encodes to %25, so the %20 code can never false-match)
-    "50%20 off", "%25 literal", "100% %%done%")
+    "50%20 off", "%25 literal", "100% %%done%",
+    // round-15 (ADVICE): the CSV format's one RESERVED word — a literal
+    // \N name is indistinguishable from NULL on q27's read-back BY
+    // CONSTRUCTION (the writer emits identical bytes for both; probed
+    // empirically), and q27's oracle now mirrors that collapse with a
+    // CASE, so the contract boundary is pinned by data, not a comment.
+    // The quoted variant "\N" (quote chars INSIDE the value) must
+    // round-trip intact — it is not the reserved word.
+    "\\N", "\"\\N\"")
 
   /** Magnitude extremes stay INSIDE the engine's documented numeric
     * domain: derived monetary terms pass through round(x, 6) CAST
