@@ -24,6 +24,18 @@ object ScaleProbe {
     // carry a 100x tier (SPARK_GRAFT_PROBE_REPS=100) so the 100 TB design
     // claim rests on two decades of measured extrapolation, not one
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "10").toInt
+    // SPARK_GRAFT_PROBE_HOT=1 (round-14 judge stretch #8): the replicated
+    // corpus is duplication-adversarial but KEY-UNIFORM — this variant
+    // additionally plants a pathological hot key in the replica rows so
+    // skew-sensitive plans get measured under the worst key distribution:
+    // ~30% of replica events carry item {"k": 7} (the co-occurrence graph
+    // ops x101/x114/x120 see a hub item in a third of all baskets) and
+    // ~30% of replica lineitem rows collapse onto ONE hot l_orderkey
+    // (q46's salted join gets the single-key pile-up salting exists for).
+    // Base-side rows (rep 0) stay untouched so the oracle-checked sf0.01
+    // semantics are unchanged; compare a hot run's big-side wall against
+    // the uniform run's to read the skew cost.
+    val hotKeys = sys.env.get("SPARK_GRAFT_PROBE_HOT").exists(_ == "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,12 +90,17 @@ object ScaleProbe {
       val ev = spark.read.parquet(s"$baseSf/events.parquet")
       val eMax = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
       val uMax = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+      val skewedProps =
+        if (hotKeys)
+          when(col("rep") > 0 && pmod(col("event_id"), lit(10)) < 3,
+            lit("""{"k": 7}""")).otherwise(col("props"))
+        else col("props")
       ev.crossJoin(spark.range(reps).toDF("rep"))
         .select(
           (col("event_id") + col("rep") * eMax).as("event_id"),
           col("ts"),
           (col("user_id") + col("rep") * uMax).as("user_id"),
-          col("event_type"), col("value"), col("props"))
+          col("event_type"), col("value"), skewedProps.as("props"))
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
       // TPC-H fact + dim for the join-shaped probes (x115/x116): lineitem
@@ -105,8 +122,18 @@ object ScaleProbe {
           ords.columns.filterNot(_ == "o_orderkey").map(col): _*)
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+      // hot variant: ~30% of replica facts collapse onto the smallest
+      // base orderkey (which exists in every replica's orders via rep 0)
+      val hotOrderKey = li.agg(min(col("l_orderkey"))).head.getLong(0)
+      val liKey =
+        if (hotKeys)
+          when(col("rep") > 0 &&
+              pmod(col("l_partkey") + col("l_suppkey"), lit(10)) < 3,
+            lit(hotOrderKey))
+            .otherwise(col("l_orderkey") + col("rep") * oMax)
+        else col("l_orderkey") + col("rep") * oMax
       li.crossJoin(spark.range(reps).toDF("rep"))
-        .select((col("l_orderkey") + col("rep") * oMax).as("l_orderkey") +:
+        .select(liKey.as("l_orderkey") +:
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
