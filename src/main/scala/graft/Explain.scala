@@ -24,6 +24,7 @@ object Explain {
       "q1_pricing_summary", "q3_regional_revenue", "q5_semi_join",
       "q9_window_topk", "q26_tumbling_window", "q34_asof_join",
       "q45_sketch_approx", "q48_orc_roundtrip", "q49_partition_pruned_scan",
+      "q51_tfrecord_scan",
       "x2_dedup_minhash", "x4_ngram_jaccard", "x5_cosine_topk",
       "x13_ann_ivf", "x19_sequence_packing", "x21_contamination",
       "x27_segment_dedup", "x29_tfidf_topterm", "x32_unicode_normalize",
