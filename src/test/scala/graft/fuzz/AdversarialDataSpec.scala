@@ -459,6 +459,10 @@ class AdversarialDataSpec extends SparkSpec {
     // (ORC value roundtrip; Hive partition directory-name escaping over
     // tabs/backslashes/metachars/unicode/emoji event_type values)
     "q48_orc_roundtrip", "q49_partition_pruned_scan",
+    // round-15: q51 stages TFRecord shards from the adversarial orders —
+    // null keys/statuses become ABSENT features and must decode back to
+    // NULL; hostile unicode statuses round-trip through the bytes feature
+    "q51_tfrecord_scan",
     "x1_dedup_exact", "x16_normalized_dedup", "x40_unigram_lm",
     "x319_hellinger_drift",
     // round-12 second tranche: the LLM-pipeline dedup/LSH/text surface on
