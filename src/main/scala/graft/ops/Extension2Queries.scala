@@ -127,9 +127,14 @@ object Extension2Queries {
         // upper triangle only (round-15): the Gram matrix is symmetric and
         // x_i*x_j = x_j*x_i is EXACT in longs, so exploding j >= i (2080
         // cells/row instead of 4096) and mirroring after the aggregate
-        // halves the dominant explode+hash-agg term — the 100x probe read
-        // 121.7 s full-grid vs the row count being the whole cost; the
-        // mirrored union is 4096 tiny rows, free
+        // halves the dominant explode+hash-agg term. The localCheckpoint
+        // is LOAD-BEARING, not an optimization nicety: the mirrored union
+        // references qUp twice, and ShardedSum's mono-id shard column is
+        // nondeterministic, which blocks AQE stage reuse — without the
+        // checkpoint the 2080-cell explode executes once per union branch
+        // (verified GENERATE_COUNT=2 in the executed plan) and the
+        // halving evaporates. Checkpointing materializes the 2080-row
+        // aggregate once; the union then reads 4096 tiny rows for free.
         val qUp = ShardedSum.byKey(
             ints.select(explode(expr(
               """flatten(transform(iv, (x, i) ->
@@ -140,6 +145,7 @@ object Extension2Queries {
             Seq("idx"), col("p"), "ql")
           .select(expr("idx div 64").as("i"), (col("idx") % 64).as("j"),
             (col("ql").cast("double") / 100000000.0).as("q"))
+          .localCheckpoint()
         val q = qUp.unionByName(qUp.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("q")))
         val sm = ints.select(posexplode(col("iv")).as(Seq("i", "v")))
