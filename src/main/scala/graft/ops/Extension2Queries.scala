@@ -127,14 +127,16 @@ object Extension2Queries {
         // upper triangle only (round-15): the Gram matrix is symmetric and
         // x_i*x_j = x_j*x_i is EXACT in longs, so exploding j >= i (2080
         // cells/row instead of 4096) and mirroring after the aggregate
-        // halves the dominant explode+hash-agg term. The localCheckpoint
-        // is LOAD-BEARING, not an optimization nicety: the mirrored union
-        // references qUp twice, and ShardedSum's mono-id shard column is
-        // nondeterministic, which blocks AQE stage reuse — without the
-        // checkpoint the 2080-cell explode executes once per union branch
-        // (verified GENERATE_COUNT=2 in the executed plan) and the
-        // halving evaporates. Checkpointing materializes the 2080-row
-        // aggregate once; the union then reads 4096 tiny rows for free.
+        // halves the dominant explode+hash-agg term's CPU. The mirrored
+        // union references qUp twice; single execution of the heavy
+        // subtree rests on AQE RUNTIME stage reuse (both branches share
+        // one expression tree, so the idx-exchange canonicalizes equal
+        // and the second branch reads the materialized stage — verified
+        // ReusedQueryStage>=1 in the EXECUTED plan; the initial static
+        // plan always prints both branches, which is not evidence of
+        // double work). PlansSpec gates this so a Spark-config or
+        // canonicalization regression that silently re-doubles the
+        // explode turns a test red instead of a cluster bill.
         val qUp = ShardedSum.byKey(
             ints.select(explode(expr(
               """flatten(transform(iv, (x, i) ->
@@ -145,7 +147,6 @@ object Extension2Queries {
             Seq("idx"), col("p"), "ql")
           .select(expr("idx div 64").as("i"), (col("idx") % 64).as("j"),
             (col("ql").cast("double") / 100000000.0).as("q"))
-          .localCheckpoint()
         val q = qUp.unionByName(qUp.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("q")))
         val sm = ints.select(posexplode(col("iv")).as(Seq("i", "v")))

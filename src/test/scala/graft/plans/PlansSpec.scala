@@ -497,4 +497,21 @@ class PlansSpec extends SparkSpec {
       s"x161 reads its input ${scans.size} times — the 25 distinct counts " +
         "must share one scan (at 100 TB each extra scan is a full table read)")
   }
+
+  test("x306 mirror union REUSES the Gram-aggregate stage (explode runs once)") {
+    // the upper-triangle rewrite's CPU halving rests on AQE runtime stage
+    // reuse across the mirrored self-union — a RUNTIME decision, so the
+    // query must be EXECUTED before inspecting (the initial static plan
+    // always prints both branches; round-15 nearly shipped a redundant
+    // checkpoint off that misreading). Execute via collect() on the SAME
+    // QueryExecution (a write would plan a fresh one).
+    val df = SparkEntry.queries("x306_effective_rank")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    assert("ReusedQueryStage|ReusedExchange".r.findAllIn(s).nonEmpty,
+      "no stage reuse in x306's executed plan — the mirrored union is " +
+        "running the 2080-cell Gram explode once PER BRANCH, doubling the " +
+        "dominant term's CPU at cluster scale")
+  }
 }
