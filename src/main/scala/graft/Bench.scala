@@ -137,14 +137,23 @@ object Bench {
     def printTruncated(): Unit = {
       val snap = snapshot()
       val byTime = snap.sortBy(-_._2)
-      val overhead = 140 // fixed fields + omitted counter headroom
+      val overhead = 170 // fixed fields + omitted/single_rep counter headroom
       var used = overhead
       val kept = byTime.takeWhile { case (k, v) =>
         used += k.length + fmt(v).length + 4
         used <= 1500
       }
       val omitted = snap.size - kept.size
-      println(toJson(snap, kept, s""","omitted_fastest":$omitted"""))
+      // the round-14 ask #4 single-rep NAMES live in the file artifact;
+      // stdout gets the count always, plus the names when they fit a
+      // 300-char side budget (so a pass-2-complete run prints "[]" and a
+      // budget-starved run still names a short tail explicitly)
+      val singles = snap.map(_._1).filterNot(reppedTwice.contains)
+      val singleList = singles.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val singleField =
+        if (singleList.length <= 300) s""","single_rep":$singleList"""
+        else s""","single_rep_count":${singles.size}"""
+      println(toJson(snap, kept, s""","omitted_fastest":$omitted$singleField"""))
     }
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
     // A timeout kill (SIGTERM) runs shutdown hooks: emit whatever finished.
