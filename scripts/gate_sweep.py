@@ -3,8 +3,17 @@
 past-gate entries slipped through a hand adjudication — make the sweep
 scripted and provably exhaustive over every shared query).
 
-Usage: gate_sweep.py [BASE_COL] [NEW_COL]   (defaults: the two newest
-r*_local columns in bench_history.json)
+Usage: gate_sweep.py [BASE_COL NEW_COL]
+
+With explicit columns: one sweep BASE_COL -> NEW_COL.
+With no args: sweeps the newest r*_local column against BOTH
+  1. the adjacent column (one hop), and
+  2. the column one further back (two hops) when it exists —
+the round-15 judge's finding: adjacent-only sweeps let CHAINED
+opposite-direction environmental adjudications mask slow creep ("r14
+was a slower host" then "r15's host is back to r13 vintage" both pass,
+while r13 -> r15 on same-vintage hosts shows real drift). The two-hop
+sweep compares same-vintage endpoints directly so that cannot hide.
 
 Applies the engine's own regression gate — ratio > 1.4x AND delta >
 +0.3 s — to EVERY query shared by the two columns and prints one line
@@ -21,13 +30,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RATIO, DELTA = 1.4, 0.3
 
 
-def main() -> int:
-    hist = json.load(open(os.path.join(ROOT, "bench_history.json")))
-    queries = hist["queries"]
-    cols = sorted(
-        {c for v in queries.values() for c in v if re.fullmatch(r"r\d+b?_local", c)},
-        key=lambda c: (int(re.match(r"r(\d+)", c).group(1)), c))
-    base, new = (sys.argv[1], sys.argv[2]) if len(sys.argv) == 3 else cols[-2:]
+def sweep(queries, base, new):
     shared = [q for q, v in queries.items() if base in v and new in v]
     past = []
     for q in sorted(shared):
@@ -38,6 +41,38 @@ def main() -> int:
         print(f"PAST-GATE {q}: {base}={b:.3f}s {new}={n:.3f}s ({r:.2f}x, +{n-b:.2f}s)")
     print(f"== swept {len(shared)} shared queries {base} -> {new}: "
           f"{len(past)} past the {RATIO}x/+{DELTA}s gate")
+
+
+def main() -> int:
+    if len(sys.argv) not in (1, 3):
+        print("usage: gate_sweep.py [BASE_COL NEW_COL]   "
+              "(no args: one-hop AND two-hop sweep of the newest column)",
+              file=sys.stderr)
+        return 2
+    hist = json.load(open(os.path.join(ROOT, "bench_history.json")))
+    queries = hist["queries"]
+    cols = sorted(
+        {c for v in queries.values() for c in v if re.fullmatch(r"r\d+b?_local", c)},
+        key=lambda c: (int(re.match(r"r(\d+)", c).group(1)), c))
+    if len(sys.argv) == 3:
+        base, new = sys.argv[1], sys.argv[2]
+        known = {c for v in queries.values() for c in v}
+        missing = [c for c in (base, new) if c not in known]
+        if missing:
+            print(f"error: column(s) not in bench_history.json: "
+                  f"{', '.join(missing)} (have: {', '.join(cols)})",
+                  file=sys.stderr)
+            return 2
+        sweep(queries, base, new)
+        return 0
+    if len(cols) < 2:
+        print(f"error: need >= 2 r*_local columns in bench_history.json to "
+              f"sweep (found: {', '.join(cols) or 'none'})", file=sys.stderr)
+        return 2
+    sweep(queries, cols[-2], cols[-1])
+    if len(cols) >= 3:
+        print("-- two-hop sweep (same-vintage drift check):")
+        sweep(queries, cols[-3], cols[-1])
     return 0
 
 

@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
   *      CONSECUTIVE rows of one input partition (the id's upper bits carry
   *      the partition index, the lower 33 bits a per-partition counter, so
   *      a shard can never span partitions and never exceed 2²⁰ rows — a
-  *      bound that holds under ANY partitioning, unlike split-size
-  *      arguments, which a coalesce or a giant input split would void);
+  *      bound that holds under any partitioning PROVIDED no single input
+  *      partition exceeds 2³³ rows (the per-partition counter's width:
+  *      past 2³³ rows in one partition the counter bleeds into the next
+  *      partition's id space and a shard key can repeat — so the bound is
+  *      conditional, unlike split-size arguments only in being voided at
+  *      ~8.6·10⁹ rows *per partition* rather than by any coalesce);
   *   2. the per-shard partials summed as DECIMAL(38,0) — exact for any
   *      row count (10³⁸ headroom; Spark raises on decimal overflow rather
   *      than wrapping).
   *
-  * Caller contract: |value| < 2⁴³ per row, so a full 2²⁰-row shard sums to
-  * < 2⁶³ — PROVABLY exact at any corpus size. x306's cell products are
+  * Caller contract: |value| < 2⁴³ per row AND < 2³³ rows per input
+  * partition (any sane split sizing is ~6 decades inside that; see the
+  * shard-bound caveat above), so a full 2²⁰-row shard sums to
+  * < 2⁶³ — exact at any corpus size under those two stated bounds. x306's cell products are
   * ≤ ~2.5·10⁹ ≈ 2³¹·², five decades inside the contract. Mechanism tested
   * in ShardedSumSpec at a synthetic (rows × value) volume past the flat
   * Long wrap point.
