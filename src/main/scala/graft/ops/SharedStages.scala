@@ -96,7 +96,13 @@ object SharedStages {
     * string-jaccard join [[Dedup.minhashNearDups]] uses. */
   def docNearDupPairs(s: SparkSession, dir: String): DataFrame =
     materialized(s, s"docNearDupPairs|$dir") {
-      val b = docBands(s, dir)
+      // same bucket-occupancy skew guard as Dedup.minhashNearDups: a
+      // boilerplate hot bucket would make this self-join's pair mass
+      // quadratic in the bucket size (see Dedup.DefaultMaxBucket); the
+      // cap's count-window rides the (band, bucket) shuffle the join
+      // needs anyway. No-op on every oracle-checked corpus (largest
+      // sf0.01 bucket is family-sized, decades under the cap).
+      val b = Dedup.capBuckets(docBands(s, dir))
       val cand = b.as("a")
         .join(b.as("b"),
           col("a.band") === col("b.band") &&

@@ -32,6 +32,44 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("bucket cap drops a boilerplate family's pairs, keeps genuine near-dups") {
+    // 30-doc boilerplate family (one shared blurb + a unique tail each):
+    // every member lands in the same band buckets, so the family's pair
+    // mass is quadratic — the hot-key shape the cap bounds. Docs 1001/1002
+    // are an ordinary near-dup pair that must survive the cap.
+    val blurb = "this software is provided as is without any express or " +
+      "implied warranties of merchantability or fitness for a purpose"
+    val family = (1L to 30L).map(i =>
+      (i, s"$blurb unique tail token$i", "en", "s0", 120L))
+    val corpus = (family ++ Seq(
+      // the suite fixture's proven near-dup pair (string jaccard 0.75)
+      (1001L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+      (1002L, "the quick brown fox jumps over the lazy dogs", "en", "s0", 44L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        threshold = 0.7, maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1001L, 1002L)),
+      "capped run must keep the genuine pair and emit no boilerplate pairs")
+    // uncapped (default 4096 never fires here): the family pairs exist —
+    // proving the cap, not banding recall, removed them above
+    val uncapped = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1001L, 1002L)))
+    assert(uncapped.count(p => p._1 <= 30L && p._2 <= 30L) > 100,
+      "the uncapped family must be pair-quadratic (the shape being capped)")
+    // diagnostic twin names what was capped
+    val over = Dedup.oversizedBuckets(
+      Dedup.lshBands(
+        Dedup.withMinhash(corpus, "text", 64)
+          .filter(size(col("shingle_hashes")) > 0)
+          .select(col("doc_id"), col("sig")),
+        "doc_id", bands = 16, rowsPerBand = 4), maxBucket = 10)
+    assert(over.count() > 0)
+    assert(over.agg(max(col("occupancy"))).head.getLong(0) >= 20L)
+  }
+
   test("containment catches a short doc quoted inside a longer one") {
     val quoted = Seq(
       (1L, "alpha beta gamma delta", "en", "s0", 22L), // fully inside doc 2
