@@ -218,6 +218,13 @@ object TFRecordIO {
   def readBytes(data: Array[Byte], what: String): Iterator[Array[Byte]] =
     readRecords(new DataInputStream(new java.io.ByteArrayInputStream(data)), what)
 
+  /** Stream records off an open input stream (closed at EOF) — the framing
+    * is sequential (length-prefixed), so a shard of any size reads in
+    * O(record) memory; TFRecordSink.scan's oversized-shard path uses this
+    * over a Hadoop FS stream instead of materializing the whole file. */
+  def readStream(in: java.io.InputStream, what: String): Iterator[Array[Byte]] =
+    readRecords(new DataInputStream(new BufferedInputStream(in, 1 << 16)), what)
+
   private def readRecords(in: DataInputStream, what: String): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private var nextRec: Array[Byte] = advance()
