@@ -36,6 +36,16 @@ object ScaleProbe {
     // semantics are unchanged; compare a hot run's big-side wall against
     // the uniform run's to read the skew cost.
     val hotKeys = sys.env.get("SPARK_GRAFT_PROBE_HOT").exists(_ == "1")
+    // Probe-corpus file count for the REPLICATED tables, scaling with the
+    // replication factor (4 at 10x — the historical recipe, unchanged; 12 at
+    // 100x; 125 at 1000x). The old unconditional coalesce(4) collapsed to ONE
+    // file at 1000x (the upstream crossJoin had a single partition), so the
+    // 60M-row lineitem scans ran on <=3 of 32 cores and the probe measured
+    // the fixture's file layout, not the engine — no real 100 TB corpus is
+    // one file. repartition, not coalesce: coalesce cannot RAISE the
+    // partition count, which is exactly how the single file happened.
+    val outFiles = sys.env.get("SPARK_GRAFT_PROBE_FILES").map(_.toInt)
+      .getOrElse(math.max(4, math.min(128, reps / 8)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,7 +88,7 @@ object ScaleProbe {
           (col("doc_id") + col("rep") * n).as("doc_id"),
           when(col("rep") === 0, col("text")).otherwise(replicaText).as("text"),
           col("lang"), col("source"), col("n_chars"))
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(bigDocs.getPath)
       // embeddings too (the vector ops' probe input): replicas get a small
       // per-copy nudge on dim 0 so they are near- but not exact duplicates
@@ -93,7 +103,7 @@ object ScaleProbe {
           expr("transform(embedding, (x, i) -> " +
             "IF(i = 0, CAST(x + rep * 0.001 AS FLOAT), x))").as("embedding"),
           col("label"))
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
       // events too (the behavioral ops' probe input): replicate USERS 10x —
       // event/user ids offset per copy, per-user history untouched — because
@@ -120,7 +130,7 @@ object ScaleProbe {
           col("ts"),
           (col("user_id") + col("rep") * uMax).as("user_id"),
           col("event_type"), col("value"), skewedProps.as("props"))
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
       // TPC-H fact + dim for the join-shaped probes (x115/x116): lineitem
       // replicates 10x with fresh orderkeys but UNCHANGED l_partkey — facts
@@ -139,7 +149,7 @@ object ScaleProbe {
       ords.crossJoin(spark.range(reps).toDF("rep"))
         .select((col("o_orderkey") + col("rep") * oMax).as("o_orderkey") +:
           ords.columns.filterNot(_ == "o_orderkey").map(col): _*)
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
       // hot variant: ~30% of replica facts collapse onto the smallest
       // base orderkey (which exists in every replica's orders via rep 0).
@@ -156,20 +166,20 @@ object ScaleProbe {
       li.crossJoin(spark.range(reps).toDF("rep"))
         .select(liKey.as("l_orderkey") +:
           li.columns.filterNot(_ == "l_orderkey").map(col): _*)
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
       // customer passes through UNCHANGED: orders replicate 10x with
       // o_custkey untouched, so per-customer order counts grow 10x over a
       // fixed dimension — the fact-deepens-over-dim shape x152's
       // cardinality audit should see (skew grows, NDV doesn't).
-      Tables.customer(spark, baseSf).coalesce(4)
+      Tables.customer(spark, baseSf).coalesce(4) // unreplicated dim: stays small
         .write.mode("overwrite").parquet(s"$bigDir/customer.parquet")
       val pt = Tables.part(spark, baseSf)
       val pMax = pt.agg(max(col("p_partkey"))).head.getLong(0) + 1L
       pt.crossJoin(spark.range(reps).toDF("rep"))
         .select((col("p_partkey") + col("rep") * pMax).as("p_partkey") +:
           pt.columns.filterNot(_ == "p_partkey").map(col): _*)
-        .coalesce(4)
+        .repartition(outFiles)
         .write.mode("overwrite").parquet(s"$bigDir/part.parquet")
     }
 
