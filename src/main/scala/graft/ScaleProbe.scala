@@ -46,6 +46,13 @@ object ScaleProbe {
     // partition count, which is exactly how the single file happened.
     val outFiles = sys.env.get("SPARK_GRAFT_PROBE_FILES").map(_.toInt)
       .getOrElse(math.max(4, math.min(128, reps / 8)))
+    // Runs per measured point, min taken — the bench methodology applied to
+    // the probe. This host shows heavy CPU-steal noise (a warmed 60M-row
+    // decimal aggregate measured 181.9 s then 2.9 s back-to-back in ONE JVM),
+    // so a single-shot big-corpus wall is an upper bound under whatever the
+    // neighbors were doing, not an engine cost. Default 1 keeps the historical
+    // recipe; the 1000x tier runs with 3.
+    val runsPerPoint = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,8 +64,16 @@ object ScaleProbe {
 
     // Always regenerate: a stale /tmp cache keyed on nothing silently
     // decoupled the probe corpus from the base dir it claims to scale.
+    // SPARK_GRAFT_PROBE_REUSE=1 is the EXPLICIT opt-out for multi-invocation
+    // sessions over one corpus (e.g. min-of-N re-measurement right after a
+    // build) — explicit because the silent version was the bug.
     val bigDocs = new java.io.File(s"$bigDir/documents.parquet")
-    locally {
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").exists(_ == "1") &&
+      bigDocs.exists()
+    if (reuse)
+      println(s"[probe] REUSING existing corpus at $bigDir (SPARK_GRAFT_PROBE_REUSE=1) — " +
+        "caller asserts it was built from this baseSf at these reps")
+    if (!reuse) locally {
       val docs = Tables.documents(spark, baseSf)
       // Replica ids offset by max(doc_id)+1, not count(): ids need not be
       // dense in [0, n), and a sparse id >= count would collide replicas.
@@ -183,7 +198,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$bigDir/part.parquet")
     }
 
-    def time(name: String, dir: String): Double = {
+    def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -194,6 +209,8 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       t
     }
+    def time(name: String, dir: String): Double =
+      (1 to runsPerPoint).map(_ => timeOnce(name, dir)).min
 
     names.foreach { name =>
       time(name, baseSf) // warm: codegen + JIT
