@@ -103,7 +103,11 @@ object Dedup {
     * through candidate generation — only through this final small join. */
   private[ops] def verifyWithStringJaccard(cand: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val strs = docs
+    // shingle extraction is the per-row hot kernel; fan an under-split
+    // scan before it so it parallelizes past the scan's file-split count
+    // (no-op on a well-split table — guide §2.5)
+    val strs = graft.Tables.fanOut(
+        docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), wordShingleStrings(col(textCol)).as("shs"))
       .filter(size(col("shs")) > 0)
     val shA = strs.select(col(idCol).as("doc_a"), col("shs").as("sh_a"))
@@ -298,8 +302,11 @@ object Dedup {
     val rowsPerBand = k / bands
     // NOT cached: the signature kernel is cheap enough that recomputing per
     // consumer beats paying columnar cache materialization of the arrays
-    // (measured 3-4x at sf0.1)
-    val sigs = withMinhash(df, textCol, k)
+    // (measured 3-4x at sf0.1). The kernel IS k min-scans per row though,
+    // so fan an under-split scan first (guide §2.5; no-op at scale).
+    val sigs = withMinhash(
+        graft.Tables.fanOut(df.select(col(idCol), col(textCol)),
+          col(idCol)), textCol, k)
       .filter(size(col("shingle_hashes")) > 0) // jaccard undefined on empty sets
       .select(col(idCol), col("sig"))
     val bandsDf = capBuckets(lshBands(sigs, idCol, bands, rowsPerBand), maxBucket)
@@ -947,8 +954,14 @@ object Dedup {
     // first would materialize the whole per-doc suffix array (~40·n bytes)
     // inside one row before the generator runs — a 10 MB document would
     // pin a ~400 MB single-row array in task memory.
-    val sfx = df
-      .select(col(idCol), col(textCol).as("t"))
+    // The position explode expands every document ~|text|-fold before the
+    // first exchange; an under-split scan would run that entire expansion
+    // on its few scan tasks (measured: 2.8 s of a 5.0 s query in ONE task
+    // at sf0.1 — the whole corpus is one parquet file). Fan the slim
+    // (id, text) rows across the configured parallelism first; no-op when
+    // the scan already has enough file splits (guide §2.5).
+    val sfx = graft.Tables.fanOut(
+        df.select(col(idCol), col(textCol).as("t")), col(idCol))
       .select(col(idCol), col("t"),
         explode(sequence(lit(1), length(col("t")))).as("posi"))
       .select(col(idCol), col("posi").cast("long").as("pos"),
@@ -1036,12 +1049,25 @@ object Dedup {
     // without it each consumer re-tokenizes and re-explodes the raw text
     // (measured 21 s -> ~3 s at sf0.1 with the checkpoint + the
     // aggregate argmin below).
-    val tf = df
-      .select(col(idCol).as("doc"),
-        TextFunctions.tokens(col(textCol)).as("toks"))
+    // Two layout fixes ride the tf build (measured at sf0.1, guide §2.5):
+    // the tokenize+bigram explode above the first exchange ran on the
+    // scan's single file split (0.6 s, 1 task), and AQE's byte-based
+    // coalescing left the checkpointed aggregate on 4 partitions — so the
+    // signature join + argmin downstream (5.1 s of task time) got 4-way
+    // parallelism on a 32-core host. Fan the slim (doc, text) rows before
+    // the explode, and pin the checkpoint's layout to the configured
+    // parallelism, hash-clustered by doc so the docVec groupBy("doc")
+    // below needs no further exchange. Both are no-ops / byte-bounded at
+    // scale (fanOut skips well-split scans; the pre-checkpoint exchange
+    // moves only the aggregated tf).
+    val tf = graft.Tables.fanOut(
+        df.select(col(idCol).as("doc"),
+          TextFunctions.tokens(col(textCol)).as("toks")), col("doc"))
       .select(col("doc"),
         explode(TextFunctions.bigramsOfTokens(col("toks"))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("w"))
+      .repartition(graft.Tables.numShufflePartitions(df.sparkSession),
+        col("doc"))
       .localCheckpoint()
     // strictly-(0,1) uniforms from 48-bit md5 prefixes: the 2^48+1
     // divisor (the Reservoir.aesKeyed device) keeps u < 1 even at the

@@ -1384,7 +1384,14 @@ object ExtensionAnnQueries {
     QuerySpec(
       "x127_pca_power",
       (s, dir) => {
-        val e = Tables.embeddings(s, dir).select(col("embedding").as("e"))
+        // both moment passes (mu and the upper-triangle grid) explode
+        // 64 (resp. ~2080) cells per vector above the first exchange; an
+        // under-split scan runs that on its few scan tasks (measured:
+        // 2×2.0 s single-task at sf0.1). Fan the slim vectors first —
+        // no-op when the scan has enough file splits (guide §2.5).
+        val e = Tables.fanOut(Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding").as("e")), col("vec_id"))
+          .select(col("e"))
         val mu = e.select(posexplode(expr(
             """transform(e, (v, i) -> named_struct('i', i + 1,
               |  'v', CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))))
@@ -1415,25 +1422,36 @@ object ExtensionAnnQueries {
             (col("sp").cast("double") / lit(1000000.0) / col("n") -
               col("mi") * col("mj")).as("c"))
           .localCheckpoint() // 4096 rows; iterations never rescan the corpus
+        // The L2 normalizer is a GLOBAL aggregate of the 64-row w vector —
+        // dimension-bounded, never corpus-bounded — so it rides a
+        // partition-less window over the aggregate instead of a separate
+        // agg + crossJoin(broadcast(...)) per iteration: same decimal sum,
+        // same rounding, but the three iterations collapse into ONE lazy
+        // plan (no per-iteration broadcast jobs; measured 22 jobs -> 5 at
+        // sf0.1). Scale-safe per the PlansSpec window rule: the window
+        // input is the 64-row groupBy("i") aggregate.
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
         var v = cmat.select(col("i").as("j")).distinct()
           .select(col("j"),
-            when(col("j") === 1, lit(1.0)).otherwise(lit(0.0)).as("vj"))
-        var lam: org.apache.spark.sql.DataFrame = null
+            when(col("j") === 1, lit(1.0)).otherwise(lit(0.0)).as("vj"),
+            lit(0.0).as("nrm"))
         for (_ <- 1 to 3) {
-          val w = cmat.join(v, "j")
+          val w = cmat.join(v.select(col("j"), col("vj")), "j")
             .groupBy(col("i"))
             .agg(sum(round(col("c") * col("vj"), 6).cast("decimal(18,6)"))
               .as("wd"))
             .select(col("i"), col("wd").cast("double").as("w"))
-          lam = w.agg(
-            sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
-              .cast("double")).as("nrm"))
-          v = w.crossJoin(broadcast(lam))
+          v = w
+            .withColumn("nrm",
+              sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(18,6)"))
+                .over(wg).cast("double")))
             .select(col("i").as("j"),
-              round(col("w") / col("nrm"), 6).as("vj"))
+              round(col("w") / col("nrm"), 6).as("vj"), col("nrm"))
         }
-        v.crossJoin(broadcast(lam))
-          .select(col("j").cast("long").as("dim"), col("vj").as("loading"),
+        v.select(col("j").cast("long").as("dim"), col("vj").as("loading"),
             round(col("nrm"), 6).as("eigenvalue"))
           .orderBy("dim")
       },

@@ -18,6 +18,19 @@ object ExtensionQueries {
 
   private[ops] val STOPWORDS = Seq("a", "the")
 
+  /** Partition-less unbounded window for GLOBAL normalizers over
+    * k-/vocab-bounded aggregates (the r16 job-count lens): a scalar total
+    * that derives from the frame it normalizes otherwise forces either a
+    * localCheckpoint (an eager job per step) or a re-evaluation of the
+    * whole upstream subtree for the broadcast branch. Riding the total on
+    * an unbounded window keeps the step one lazy plan. ONLY legal over
+    * aggregate-bounded inputs (PlansSpec rule 1 enforces this per build);
+    * corpus-bounded normalizers must keep the checkpoint+broadcast form. */
+  private[ops] val WgAll: org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window.partitionBy().rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+
   /** Single source for the x33/x35 merge budget: the Spark trainMerges
     * call, the oracle CTE's recursion bound, and the x35 final-state
     * selector all derive from this one value. */
@@ -31,8 +44,18 @@ object ExtensionQueries {
     * ops (they were six inline copies before round 8's review). */
   private[ops] def itemContexts(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables.events(s, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"),
+    // parse_json runs per event row above the first exchange; fan an
+    // under-split events scan across the configured parallelism first so
+    // the parse isn't serialized onto the scan's few file splits
+    // (measured ~0.6 s single-task at sf0.1; no-op on a well-split
+    // table — guide §2.5). Only (user_id, day, props) cross the fan-out
+    // exchange — project before the exchange, guide §2.3 — and the
+    // distinct's own hash exchange follows anyway, so this only
+    // parallelizes the map side.
+    Tables.fanOut(Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("props")),
+        col("user_id"))
+      .select(col("user_id"), col("day"),
         expr("variant_get(parse_json(props), '$.k', 'int')").as("item"))
       .distinct()
 

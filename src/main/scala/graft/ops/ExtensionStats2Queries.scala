@@ -1224,8 +1224,13 @@ object ExtensionStats2Queries {
     QuerySpec(
       "x212_bradley_terry",
       (s, dir) => {
-        val iv = Tables.events(s, dir)
-          .select(col("user_id"), to_date(col("ts")).as("day"),
+        // fan the under-split events scan before the per-row parse_json
+        // (guide §2.5; no-op on a well-split table), projecting first so
+        // only the needed columns cross the exchange (guide §2.3)
+        val iv = Tables.fanOut(Tables.events(s, dir)
+            .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("props"), col("value")), col("user_id"))
+          .select(col("user_id"), col("day"),
             expr("variant_get(parse_json(props), '$.k', 'int')").as("item"),
             expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
           .filter(col("item").isNotNull)
@@ -1268,15 +1273,23 @@ object ExtensionStats2Queries {
               round((col("w") + lit(1.0)) /
                 (col("den") + round(lit(2.0) / (col("p") + lit(1.0)), 6)),
                 6).as("raw"))
-          // checkpoint the vocab-bounded strengths: without it each step's
-          // tot-broadcast re-evaluates the PREVIOUS steps' whole subtree
-          // (~2x plan duplication per step — measured 12.9 s of pure
-          // constant factor at sf0.01, corpus-independent)
-          val rawCk = raw.localCheckpoint()
-          val tot = rawCk.agg(sum(col("raw").cast("decimal(18,6)"))
-            .cast("double").as("sraw"))
-          rawCk.crossJoin(broadcast(tot))
+          // The normalizer is a GLOBAL sum of the ITEM-VOCAB-bounded raw
+          // strengths, so it rides a partition-less window over the
+          // aggregate instead of a separate agg + crossJoin(broadcast)
+          // branch — one consumer of raw, no tot subtree. The checkpoint
+          // stays, but ONCE per step instead of the old
+          // checkpoint+agg+broadcast trio: the next step joins p on BOTH
+          // sides (p and pj), and an unpinned lazy p would re-evaluate
+          // the whole previous-step subtree per side (measured: the
+          // window-only form read 3.4 s — flat — exactly because of that
+          // doubling; window+checkpoint reads ~2.6 s). Same decimal sum,
+          // same rounding; scale-safe because the window input is the
+          // |items|-row aggregate (PlansSpec rule 1).
+          raw.withColumn("sraw",
+              sum(col("raw").cast("decimal(18,6)")).over(WgAll)
+                .cast("double"))
             .select(col("i"), round(col("raw") / col("sraw"), 6).as("p"))
+            .localCheckpoint()
         }
         val p3 = step(step(step(items.withColumn("p", lit(1.0)))))
         p3.join(wins, "i").join(loss, "i")

@@ -82,9 +82,12 @@ object SharedStages {
     * production dedup index materializes nightly. */
   def docBands(s: SparkSession, dir: String): DataFrame =
     materialized(s, s"docBands|$dir") {
+      // fan the under-split scan before the shingle+64-min signature
+      // kernel — the build's dominant per-row cost (guide §2.5; no-op on
+      // a well-split table)
       Dedup.lshBands(
-        Dedup.withMinhash(Tables.documents(s, dir).select(col("doc_id"),
-          col("text")), "text", 64)
+        Dedup.withMinhash(Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id")), "text", 64)
           .filter(size(col("shingle_hashes")) > 0)
           .select(col("doc_id"), col("sig")),
         "doc_id", bands = 16, rowsPerBand = 4)
