@@ -120,10 +120,17 @@ object Extension2Queries {
         val e = Tables.embeddings(s, dir)
         val nd = e.agg(count(lit(1)).as("n"),
           max(size(col("embedding"))).as("dim"))
-        val ints = e.select(expr(
+        // fan the under-split scan before the two moment explodes (the
+        // 2080-cell Gram expansion and the per-dim sums both sit above the
+        // first exchange — measured 2×2.0 s single-task at sf0.1; guide
+        // §2.5, no-op on a well-split table). ShardedSum's two-level sum
+        // is exact under ANY row placement, so the fan-out cannot move a
+        // value.
+        val ints = Tables.fanOut(e.select(col("vec_id"), expr(
           """transform(embedding,
             |  x -> CAST(round(CAST(x AS DOUBLE) * 10000.0, 0) AS BIGINT))"""
-            .stripMargin).as("iv"))
+            .stripMargin).as("iv")), col("vec_id"))
+          .select(col("iv"))
         // upper triangle only (round-15): the Gram matrix is symmetric and
         // x_i*x_j = x_j*x_i is EXACT in longs, so exploding j >= i (2080
         // cells/row instead of 4096) and mirroring after the aggregate
@@ -1520,9 +1527,12 @@ object Extension2Queries {
       "x321_boxcox",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val y = Tables.events(s, dir)
-          .filter(col("value") > 0)
-          .select(col("value").cast("double").as("y"))
+        // fan the under-split scan before the 6-λ explode + ln/pow per row
+        // (measured 1.8 s single-task at sf0.1; guide §2.5, no-op on a
+        // well-split table)
+        val y = Tables.fanOut(Tables.events(s, dir)
+            .filter(col("value") > 0)
+            .select(col("value").cast("double").as("y")), col("y"))
         val lam = y.select(col("y"),
             explode(array(lit(-1.0), lit(-0.5), lit(0.0), lit(0.5),
               lit(1.0), lit(2.0))).as("lam"))

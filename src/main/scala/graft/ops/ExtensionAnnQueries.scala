@@ -1809,6 +1809,13 @@ object ExtensionAnnQueries {
     QuerySpec(
       "x184_geometric_median",
       (s, dir) => {
+        // Examined for the r16 fan-out pass and deliberately left on the
+        // scan's layout: the Weiszfeld rounds are ~30 tiny broadcast/agg
+        // jobs over a 640k-row working set, so the cost is per-job
+        // scheduling, not map-side serialization — fanning the checkpoint
+        // to 32 partitions measured WORSE at sf0.1 (2.48 -> 2.97 s
+        // profiler min; 32 task launches per micro-stage outweigh the
+        // parallel compute).
         val ex = Tables.embeddings(s, dir)
           .select(col("vec_id"),
             posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -2095,7 +2102,11 @@ object ExtensionAnnQueries {
       "x215_silhouette",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val emb = Tables.embeddings(s, dir)
+        // fan the under-split scan once; the k-means assign passes and the
+        // 16-centroid distance map both run per-row above the first
+        // exchange (measured 2×0.87 s single-task at sf0.1; guide §2.5,
+        // no-op on a well-split table)
+        val emb = Tables.fanOut(Tables.embeddings(s, dir), col("vec_id"))
         val cents = Quantized.lloydKmeansFixedK(emb, "vec_id", "embedding",
             k = 16, salt = "graft-kmeans-42:", scale = 1e4, iters = 2)
           .groupBy(col("cluster").cast("long").as("c"))

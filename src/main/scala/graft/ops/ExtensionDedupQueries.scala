@@ -264,7 +264,13 @@ object ExtensionDedupQueries {
     QuerySpec(
       "x27_segment_dedup",
       (s, dir) => {
-        val withSegs = Tables.documents(s, dir)
+        // fan the under-split scan before tokenize+segment: withSegs is
+        // consumed twice (segment explode + the n_segments projection) and
+        // each consumer re-runs the tokenize above the scan — measured as
+        // TWO 1.2 s single-task stages at sf0.1 (guide §2.5; no-op on a
+        // well-split table)
+        val withSegs = Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("toks"),
             // guarded: sequence(0, -1) on a ZERO-token doc DESCENDS to
@@ -1034,13 +1040,21 @@ object ExtensionDedupQueries {
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
         val t = 0.6
-        val sh = Tables.documents(s, dir)
+        // fan the under-split scan before the trigram explode (guide §2.5:
+        // measured 0.52 s single-task at sf0.1; no-op on a well-split
+        // table) and pin the checkpoint's layout to the configured
+        // parallelism, doc-clustered — sh feeds FOUR consumers (df, sizes,
+        // prefixes, verification) whose per-row work would otherwise run
+        // at AQE's byte-coalesced width
+        val sh = Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(ws)-3), " +
               "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("t"))
           .distinct()
+          .repartition(graft.Tables.numShufflePartitions(s), col("doc_id"))
           .localCheckpoint() // feeds df, sizes, prefixes, and verification
         val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val df = sh.groupBy("t").agg(count(lit(1)).as("df"))

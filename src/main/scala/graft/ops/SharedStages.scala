@@ -126,7 +126,9 @@ object SharedStages {
     * every verified near-dup pair — with the near-dup stage taken from the
     * [[docNearDupPairs]] memo by the restriction property. */
   def cleanDedupedBuild(s: SparkSession, dir: String): DataFrame = {
-    val clean = Tables.documents(s, dir)
+    // fan the under-split scan before the per-row quality kernel
+    // (guide §2.5; no-op on a well-split table)
+    val clean = Tables.fanOut(Tables.documents(s, dir), col("doc_id"))
       .filter(TextFunctions.qualityScore(col("text"), STOPWORDS) >= 0.9999)
     val exactKeep = Dedup.exact(clean, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
