@@ -43,7 +43,10 @@ object BpeTrain {
   def trainMerges(docs: DataFrame, textCol: String, nMerges: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = docs
+    // fan an under-split scan before the tokenize+explode (guide §2.5;
+    // no-op on a well-split table); keyed by the text itself since the
+    // trainer takes any frame shape
+    val wc = graft.Tables.fanOut(docs.select(col(textCol)), col(textCol))
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]

@@ -510,7 +510,10 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 7, "8x8-bit chunking is only complete for hamming <= 7")
-    val withSim = df
+    // fan the under-split scan before the shingle+simhash kernels
+    // (guide §2.5; no-op on a well-split table)
+    val withSim = graft.Tables.fanOut(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .withColumn("__sh", wordShingleStrings(col(textCol)))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), simhashUdf(col("__sh")).as("simhash"))
@@ -884,7 +887,12 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = df
+    // fan the under-split scan before the k-gram explode — grams is
+    // consumed twice (dup-count aggregate + the semi-join probe) and each
+    // consumer re-runs the tokenize+explode above its own exchange
+    // (guide §2.5; no-op on a well-split table)
+    val grams = graft.Tables.fanOut(
+        df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col(idCol), explode(expr(

@@ -3849,7 +3849,11 @@ object ExtensionStats1Queries {
       (s, dir) => {
         val cs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderdate", "o_orderpriority")
-        val o = Tables.orders(s, dir)
+        // fan the under-split scan before the 25-way distinct Expand
+        // (x102 device: ×25 row replication above the first exchange —
+        // guide §2.5; no-op on a well-split table)
+        val o = Tables.fanOut(Tables.orders(s, dir)
+          .select(cs.map(col): _*), col("o_orderkey"))
         val aggs = cs.map(c => countDistinct(col(c)).as(s"d_$c")) ++
           (for { a <- cs; b <- cs if a != b }
             yield countDistinct(col(a), col(b)).as(s"d_${a}__$b"))

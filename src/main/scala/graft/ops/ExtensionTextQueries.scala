@@ -343,7 +343,10 @@ object ExtensionTextQueries {
         val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", BpeNumMerges)
           .orderBy("step").select("merge_left", "merge_right")
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        Tables.documents(s, dir)
+        // fan the under-split scan before the per-word BPE segmentation
+        // UDF (guide §2.5; no-op on a well-split table)
+        Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
           .where(size(col("toks")) > 0)
           .select(col("doc_id"),
@@ -424,7 +427,10 @@ object ExtensionTextQueries {
             slice(col("toks"), lit(1), size(col("toks")) - 1),
             slice(col("toks"), lit(2), size(col("toks")) - 1),
             (a, b) => concat(a, lit(" "), b)))
-        val base = Tables.documents(s, dir)
+        // fan the under-split scan before tokenize: base feeds the bigram
+        // explode AND the vocab explode (guide §2.5; no-op at scale)
+        val base = Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"), toks.as("toks"))
         val tf = base
           .select(col("doc_id"), explode(bigrams).as("big"))
@@ -610,7 +616,11 @@ object ExtensionTextQueries {
         val merges = BpeTrain.trainMerges(Tables.documents(s, dir), "text", BpeNumMerges)
           .orderBy("step").select("merge_left", "merge_right")
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        Tables.documents(s, dir)
+        // fan the under-split scan before the per-word BPE segmentation
+        // UDF (guide §2.5; no-op on a well-split table)
+        Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), col("text")), col("doc_id"))
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             TextFunctions.tokens(col("text")).as("toks"))
           .where(size(col("toks")) > 0)
@@ -1155,7 +1165,10 @@ object ExtensionTextQueries {
       "x178_rake_keywords",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val tok = Tables.documents(s, dir)
+        // fan the under-split scan before tokenize+posexplode (guide §2.5;
+        // no-op on a well-split table)
+        val tok = Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("text")), col("doc_id"))
           .select(col("doc_id"),
             posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "wd")))
           .filter(length(col("wd")) >= 4)
@@ -1611,7 +1624,12 @@ object ExtensionTextQueries {
       "x230_self_bleu",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        val toks = Tables.documents(s, dir)
+        // fan the under-split scan before tokenize: toks feeds BOTH
+        // precision passes' gram explodes (guide §2.5; no-op on a
+        // well-split table)
+        val toks = Tables.fanOut(Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
           .select(col("doc_id"), col("source"),
             TextFunctions.tokens(col("text")).as("ws"))
           .filter(size(col("ws")) >= 2)
