@@ -3099,21 +3099,48 @@ object ExtensionStats2Queries {
         // ≤245-row frame, with the every-other-round checkpoint kept.
         // Per-variant arithmetic (and its 9-dp DECIMAL rounding) is
         // unchanged, so the oracle replays bit-identically.
-        var cur = base.withColumn("v", lit("base"))
+        val stacked = base.withColumn("v", lit("base"))
           .unionByName(channels.map(c =>
             removed(c).withColumn("v", lit(c))).reduce(_ unionByName _))
-          .localCheckpoint() // <= 5 x 49 rows by construction
-        def squared(m: org.apache.spark.sql.DataFrame) =
-          m.as("a").join(m.as("b"),
-              col("a.v") === col("b.v") && col("a.j") === col("b.i"))
-            .groupBy(col("a.v").as("v"), col("a.i").as("i"),
-              col("b.j").as("j"))
-            .agg(round(sum(round(col("a.p") * col("b.p"), 9)
-              .cast("decimal(18,9)")).cast("double"), 9).as("p"))
-        for (k <- 1 to 10) {
-          cur = squared(cur)
-          if (k % 2 == 0) cur = cur.localCheckpoint()
+        // The squaring chain runs on a SCHEMA-bounded matrix: states are
+        // the event-type enum (7 incl. start/conv/null), so the stacked
+        // frame is <= 5 x 49 rows BY CONSTRUCTION — k-bounded the same
+        // way x74's collected merge list is. Ten distributed join+agg
+        // rounds on it were 10 bounded Spark jobs of pure scheduler
+        // overhead (r16 profiler: 81 jobs, 3.9 s, every stage < 0.5 s of
+        // task time); the squarings now run on the driver with the SAME
+        // arithmetic step for step — round(p_a*p_b, 9) HALF_UP, exact
+        // DECIMAL(18,9) summation, cast double, round 9 — so the values
+        // are bit-identical (oracle replays the same chain in SQL and
+        // still hash-matches). The corpus-sized work (events window,
+        // transition counts) stays in Spark; only the 7x7-per-variant
+        // matrix power moved.
+        val rm = java.math.RoundingMode.HALF_UP
+        def r9(x: Double): Double =
+          java.math.BigDecimal.valueOf(x).setScale(9, rm).doubleValue
+        var mat: Map[(String, String, String), Double] = stacked.collect()
+          .map(r => ((r.getAs[String]("v"), r.getAs[String]("i"),
+            r.getAs[String]("j")), r.getAs[Double]("p"))).toMap
+        for (_ <- 1 to 10) {
+          val next = scala.collection.mutable.HashMap
+            .empty[(String, String, String), java.math.BigDecimal]
+          mat.foreach { case ((v, i, k), pa) =>
+            mat.foreach { case ((v2, k2, j), pb) =>
+              if (v2 == v && k2 == k) {
+                val term = java.math.BigDecimal.valueOf(r9(pa * pb))
+                  .setScale(9, rm)
+                val key = (v, i, j)
+                next(key) = next.get(key).map(_.add(term)).getOrElse(term)
+              }
+            }
+          }
+          mat = next.map { case (key, s) =>
+            key -> r9(s.doubleValue)
+          }.toMap
         }
+        val cur = s.createDataFrame(mat.toSeq.map { case ((v, i, j), p) =>
+          (v, i, j, p)
+        }).toDF("v", "i", "j", "p")
         // left join against the variant list so a variant whose
         // start→conv mass vanished still reports 0.0 (the old per-chain
         // agg-on-empty behavior)
