@@ -1165,10 +1165,12 @@ object ExtensionTextQueries {
       "x178_rake_keywords",
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
-        // fan the under-split scan before tokenize+posexplode (guide §2.5;
-        // no-op on a well-split table)
-        val tok = Tables.fanOut(Tables.documents(s, dir)
-            .select(col("doc_id"), col("text")), col("doc_id"))
+        // Examined for the r16 fan-out pass and deliberately left on the
+        // scan layout: the tokenize runs ONCE into this checkpoint (never
+        // re-computed per consumer), so the fan-out exchange only added
+        // cost — measured 1.98 -> 2.2-2.4 s isolated on two independent
+        // windows with it, reverted.
+        val tok = Tables.documents(s, dir)
           .select(col("doc_id"),
             posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "wd")))
           .filter(length(col("wd")) >= 4)
